@@ -1,0 +1,214 @@
+"""Exact top-k vector search — the engine's flagship operator.
+
+Replicates the semantics of the reference's single query
+(reference: servers/mcp_neo4j_vector_search/server.py:85-91):
+
+    WITH $prompt_embeddings AS prompt_embeddings
+    CALL db.index.vector.queryNodes('embeddableIndex', 10, prompt_embeddings)
+    YIELD node, score
+    RETURN node.name as name, node.description as description, score
+    ORDER BY score DESC
+
+i.e. score every document against a query vector with the
+Neo4j-normalized cosine ``(1+cos)/2``, keep the top 10, project
+metadata columns, order by score descending.  The reference pushes
+``k`` into the index scan (server.py:87); the Spark analog is that
+``ORDER BY ... LIMIT k`` compiles to ``TakeOrderedAndProject`` —
+partition-local top-k heaps merged at the driver, no global sort, no
+shuffle of the scored rows.  That plan is O(n) scan + O(k) memory per
+partition and survives a 100x scale-up: the only data movement is
+k rows per partition to the driver.
+
+Exact search is the canonical, oracle-checkable operator; the
+approximate scale path (IVF partition pruning, LSH) lives in ``ann.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..functions.vector import neo4j_score
+from ..registry import register
+from ..sources.tables import load_table
+
+SCORE_DECIMALS = 6  # round scores so Spark/DuckDB double math hash-matches
+
+
+def query_vector_df(embeddings: DataFrame, vec_id: int) -> DataFrame:
+    """One-row DataFrame holding the query vector.
+
+    The reference binds the query embedding as a Cypher parameter
+    (server.py:86,95); our analog is a 1-row broadcast side of a
+    nested-loop join — the vector ships once per executor, the scored
+    relation never moves.
+    """
+    return embeddings.where(F.col("vec_id") == vec_id).select(
+        F.col("embedding").alias("__query_vec")
+    )
+
+
+def score_against(df: DataFrame, query: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Attach a Neo4j-normalized cosine ``score`` column vs the 1-row query."""
+    scored = df.crossJoin(F.broadcast(query))
+    return scored.withColumn(
+        "score", F.round(neo4j_score(vec_col, "__query_vec"), SCORE_DECIMALS)
+    ).drop("__query_vec")
+
+
+def topk(df: DataFrame, k: int, order: list[Column]) -> DataFrame:
+    """ORDER BY + LIMIT — Catalyst fuses to TakeOrderedAndProject."""
+    return df.orderBy(*order).limit(k)
+
+
+def topk_cosine(
+    embeddings: DataFrame,
+    documents: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k cosine search joined to document metadata.
+
+    Join AFTER the top-k, not before: only k rows hit the join, which
+    Catalyst executes as a broadcast of the k-row side — at 100 TB the
+    documents table is huge but the join probe is k rows.
+    Deterministic tie-break on vec_id keeps result sets hash-stable
+    (SURVEY.md §5.2.5).
+    """
+    hits = topk(
+        score_against(embeddings, query).select("vec_id", "score"),
+        k,
+        [F.desc("score"), F.asc("vec_id")],
+    )
+    return (
+        F.broadcast(hits)
+        .join(documents, hits.vec_id == documents.doc_id)
+        .select("doc_id", "text", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+QUERY_VEC_ID = 0  # deterministic stand-in for the reference's prompt embedding
+FLAGSHIP_K = 10  # k=10 hardcoded in the reference (server.py:87)
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference query end-to-end on the testdata tables.
+
+    ``documents.text`` stands in for the reference's ``node.name`` /
+    ``node.description`` projection (server.py:89); the query vector is
+    the embedding of vec_id=0 (stand-in for the OpenAI prompt
+    embedding, server.py:78 — embedding inference is pluggable, see
+    functions/embedder.py).
+    """
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    documents = load_table(spark, sf_dir, "documents")
+    q = query_vector_df(embeddings, QUERY_VEC_ID)
+    return topk_cosine(embeddings, documents, q, FLAGSHIP_K)
+
+
+_FLAGSHIP_ORACLE = f"""
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+),
+hits AS (
+  SELECT e.vec_id,
+         ROUND((1.0 + list_cosine_similarity(e.embedding::DOUBLE[], q.qv)) / 2.0,
+               {SCORE_DECIMALS}) AS score
+  FROM embeddings e CROSS JOIN q
+  ORDER BY score DESC, e.vec_id
+  LIMIT {FLAGSHIP_K}
+)
+SELECT d.doc_id, d.text, h.score
+FROM hits h JOIN documents d ON d.doc_id = h.vec_id
+ORDER BY h.score DESC, d.doc_id
+"""
+
+
+@register("flagship_topk_cosine", oracle=_FLAGSHIP_ORACLE)
+def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return flagship(spark, sf_dir)
+
+
+@register(
+    "vector_scores_all",
+    oracle=f"""
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+)
+SELECT e.vec_id,
+       ROUND((1.0 + list_cosine_similarity(e.embedding::DOUBLE[], q.qv)) / 2.0,
+             {SCORE_DECIMALS}) AS score
+FROM embeddings e CROSS JOIN q
+""",
+)
+def q_scores_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full scoring scan (no top-k) — isolates the distance expression."""
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    q = query_vector_df(embeddings, QUERY_VEC_ID)
+    return score_against(embeddings, q).select("vec_id", "score")
+
+
+N_BATCH_QUERIES = 5
+BATCH_K = 10
+
+
+def topk_per_query(
+    embeddings: DataFrame, queries: DataFrame, k: int = BATCH_K
+) -> DataFrame:
+    """Batch top-k: many query vectors at once (SURVEY.md §2.4).
+
+    queries(query_id, embedding) x corpus → rank top-k per query via a
+    window.  The small query set broadcasts; the corpus-side scoring is
+    map-only, and the window shuffles only (query_id, vec_id, score)
+    triples — never the vectors.  At scale the per-query state is a
+    k-row heap per partition (rank pushdown via WindowGroupLimit).
+    """
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__query_vec")
+    )
+    scored = (
+        embeddings.crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(neo4j_score("embedding", "__query_vec"), SCORE_DECIMALS).alias(
+                "score"
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", "rank")
+    )
+
+
+@register(
+    "topk_per_query_batch",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {N_BATCH_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND((1.0 + list_cosine_similarity(e.embedding::DOUBLE[], q.qv)) / 2.0,
+               {SCORE_DECIMALS}) AS score
+  FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, score, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {BATCH_K}
+""",
+)
+def q_topk_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    queries = embeddings.where(F.col("vec_id") < N_BATCH_QUERIES)
+    return topk_per_query(embeddings, queries)

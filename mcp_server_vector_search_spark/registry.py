@@ -1,0 +1,53 @@
+"""Query/oracle registry wired into ``__spark_entry__.py``.
+
+Every operator registers a named query (``fn(spark, sf_dir) ->
+DataFrame``) and, when SQL-expressible, the equivalent DuckDB oracle
+SQL.  Approximate operators (ANN, LSH with non-portable hashing)
+register without an oracle — the driver then records a rows-only check
+and our own tests assert recall against the exact variants.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: Optional[str] = None):
+    """Decorator: register ``fn(spark, sf_dir)`` under ``name``.
+
+    ``oracle`` is ANSI-ish SQL DuckDB can run against the pre-registered
+    testdata views; column names/aliases MUST match the Spark result
+    (the driver sorts columns by name before value-hashing).
+    """
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query registration: {name}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all_operators() -> None:
+    """Import every operator module so registrations run."""
+    from .operators import (  # noqa: F401
+        ann,
+        dedup,
+        relational,
+        similarity_join,
+        text_analysis,
+        topk,
+        windows,
+    )
+    from .sources import multimodal  # noqa: F401

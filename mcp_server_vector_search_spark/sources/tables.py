@@ -1,0 +1,68 @@
+"""Parquet table loaders for the driver testdata layout.
+
+The reference's store is a Neo4j property graph, of which it uses one
+logical table ``documents(name, description, embedding[1536])``
+(reference: servers/mcp_neo4j_vector_search/server.py:85-91, README.md:72-79).
+Our store is columnar Parquet — scans get column pruning and predicate
+pushdown from the format, the two things a 100 TB scan lives on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+EMBEDDING_DIM = 64  # testdata embedding dimension (reference uses 1536; dim is a parameter, not a constant — see SURVEY.md §1.4)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy Parquet scan of one testdata table."""
+    if name not in TABLES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so SQL-text operators can run."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def validated_embeddings(
+    spark: SparkSession, sf_dir: str, dim: int = EMBEDDING_DIM
+) -> DataFrame:
+    """Embeddings scan with the dimension invariant enforced.
+
+    Mirrors the reference's client-side dim assertion
+    (server.py:55-56 and the re-check at server.py:80-84): a vector of
+    the wrong length is a hard error, not a silent null.  Expressed as a
+    codegen'd filter + ``raise_error`` so the check runs distributed,
+    not on the driver.
+    """
+    df = load_table(spark, sf_dir, "embeddings")
+    bad = F.size("embedding") != dim
+    return df.withColumn(
+        "embedding",
+        F.when(
+            bad,
+            F.raise_error(
+                F.concat(
+                    F.lit(f"embedding dimension mismatch: expected {dim}, got "),
+                    F.size("embedding").cast("string"),
+                )
+            ).cast(df.schema["embedding"].dataType),
+        ).otherwise(F.col("embedding")),
+    )
