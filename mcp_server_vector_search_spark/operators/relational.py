@@ -1,1 +1,689 @@
-"""Placeholder — filled in by subsequent milestones."""
+"""Relational operator breadth over the TPC-H-ish star schema.
+
+The reference delegates ALL relational computation to Neo4j and uses
+none of it beyond project/sort/limit (SURVEY.md §2.3 — no joins, no
+aggregates, no windows anywhere in the tree).  A drop-in engine for
+its users still needs the full relational surface, so every operator
+family is implemented here as an oracle-checked query:
+
+- scans with pushed filters + pruned columns
+- broadcast + shuffle joins, semi/anti joins, multi-way star joins
+- hash aggregates (partial+final), distinct aggregates, rollup/cube/
+  grouping sets
+- window functions (rank, lag, running frames)
+- set operations, conditional aggregation, pivot
+- scalar function library: string / date / math / array / json
+
+Determinism & oracle-parity rules used throughout:
+- money arithmetic is cast to DECIMAL before SUM (exact, engine-order
+  independent), then the result cast to DOUBLE — identical bits in
+  Spark and DuckDB regardless of partial-aggregation order;
+- AVG is expressed as CAST(SUM AS DOUBLE)/COUNT (both engines do the
+  same IEEE division);
+- every LIMIT sits under a total order (explicit tie-break keys).
+
+Scale notes: all joins here either broadcast a dimension (region,
+nation, supplier — tiny by definition) or shuffle on the natural key
+(orders/lineitem on orderkey), which is exactly the plan a 1000-node
+cluster wants; AQE handles post-shuffle coalescing and skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import load_table
+
+
+def _dec(col: str, prec: int = 12, scale: int = 2) -> Column:
+    """Exact-decimal view of a money/quantity double column."""
+    return F.col(col).cast(f"decimal({prec},{scale})")
+
+
+def _dsum(col: Column) -> Column:
+    """Order-independent exact sum surfaced as DOUBLE."""
+    return F.sum(col).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Aggregations
+# ---------------------------------------------------------------------------
+
+Q1_CUTOFF = "1998-09-02"
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF} 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical partial+final hash aggregate.
+
+    The filter is pushed to the parquet scan (min/max row-group skip on
+    l_shipdate); the groupBy is 6 groups so the map-side partial
+    aggregate reduces ~all rows before the shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = _dec("l_discount", 4, 2)
+    tax = _dec("l_tax", 4, 2)
+    price = _dec("l_extendedprice")
+    n = F.count(F.lit(1))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(_dec("l_quantity")).alias("sum_qty"),
+            _dsum(price).alias("sum_base_price"),
+            _dsum(price * (F.lit(1) - disc)).alias("sum_disc_price"),
+            _dsum(price * (F.lit(1) - disc) * (F.lit(1) + tax)).alias("sum_charge"),
+            (_dsum(_dec("l_quantity")) / n).alias("avg_qty"),
+            (_dsum(price) / n).alias("avg_price"),
+            (_dsum(disc) / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_distinct_counts",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS distinct_parts,
+       COUNT(DISTINCT l_suppkey) AS distinct_supps,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple DISTINCT aggregates — Catalyst plans the expand+two-phase
+    distinct aggregation; at scale this is the expand-operator pattern,
+    not a per-group hash set on the driver."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "agg_rollup_orders",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+)
+def agg_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum(_dec("o_totalprice")).alias("total_price"),
+    )
+
+
+@register(
+    "agg_cube_lineitem",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def agg_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        _dsum(_dec("l_quantity")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via Spark SQL (same Catalyst Expand plan as
+    rollup/cube; the SQL form is the idiomatic spelling)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@register(
+    "agg_conditional_pivot",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_linestatus = 'O'
+                THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_open,
+       CAST(SUM(CASE WHEN l_linestatus = 'F'
+                THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_finished,
+       COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_discounted
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot expressed as conditional aggregation (what .pivot() lowers
+    to) — map-side combinable, no extra shuffle vs a plain groupBy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = _dec("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        _dsum(F.when(F.col("l_linestatus") == "O", qty)).alias("qty_open"),
+        _dsum(F.when(F.col("l_linestatus") == "F", qty)).alias("qty_finished"),
+        F.count(F.when(F.col("l_discount") > 0.05, F.lit(1))).alias("n_discounted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scans & filters
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "filter_scan_pushdown",
+    oracle="""
+SELECT o_orderkey, o_totalprice, o_orderpriority
+FROM orders
+WHERE o_orderstatus = 'F' AND o_totalprice > 400000.0
+""",
+)
+def filter_scan_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective predicate + narrow projection: both reach the parquet
+    reader (PushedFilters + ReadSchema pruning — asserted in
+    tests/test_plans.py)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.where(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 400000.0)
+    ).select("o_orderkey", "o_totalprice", "o_orderpriority")
+
+
+@register(
+    "top_n_orders",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+""",
+)
+def top_n_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-N — TakeOrderedAndProject (no full sort at any scale)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_star_broadcast",
+    oracle="""
+SELECT r.r_name, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""",
+)
+def join_star_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dims star join: nation (25 rows) and region (5 rows) are
+    broadcast, so the fact table never shuffles for the join — the only
+    shuffle is the tiny 5-group aggregate."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _dsum(_dec("c_acctbal")).alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+SELECT l.l_orderkey,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+       o.o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, l.l_orderkey
+LIMIT 10
+""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → fact-fact join on the
+    natural key → aggregate → top-N.  customer(BUILDING) broadcasts;
+    orders⋈lineitem shuffles on orderkey (co-partitioned, no skew);
+    the top-10 is TakeOrderedAndProject over the aggregate."""
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", 4, 2))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(_dsum(rev).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_regional_revenue",
+    oracle="""
+SELECT n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+""",
+)
+def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join with a cross-dimension equality
+    (customer and supplier in the same nation).  Catalyst reorders the
+    dims to broadcast; the region filter prunes nations before the fact
+    join touches them (dynamic filter at scale)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", 4, 2))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(_dsum(rev).alias("revenue"))
+    )
+
+
+@register(
+    "join_semi_customers_with_orders",
+    oracle="""
+SELECT c.c_mktsegment, COUNT(*) AS n_customers
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c.c_mktsegment
+""",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join = EXISTS — emits each customer at most once, never
+    multiplies rows, and only the join key crosses the shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "join_anti_customers_without_orders",
+    oracle="""
+SELECT c.c_nationkey, COUNT(*) AS n_customers
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c.c_nationkey
+""",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "join_outer_order_counts",
+    oracle="""
+SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+FROM customer c
+LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey
+""",
+)
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving customers with zero orders (COUNT of a
+    nullable column skips the null-extended rows)."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "setops_nation_presence",
+    oracle="""
+SELECT 'customers_only' AS tag, k AS nationkey FROM (
+  SELECT c_nationkey AS k FROM customer
+  EXCEPT
+  SELECT s_nationkey AS k FROM supplier
+)
+UNION ALL
+SELECT 'both' AS tag, k AS nationkey FROM (
+  SELECT c_nationkey AS k FROM customer
+  INTERSECT
+  SELECT s_nationkey AS k FROM supplier
+)
+UNION ALL
+SELECT 'any' AS tag, k AS nationkey FROM (
+  SELECT c_nationkey AS k FROM customer
+  UNION
+  SELECT s_nationkey AS k FROM supplier
+)
+""",
+)
+def setops_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT / INTERSECT / UNION(distinct) / UNION ALL in one result."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    tag = lambda df, t: df.select(F.lit(t).alias("tag"), "nationkey")  # noqa: E731
+    return (
+        tag(c.subtract(s), "customers_only")
+        .unionAll(tag(c.intersect(s), "both"))
+        .unionAll(tag(c.union(s).distinct(), "any"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_rank_top3_per_priority",
+    oracle="""
+SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+)
+WHERE rnk <= 3
+""",
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N per group — Spark turns rank-filter into WindowGroupLimit
+    (per-partition heaps), so the full partition never materializes."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+@register(
+    "window_running_and_lag",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+            OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_spend,
+       LAG(o_orderkey) OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey) AS prev_orderkey
+FROM orders
+""",
+)
+def window_running_and_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_dec("o_totalprice"))
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("double")
+        .alias("running_spend"),
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+    )
+
+
+@register(
+    "window_moving_frame",
+    oracle="""
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)))
+            OVER (PARTITION BY l_suppkey
+                  ORDER BY l_shipdate, l_orderkey, l_linenumber
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS qty_3row
+FROM lineitem
+WHERE l_suppkey < 20
+""",
+)
+def window_moving_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit ROWS frame (3-row moving sum) under a total order."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_suppkey") < 20)
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-2, W.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(_dec("l_quantity")).over(w).cast("double").alias("qty_3row"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function library
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_string_functions",
+    oracle="""
+SELECT p_partkey,
+       UPPER(p_name) AS name_upper,
+       SUBSTR(p_type, 1, 4) AS type_prefix,
+       LENGTH(p_name) AS name_len,
+       CONCAT(p_brand, ':', p_type) AS brand_type,
+       REPLACE(p_name, ' ', '_') AS name_snake,
+       CASE WHEN p_name LIKE '%widget%' THEN 1 ELSE 0 END AS is_widget,
+       REGEXP_REPLACE(p_brand, '[0-9]+', '#') AS brand_norm
+FROM part
+""",
+)
+def scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_type", 1, 4).alias("type_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.when(F.col("p_name").like("%widget%"), 1).otherwise(0).alias("is_widget"),
+        F.regexp_replace("p_brand", "[0-9]+", "#").alias("brand_norm"),
+    )
+
+
+@register(
+    "scalar_date_functions",
+    oracle="""
+SELECT o_orderkey,
+       CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+       CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS order_month,
+       CAST(EXTRACT(day FROM o_orderdate) AS INTEGER) AS order_day,
+       CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS order_month_start,
+       CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due_date
+FROM orders
+WHERE o_orderkey < 1000
+""",
+)
+def scalar_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 1000)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_trunc("month", "o_orderdate").alias("order_month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+    )
+
+
+@register(
+    "scalar_math_functions",
+    oracle="""
+SELECT s_suppkey,
+       ABS(s_acctbal) AS bal_abs,
+       ROUND(s_acctbal, 1) AS bal_round,
+       CAST(FLOOR(s_acctbal) AS DOUBLE) AS bal_floor,
+       CAST(CEIL(s_acctbal) AS DOUBLE) AS bal_ceil,
+       ROUND(SQRT(ABS(s_acctbal)), 6) AS bal_sqrt,
+       ROUND(LN(ABS(s_acctbal) + 1), 6) AS bal_ln,
+       CAST(s_suppkey % 7 AS BIGINT) AS key_mod
+FROM supplier
+""",
+)
+def scalar_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.abs("s_acctbal").alias("bal_abs"),
+        F.round("s_acctbal", 1).alias("bal_round"),
+        F.floor("s_acctbal").cast("double").alias("bal_floor"),
+        F.ceil("s_acctbal").cast("double").alias("bal_ceil"),
+        F.round(F.sqrt(F.abs("s_acctbal")), 6).alias("bal_sqrt"),
+        F.round(F.log(F.abs(F.col("s_acctbal")) + 1), 6).alias("bal_ln"),
+        (F.col("s_suppkey") % 7).alias("key_mod"),
+    )
+
+
+@register(
+    "scalar_array_functions",
+    oracle="""
+SELECT doc_id,
+       LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+       STRING_SPLIT(text, ' ')[1] AS first_token,
+       LIST_CONTAINS(STRING_SPLIT(text, ' '), 'spark') AS has_spark,
+       LIST_SORT(STRING_SPLIT(text, ' '))[1] AS min_token
+FROM documents
+""",
+)
+def scalar_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        toks.getItem(0).alias("first_token"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.array_min(toks).alias("min_token"),
+    )
+
+
+@register(
+    "scalar_json_functions",
+    oracle="""
+SELECT event_id,
+       CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) AS k_value,
+       event_type,
+       CASE WHEN CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) >= 50
+            THEN 'high' ELSE 'low' END AS k_bucket
+FROM events
+WHERE event_id < 2000
+""",
+)
+def scalar_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.select(
+        "event_id",
+        k.alias("k_value"),
+        "event_type",
+        F.when(k >= 50, "high").otherwise("low").alias("k_bucket"),
+    )

@@ -1,1 +1,150 @@
-"""Placeholder — filled in by subsequent milestones."""
+"""Event-time windowing over the ``events`` table — batch mode.
+
+These are the exact operators Structured Streaming applies per
+micro-batch (``F.window`` / ``F.session_window`` are the same Catalyst
+expressions in batch and streaming); running them in batch makes them
+oracle-checkable, and ``streaming/ingest.py`` re-uses them behind
+``readStream`` with watermarks (smoke-tested, not oracle-checked —
+SURVEY.md §5.2.2).
+
+Scale notes: tumbling/sliding windows are plain hash aggregates on the
+(bucket, key) pair — partial aggregation applies, no per-key state
+explosion.  The sessionization uses lag+cumsum windows partitioned by
+user, which shuffles each user's events to one partition — the same
+layout a streaming stateful operator would keep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import load_table
+
+TUMBLE_SEC = 3600
+SLIDE_SEC = 1800
+SESSION_GAP_SEC = 1800
+
+
+@register(
+    "window_tumbling_events",
+    oracle=f"""
+SELECT CAST(to_timestamp(CAST(FLOOR(epoch(ts) / {TUMBLE_SEC}) AS BIGINT) * {TUMBLE_SEC})
+            AS TIMESTAMP) AS win_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h windows per event type via ``F.window`` — the
+    idiomatic Spark spelling (struct window, epoch-aligned)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", f"{TUMBLE_SEC} seconds"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "window_sliding_events",
+    oracle=f"""
+WITH buckets AS (
+  SELECT e.*,
+         CAST(to_timestamp(
+           (CAST(FLOOR(epoch(ts) / {SLIDE_SEC}) AS BIGINT) - g.off) * {SLIDE_SEC})
+           AS TIMESTAMP) AS win_start
+  FROM events e
+  CROSS JOIN (SELECT UNNEST([0, 1]) AS off) g
+  WHERE epoch(ts) >= (CAST(FLOOR(epoch(ts) / {SLIDE_SEC}) AS BIGINT) - g.off) * {SLIDE_SEC}
+    AND epoch(ts) <  (CAST(FLOOR(epoch(ts) / {SLIDE_SEC}) AS BIGINT) - g.off) * {SLIDE_SEC}
+                     + {TUMBLE_SEC}
+)
+SELECT win_start, COUNT(*) AS n_events
+FROM buckets
+GROUP BY win_start
+""",
+)
+def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h windows every 30min — each event lands in 2 buckets
+    (window duplication happens at the Expand operator, map-side)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", f"{TUMBLE_SEC} seconds", f"{SLIDE_SEC} seconds"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("win_start"), "n_events")
+    )
+
+
+@register(
+    "sessionize_users",
+    oracle=f"""
+WITH gaps AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > {SESSION_GAP_SEC} * 1000000
+              OR LAG(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM gaps
+)
+SELECT user_id, CAST(session_seq AS INTEGER) AS session_seq,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
+FROM sessions
+GROUP BY user_id, session_seq
+""",
+)
+def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity splits a session):
+    lag → new-session flag → running sum = session id → per-session agg.
+    The batch analog of ``session_window``/``applyInPandasWithState``,
+    expressed entirely in window functions (no Python state)."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > SESSION_GAP_SEC * 1_000_000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_seq",
+        F.sum("new_session")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("int"),
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias(
+            "session_value"
+        ),
+    )

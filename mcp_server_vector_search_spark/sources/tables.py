@@ -29,9 +29,21 @@ EMBEDDING_DIM = 64  # testdata embedding dimension (reference uses 1536; dim is 
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Lazy Parquet scan of one testdata table."""
+    """Lazy Parquet scan of one testdata table.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects by default; we read it as INT64 nanos
+    (legacy conf, runtime-settable) and convert to a microsecond
+    timestamp — truncation, matching how DuckDB reads the same file.
+    """
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
