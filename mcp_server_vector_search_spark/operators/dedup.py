@@ -1,1 +1,462 @@
-"""Placeholder — filled in by subsequent milestones."""
+"""Deduplication operators over ``documents`` / ``embeddings``.
+
+The dedup family a pretraining-data pipeline needs (BASELINE.json north
+star), each at a different exactness/scale point:
+
+- exact:        md5 group-by               (hash agg, one shuffle on the hash)
+- normalized:   bag-of-words signature     (sorted distinct vocab as key)
+- n-gram:       3-gram shingle Jaccard     (shingle equi-join, exact)
+- MinHash LSH:  banded signature join      (the 100 TB path: candidates from
+                                            band buckets, exact verify after)
+- SimHash:      60-bit fingerprint + Hamming pairs
+- embedding:    cosine near-dup pairs      (vector-space dedup)
+
+Everything is md5-derived and mod-2^31 arithmetic (functions/hashing.py)
+so the whole pipeline — including MinHash signatures and band buckets —
+is bit-reproducible by the DuckDB oracle.  That makes even the LSH
+operator hash-checkable, which MLlib's MinHashLSH (random seeds,
+JVM-private hashing) would not be.
+
+Scale notes: the LSH band join shuffles on (band_idx, band_key) —
+bucket sizes are the skew risk, AQE skew-join handles the hot full-vocab
+bucket.  The exact n-gram join shuffles on shingle; its fan-out is
+bounded by shingle frequency, the verify joins are candidate×vocab.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (
+    MERSENNE31,
+    MINHASH_A,
+    MINHASH_B,
+    N_MINHASH,
+    duckdb_hash60_mod,
+    duckdb_hex15_to_bigint,
+    md5_hash60,
+    md5_hash60_mod,
+    minhash_perm,
+)
+from ..functions.text import bag_signature, tokens
+from ..registry import register
+from ..sources.tables import load_table
+
+R = 6
+
+# ---------------------------------------------------------------------------
+# Exact + normalized dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group on content hash, keep the lowest doc_id.
+    Grouping on md5 instead of the full text keeps the shuffle key at
+    32 bytes regardless of document size — the difference between
+    shuffling 100 TB of text and 100 GB of digests."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("text_md5"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@register(
+    "dedup_bag_groups",
+    oracle="""
+SELECT sig AS bag_sig, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+FROM (
+  SELECT doc_id,
+         array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS sig
+  FROM documents
+)
+GROUP BY sig
+HAVING COUNT(*) > 1
+""",
+)
+def dedup_bag_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized near-dup groups: documents with identical vocabulary
+    (bag-of-words signature), i.e. word-order permutations."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", bag_signature(F.col("text")).alias("bag_sig"))
+        .groupBy("bag_sig")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram shingle Jaccard (exact near-dup)
+# ---------------------------------------------------------------------------
+
+NGRAM = 3
+JACCARD_T = 0.5
+
+
+def _shingles(text_col):
+    """Distinct word 3-gram shingles of a document (empty if < 3 tokens —
+    guarded because Spark's ``sequence(1, 0)`` would count DOWN)."""
+    toks = tokens(text_col)
+    idx = F.sequence(F.lit(1), F.size(toks) - (NGRAM - 1))
+    shingled = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + off) for off in range(NGRAM)]
+        ),
+    )
+    return F.when(F.size(toks) >= NGRAM, F.array_distinct(shingled)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+_NGRAM_ORACLE = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(string_split(text, ' ')) - {NGRAM - 2}),
+           i -> string_split(text, ' ')[i] || ' ' ||
+                string_split(text, ' ')[i+1] || ' ' ||
+                string_split(text, ' ')[i+2])) AS s
+  FROM documents
+),
+c AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id,
+       ROUND(i::DOUBLE / (ca.n + cb.n - i), {R}) AS jaccard
+FROM inter
+JOIN c ca ON a_id = ca.doc_id
+JOIN c cb ON b_id = cb.doc_id
+WHERE ROUND(i::DOUBLE / (ca.n + cb.n - i), {R}) >= {JACCARD_T}
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs.
+
+    Pairs are generated by the shingle equi-join (docs sharing no
+    shingle never meet — this is NOT a cross join), then scored
+    i/(|A|+|B|-i).  The shuffle key is the shingle; fan-out is bounded
+    by shingle document-frequency, which is what keeps this viable at
+    scale (hot shingles are the skew risk → AQE)."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(_shingles(F.col("text"))).alias("s")
+    )
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    ca = counts.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
+    jac = F.round(
+        F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i")), R
+    )
+    return (
+        inter.join(F.broadcast(ca), "a_id")
+        .join(F.broadcast(cb), "b_id")
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= JACCARD_T)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH (the scale path), exact-verified
+# ---------------------------------------------------------------------------
+
+BAND_ROWS = 8  # r: signatures per band
+N_BANDS = N_MINHASH // BAND_ROWS  # b = 2
+MINHASH_VERIFY_T = 0.9
+
+
+def minhash_signatures(documents: DataFrame) -> DataFrame:
+    """doc_id + 16 MinHash signatures over the distinct-token set."""
+    toks = documents.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
+    )
+    hm = toks.withColumn("hm", md5_hash60_mod(F.col("tok")))
+    return hm.groupBy("doc_id").agg(
+        *[F.min(minhash_perm(F.col("hm"), i)).alias(f"s{i}") for i in range(N_MINHASH)]
+    )
+
+
+def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """Distinct (a_id, b_id) pairs sharing at least one full band.
+
+    Band key = the band's r signatures concatenated; the self-join on
+    (band_idx, key) is the LSH bucket join — each bucket only compares
+    within itself, never across, which is the whole point at 100 TB."""
+    bands = None
+    for bi in range(N_BANDS):
+        cols = [f"s{i}" for i in range(bi * BAND_ROWS, (bi + 1) * BAND_ROWS)]
+        band = sigs.select(
+            "doc_id",
+            F.lit(bi).alias("band"),
+            F.concat_ws(",", *[F.col(c).cast("string") for c in cols]).alias("key"),
+        )
+        bands = band if bands is None else bands.unionAll(band)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+
+
+def _minhash_oracle() -> str:
+    sig_exprs = ",\n         ".join(
+        f"MIN(({MINHASH_A[i]} * hm + {MINHASH_B[i]}) % {MERSENNE31}) AS s{i}"
+        for i in range(N_MINHASH)
+    )
+    band_conds = []
+    for bi in range(N_BANDS):
+        eqs = " AND ".join(
+            f"a.s{i} = b.s{i}"
+            for i in range(bi * BAND_ROWS, (bi + 1) * BAND_ROWS)
+        )
+        band_conds.append(f"({eqs})")
+    est = " + ".join(
+        f"CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END" for i in range(N_MINHASH)
+    )
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+hm AS (SELECT doc_id, {duckdb_hash60_mod('tok')} AS hm FROM toks),
+sigs AS (
+  SELECT doc_id,
+         {sig_exprs}
+  FROM hm GROUP BY doc_id
+),
+cand AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         ({est}) / {float(N_MINHASH)} AS est
+  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+  WHERE {' OR '.join(band_conds)}
+),
+c AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT cd.a_id, cd.b_id, COUNT(*) AS i
+  FROM cand cd
+  JOIN toks x ON x.doc_id = cd.a_id
+  JOIN toks y ON y.doc_id = cd.b_id AND y.tok = x.tok
+  GROUP BY cd.a_id, cd.b_id
+)
+SELECT cd.a_id, cd.b_id,
+       ROUND(cd.est, {R}) AS est_jaccard,
+       ROUND(i.i::DOUBLE / (ca.n + cb.n - i.i), {R}) AS jaccard
+FROM cand cd
+JOIN inter i ON i.a_id = cd.a_id AND i.b_id = cd.b_id
+JOIN c ca ON cd.a_id = ca.doc_id
+JOIN c cb ON cd.b_id = cb.doc_id
+WHERE ROUND(i.i::DOUBLE / (ca.n + cb.n - i.i), {R}) >= {MINHASH_VERIFY_T}
+"""
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dedup, exact-verified.
+
+    Pipeline: distinct tokens → 16 deterministic MinHash signatures →
+    2 bands × 8 rows → bucket self-join for candidates → exact Jaccard
+    verification on candidates only → pairs ≥ 0.9.
+
+    This is the canonical 100 TB dedup: candidate generation never
+    compares documents that share no band bucket, and verification
+    touches only candidates.  Recall is the LSH s-curve
+    (1 - (1 - j^8)^2 at threshold j) — tested against the exact n-gram
+    operator in tests/test_dedup.py."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
+    )
+    sigs = minhash_signatures(d)
+    cand = lsh_candidate_pairs(sigs)
+
+    sa = sigs.alias("sa")
+    sb = sigs.alias("sb")
+    est = (
+        reduce(
+            lambda acc, i: acc
+            + F.when(F.col(f"sa.s{i}") == F.col(f"sb.s{i}"), 1).otherwise(0),
+            range(N_MINHASH),
+            F.lit(0),
+        )
+        / float(N_MINHASH)
+    )
+    cand_est = (
+        cand.join(sa, cand.a_id == F.col("sa.doc_id"))
+        .join(sb, cand.b_id == F.col("sb.doc_id"))
+        .select("a_id", "b_id", est.alias("est"))
+    )
+
+    counts = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    tx = toks.select(F.col("doc_id").alias("a_id"), "tok")
+    ty = toks.select(F.col("doc_id").alias("b_id"), "tok")
+    inter = (
+        cand_est.join(tx, "a_id")
+        .join(ty, ["b_id", "tok"])
+        .groupBy("a_id", "b_id", "est")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    ca = counts.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
+    jac = F.round(
+        F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i")), R
+    )
+    return (
+        inter.join(F.broadcast(ca), "a_id")
+        .join(F.broadcast(cb), "b_id")
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= MINHASH_VERIFY_T)
+        .select("a_id", "b_id", F.round("est", R).alias("est_jaccard"), "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 60
+HAMMING_T = 8
+
+
+def simhash_signatures(documents: DataFrame) -> DataFrame:
+    """60-bit SimHash per doc: per-bit ±1 votes over distinct-token
+    hashes, bit set where the vote is non-negative."""
+    toks = documents.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
+    )
+    h = toks.withColumn("h", md5_hash60(F.col("tok")))
+    votes = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    sim = reduce(
+        lambda acc, b: acc
+        + F.when(F.col(f"b{b}") >= 0, F.lit(2**b)).otherwise(F.lit(0)),
+        range(SIMHASH_BITS),
+        F.lit(0).cast("long"),
+    )
+    return votes.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def _simhash_sql_core() -> str:
+    vote_cols = ", ".join(
+        f"SUM(CASE WHEN ((hv >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    combine = " + ".join(
+        f"CASE WHEN b{b} >= 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+h AS (SELECT doc_id, {duckdb_hex15_to_bigint("md5(tok)")} AS hv FROM toks),
+votes AS (SELECT doc_id, {vote_cols} FROM h GROUP BY doc_id),
+sim AS (SELECT doc_id, ({combine}) AS simhash FROM votes)
+"""
+
+
+@register(
+    "dedup_simhash_signatures",
+    oracle=f"WITH {_simhash_sql_core()} SELECT doc_id, simhash FROM sim",
+)
+def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+WITH {_simhash_sql_core()}
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_T}
+""",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 8 of 60 bits).
+
+    Spelled as the exact all-pairs comparison; the bit_count(xor) probe
+    is a single codegen'd instruction per pair.  At 100 TB the
+    candidate step would band the fingerprint (h+1 chunks guarantee
+    recall for Hamming ≤ h by pigeonhole) — on this corpus the bucket
+    collision rate of 7-bit chunks makes banding slower than the scan,
+    so the exact form is also the fast form at test scale."""
+    sim = simhash_signatures(load_table(spark, sf_dir, "documents"))
+    a = sim.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("ha"))
+    b = sim.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("hb"))
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
+        .where(ham <= HAMMING_T)
+        .select("a_id", "b_id", ham.cast("int").alias("hamming"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space near-dup
+# ---------------------------------------------------------------------------
+
+EMB_NEARDUP_T = 0.45
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]),
+             {R}) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]),
+            {R}) >= {EMB_NEARDUP_T}
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (semantic dedup).  Same engine
+    as the similarity join; the scale path replaces the pair generator
+    with the ANN index (ann.py) and keeps the verify."""
+    from .similarity_join import cosine_self_join
+
+    pairs = cosine_self_join(
+        load_table(spark, sf_dir, "embeddings"), threshold=-1.0
+    )
+    return pairs.where(F.col("cos_sim") >= EMB_NEARDUP_T).select(
+        "a_id", "b_id", "cos_sim"
+    )

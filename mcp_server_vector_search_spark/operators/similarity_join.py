@@ -53,7 +53,7 @@ def cosine_self_join(
     )
     return (
         pairs.withColumn("cos_sim", F.round(cos, SCORE_DECIMALS))
-        .where(F.col("cos_sim") > SIM_THRESHOLD)
+        .where(F.col("cos_sim") > threshold)
         .select("a_id", "b_id", "cos_sim")
     )
 

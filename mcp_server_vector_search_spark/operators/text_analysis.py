@@ -1,1 +1,150 @@
-"""Placeholder — filled in by subsequent milestones."""
+"""Text-analysis operators over the ``documents`` table.
+
+The training-data-pipeline surface implied by a vector-search engine at
+100 TB (BASELINE.json north star): token statistics, quality filtering,
+language ID, fingerprinting, vocabulary analytics.  All expressions are
+JVM-side (functions/text.py) — a full-corpus pass stays in whole-stage
+codegen, and the only shuffle in this module is the word-frequency
+aggregate (31-key hash agg, map-side combined).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..functions.hashing import MERSENNE31, ROLLING_BASE, duckdb_hash60_mod
+from ..registry import register
+from ..sources.tables import load_table
+
+R = 6  # shared rounding for double-typed derived metrics
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+       LENGTH(text) AS n_chars
+FROM documents
+""",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        T.token_count(t).alias("n_tokens"),
+        F.size(F.array_distinct(T.tokens(t))).alias("n_distinct_tokens"),
+        T.bpe_token_count(t).alias("n_bpe_tokens"),
+        F.length(t).alias("n_chars"),
+    )
+
+
+@register(
+    "text_quality_scores",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tok,
+         len(list_filter(string_split(text, ' '),
+             t -> list_contains(['the', 'a'], t)))::DOUBLE
+           / len(string_split(text, ' ')) AS stop_ratio,
+         len(list_distinct(string_split(text, ' ')))::DOUBLE
+           / len(string_split(text, ' ')) AS distinct_ratio
+  FROM documents
+)
+SELECT doc_id,
+       ROUND(stop_ratio, {R}) AS stopword_ratio,
+       ROUND(distinct_ratio, {R}) AS distinct_ratio,
+       ROUND(0.4 * least(1.0, n_tok / 50.0)
+             + 0.3 * (1.0 - stop_ratio)
+             + 0.3 * distinct_ratio, {R}) AS quality
+FROM m
+""",
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.round(T.stopword_ratio(t), R).alias("stopword_ratio"),
+        F.round(T.distinct_token_ratio(t), R).alias("distinct_ratio"),
+        F.round(T.quality_score(t), R).alias("quality"),
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+SELECT doc_id, lang AS lang_actual,
+       {T.duckdb_lang_id('text')} AS lang_pred
+FROM documents
+""",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID (deterministic heuristic; the real-model
+    path would be a pandas_udf — same shape as the embedder surface)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_actual"),
+        T.lang_id(F.col("text")).alias("lang_pred"),
+    )
+
+
+@register(
+    "text_fingerprints",
+    oracle=f"""
+SELECT doc_id,
+       md5(text) AS md5_fp,
+       list_reduce(
+         list_transform(string_split(text, ' '),
+                        t -> {duckdb_hash60_mod('t')}),
+         (acc, h) -> (acc * {ROLLING_BASE} + h) % {MERSENNE31}) AS rolling_fp,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+         AS bag_fp
+FROM documents
+""",
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three fingerprints per document: exact (md5), order-sensitive
+    (polynomial rolling hash), bag-of-words (sorted-vocab md5)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.md5(t).alias("md5_fp"),
+        T.rolling_fingerprint(t).alias("rolling_fp"),
+        F.md5(T.bag_signature(t)).alias("bag_fp"),
+    )
+
+
+TOP_N_WORDS = 20
+
+
+@register(
+    "word_freq_topn",
+    oracle=f"""
+SELECT tok, COUNT(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+GROUP BY tok
+ORDER BY n DESC, tok
+LIMIT {TOP_N_WORDS}
+""",
+)
+def word_freq_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary histogram: explode → hash agg → top-N.
+    Map-side combine reduces each partition to its local vocabulary
+    before the shuffle, so the exchange is O(vocab), not O(tokens)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(TOP_N_WORDS)
+    )

@@ -1,0 +1,80 @@
+"""Semantic invariants of the dedup family (beyond oracle parity):
+LSH recall against the exact pair set, signature properties."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mcp_server_vector_search_spark.operators import dedup
+from mcp_server_vector_search_spark.sources.tables import load_table
+
+from .conftest import SF_CORRECTNESS
+
+
+def exact_jaccard_pairs(spark, sf_dir, threshold):
+    """Ground truth: ALL token-set Jaccard pairs >= threshold (no LSH)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    counts = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    ca = counts.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(ca, "a_id").join(cb, "b_id")
+        .where(jac >= threshold)
+        .select("a_id", "b_id")
+    )
+
+
+def test_minhash_lsh_recall_and_precision(spark):
+    truth = {
+        (r.a_id, r.b_id)
+        for r in exact_jaccard_pairs(spark, SF_CORRECTNESS, dedup.MINHASH_VERIFY_T).collect()
+    }
+    found = {
+        (r.a_id, r.b_id)
+        for r in dedup.dedup_minhash_lsh(spark, SF_CORRECTNESS).collect()
+    }
+    assert found, "LSH found no near-dup pairs on a corpus known to have them"
+    # precision is 1.0 by construction (exact verify step)
+    assert found <= truth
+    # recall bounded by the s-curve 1-(1-j^8)^2 >= 0.57 at j=0.9; corpus
+    # pairs are mostly j≈1.0 where recall ≈ 1, so demand a healthy floor
+    recall = len(found) / len(truth)
+    assert recall >= 0.5, f"LSH recall {recall:.2f} below floor"
+
+
+def test_simhash_identical_bags_collide(spark):
+    """Docs with identical token sets must get identical SimHash."""
+    d = load_table(spark, SF_CORRECTNESS, "documents")
+    sigs = dedup.simhash_signatures(d)
+    bags = d.select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " ")
+        ).alias("bag"),
+    )
+    joined = sigs.join(bags, "doc_id")
+    n_distinct = (
+        joined.groupBy("bag")
+        .agg(F.countDistinct("simhash").alias("k"))
+        .where(F.col("k") > 1)
+        .count()
+    )
+    assert n_distinct == 0
+
+
+def test_minhash_estimate_tracks_jaccard(spark):
+    """est_jaccard from signatures should approximate verified jaccard."""
+    rows = dedup.dedup_minhash_lsh(spark, SF_CORRECTNESS).collect()
+    assert rows
+    mae = sum(abs(r.est_jaccard - r.jaccard) for r in rows) / len(rows)
+    assert mae < 0.2, f"MinHash estimate MAE {mae:.3f} too high for k=16"
