@@ -86,6 +86,7 @@ def topk_cosine(
         .join(documents, hits.vec_id == documents.doc_id)
         .select("doc_id", "text", "score")
         .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)  # re-fuses the final order into TakeOrderedAndProject (no Exchange)
     )
 
 

@@ -1,0 +1,135 @@
+"""Structured Streaming ingest: windowed aggregation and incremental
+vector-index maintenance.
+
+The reference is request/response (async MCP tool, SURVEY.md §2.3 —
+no stream processing anywhere); a 100 TB ingest pipeline is not, so the
+engine adds the streaming surface:
+
+- event-time tumbling aggregation with a watermark (late rows beyond
+  the watermark are dropped by the engine, not by user code);
+- gap-based session windows (``F.session_window`` — the stateful
+  streaming equivalent of operators/windows.sessionize_users);
+- ``foreachBatch`` incremental IVF index append: each micro-batch of
+  new vectors is assigned to its nearest centroid (broadcast centroid
+  table) and appended to the centroid_id-partitioned parquet layout,
+  i.e. the batch-built index (operators/ann.py) stays queryable and
+  prunable while the stream feeds it.
+
+Batch/stream parity: the window expressions here are the SAME Catalyst
+operators used in batch (operators/windows.py), which is how the
+oracle-checked batch results certify the streaming logic; streaming
+runs are smoke-tested with the parquet source + memory/parquet sinks
+(tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine_similarity, vector_lit
+from ..sources.tables import load_table
+
+WATERMARK = "2 hours"
+TUMBLE = "3600 seconds"
+SESSION_GAP = "30 minutes"
+
+
+def _as_stream_dir(file_path: str) -> str:
+    """Spark's file-stream source requires a DIRECTORY; expose a single
+    parquet file through a temp dir symlink (testdata stays read-only)."""
+    d = tempfile.mkdtemp(prefix="stream_src_")
+    os.symlink(file_path, os.path.join(d, os.path.basename(file_path)))
+    return d
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table as a file stream (schema pinned from the batch
+    reader, including the nanos→micros ts normalization)."""
+    batch = load_table(spark, sf_dir, "events")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_as_stream_dir(f"{sf_dir}/events.parquet"))
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    assert stream.schema == batch.schema
+    return stream
+
+
+def windowed_counts(events: DataFrame) -> DataFrame:
+    """Watermarked tumbling counts — append-mode-safe (the watermark
+    bounds state: windows older than 2h of event time are finalized
+    and evicted)."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", TUMBLE), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("win_start"), "event_type", "n_events"
+        )
+    )
+
+
+def session_windows(events: DataFrame) -> DataFrame:
+    """Native session windows (gap-merged, stateful in streaming)."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy("user_id", F.session_window("ts", SESSION_GAP))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def incremental_index_append(
+    spark: SparkSession,
+    sf_dir: str,
+    centroids: list[list[float]],
+    index_path: str,
+    checkpoint_path: str,
+):
+    """Streaming IVF maintenance: assign each arriving vector to its
+    nearest centroid (argmax over a broadcast-folded literal centroid
+    table — pure codegen, no Python) and append into the partitioned
+    index layout.  Returns the StreamingQuery."""
+    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(
+        _as_stream_dir(f"{sf_dir}/embeddings.parquet")
+    )
+
+    # argmax over centroids as a fold over a literal array of structs
+    scored = F.array(
+        *[
+            F.struct(
+                cosine_similarity("embedding", vector_lit(c)).alias("score"),
+                F.lit(i).alias("cid"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    assigned = stream.withColumn(
+        "centroid_id", F.array_max(scored).getField("cid")
+    )
+
+    def append_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.write.mode("append")
+            .partitionBy("centroid_id")
+            .parquet(index_path)
+        )
+
+    return (
+        assigned.writeStream.foreachBatch(append_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

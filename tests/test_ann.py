@@ -1,0 +1,79 @@
+"""ANN correctness discipline (SURVEY.md §4.3.3): approximate operators
+are judged by recall@k against the exact top-k, not by an SQL oracle."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from mcp_server_vector_search_spark.operators import ann
+from mcp_server_vector_search_spark.operators.topk import (
+    QUERY_VEC_ID,
+    query_vector_df,
+    score_against,
+)
+from mcp_server_vector_search_spark.sources.tables import load_table
+
+from .conftest import SF_CORRECTNESS
+
+
+def exact_topk_ids(spark, sf_dir, k=10):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = query_vector_df(emb, QUERY_VEC_ID)
+    rows = (
+        score_against(emb, q)
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(k)
+        .collect()
+    )
+    return [r.vec_id for r in rows]
+
+
+def test_ivf_recall(spark):
+    truth = set(exact_topk_ids(spark, SF_CORRECTNESS))
+    got = {r.vec_id for r in ann.q_ann_ivf_topk(spark, SF_CORRECTNESS).collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.9, f"IVF recall@10 = {recall}"
+
+
+def test_lsh_recall(spark):
+    truth = set(exact_topk_ids(spark, SF_CORRECTNESS))
+    got = {r.vec_id for r in ann.q_ann_lsh_topk(spark, SF_CORRECTNESS).collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.9, f"LSH recall@10 = {recall}"
+
+
+def test_ivf_partition_pruning(spark):
+    """The materialized IVF layout must turn the nprobe filter into
+    partition pruning — the scan's plan reads only probed partitions."""
+    emb = load_table(spark, SF_CORRECTNESS, "embeddings")
+    assigned, centroids = ann.build_ivf_index(emb)
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/ivf"
+        ann.write_ivf_index(assigned, path)
+        indexed = spark.read.parquet(path)
+        qvec = [
+            float(x)
+            for x in emb.where(F.col("vec_id") == QUERY_VEC_ID).first()["embedding"]
+        ]
+        df = ann.ivf_topk(indexed, centroids, qvec)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        rows = df.collect()
+        assert 0 < len(rows) <= 10
+        # partition filters on centroid_id, not a post-scan filter
+        assert "PartitionFilters" in plan and "centroid_id" in plan.split(
+            "PartitionFilters", 1
+        )[1].split("]", 1)[0]
+
+
+def test_hash_embedder_deterministic(spark):
+    from mcp_server_vector_search_spark.functions.embedder import hash_embedder
+
+    docs = load_table(spark, SF_CORRECTNESS, "documents").limit(20)
+    e1 = docs.select("doc_id", hash_embedder()(F.col("text")).alias("v")).collect()
+    e2 = docs.select("doc_id", hash_embedder()(F.col("text")).alias("v")).collect()
+    assert {r.doc_id: r.v for r in e1} == {r.doc_id: r.v for r in e2}
+    assert all(len(r.v) == 64 for r in e1)
+    # unit-normalized
+    assert all(abs(sum(x * x for x in r.v) - 1.0) < 1e-3 for r in e1)

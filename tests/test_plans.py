@@ -1,0 +1,56 @@
+"""Scale assertions: the physical plans must have the shape the 100 TB
+design depends on, not just produce correct rows."""
+
+from __future__ import annotations
+
+import re
+
+from mcp_server_vector_search_spark.operators.relational import (
+    filter_scan_pushdown,
+    join_star_broadcast,
+    q1_pricing_summary,
+)
+from mcp_server_vector_search_spark.operators.topk import flagship
+from mcp_server_vector_search_spark.plans.explain import formatted_plan
+
+from .conftest import SF_CORRECTNESS
+
+
+def test_flagship_is_take_ordered(spark):
+    """ORDER BY+LIMIT must fuse to TakeOrderedAndProject — partition-
+    local top-k heaps, no global sort, no full shuffle of scored rows."""
+    plan = formatted_plan(flagship(spark, SF_CORRECTNESS))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no standalone global sort operator
+
+
+def test_filter_and_projection_pushed_to_scan(spark):
+    plan = formatted_plan(filter_scan_pushdown(spark, SF_CORRECTNESS))
+    assert re.search(r"PushedFilters:.*o_orderstatus", plan)
+    assert re.search(r"PushedFilters:.*o_totalprice", plan)
+    # column pruning: the scan schema must NOT include unused columns
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and "o_orderdate" not in m.group(1) and "o_custkey" not in m.group(1)
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    plan = formatted_plan(join_star_broadcast(spark, SF_CORRECTNESS))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan  # fact table must not shuffle
+
+
+def test_q1_partial_aggregation(spark):
+    """The hash aggregate must run partial (map-side) then final —
+    the shuffle carries 6 groups, not 60k rows."""
+    plan = formatted_plan(q1_pricing_summary(spark, SF_CORRECTNESS))
+    assert "HashAggregate" in plan
+    assert "partial_sum" in plan or "partial" in plan.lower()
+
+
+def test_scoring_stays_in_codegen(spark):
+    """The cosine scoring expression must be JVM expressions (no
+    BatchEvalPython / ArrowEvalPython in the scoring plan)."""
+    from mcp_server_vector_search_spark.operators.topk import q_scores_all
+
+    plan = formatted_plan(q_scores_all(spark, SF_CORRECTNESS))
+    assert "EvalPython" not in plan
