@@ -38,6 +38,10 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        # Operators may persist() scratch subtrees (signature tables,
+        # exploded shingles); drop them so queries are timed independently
+        # instead of competing for storage memory.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     print(

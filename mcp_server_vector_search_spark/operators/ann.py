@@ -65,9 +65,13 @@ def build_ivf_index(
     # cosine, so the quantizer must partition the same geometry —
     # KMeans on raw vectors would carve cells by magnitude, which the
     # cosine query ignores (observed: recall@10 drops to 0.5).
+    # Persist the normalized vectors: KMeans is iterative and would
+    # otherwise re-read + re-normalize the parquet once per iteration
+    # (at 100 TB the quantizer trains on a persisted SAMPLE, never the
+    # full corpus — the assignment pass below is the only full scan).
     with_vec = embeddings.withColumn(
         "__vec", array_to_vector(l2_normalize("embedding"))
-    )
+    ).persist()
     km = KMeans(k=n_centroids, seed=seed, featuresCol="__vec", predictionCol="centroid_id")
     model = km.fit(with_vec)
     assigned = model.transform(with_vec).drop("__vec")
@@ -188,7 +192,12 @@ def q_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     embed = hash_embedder()
-    corpus = docs.withColumn("embedding", embed(F.col("text")))
+    # The testdata is a single parquet file → one input split; spread
+    # the Arrow-batched embedding UDF across all cores before the scan
+    # of the (CPU-bound) embed stage.
+    corpus = docs.repartition(
+        spark.sparkContext.defaultParallelism
+    ).withColumn("embedding", embed(F.col("text")))
     prompt_df = spark.createDataFrame(
         [("spark window query join",)], ["text"]
     ).select(embed(F.col("text")).alias("__query_vec"))

@@ -43,7 +43,7 @@ from ..functions.hashing import (
 )
 from ..functions.text import bag_signature, tokens
 from ..registry import register
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 
 R = 6
 
@@ -153,12 +153,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle never meet — this is NOT a cross join), then scored
     i/(|A|+|B|-i).  The shuffle key is the shingle; fan-out is bounded
     by shingle document-frequency, which is what keeps this viable at
-    scale (hot shingles are the skew risk → AQE)."""
-    d = load_table(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", F.explode(_shingles(F.col("text"))).alias("s")
-    )
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    scale (hot shingles are the skew risk → AQE).
+
+    Physical shape: the exploded shingle table is persisted (both join
+    sides + the intersection count read it; unpersisted, the tokenize +
+    shingle + explode tree runs three times), and per-doc sizes come
+    from ``F.size`` on the broadcast shingle ARRAYS rather than a third
+    aggregation over the exploded table."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    sh_arrays = d.select("doc_id", _shingles(F.col("text")).alias("sh"))
+    sh = sh_arrays.select("doc_id", F.explode("sh").alias("s")).persist()
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -168,14 +172,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("i"))
     )
-    ca = counts.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
-    cb = counts.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
+    na = sh_arrays.select(F.col("doc_id").alias("a_id"), F.size("sh").alias("na"))
+    nb = sh_arrays.select(F.col("doc_id").alias("b_id"), F.size("sh").alias("nb"))
     jac = F.round(
         F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i")), R
     )
     return (
-        inter.join(F.broadcast(ca), "a_id")
-        .join(F.broadcast(cb), "b_id")
+        inter.join(F.broadcast(na), "a_id")
+        .join(F.broadcast(nb), "b_id")
         .withColumn("jaccard", jac)
         .where(F.col("jaccard") >= JACCARD_T)
         .select("a_id", "b_id", "jaccard")
@@ -293,12 +297,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     compares documents that share no band bucket, and verification
     touches only candidates.  Recall is the LSH s-curve
     (1 - (1 - j^8)^2 at threshold j) — tested against the exact n-gram
-    operator in tests/test_dedup.py."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
+    operator in tests/test_dedup.py.
+
+    Physical shape: ``sigs`` is persisted (it feeds the band self-join
+    AND both estimate joins — without the persist Spark recomputes the
+    token explode + 16-way min-agg three times); the exact verify is an
+    ``array_intersect`` on per-doc token ARRAYS broadcast-joined onto
+    the (few) candidates, instead of re-shuffling the exploded token
+    table.  The only big shuffle left is the signature build."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    tok_arrays = d.select(
+        "doc_id", F.array_distinct(tokens(F.col("text"))).alias("toks")
     )
-    sigs = minhash_signatures(d)
+    sigs = minhash_signatures(d).persist()
     cand = lsh_candidate_pairs(sigs)
 
     sa = sigs.alias("sa")
@@ -313,29 +324,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         / float(N_MINHASH)
     )
     cand_est = (
-        cand.join(sa, cand.a_id == F.col("sa.doc_id"))
-        .join(sb, cand.b_id == F.col("sb.doc_id"))
+        cand.join(F.broadcast(sa), cand.a_id == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), cand.b_id == F.col("sb.doc_id"))
         .select("a_id", "b_id", est.alias("est"))
     )
 
-    counts = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    tx = toks.select(F.col("doc_id").alias("a_id"), "tok")
-    ty = toks.select(F.col("doc_id").alias("b_id"), "tok")
-    inter = (
-        cand_est.join(tx, "a_id")
-        .join(ty, ["b_id", "tok"])
-        .groupBy("a_id", "b_id", "est")
-        .agg(F.count(F.lit(1)).alias("i"))
+    ta = tok_arrays.select(F.col("doc_id").alias("a_id"), F.col("toks").alias("ta"))
+    tb = tok_arrays.select(F.col("doc_id").alias("b_id"), F.col("toks").alias("tb"))
+    verified = (
+        cand_est.join(F.broadcast(ta), "a_id")
+        .join(F.broadcast(tb), "b_id")
+        .withColumn("i", F.size(F.array_intersect("ta", "tb")))
+        .withColumn("na", F.size("ta"))
+        .withColumn("nb", F.size("tb"))
     )
-    ca = counts.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
-    cb = counts.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
     jac = F.round(
         F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i")), R
     )
     return (
-        inter.join(F.broadcast(ca), "a_id")
-        .join(F.broadcast(cb), "b_id")
-        .withColumn("jaccard", jac)
+        verified.withColumn("jaccard", jac)
         .where(F.col("jaccard") >= MINHASH_VERIFY_T)
         .select("a_id", "b_id", F.round("est", R).alias("est_jaccard"), "jaccard")
     )
@@ -352,6 +359,7 @@ HAMMING_T = 8
 def simhash_signatures(documents: DataFrame) -> DataFrame:
     """60-bit SimHash per doc: per-bit ±1 votes over distinct-token
     hashes, bit set where the vote is non-negative."""
+    documents = spread(documents)
     toks = documents.select(
         "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
     )
@@ -449,14 +457,11 @@ WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (semantic dedup).  Same engine
-    as the similarity join; the scale path replaces the pair generator
-    with the ANN index (ann.py) and keeps the verify."""
-    from .similarity_join import cosine_self_join
+    """Embedding-cosine near-dup pairs (semantic dedup).  Same GEMM
+    kernel as the similarity join; the scale path replaces the pair
+    generator with the ANN index (ann.py) and keeps the verify."""
+    from .similarity_join import gemm_cosine_pairs
 
-    pairs = cosine_self_join(
-        load_table(spark, sf_dir, "embeddings"), threshold=-1.0
-    )
-    return pairs.where(F.col("cos_sim") >= EMB_NEARDUP_T).select(
-        "a_id", "b_id", "cos_sim"
+    return gemm_cosine_pairs(
+        load_table(spark, sf_dir, "embeddings"), EMB_NEARDUP_T, inclusive=True
     )

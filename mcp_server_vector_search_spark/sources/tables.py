@@ -47,6 +47,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a small-file scan across all cores BEFORE
+    CPU-heavy per-row expressions (tokenize / shingle / hash / embed).
+
+    The testdata tables are single parquet files → one input split, so
+    without this every downstream map-side expression runs on one core.
+    At 100 TB a scan has thousands of splits and the planner never needs
+    this; it exists because correctness-scale inputs are tiny.
+    """
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so SQL-text operators can run."""
     for name in TABLES:
