@@ -72,7 +72,16 @@ def build_ivf_index(
     with_vec = embeddings.withColumn(
         "__vec", array_to_vector(l2_normalize("embedding"))
     ).persist()
-    km = KMeans(k=n_centroids, seed=seed, featuresCol="__vec", predictionCol="centroid_id")
+    # random init instead of k-means||: the parallel init runs ~5 extra
+    # distributed passes to pick seeds, which costs more than it saves
+    # for a coarse quantizer whose cells Lloyd iterations reshape anyway.
+    km = KMeans(
+        k=n_centroids,
+        seed=seed,
+        initMode="random",
+        featuresCol="__vec",
+        predictionCol="centroid_id",
+    )
     model = km.fit(with_vec)
     assigned = model.transform(with_vec).drop("__vec")
     centroids = [list(map(float, c)) for c in model.clusterCenters()]

@@ -161,8 +161,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ``F.size`` on the broadcast shingle ARRAYS rather than a third
     aggregation over the exploded table."""
     d = spread(load_table(spark, sf_dir, "documents"))
-    sh_arrays = d.select("doc_id", _shingles(F.col("text")).alias("sh"))
-    sh = sh_arrays.select("doc_id", F.explode("sh").alias("s")).persist()
+    # One persisted shingle-array table feeds everything: both explode
+    # sides of the equi-join and the two size lookups.
+    sh_arrays = d.select("doc_id", _shingles(F.col("text")).alias("sh")).persist()
+    sh = sh_arrays.select("doc_id", F.explode("sh").alias("s"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -308,7 +310,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents"))
     tok_arrays = d.select(
         "doc_id", F.array_distinct(tokens(F.col("text"))).alias("toks")
-    )
+    ).persist()  # read twice (a-side and b-side of the verify)
     sigs = minhash_signatures(d).persist()
     cand = lsh_candidate_pairs(sigs)
 
@@ -427,7 +429,9 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall for Hamming ≤ h by pigeonhole) — on this corpus the bucket
     collision rate of 7-bit chunks makes banding slower than the scan,
     so the exact form is also the fast form at test scale."""
-    sim = simhash_signatures(load_table(spark, sf_dir, "documents"))
+    # Persisted: both the broadcast build side and the probe side read
+    # the signature table — unpersisted it is computed twice.
+    sim = simhash_signatures(load_table(spark, sf_dir, "documents")).persist()
     a = sim.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("ha"))
     b = sim.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("hb"))
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
