@@ -1,0 +1,191 @@
+"""Scale-technique operators: the physical-strategy surface a 100 TB
+deployment leans on, each demonstrated as a correct (oracle-checked)
+query so the technique is exercised, not just described.
+
+- **Salted aggregation**: two-phase agg for skewed keys.  ``l_returnflag``
+  has 3 values — at 100 TB a naive groupBy sends a third of the table
+  to one reducer.  Salting fans each hot key over SALT buckets
+  (partials), then merges the partials (3×SALT rows).  Results are
+  identical because the aggregates are associative/commutative (counts
+  + DECIMAL sums; decimal addition is exact so re-association is safe —
+  this is why the sums are decimal-typed, not double).
+- **Bucketed co-located join**: both fact tables written bucketed+sorted
+  on the join key; a join between them needs NO shuffle — the
+  sort-merge join reads co-bucketed files directly.  This is the
+  Spark-native analog of the reference delegating layout to an index
+  (reference server.py:87 leans on Neo4j's index layout the same way).
+- **Exact grouped quantiles** via ``percentile`` (exact, sort-based) —
+  and a sketch variant via ``percentile_approx`` (t-digest-style, one
+  pass, mergeable) for the scale path where exact sorting is
+  unaffordable.
+- **Fixed-width histogram**: bin = floor(x / width) — a pure map-side
+  expression + small hash agg, the scan-friendly way to profile a
+  100 TB column.
+- **Sketch distincts**: HyperLogLog++ ``approx_count_distinct`` — sub-%
+  error, constant memory, mergeable across partitions (exact distinct
+  shuffles every key).  Approximate ⇒ registered without an oracle
+  (rows-only driver check); tests assert relative error vs exact.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import load_table
+
+N_SALTS = 16
+PRICE_BIN = 5000.0
+N_BUCKETS = 8
+R = 6
+
+
+@register(
+    "agg_salted_skew",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a 3-value (maximally skewed)
+    key.  Phase 1 groups on (key, salt) — SALT-way parallel even for a
+    single hot key; phase 2 merges the tiny partials.  The salt comes
+    from a uniform column (l_orderkey) so partials are balanced."""
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = li.withColumn("__salt", F.pmod(F.col("l_orderkey"), F.lit(N_SALTS)))
+    partial = salted.groupBy("l_returnflag", "__salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("pq"),
+        F.sum(F.col("l_extendedprice").cast("decimal(14,2)")).alias("pp"),
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("pn").alias("n_rows"),
+        F.sum("pq").cast("double").alias("sum_qty"),
+        F.sum("pp").cast("double").alias("sum_price"),
+    )
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle="""
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)))
+            AS DOUBLE) AS revenue
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+""",
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact-fact join via bucketed layout.
+
+    Both tables are written ``bucketBy(N, key).sortBy(key)``; reading
+    them back, the sort-merge join's Exchange is elided on BOTH sides
+    (asserted in tests/test_plans.py).  At 100 TB this layout decision
+    is the difference between re-shuffling the largest table on every
+    join and never shuffling it at all; the write cost is paid once at
+    ingest.  (The tiny post-join agg still shuffles 5 groups.)
+    """
+    wh = tempfile.mkdtemp(prefix="bucketed_wh_")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    spark.sql("DROP TABLE IF EXISTS bucketed_orders")
+    spark.sql("DROP TABLE IF EXISTS bucketed_lineitem")
+    (
+        o.write.bucketBy(N_BUCKETS, "o_orderkey").sortBy("o_orderkey")
+        .option("path", f"{wh}/orders").mode("overwrite")
+        .saveAsTable("bucketed_orders")
+    )
+    (
+        li.write.bucketBy(N_BUCKETS, "l_orderkey").sortBy("l_orderkey")
+        .option("path", f"{wh}/lineitem").mode("overwrite")
+        .saveAsTable("bucketed_lineitem")
+    )
+    # MERGE hint: at correctness scale Catalyst would broadcast the
+    # small side (also correct); the hint pins the strategy this
+    # operator demonstrates — the co-located sort-merge join neither
+    # side of which shuffles, which is the only viable plan when both
+    # facts are 100 TB-class.
+    ob = spark.table("bucketed_orders").hint("merge")
+    lb = spark.table("bucketed_lineitem")
+    revenue = (
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    ).cast("decimal(18,6)")
+    return (
+        ob.join(lb, lb.l_orderkey == ob.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(revenue).cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "agg_quantiles_exact",
+    oracle=f"""
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.25), {R}) AS q25,
+       ROUND(quantile_cont(l_extendedprice, 0.50), {R}) AS q50,
+       ROUND(quantile_cont(l_extendedprice, 0.75), {R}) AS q75,
+       ROUND(quantile_cont(l_extendedprice, 0.99), {R}) AS q99
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped quantiles (linear interpolation — Spark
+    ``percentile`` and DuckDB ``quantile_cont`` share the definition)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qs = {"q25": 0.25, "q50": 0.50, "q75": 0.75, "q99": 0.99}
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(F.expr(f"percentile(l_extendedprice, {p})"), R).alias(name)
+            for name, p in qs.items()
+        ]
+    )
+
+
+@register(
+    "agg_histogram_prices",
+    oracle=f"""
+SELECT CAST(FLOOR(l_extendedprice / {PRICE_BIN}) AS BIGINT) AS bin,
+       COUNT(*) AS n,
+       ROUND(MIN(l_extendedprice), {R}) AS lo,
+       ROUND(MAX(l_extendedprice), {R}) AS hi
+FROM lineitem
+GROUP BY 1
+""",
+)
+def agg_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    b = F.floor(F.col("l_extendedprice") / PRICE_BIN).cast("long")
+    return li.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("l_extendedprice"), R).alias("lo"),
+        F.round(F.max("l_extendedprice"), R).alias("hi"),
+    )
+
+
+@register("agg_approx_sketches")  # approximate → rows-only driver check
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass mergeable sketches: HLL++ distinct counts + t-digest-style
+    approximate quantiles.  tests/test_scale.py bounds the error vs the
+    exact operators; the driver records a rows-only check (approximate
+    results are not SQL-reproducible by design)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("nd_partkey"),
+        F.approx_count_distinct("l_suppkey", rsd=0.01).alias("nd_suppkey"),
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("nd_orderkey"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_price"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99_price"),
+    )

@@ -1,0 +1,147 @@
+"""Temporal joins the reference's domain implies but Spark lacks as
+built-ins: as-of join and interval/range join (SURVEY.md §2.3 lists
+joins as absent from the reference; these are the §2.4 extension
+surface for event/order timelines).
+
+Both are expressed as compositions of existing DataFrame ops — no
+Python in the loop:
+
+- **As-of join** (each event picks the latest order at-or-before its
+  timestamp, per customer): the scalable spelling is NOT a
+  per-event subquery but a UNION of both sides tagged by kind,
+  one shuffle on the join key, and a carry-forward
+  ``last(..., ignorenulls=True)`` window.  Cost: one shuffle + one
+  partition-local sort — identical shape to what a dedicated as-of
+  operator (e.g. Flink temporal join, QuestDB ASOF) does internally.
+- **Range join** (events inside a fixed interval after an order):
+  equi-join on the customer key carries the hash/sort-merge strategy;
+  the range predicate is evaluated inside the join — never a cross
+  join.  At 100 TB you additionally bucket time into coarse chunks and
+  add the chunk to the join key to bound the per-key fan-in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import load_table
+
+RANGE_DAYS = 3
+
+
+def asof_join_latest_order(events: DataFrame, orders: DataFrame) -> DataFrame:
+    """For every event: the latest order (max o_orderdate, ties broken
+    by max o_orderkey) with ``o_orderdate <= ts`` for the same
+    customer; null columns when the customer never ordered before."""
+    od = orders.select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("double").alias("value"),
+        F.col("o_orderkey"),
+        F.col("o_totalprice"),
+    )
+    ev = events.select(
+        F.col("user_id").alias("key"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        "value",
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    # Sort puts order rows before event rows at equal time (<= semantics)
+    # and ascending o_orderkey so `last` picks the max-key order among
+    # equal dates — mirroring the oracle's ORDER BY ... DESC, rn = 1.
+    w = (
+        W.partitionBy("key")
+        .orderBy("t", "is_event", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = od.unionByName(ev).select(
+        "*",
+        F.last("o_orderkey", ignorenulls=True).over(w).alias("last_orderkey"),
+        F.last("o_totalprice", ignorenulls=True).over(w).alias("last_totalprice"),
+    )
+    return carried.where(F.col("is_event") == 1).select(
+        "event_id",
+        F.col("t").alias("ts"),
+        F.col("key").alias("user_id"),
+        "value",
+        "last_orderkey",
+        "last_totalprice",
+    )
+
+
+@register(
+    "join_asof_latest_order",
+    oracle="""
+WITH ranked AS (
+  SELECT e.event_id, e.ts, e.user_id, e.value, o.o_orderkey, o.o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e
+  LEFT JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+)
+SELECT event_id, ts, user_id, value,
+       o_orderkey AS last_orderkey, o_totalprice AS last_totalprice
+FROM ranked WHERE rn = 1
+""",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return asof_join_latest_order(
+        load_table(spark, sf_dir, "events"), load_table(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "join_range_funnel",
+    oracle="""
+SELECT p.event_id AS purchase_id,
+       COUNT(*) AS n_lead_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS lead_value
+FROM events p
+JOIN events e
+  ON e.user_id = p.user_id
+ AND e.ts >= p.ts - INTERVAL 1 HOUR
+ AND e.ts < p.ts
+ AND e.event_type IN ('view', 'click')
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id
+""",
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval self-join (conversion funnel): for each purchase, the
+    same user's view/click events in the preceding hour.
+
+    The equi-key (user_id) carries the shuffle strategy; the time-range
+    predicate evaluates inside the join, so the fan-in per user is
+    bounded by that user's event rate — never a cross join.  Decimal
+    sum keeps the aggregate order-insensitive (fp addition is not
+    associative; decimal is)."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    lead = ev.where(F.col("event_type").isin("view", "click"))
+    cond = (
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("ts") < F.col("p_ts"))
+    )
+    return (
+        p.join(lead, cond)
+        .groupBy("purchase_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lead_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias(
+                "lead_value"
+            ),
+        )
+    )

@@ -43,9 +43,12 @@ def load_all_operators() -> None:
     """Import every operator module so registrations run."""
     from .operators import (  # noqa: F401
         ann,
+        components,
         dedup,
         relational,
+        scale,
         similarity_join,
+        temporal,
         text_analysis,
         topk,
         windows,

@@ -1,0 +1,93 @@
+"""Scale-technique operators: sketch error bounds, shuffle-free
+bucketed joins, connected-components fixpoint, as-of semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mcp_server_vector_search_spark.operators.components import connected_components
+from mcp_server_vector_search_spark.operators.scale import (
+    agg_approx_sketches,
+    join_bucketed_colocated,
+)
+from mcp_server_vector_search_spark.operators.temporal import asof_join_latest_order
+from mcp_server_vector_search_spark.plans.explain import formatted_plan
+from mcp_server_vector_search_spark.sources.tables import load_table
+
+from .conftest import SF_CORRECTNESS
+
+
+def test_approx_sketches_error_bounds(spark):
+    li = load_table(spark, SF_CORRECTNESS, "lineitem")
+    approx = agg_approx_sketches(spark, SF_CORRECTNESS).first()
+    exact = li.agg(
+        F.countDistinct("l_partkey").alias("nd_partkey"),
+        F.countDistinct("l_orderkey").alias("nd_orderkey"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+    ).first()
+    assert abs(approx["nd_partkey"] - exact["nd_partkey"]) <= 0.05 * exact["nd_partkey"]
+    assert (
+        abs(approx["nd_orderkey"] - exact["nd_orderkey"])
+        <= 0.05 * exact["nd_orderkey"]
+    )
+    assert abs(approx["p50_price"] - exact["p50"]) <= 0.02 * exact["p50"]
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """The whole point of the bucketed layout: the fact-fact join reads
+    co-bucketed files with NO Exchange on either join side."""
+    df = join_bucketed_colocated(spark, SF_CORRECTNESS)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
+    # exactly ONE shuffle in the whole plan — the post-join 5-group
+    # aggregation; neither join side may re-shuffle or broadcast
+    # (formatted output repeats operators in detail sections, so count
+    # within the plan tree block only)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+    assert "BroadcastExchange" not in tree
+
+
+def test_connected_components_fixpoint(spark):
+    # two chains and a singleton-free isolated pair:
+    # {1-2, 2-3, 3-4} -> comp 1 ; {10-11} -> comp 10 ; {20-21, 21-22} -> comp 20
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (21, 20), (21, 22)],
+        ["a_id", "b_id"],
+    )
+    got = {
+        (r["node"], r["comp"])
+        for r in connected_components(edges).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
+
+
+def test_asof_join_null_before_first_order(spark):
+    """An event earlier than every order of its user must keep null
+    order columns (left as-of semantics), and an event after two orders
+    picks the later one."""
+    orders = spark.createDataFrame(
+        [
+            (100, 7, "O", 10.0, "2024-01-10 00:00:00", "1-URGENT"),
+            (101, 7, "O", 20.0, "2024-01-20 00:00:00", "1-URGENT"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    events = spark.createDataFrame(
+        [
+            (1, "2024-01-05 00:00:00", 7, "view", 1.0),
+            (2, "2024-01-25 00:00:00", 7, "view", 2.0),
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    rows = {
+        r["event_id"]: (r["last_orderkey"], r["last_totalprice"])
+        for r in asof_join_latest_order(events, orders).collect()
+    }
+    assert rows[1] == (None, None)
+    assert rows[2] == (101, 20.0)
