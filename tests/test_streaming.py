@@ -76,3 +76,128 @@ def test_incremental_index_append_prunable(spark):
         # pruned read touches a subset
         one = indexed.where(F.col("centroid_id") == int(parts[0].split("=")[1]))
         assert 0 < one.count() < emb.count()
+
+
+def test_stateful_running_user_stats_across_batches(spark):
+    """applyInPandasWithState: state must accumulate ACROSS micro-batches
+    and the final emitted row per user must equal the batch aggregate."""
+    from mcp_server_vector_search_spark.streaming.stateful import running_user_stats
+
+    events = load_table(spark, SF_SMOKE, "events")
+    with tempfile.TemporaryDirectory() as tmp:
+        # split into 3 files so the stream runs 3 micro-batches and the
+        # per-user state genuinely carries over
+        events.withColumn("__b", F.pmod("event_id", F.lit(3))).repartition(
+            3, "__b"
+        ).drop("__b").write.mode("overwrite").parquet(f"{tmp}/src")
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/src")
+        )
+        name = f"st_{uuid.uuid4().hex[:8]}"
+        q = (
+            running_user_stats(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        n_batches = len(q.recentProgress)
+        q.stop()
+        assert n_batches >= 3  # state really crossed batch boundaries
+        # update mode: the LAST emitted row per user is the final state
+        final = {}
+        for r in spark.sql(f"SELECT * FROM {name}").collect():
+            final[r.user_id] = (r.n_events, r.total_value, r.max_value)
+        want = {
+            r.user_id: (r.n, r.total, r.mx)
+            for r in events.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("value").alias("total"),
+                F.max("value").alias("mx"),
+            )
+            .collect()
+        }
+        assert set(final) == set(want)
+        for u, (n, total, mx) in want.items():
+            fn, ft, fm = final[u]
+            assert fn == n
+            assert abs(ft - total) < 1e-6
+            assert fm == mx
+
+
+def test_watermark_drops_late_window(spark):
+    """Append-mode windowed agg: a row arriving after the watermark has
+    passed its window is dropped by the engine.
+
+    Spark's watermark propagates with a ONE-BATCH delay (the value is
+    computed at the end of batch N and takes effect in batch N+1), so
+    the late row must arrive two batches after the data that advanced
+    the watermark — measured empirically and reflected here: the same
+    late row in the very next batch would still be accepted."""
+    import time as _time
+
+    schema = "event_id long, ts string, user_id long, event_type string, value double"
+
+    def mk(rows):
+        return spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/src"
+        # batch 0: advances max event time to 23:00 -> watermark 21:00
+        mk(
+            [
+                (1, "2024-06-02 10:00:00", 1, "view", 1.0),
+                (2, "2024-06-02 23:00:00", 1, "view", 1.0),
+            ]
+        ).coalesce(1).write.mode("overwrite").parquet(src)
+        _time.sleep(1.1)  # mtime ordering = processing order
+        # batch 1: watermark not yet in effect (one-batch delay)
+        mk([(3, "2024-06-01 00:30:00", 1, "view", 9.0)]).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        _time.sleep(1.1)
+        # batch 2: watermark 21:00 in effect -> this row MUST drop
+        mk([(4, "2024-06-01 05:30:00", 1, "view", 9.0)]).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream = (
+            spark.readStream.schema(mk([]).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        windowed = (
+            stream.withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "3600 seconds"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("window.start").alias("win_start"), "n")
+        )
+        name = f"late_{uuid.uuid4().hex[:8]}"
+        q = (
+            windowed.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        dropped = sum(
+            (p["stateOperators"][0]["numRowsDroppedByWatermark"] if p["stateOperators"] else 0)
+            for p in q.recentProgress
+        )
+        q.stop()
+        starts = {
+            r.win_start.isoformat()
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+        assert dropped >= 1  # the engine itself reported the drop
+        # event 4's 05:00 window must NOT appear; finalized on-time
+        # 10:00 window must
+        assert not any(s.startswith("2024-06-01T05") for s in starts)
+        assert any(s.startswith("2024-06-02T10") for s in starts)
