@@ -53,4 +53,4 @@ def load_all_operators() -> None:
         topk,
         windows,
     )
-    from .sources import multimodal  # noqa: F401
+    from .sources import formats, multimodal  # noqa: F401

@@ -1,0 +1,110 @@
+"""Source/sink format surface: CSV, JSON, ORC round-trips and the
+partitioned-parquet sink + pruned scan.
+
+The reference's only "source" is a Neo4j bolt result set and its only
+"sink" a JSON string (reference server.py:60-64); a Spark-native engine
+speaks the lake formats.  Each operator here WRITES with one format's
+sink and READS it back before aggregating, so both directions are
+exercised and the result stays oracle-checkable against the original
+table (round-trip fidelity is part of what's being tested: schema-pinned
+reads, not schema inference, so CSV/JSON types survive).
+
+Scale notes: CSV/JSON are row formats — no column pruning, no predicate
+pushdown, no min/max skipping; the same query on parquet/ORC scans a
+fraction of the bytes.  They exist as interchange formats, and the
+partitioned-parquet sink is the layout the engine actually serves from
+(partition pruning = the poor man's index, same design as the IVF
+layout in operators/ann.py).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import load_table
+
+_AGG_SQL = """
+SELECT '{fmt}' AS fmt, l_returnflag,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+FORMATS = ("csv", "json", "orc")
+
+
+def _roundtrip(df: DataFrame, fmt: str, path: str) -> DataFrame:
+    """Write ``df`` with the ``fmt`` sink, read it back schema-pinned
+    (schema inference would be a second source of truth)."""
+    df.write.format(fmt).mode("overwrite").save(path)
+    reader = df.sparkSession.read.format(fmt).schema(df.schema)
+    return reader.load(path)
+
+
+def _agg(df: DataFrame, fmt: str) -> DataFrame:
+    return df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias(
+            "sum_qty"
+        ),
+        F.sum(F.col("l_extendedprice").cast("decimal(14,2)")).cast("double").alias(
+            "sum_price"
+        ),
+    ).select(F.lit(fmt).alias("fmt"), "*")
+
+
+@register(
+    "source_roundtrip_formats",
+    oracle=" UNION ALL ".join(_AGG_SQL.format(fmt=f) for f in FORMATS),
+)
+def source_roundtrip_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write → read → aggregate through each row/column format; every
+    per-format aggregate must equal the original table's (loss anywhere
+    in a sink/source pair breaks the oracle match)."""
+    cols = ["l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice"]
+    li = load_table(spark, sf_dir, "lineitem").select(*cols)
+    tmp = tempfile.mkdtemp(prefix="fmt_roundtrip_")
+    parts = [
+        _agg(_roundtrip(li, fmt, f"{tmp}/{fmt}"), fmt) for fmt in FORMATS
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+@register(
+    "sink_partitioned_pruned_scan",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+""",
+)
+def sink_partitioned_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned-parquet sink, then a scan that prunes to ONE
+    partition directory (PartitionFilters in the plan — asserted in
+    tests/test_plans.py).  At 100 TB this is the difference between
+    reading a status's slice and reading the table."""
+    o = load_table(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="part_sink_")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(f"{tmp}/orders")
+    back = spark.read.parquet(f"{tmp}/orders")
+    return (
+        back.where(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double").alias(
+                "sum_price"
+            ),
+        )
+    )

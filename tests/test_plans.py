@@ -54,3 +54,14 @@ def test_scoring_stays_in_codegen(spark):
 
     plan = formatted_plan(q_scores_all(spark, SF_CORRECTNESS))
     assert "EvalPython" not in plan
+
+
+def test_partitioned_sink_scan_prunes(spark):
+    """The pruned scan must carry a PartitionFilters entry and read
+    only the o_orderstatus=F directory."""
+    from mcp_server_vector_search_spark.sources.formats import (
+        sink_partitioned_pruned_scan,
+    )
+
+    plan = formatted_plan(sink_partitioned_pruned_scan(spark, SF_CORRECTNESS))
+    assert re.search(r"PartitionFilters:.*o_orderstatus", plan)
