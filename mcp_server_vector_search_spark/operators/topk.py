@@ -29,7 +29,13 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from ..functions.vector import neo4j_score
+from ..functions.vector import (
+    cosine_similarity,
+    dot,
+    l2_distance,
+    l2_norm,
+    neo4j_score,
+)
 from ..registry import register
 from ..sources.tables import load_table
 
@@ -149,6 +155,48 @@ def q_scores_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings = load_table(spark, sf_dir, "embeddings")
     q = query_vector_df(embeddings, QUERY_VEC_ID)
     return score_against(embeddings, q).select("vec_id", "score")
+
+
+@register(
+    "vector_distance_library",
+    oracle=f"""
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+)
+SELECT e.vec_id,
+       ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv), {SCORE_DECIMALS}) AS dot,
+       ROUND(list_distance(e.embedding::DOUBLE[], q.qv), {SCORE_DECIMALS}) AS l2_dist,
+       ROUND(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])),
+             {SCORE_DECIMALS}) AS norm,
+       ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv),
+             {SCORE_DECIMALS}) AS cosine,
+       ROUND((1.0 + list_cosine_similarity(e.embedding::DOUBLE[], q.qv)) / 2.0,
+             {SCORE_DECIMALS}) AS neo4j_score
+FROM embeddings e CROSS JOIN q
+""",
+)
+def q_vector_distance_library(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole distance library in one scan: dot, L2 distance, norm,
+    cosine, and the reference's normalized score — all JVM
+    higher-order-function expressions (functions/vector.py), one pass
+    over the corpus, no Python."""
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    q = query_vector_df(embeddings, QUERY_VEC_ID)
+    e = embeddings.crossJoin(F.broadcast(q))
+    return e.select(
+        "vec_id",
+        F.round(dot("embedding", "__query_vec"), SCORE_DECIMALS).alias("dot"),
+        F.round(l2_distance("embedding", "__query_vec"), SCORE_DECIMALS).alias(
+            "l2_dist"
+        ),
+        F.round(l2_norm("embedding"), SCORE_DECIMALS).alias("norm"),
+        F.round(cosine_similarity("embedding", "__query_vec"), SCORE_DECIMALS).alias(
+            "cosine"
+        ),
+        F.round(neo4j_score("embedding", "__query_vec"), SCORE_DECIMALS).alias(
+            "neo4j_score"
+        ),
+    )
 
 
 N_BATCH_QUERIES = 5

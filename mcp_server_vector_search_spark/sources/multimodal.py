@@ -90,6 +90,77 @@ def extract_metadata(with_payload: DataFrame) -> DataFrame:
     return with_payload.mapInPandas(decode_batches, schema=META_SCHEMA)
 
 
+RESIZE_SCHEMA = "doc_id long, payload binary, width int, height int"
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_hash string"
+FRAME_BYTES = 500  # fake codec: one "frame" per 500 payload bytes
+
+
+def resize_images(with_payload: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize plumbing: batch-in/batch-out 1:1 transform over binary
+    payloads.  The resample kernel is stubbed (no PIL/cv2 in this
+    container) with a deterministic re-encode; the Spark contract —
+    binary-in/binary-out schema, Arrow batching, partition preservation
+    — is the real part.
+    """
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf["payload"]:
+                # real impl: PIL Image.open(...).resize((width, height))
+                digest = hashlib.sha256(p).digest()
+                out.append(digest * (width * height // len(digest) + 1))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": out,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return with_payload.mapInPandas(resize_batches, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(with_payload: DataFrame) -> DataFrame:
+    """Frame-sampling plumbing: 1:N batch fan-out (each payload row
+    yields ``1 + len // FRAME_BYTES`` frame rows).  The "frame" is a
+    deterministic digest of (payload, index) so the operator is fully
+    oracle-checkable even with the codec stubbed; a real video codec
+    plugs into the same mapInPandas slot emitting binary frames.
+    """
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = 1 + len(p) // FRAME_BYTES
+                for k in range(n_frames):
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    hashes.append(
+                        hashlib.md5(p + b"#" + str(k).encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_hash": hashes}
+            )
+
+    return with_payload.mapInPandas(frame_batches, schema=FRAME_SCHEMA)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+SELECT doc_id, CAST(k AS INTEGER) AS frame_idx,
+       md5(text || '#' || CAST(k AS VARCHAR)) AS frame_hash
+FROM documents, UNNEST(range(0, 1 + LENGTH(text) // {FRAME_BYTES})) AS t(k)
+""",
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(attach_binary_payload(docs))
+
+
 @register(
     "multimodal_metadata",
     oracle="""
