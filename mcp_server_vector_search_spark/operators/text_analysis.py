@@ -148,3 +148,65 @@ def word_freq_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("tok"))
         .limit(TOP_N_WORDS)
     )
+
+
+TFIDF_TOP = 3
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok,
+         ROUND(tf.tf * ln(n.n::DOUBLE / df.df), {R}) AS tfidf
+  FROM tf JOIN df USING (tok) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, tok, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, tok) AS rnk
+  FROM scored
+)
+SELECT doc_id, tok, tfidf, CAST(rnk AS INTEGER) AS rnk
+FROM ranked WHERE rnk <= {TFIDF_TOP}
+""",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact TF-IDF, top terms per document.
+
+    Spelled as DataFrame ops (explode -> two hash aggs -> broadcast
+    join -> window top-k) so it is oracle-checkable; the one-pass
+    sketch alternative at extreme scale is MLlib HashingTF+IDF (hashed
+    term space, no exact df).  Only (doc_id, token, counts) triples
+    ever shuffle — documents themselves never move after the explode.
+    The idf variant is the plain ln(N/df) (no smoothing): every token
+    present in the corpus has df >= 1, so the log is always defined.
+    """
+    from ..sources.tables import spread
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    n_docs = d.count()  # scalar table stat; the oracle recomputes the same
+    toks = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df), "tok").select(
+        "doc_id",
+        "tok",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), R
+        ).alias("tfidf"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TFIDF_TOP)
+        .select("doc_id", "tok", "tfidf", "rnk")
+    )

@@ -1,0 +1,64 @@
+"""The user-facing search facade: reference-tool contract parity
+(prompt in, ordered JSON rows out; hard dim validation)."""
+
+from __future__ import annotations
+
+import pytest
+
+from mcp_server_vector_search_spark.engine import (
+    SparkVectorSearch,
+    corpus_from_documents,
+    parse_results,
+)
+from mcp_server_vector_search_spark.sources.tables import load_table
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def search(spark_module):
+    docs = load_table(spark_module, SF_SMOKE, "documents")
+    return SparkVectorSearch(corpus_from_documents(docs))
+
+
+@pytest.fixture(scope="module")
+def spark_module():
+    from mcp_server_vector_search_spark.session import get_spark
+
+    return get_spark(app_name="tests")
+
+
+def test_search_returns_topk_json_desc(search):
+    out = parse_results(search.search("spark window query join", k=10))
+    assert len(out) == 10
+    assert list(out[0]) == ["name", "description", "score"]
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    assert all(0.0 <= s <= 1.0 for s in scores)  # (1+cos)/2 range
+
+
+def test_search_k_bounds_results(search):
+    assert len(parse_results(search.search("vector", k=3))) == 3
+
+
+def test_dim_mismatch_raises(spark_module):
+    """server.py:55-56 parity: wrong-dimension embedding is a hard error."""
+    from mcp_server_vector_search_spark.functions.embedder import hash_embedder
+
+    docs = load_table(spark_module, SF_SMOKE, "documents")
+    bad = SparkVectorSearch(
+        corpus_from_documents(docs), dim=128, embedder=hash_embedder(64)
+    )
+    with pytest.raises(ValueError, match="dimension mismatch"):
+        bad.search("prompt")
+
+
+def test_empty_corpus_returns_empty_json(spark_module, search):
+    empty = SparkVectorSearch(search.corpus.limit(0))
+    assert parse_results(empty.search("anything")) == []
+
+
+def test_missing_columns_rejected(spark_module):
+    docs = load_table(spark_module, SF_SMOKE, "documents")
+    with pytest.raises(ValueError, match="missing columns"):
+        SparkVectorSearch(docs)
