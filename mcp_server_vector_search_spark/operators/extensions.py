@@ -1,0 +1,114 @@
+"""User-defined extension surface: UDF / UDAF / UDTF.
+
+The reference's only extension point is the MCP tool endpoint itself
+(SURVEY.md §2.3 — no in-query functions at all); a real engine needs
+all three function kinds.  Each demo here is Arrow-batched (pandas
+UDF/UDAF) or iterator-based (UDTF) — never row-at-a-time pickle — and
+each is oracle-checked by re-expressing the semantics in SQL, which is
+exactly the discipline that keeps custom code honest.
+
+Scale notes: a scalar pandas UDF is a map-side batch transform (no
+shuffle); a grouped-agg pandas UDAF shuffles only the group key +
+input column; a UDTF is generative (1:N) and its fan-out multiplies
+downstream row counts — the same caveat as ``explode``.  Where a
+built-in expression exists (as for all three demos), the built-in wins
+— these exist to prove the extension path, and the oracle proves the
+custom code computes what it claims.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import register
+from ..sources.tables import load_table
+
+R = 6
+
+
+# --- scalar pandas UDF ------------------------------------------------------
+
+@F.pandas_udf(T.DoubleType())
+def _log1p_abs(v: pd.Series) -> pd.Series:
+    """Vectorized scalar UDF: ln(1+|x|) over an Arrow batch (numpy —
+    one call per batch, no per-row Python)."""
+    return np.log1p(np.abs(v))
+
+
+@register(
+    "udf_scalar_pandas",
+    oracle=f"""
+SELECT event_id, ROUND(ln(1 + abs(value)), {R}) AS log1p_value
+FROM events WHERE event_id < 3000
+""",
+)
+def udf_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") < 3000)
+    return e.select(
+        "event_id", F.round(_log1p_abs("value"), R).alias("log1p_value")
+    )
+
+
+# --- grouped-agg pandas UDAF ------------------------------------------------
+
+@F.pandas_udf(T.DoubleType())
+def _geometric_mean(v: pd.Series) -> float:
+    """Grouped-aggregate UDAF: geometric mean of |x|+1 per group.
+    Receives the WHOLE group's column as one pandas Series (shuffled by
+    the group key), returns one scalar."""
+    return float(np.exp(np.mean(np.log1p(np.abs(v)))))
+
+
+@register(
+    "udaf_grouped_geomean",
+    oracle=f"""
+SELECT event_type, ROUND(exp(avg(ln(1 + abs(value)))), {R}) AS geomean
+FROM events GROUP BY event_type
+""",
+)
+def udaf_grouped_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(_geometric_mean("value"), R).alias("geomean")
+    )
+
+
+# --- Python UDTF ------------------------------------------------------------
+
+@F.udtf(returnType="pos int, tok string")
+class _TokenizeUDTF:
+    """Generative table function: one (position, token) row per token.
+    The UDTF registration path (Spark 4) — semantically ``posexplode``
+    over a split, which is what the oracle uses to check it."""
+
+    def eval(self, text: str):
+        if text is None:
+            return
+        for i, tok in enumerate(text.split(" ")):
+            yield (i, tok)
+
+
+@register(
+    "udtf_tokenize",
+    oracle="""
+SELECT doc_id, CAST(t.k - 1 AS INTEGER) AS pos, string_split(text, ' ')[t.k] AS tok
+FROM documents, UNNEST(range(1, LEN(string_split(text, ' ')) + 1)) AS t(k)
+WHERE doc_id < 100
+""",
+)
+def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    spark.udtf.register("tokenize_udtf", _TokenizeUDTF)
+    d.createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.tok
+        FROM __udtf_docs d, LATERAL tokenize_udtf(d.text) t
+        """
+    )

@@ -45,6 +45,7 @@ def load_all_operators() -> None:
         ann,
         components,
         dedup,
+        extensions,
         relational,
         scale,
         similarity_join,
