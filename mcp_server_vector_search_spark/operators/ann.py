@@ -75,10 +75,14 @@ def build_ivf_index(
     # random init instead of k-means||: the parallel init runs ~5 extra
     # distributed passes to pick seeds, which costs more than it saves
     # for a coarse quantizer whose cells Lloyd iterations reshape anyway.
+    # maxIter 10: a coarse quantizer only needs cells of roughly equal
+    # occupancy, not converged centroids — probing covers nprobe/k of
+    # the space either way (recall asserted in tests/test_ann.py).
     km = KMeans(
         k=n_centroids,
         seed=seed,
         initMode="random",
+        maxIter=10,
         featuresCol="__vec",
         predictionCol="centroid_id",
     )

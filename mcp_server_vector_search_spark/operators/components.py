@@ -33,15 +33,67 @@ from ..registry import register
 from .dedup import _NGRAM_ORACLE, dedup_ngram_jaccard
 
 MAX_ITER = 50
+# Below this edge count the pair table fits trivially on the driver and
+# union-find there beats launching O(diameter) distributed rounds.  The
+# near-dup pair list is SMALL relative to the corpus (it is the output
+# of an LSH/shingle filter, not the corpus itself) — at 100 TB of
+# documents the surviving pair table is typically millions of rows, so
+# the driver path covers real workloads; the distributed loop is the
+# fallback for adversarial pair volumes.
+DRIVER_CC_MAX_EDGES = 5_000_000
 
 
-def connected_components(edges: DataFrame, max_iter: int = MAX_ITER) -> DataFrame:
-    """Min-label propagation over undirected ``(a_id, b_id)`` edges.
+def connected_components(
+    edges: DataFrame,
+    max_iter: int = MAX_ITER,
+    driver_max_edges: int = DRIVER_CC_MAX_EDGES,
+) -> DataFrame:
+    """Connected components over undirected ``(a_id, b_id)`` edges.
 
-    Returns ``(node, component)`` where ``component`` is the minimum
-    node id reachable from ``node``.  Deterministic: pure min-lattice
-    fixpoint, no seeds, no ordering sensitivity.
+    Returns ``(node, comp)`` where ``comp`` is the minimum node id
+    reachable from ``node``.  Deterministic: pure min-lattice fixpoint,
+    no seeds, no ordering sensitivity.
+
+    Hybrid execution: if the edge table is small (``driver_max_edges``)
+    it is collected and solved with path-compressed union-find — one
+    job, no iteration.  Otherwise the distributed min-label loop runs
+    (one join + one agg per round, O(diameter) rounds).
     """
+    # Persisted: the count that picks the strategy and the strategy
+    # itself both read the (possibly expensive) upstream pair pipeline.
+    edges = edges.persist()
+    n_edges = edges.count()
+    if n_edges <= driver_max_edges:
+        try:
+            return _driver_union_find(edges)
+        finally:
+            edges.unpersist()
+    return _distributed_min_label(edges, max_iter)
+
+
+def _driver_union_find(edges: DataFrame) -> DataFrame:
+    rows = edges.select("a_id", "b_id").collect()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        ra, rb = find(r[0]), find(r[1])
+        if ra != rb:
+            # union by min so the representative IS the min label
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    out = [(node, find(node)) for node in parent]
+    return edges.sparkSession.createDataFrame(out, "node long, comp long")
+
+
+def _distributed_min_label(edges: DataFrame, max_iter: int) -> DataFrame:
     both = edges.select(
         F.col("a_id").alias("u"), F.col("b_id").alias("v")
     ).unionAll(edges.select(F.col("b_id").alias("u"), F.col("a_id").alias("v")))

@@ -56,15 +56,20 @@ def test_connected_components_fixpoint(spark):
         [(2, 1), (2, 3), (3, 4), (10, 11), (21, 20), (21, 22)],
         ["a_id", "b_id"],
     )
-    got = {
-        (r["node"], r["comp"])
-        for r in connected_components(edges).collect()
-    }
-    assert got == {
+    want = {
         (1, 1), (2, 1), (3, 1), (4, 1),
         (10, 10), (11, 10),
         (20, 20), (21, 20), (22, 20),
     }
+    # driver union-find path (default threshold)
+    got = {(r["node"], r["comp"]) for r in connected_components(edges).collect()}
+    assert got == want
+    # distributed min-label path (threshold forced to 0) must agree
+    got_dist = {
+        (r["node"], r["comp"])
+        for r in connected_components(edges, driver_max_edges=0).collect()
+    }
+    assert got_dist == want
 
 
 def test_asof_join_null_before_first_order(spark):
