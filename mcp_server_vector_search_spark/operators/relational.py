@@ -687,3 +687,51 @@ def scalar_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.when(k >= 50, "high").otherwise("low").alias("k_bucket"),
     )
+
+
+_CORRELATED_SQL = """
+SELECT o.o_orderkey, o.o_custkey,
+       CAST(o.o_totalprice AS DOUBLE) AS o_totalprice
+FROM orders o
+WHERE o.o_totalprice > 2 * (
+  SELECT AVG(o2.o_totalprice) FROM orders o2
+  WHERE o2.o_custkey = o.o_custkey
+)
+"""
+
+
+@register("subquery_correlated_above_avg", oracle=_CORRELATED_SQL)
+def subquery_correlated_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the SQL-TEXT entry path (the
+    engine's second API surface next to the DataFrame builders; same
+    Catalyst plan either way).  Catalyst decorrelates the subquery into
+    an aggregate + join — never a per-row re-execution, which is what
+    makes correlated predicates survive at 100 TB.  Identical SQL runs
+    on the DuckDB oracle."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_CORRELATED_SQL)
+
+
+@register(
+    "unpivot_lineitem_measures",
+    oracle="""
+SELECT l_orderkey, l_linenumber, measure, CAST(val AS DOUBLE) AS val
+FROM (
+  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+  FROM lineitem WHERE l_orderkey < 300
+)
+UNPIVOT (val FOR measure IN (l_quantity, l_extendedprice, l_discount))
+""",
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (``stack``'s typed cousin): each measure column
+    becomes a (measure, val) row — map-side Expand operator, no shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 300)
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"
+    ).unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
