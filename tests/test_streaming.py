@@ -201,3 +201,80 @@ def test_watermark_drops_late_window(spark):
         # 10:00 window must
         assert not any(s.startswith("2024-06-01T05") for s in starts)
         assert any(s.startswith("2024-06-02T10") for s in starts)
+
+
+def test_stream_static_enrichment_join(spark):
+    """Stream-static join: each micro-batch broadcast-joins the static
+    dimension — the standard enrichment pattern (no state needed)."""
+    stream = ingest.read_event_stream(spark, SF_SMOKE)
+    kinds = spark.createDataFrame(
+        [("click", "engagement"), ("view", "engagement"),
+         ("purchase", "revenue"), ("signup", "growth"), ("error", "ops")],
+        ["event_type", "category"],
+    )
+    enriched = (
+        stream.join(F.broadcast(kinds), "event_type")
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = f"enr_{uuid.uuid4().hex[:8]}"
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {r.category: r.n for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    want = {
+        r.category: r.n
+        for r in load_table(spark, SF_SMOKE, "events")
+        .join(kinds, "event_type")
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_streaming_dedup_within_watermark(spark):
+    """Streaming exact dedup: dropDuplicatesWithinWatermark keeps one
+    row per key while the watermark bounds the dedup state (the
+    streaming face of dedup_exact)."""
+    events = load_table(spark, SF_SMOKE, "events")
+    with tempfile.TemporaryDirectory() as tmp:
+        # duplicate the whole table across two files: every event_id
+        # arrives twice in separate micro-batches
+        events.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/src")
+        import time as _time
+
+        _time.sleep(1.1)
+        events.coalesce(1).write.mode("append").parquet(f"{tmp}/src")
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/src")
+        )
+        if dict(stream.dtypes).get("ts") == "bigint":
+            stream = stream.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        deduped = stream.withWatermark("ts", "10 days").dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+        name = f"dd_{uuid.uuid4().hex[:8]}"
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        n = spark.sql(f"SELECT COUNT(DISTINCT event_id) c FROM {name}").first()["c"]
+        total = spark.sql(f"SELECT COUNT(*) c FROM {name}").first()["c"]
+        assert n == events.count()  # every key survives exactly once
+        assert total == n  # and nothing survives twice
