@@ -1,0 +1,299 @@
+"""Second wave of relational/analytic breadth: selective scan-aggregates,
+multi-join top-N, deterministic sampling, merge/upsert, hierarchical
+rollup reuse, and distribution window functions.
+
+The reference delegates all relational work to Neo4j and exercises none
+of these shapes (SURVEY.md §2.3 — the only query in the tree is
+`server.py:85-91`, a vector index scan + project + sort).  A drop-in
+engine still needs them; each is registered with a DuckDB oracle.
+
+Scale notes baked into each operator:
+- `q6_revenue_forecast` is the pure scan-dominated shape: every
+  predicate reaches the parquet reader (row-group min/max skipping on
+  l_shipdate), and the aggregate is a single partial+final pair — the
+  100 TB plan is "read only matching row groups, one tiny shuffle".
+- `q10_returned_revenue` shuffles the two fact tables on o_orderkey
+  only, broadcasts the dims, and ends in TakeOrderedAndProject — no
+  global sort at any scale.
+- `sample_hash_deterministic` replaces rand()-sampling (which is
+  neither reproducible across retries nor pushdown-friendly) with an
+  md5-prefix filter: a pure row-local predicate that yields the SAME
+  sample on any cluster size, any retry, any engine — the property a
+  100 TB training-data pipeline needs for auditable subsampling.
+- `merge_upsert_orders` is latest-wins SCD-1 merge as union + window
+  dedup: one shuffle on the merge key; at scale both sides would be
+  bucketed on o_orderkey so the merge is shuffle-free.
+- `rollup_hourly_daily` re-aggregates the hourly rollup into the daily
+  one (hypertable-style continuous aggregation): the second aggregate
+  reads |hours| rows, not |events| — the cheap path at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import load_table
+from .relational import _dec, _dsum
+
+# ---------------------------------------------------------------------------
+# Selective scan + single aggregate (TPC-H Q6 shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q6_revenue_forecast",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: conjunctive filter → ungrouped aggregate.
+
+    All four predicates are simple comparisons on scanned columns, so
+    they appear in PushedFilters and prune parquet row groups before a
+    single partial+final SUM/COUNT — the canonical scan-bound query.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _dsum(_dec("l_extendedprice") * _dec("l_discount", 4, 2)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-join aggregate with pushed top-N (TPC-H Q10 shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q10_returned_revenue",
+    oracle="""
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20.
+
+    Plan shape at any scale: orders filtered on date (pushed) joins
+    lineitem filtered on returnflag (pushed) shuffling on o_orderkey;
+    customer joins on c_custkey; 25-row nation broadcasts; the final
+    ORDER+LIMIT compiles to TakeOrderedAndProject (partition-local
+    top-20 + driver merge — no global sort).  Exact decimal revenue
+    makes the top-20 cut deterministic for the oracle hash.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", 4, 2))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_dsum(rev).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic (hash-bucket) sampling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sample_hash_deterministic",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n_sampled,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sampled_price
+FROM lineitem
+WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || ':'
+                 || CAST(l_linenumber AS VARCHAR)), 1, 2) < '14'
+GROUP BY l_returnflag
+""",
+)
+def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~7.8% deterministic sample (md5 prefix < 0x14) + per-flag summary.
+
+    Unlike ``df.sample()`` (seeded per-partition RNG — resample on
+    repartition/retry, never portable across engines), an md5-prefix
+    predicate on the row key is engine-independent, retry-stable, and
+    embarrassingly parallel: the property an auditable training-data
+    subsample needs.  Rate tuning = widening the hex prefix bound.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.concat_ws(
+        ":", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
+    )
+    return (
+        li.where(F.substring(F.md5(key), 1, 2) < "14")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            _dsum(_dec("l_extendedprice")).alias("sampled_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Merge / upsert (latest-wins SCD-1)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "merge_upsert_orders",
+    oracle="""
+WITH updates AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice + 100.0 AS o_totalprice,
+           2 AS src
+    FROM orders WHERE o_orderkey % 10 = 3
+), merged AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS src FROM orders
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice, src FROM updates
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY src DESC) AS rn
+    FROM merged
+)
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
+FROM ranked WHERE rn = 1
+GROUP BY o_orderstatus
+""",
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (latest-wins upsert) as union + window dedup.
+
+    An update batch (10% of keys, price bumped) is merged into the base
+    table: UNION ALL both sides with a source priority, keep row_number
+    1 per key ordered by priority.  One shuffle on the merge key; with
+    both sides bucketed on o_orderkey at scale the exchange disappears.
+    The +100.0 bump is an exact IEEE op so both engines agree bit-wise.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = (
+        o.where(F.col("o_orderkey") % 10 == 3)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(100.0))
+        .withColumn("src", F.lit(2))
+    )
+    merged = o.withColumn("src", F.lit(1)).unionByName(updates)
+    w = W.partitionBy("o_orderkey").orderBy(F.desc("src"))
+    return (
+        merged.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum(_dec("o_totalprice", 14, 2)).alias("total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical rollup reuse (hypertable-style continuous aggregate)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rollup_hourly_daily",
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1
+""",
+)
+def rollup_hourly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily aggregate computed FROM the hourly rollup, not the raw table.
+
+    The hypertable / continuous-aggregate pattern: materialize the
+    finest rollup once (|hours| rows), derive coarser grains from it.
+    At 100 TB the daily query reads thousands of hourly rows instead of
+    re-scanning raw events; counts and decimal sums re-aggregate
+    losslessly (the reason AVG is never stored — only sum+count are).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(_dec("value", 18, 6)).alias("value_dec"),
+    )
+    return (
+        hourly.groupBy(F.date_trunc("day", "hour").alias("day"))
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("value_dec").cast("double").alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution window functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_distribution_ranks",
+    oracle="""
+SELECT c_custkey, c_mktsegment,
+       NTILE(4)       OVER w AS quartile,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST()    OVER w AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+""",
+)
+def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE / PERCENT_RANK / CUME_DIST per market segment.
+
+    Rank-family windows depend only on the sort order, so the explicit
+    (c_acctbal, c_custkey) total order makes every value engine-exact.
+    One shuffle on the partition key; each segment sorts locally.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )

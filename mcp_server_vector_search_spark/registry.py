@@ -42,6 +42,7 @@ def register(name: str, oracle: Optional[str] = None):
 def load_all_operators() -> None:
     """Import every operator module so registrations run."""
     from .operators import (  # noqa: F401
+        analytics,
         ann,
         components,
         dedup,

@@ -65,3 +65,48 @@ def test_partitioned_sink_scan_prunes(spark):
 
     plan = formatted_plan(sink_partitioned_pruned_scan(spark, SF_CORRECTNESS))
     assert re.search(r"PartitionFilters:.*o_orderstatus", plan)
+
+
+def test_q6_all_predicates_pushed(spark):
+    """Q6's four predicates must all reach the parquet scan (row-group
+    skipping carries the whole query at 100 TB)."""
+    from mcp_server_vector_search_spark.operators.analytics import q6_revenue_forecast
+
+    plan = formatted_plan(q6_revenue_forecast(spark, SF_CORRECTNESS))
+    assert re.search(r"PushedFilters:.*l_shipdate", plan)
+    assert re.search(r"PushedFilters:.*l_discount", plan)
+    assert re.search(r"PushedFilters:.*l_quantity", plan)
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and "l_orderkey" not in m.group(1)  # pruned projection
+
+
+def test_q10_topn_and_broadcast(spark):
+    """Q10 must end in TakeOrderedAndProject (no global sort of the
+    aggregate) and broadcast the 25-row nation dim."""
+    from mcp_server_vector_search_spark.operators.analytics import q10_returned_revenue
+
+    plan = formatted_plan(q10_returned_revenue(spark, SF_CORRECTNESS))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sample_predicate_is_row_local(spark):
+    """The md5-prefix sample must be a plain Filter over the scan — no
+    shuffle, no exchange before the aggregate's own."""
+    from mcp_server_vector_search_spark.operators.analytics import (
+        sample_hash_deterministic,
+    )
+
+    plan = formatted_plan(sample_hash_deterministic(spark, SF_CORRECTNESS))
+    # exactly the aggregate's exchange; sampling itself adds none
+    assert plan.count("Exchange") <= 2  # partial->final agg (+AQE read)
+    assert "EvalPython" not in plan  # md5 stays JVM-side
+
+
+def test_rollup_reuse_aggregates_twice(spark):
+    """Hourly→daily reuse: two HashAggregate pairs, the second over the
+    hourly rollup (not the raw events scan)."""
+    from mcp_server_vector_search_spark.operators.analytics import rollup_hourly_daily
+
+    plan = formatted_plan(rollup_hourly_daily(spark, SF_CORRECTNESS))
+    assert plan.count("HashAggregate") >= 4  # partial+final × two levels
