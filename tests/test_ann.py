@@ -77,3 +77,24 @@ def test_hash_embedder_deterministic(spark):
     assert all(len(r.v) == 64 for r in e1)
     # unit-normalized
     assert all(abs(sum(x * x for x in r.v) - 1.0) < 1e-3 for r in e1)
+
+
+def test_ivf_index_cache_roundtrip(spark):
+    """load_or_build builds once, then serves the SAME layout from the
+    cached partition-pruned parquet — second call must not retrain."""
+    import shutil
+
+    from mcp_server_vector_search_spark.operators.ann import (
+        _INDEX_CACHE_ROOT,
+        load_or_build_ivf_index,
+    )
+
+    shutil.rmtree(_INDEX_CACHE_ROOT, ignore_errors=True)
+    idx1, cent1 = load_or_build_ivf_index(spark, SF_CORRECTNESS)
+    cached_dirs = list(_INDEX_CACHE_ROOT.iterdir())
+    assert len(cached_dirs) == 1
+    idx2, cent2 = load_or_build_ivf_index(spark, SF_CORRECTNESS)
+    assert cent1 == cent2
+    a = {(r.vec_id, r.centroid_id) for r in idx1.collect()}
+    b = {(r.vec_id, r.centroid_id) for r in idx2.collect()}
+    assert a == b and len(a) > 0
