@@ -297,3 +297,133 @@ def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed vector aggregate: per-label centroid
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "vector_centroid_per_label",
+    oracle="""
+WITH expl AS (
+    SELECT label, CAST(r.i AS INT) AS pos,
+           CAST(FLOOR(CAST(embedding[CAST(r.i AS INT)] AS DOUBLE)
+                      * 1099511627776.0) AS BIGINT) AS val
+    FROM embeddings CROSS JOIN range(1, 65) AS r(i)
+), per AS (
+    SELECT label, pos,
+           CAST(SUM(val) AS DOUBLE) / (COUNT(*) * 1099511627776.0) AS cval
+    FROM expl GROUP BY label, pos
+)
+SELECT label, list(CAST(cval AS DOUBLE) ORDER BY pos) AS centroid
+FROM per GROUP BY label
+""",
+)
+def vector_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise mean embedding per label — the distributed reduce
+    behind every coarse quantizer / class prototype.
+
+    The scalable shape: posexplode to (label, pos, val) rows, partial+
+    final aggregate per (label, pos) — a shuffle of |labels|·dim GROUPS,
+    never of vectors — then reassemble the dim-64 array.  Elements are
+    fixed-point quantized (×2^40, floored — both exact IEEE ops with no
+    rounding-mode dependence, unlike decimal casts whose half-up vs
+    half-even ties engines disagree on) so the elementwise sums are
+    integer-exact under any partial-aggregation order; one double
+    division at the end restores the scale.
+    """
+    q = 2.0**40
+    emb = load_table(spark, sf_dir, "embeddings")
+    per = (
+        emb.select("label", F.posexplode("embedding").alias("pos0", "v"))
+        .select(
+            "label",
+            (F.col("pos0") + 1).alias("pos"),
+            F.floor(F.col("v").cast("double") * q).alias("val"),
+        )
+        .groupBy("label", "pos")
+        .agg((F.sum("val").cast("double") / (F.count(F.lit(1)) * q)).alias("cval"))
+    )
+    return per.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cval"))), lambda x: x.cval
+        ).alias("centroid")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy dedup: banded edit-distance pairs
+# ---------------------------------------------------------------------------
+
+_ED_BUCKET = 16  # length-band width; |len diff| <= 10 => adjacent band
+_ED_MAXDIFF = 10
+_ED_THRESHOLD = 30
+
+
+@register(
+    "dedup_editdistance_pairs",
+    oracle=f"""
+WITH d AS (
+    SELECT doc_id, text, lang, n_chars,
+           CAST(FLOOR(CAST(n_chars AS DOUBLE) / {_ED_BUCKET}) AS BIGINT) AS b
+    FROM documents
+), a AS (
+    SELECT d.*, b + o.off AS jb
+    FROM d CROSS JOIN (VALUES (-1), (0), (1)) AS o(off)
+)
+SELECT a.doc_id AS a_id, d2.doc_id AS b_id,
+       levenshtein(a.text, d2.text) AS dist
+FROM a JOIN d AS d2
+  ON a.lang = d2.lang AND a.jb = d2.b AND a.doc_id < d2.doc_id
+WHERE abs(a.n_chars - d2.n_chars) <= {_ED_MAXDIFF}
+  AND levenshtein(a.text, d2.text) <= {_ED_THRESHOLD}
+""",
+)
+def dedup_editdistance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by Levenshtein distance with length banding.
+
+    Naive fuzzy dedup is an O(n²) cross join of O(len²) comparisons.
+    The banding makes it tractable at scale: candidates must share
+    (lang, length-band) — an EQUI-join key, so Spark shuffles both
+    sides on it instead of broadcasting a cross product — and a pair
+    within the |len diff| <= 10 gate always lands in adjacent bands of
+    width 16, so one side expands to its 3 neighboring bands and no
+    pair is missed or double-counted (the other side keeps exactly one
+    band).  The distance itself uses Spark's THRESHOLD variant —
+    ``levenshtein(a, b, t)`` early-exits once the running distance
+    exceeds t (O(len·t) per pair instead of O(len²); ~16x here), the
+    difference between a banded scan that survives 100 TB and one that
+    does not.  All JVM builtins — no Python in the hot loop.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        "lang",
+        "n_chars",
+        F.floor(F.col("n_chars").cast("double") / _ED_BUCKET)
+        .cast("bigint")
+        .alias("b"),
+    )
+    a = d.withColumn("jb", F.explode(F.array(F.col("b") - 1, F.col("b"), F.col("b") + 1)))
+    b = d.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("text").alias("b_text"),
+        F.col("lang").alias("b_lang"),
+        F.col("n_chars").alias("b_n_chars"),
+        F.col("b").alias("b_b"),
+    )
+    bounded = F.levenshtein(F.col("text"), F.col("b_text"), _ED_THRESHOLD)
+    return (
+        a.join(
+            b,
+            (F.col("lang") == F.col("b_lang"))
+            & (F.col("jb") == F.col("b_b"))
+            & (F.col("doc_id") < F.col("b_id")),
+        )
+        .where(F.abs(F.col("n_chars") - F.col("b_n_chars")) <= _ED_MAXDIFF)
+        .withColumn("dist", bounded)
+        .where(F.col("dist") >= 0)  # threshold variant returns -1 past t
+        .select(F.col("doc_id").alias("a_id"), "b_id", "dist")
+    )

@@ -1,0 +1,108 @@
+"""Time-series resampling over the events table.
+
+The reference has no temporal operators at all (SURVEY.md §2.3 — its
+one query is a vector index scan).  A data-pipeline engine needs the
+regularize-and-fill shape: map irregular event times onto a fixed
+grid, aggregate per bucket, and carry the last observation forward
+across empty buckets (metrics dashboards, feature snapshots, sensor
+alignment all reduce to it).
+
+Scale shape: the per-(series, bucket) aggregate is an ordinary
+partial+final hash aggregate; the dense grid is generated with
+``sequence`` + ``explode`` (JVM-side, no driver loop) and cross-joined
+with the tiny series dimension (broadcast); the forward fill is
+``last(ignorenulls) OVER (PARTITION BY series ORDER BY bucket)`` — one
+shuffle on the series key, each series filled locally, embarrassingly
+parallel across the millions of series a 100 TB corpus would hold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import load_table
+
+_GRID_START = "2024-01-01 00:00:00"
+_GRID_END = "2024-01-30 23:45:00"
+_STEP_SEC = 900  # 15-minute buckets
+
+
+@register(
+    "timeseries_resample_ffill",
+    oracle=f"""
+WITH grid AS (
+    SELECT g AS bucket
+    FROM generate_series(TIMESTAMP '{_GRID_START}',
+                         TIMESTAMP '{_GRID_END}',
+                         INTERVAL 15 MINUTE) t(g)
+), types AS (
+    SELECT DISTINCT event_type FROM events
+), b AS (
+    SELECT event_type,
+           to_timestamp(FLOOR(epoch(ts) / {_STEP_SEC}) * {_STEP_SEC})::TIMESTAMP AS bucket,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_value
+    FROM events GROUP BY 1, 2
+)
+SELECT t.event_type, g.bucket,
+       COALESCE(b.n_events, 0) AS n_events,
+       last_value(b.avg_value IGNORE NULLS) OVER (
+           PARTITION BY t.event_type ORDER BY g.bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+FROM grid g
+CROSS JOIN types t
+LEFT JOIN b ON b.event_type = t.event_type AND b.bucket = g.bucket
+""",
+)
+def timeseries_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """15-minute resample of each event-type series with forward fill.
+
+    Empty buckets get n_events = 0 and the last seen average carried
+    forward (NULL before a series' first observation — both engines
+    agree).  Bucketing is epoch-floor arithmetic so the bucket edges
+    are engine- and timezone-independent.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    buckets = (
+        ev.groupBy(
+            "event_type",
+            F.timestamp_seconds(
+                F.floor(F.unix_timestamp("ts") / _STEP_SEC) * _STEP_SEC
+            ).alias("bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_value"),
+        )
+    )
+    grid = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(_GRID_START).cast("timestamp"),
+                F.lit(_GRID_END).cast("timestamp"),
+                F.expr("INTERVAL 15 MINUTES"),
+            )
+        ).alias("bucket")
+    )
+    types = ev.select("event_type").distinct()
+    dense = grid.crossJoin(F.broadcast(types))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        dense.join(buckets, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "bucket",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("avg_value", ignorenulls=True).over(w).alias("filled_value"),
+        )
+    )

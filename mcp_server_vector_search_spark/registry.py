@@ -52,6 +52,7 @@ def load_all_operators() -> None:
         similarity_join,
         temporal,
         text_analysis,
+        timeseries,
         topk,
         windows,
     )
