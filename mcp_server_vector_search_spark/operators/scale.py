@@ -32,6 +32,7 @@ from __future__ import annotations
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -188,4 +189,91 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_orderkey", rsd=0.01).alias("nd_orderkey"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_price"),
         F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99_price"),
+    )
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+SELECT l_returnflag AS flag,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(f.weight AS DECIMAL(8,4))) AS DOUBLE) AS sum_weight
+FROM lineitem
+JOIN (VALUES ('A', 1.5), ('N', 2.25), ('R', 0.75)) AS f(flag, weight)
+  ON l_returnflag = f.flag
+GROUP BY l_returnflag
+""",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted SKEW JOIN: the fact side's join key has 3 values (maximal
+    skew — a plain shuffle join lands ~1/3 of the table on one task).
+
+    The salting pattern: the fact side appends ``salt = uniform mod S``
+    to its key; the (tiny but assume-unbroadcastable) build side is
+    replicated S times via explode so every (key, salt) pair exists.
+    The join key becomes (key, salt) — S-way parallelism per hot key,
+    bit-identical result.  This is what you reach for when AQE's
+    runtime skew splitting isn't available (e.g. the build side is big
+    enough to shuffle but a few probe keys are hot).  Salt comes from
+    l_orderkey (uniform, deterministic — never rand(), which breaks
+    retry idempotence).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    weights = spark.createDataFrame(
+        [("A", 1.5), ("N", 2.25), ("R", 0.75)], ["flag", "weight"]
+    )
+    replicated = weights.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(s) for s in range(N_SALTS)]))
+    )
+    salted = li.withColumn("__salt", F.pmod(F.col("l_orderkey"), F.lit(N_SALTS)))
+    return (
+        salted.join(
+            replicated.hint("shuffle_hash"),  # forbid broadcast: demo the shuffle path
+            (F.col("l_returnflag") == F.col("flag"))
+            & (salted["__salt"] == replicated["__salt"]),
+        )
+        .groupBy("flag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("weight").cast("decimal(8,4)")).cast("double").alias(
+                "sum_weight"
+            ),
+        )
+    )
+
+
+@register(
+    "agg_mode_deterministic",
+    oracle="""
+WITH counts AS (
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders GROUP BY 1, 2
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY o_orderstatus
+        ORDER BY n DESC, o_orderpriority) AS rn
+    FROM counts
+)
+SELECT o_orderstatus, o_orderpriority AS modal_priority, n AS modal_count
+FROM ranked WHERE rn = 1
+""",
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE per group (most frequent value, ties broken by
+    value).  Built-in mode() leaves tie order engine-defined — the
+    count+window formulation pins it, and its plan is two partial/final
+    aggregates plus a WindowGroupLimit, all scale-safe."""
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = W.partitionBy("o_orderstatus").orderBy(F.desc("n"), F.asc("o_orderpriority"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("modal_priority"),
+            F.col("n").alias("modal_count"),
+        )
     )

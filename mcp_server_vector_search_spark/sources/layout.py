@@ -1,0 +1,84 @@
+"""Physical data layout at scale: sort-within-files for row-group
+skipping, and small-file compaction.
+
+Neither exists in the reference (its storage is Neo4j's; SURVEY.md
+§2.3), but both are what makes a 100 TB parquet lake queryable:
+
+- **Sorted layout.** Parquet row groups carry min/max stats per column;
+  a range predicate can skip a row group only if the column's values
+  are CLUSTERED within files.  ``write_sorted_layout`` range-partitions
+  by the cluster key (``repartitionByRange`` — contiguous key ranges
+  per file) then sorts within partitions, so every file covers a
+  narrow, non-overlapping slice and a date filter touches few of them.
+  This is the same layout idea as the IVF index (operators/ann.py):
+  make the pruning the storage's job, not the executor's.
+
+- **Compaction.** Streaming ingest and partitioned writes leave many
+  small files; footer-reading and task-scheduling overhead then
+  dominates scans.  ``compact`` rewrites a directory into
+  size-targeted files with one distributed pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_sorted_layout(
+    df: DataFrame, path: str, cluster_cols: list[str], n_files: int
+) -> None:
+    """Write ``df`` as parquet clustered on ``cluster_cols``: range-
+    partition into ``n_files`` contiguous key slices, sort each slice,
+    one file per slice.  Files end up with narrow, non-overlapping
+    min/max ranges on the cluster key — the precondition for row-group
+    and file skipping on range predicates.
+
+    At 100 TB ``n_files`` comes from target_bytes (e.g. 1 GiB/file);
+    the range exchange samples the key distribution so slices are
+    balanced even when the key is skewed.
+    """
+    (
+        df.repartitionByRange(n_files, *cluster_cols)
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def compact(
+    spark: SparkSession, src_path: str, dst_path: str, target_rows_per_file: int
+) -> int:
+    """Rewrite ``src_path`` into ``dst_path`` with ~``target_rows_per_file``
+    rows per file; returns the file count chosen.  One shuffle-free
+    coalesce when shrinking the file count (the common case), which at
+    scale is the nightly compaction job over a streaming landing zone.
+    """
+    df = spark.read.parquet(src_path)
+    n = df.count()
+    n_files = max(1, (n + target_rows_per_file - 1) // target_rows_per_file)
+    df.coalesce(n_files).write.mode("overwrite").parquet(dst_path)
+    return n_files
+
+
+def file_minmax_ranges(path: str, column: str) -> list[tuple]:
+    """Per-file (min, max) of ``column`` straight from the parquet
+    footers — the metadata a scan's file/row-group skipping reads.
+    Test/inspection helper: proves clustering without scanning data.
+    """
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in sorted(Path(path).glob("*.parquet")):
+        md = pq.ParquetFile(str(f)).metadata
+        idx = md.schema.names.index(column)
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return []  # stats missing: cannot prove anything
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        ranges.append((lo, hi))
+    return ranges
