@@ -427,3 +427,99 @@ def dedup_editdistance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("dist") >= 0)  # threshold variant returns -1 past t
         .select(F.col("doc_id").alias("a_id"), "b_id", "dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# Aggregate-filtered join (TPC-H Q18 shape: HAVING + top-N)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+SELECT c_name, o_orderkey,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       big.sum_qty
+FROM (
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 200
+) big
+JOIN orders   ON o_orderkey = big.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+""",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate → HAVING filter → join → top-N.
+
+    The HAVING runs where the data is (post-aggregate filter on the
+    grouped side, BEFORE the joins — only ~1% of orders survive to be
+    joined), and the final ORDER+LIMIT is TakeOrderedAndProject.  At
+    100 TB the lineitem aggregate is the only big shuffle; orders joins
+    the small survivor set.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("qdec"))
+        .where(F.col("qdec") > 200)
+        .select("l_orderkey", F.col("qdec").cast("double").alias("sum_qty"))
+    )
+    return (
+        big.join(o, o.o_orderkey == big.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .select("c_name", "o_orderkey", "o_totalprice", "sum_qty")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Map-typed column functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_map_functions",
+    oracle="""
+SELECT event_id,
+       2 AS n_keys,
+       CAST(json_extract(props, '$.k') AS INT) AS k_val,
+       'k,uid_mod' AS keys_csv,
+       CAST(json_extract(props, '$.k') AS INT)
+         + CAST(user_id % 100 AS INT) AS vals_sum,
+       (CASE WHEN CAST(json_extract(props, '$.k') AS INT) > 50 THEN 1 ELSE 0 END)
+         + (CASE WHEN user_id % 100 > 50 THEN 1 ELSE 0 END) AS n_big
+FROM events
+""",
+)
+def scalar_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType function family: JSON → map, construction, concat,
+    lookup, keys/values, lambda filter, and a fold over values.
+
+    The map stays inside codegen'd JVM expressions end to end (no
+    Python, no shuffle — this is a pure projection).  The oracle
+    computes the same scalars straight from the JSON because the
+    CONTRACT is the values, not the intermediate representation.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    m = F.map_concat(
+        F.from_json("props", "map<string,int>"),
+        F.create_map(F.lit("uid_mod"), (F.col("user_id") % 100).cast("int")),
+    )
+    return ev.select(
+        "event_id",
+        F.size(m).alias("n_keys"),
+        F.element_at(m, "k").alias("k_val"),
+        F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("keys_csv"),
+        F.aggregate(F.map_values(m), F.lit(0), lambda acc, x: acc + x).alias(
+            "vals_sum"
+        ),
+        F.size(F.map_filter(m, lambda k, v: v > 50)).alias("n_big"),
+    )
