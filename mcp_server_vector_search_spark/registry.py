@@ -54,6 +54,7 @@ def load_all_operators() -> None:
         text_analysis,
         timeseries,
         topk,
+        tpch_extra,
         windows,
     )
     from .sources import formats, multimodal  # noqa: F401
