@@ -406,7 +406,16 @@ def dedup_editdistance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("b"),
     )
-    a = d.withColumn("jb", F.explode(F.array(F.col("b") - 1, F.col("b"), F.col("b") + 1)))
+    # The probe side carries ALL the levenshtein work (the build side is
+    # broadcast), so its partition count IS the parallelism.  A small
+    # corpus arrives as one parquet split → one task doing every
+    # comparison; round-robin repartition spreads the probe rows over
+    # every core (broadcast joins need no co-partitioning, and
+    # round-robin is immune to band skew).  At 100 TB the scan already
+    # has thousands of splits and this repartition is a no-op cost-wise.
+    a = d.repartition(spark.sparkContext.defaultParallelism).withColumn(
+        "jb", F.explode(F.array(F.col("b") - 1, F.col("b"), F.col("b") + 1))
+    )
     b = d.select(
         F.col("doc_id").alias("b_id"),
         F.col("text").alias("b_text"),

@@ -29,7 +29,8 @@ query so the technique is exercised, not just described.
 
 from __future__ import annotations
 
-import tempfile
+import hashlib
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
@@ -42,6 +43,49 @@ N_SALTS = 16
 PRICE_BIN = 5000.0
 N_BUCKETS = 8
 R = 6
+
+# Bucketed layouts are ingest-time artifacts reused across queries
+# (same build-once/query-many discipline as the IVF index cache in
+# operators/ann.py — the reference likewise creates its index via DDL
+# once, reference README.md:72-79, and only reads it per query).
+_BUCKET_CACHE_ROOT = Path(__file__).resolve().parents[2] / ".cache" / "bucketed"
+
+
+def _ddl(df: DataFrame) -> str:
+    return ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+
+
+def load_or_build_bucketed(
+    spark: SparkSession, sf_dir: str, table: str, key: str, n_buckets: int = N_BUCKETS
+) -> DataFrame:
+    """Return ``table`` from ``sf_dir`` as a bucketed+sorted catalog
+    table, writing the layout on first use and re-attaching the
+    existing files via DDL (cheap) on later sessions.
+
+    The bucket spec lives in table metadata, so a fresh session must
+    re-register it — but re-registration is a CREATE TABLE over the
+    already-written files, not a re-shuffle of the data.  A `_SUCCESS`
+    marker gates reuse so a half-written layout is never attached.
+    """
+    tag = hashlib.md5(f"{sf_dir}:{table}:{key}:{n_buckets}:v1".encode()).hexdigest()[:12]
+    name = f"bucketed_{table}_{tag}"
+    if spark.catalog.tableExists(name):
+        return spark.table(name)
+    path = _BUCKET_CACHE_ROOT / tag
+    df = load_table(spark, sf_dir, table)
+    if (path / "_SUCCESS").exists():
+        spark.sql(
+            f"CREATE TABLE {name} ({_ddl(df)}) USING PARQUET "
+            f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {n_buckets} BUCKETS "
+            f"LOCATION '{path}'"
+        )
+    else:
+        (
+            df.write.bucketBy(n_buckets, key).sortBy(key)
+            .option("path", str(path)).mode("overwrite")
+            .saveAsTable(name)
+        )
+    return spark.table(name)
 
 
 @register(
@@ -95,28 +139,13 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     join and never shuffling it at all; the write cost is paid once at
     ingest.  (The tiny post-join agg still shuffles 5 groups.)
     """
-    wh = tempfile.mkdtemp(prefix="bucketed_wh_")
-    o = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    spark.sql("DROP TABLE IF EXISTS bucketed_orders")
-    spark.sql("DROP TABLE IF EXISTS bucketed_lineitem")
-    (
-        o.write.bucketBy(N_BUCKETS, "o_orderkey").sortBy("o_orderkey")
-        .option("path", f"{wh}/orders").mode("overwrite")
-        .saveAsTable("bucketed_orders")
-    )
-    (
-        li.write.bucketBy(N_BUCKETS, "l_orderkey").sortBy("l_orderkey")
-        .option("path", f"{wh}/lineitem").mode("overwrite")
-        .saveAsTable("bucketed_lineitem")
-    )
     # MERGE hint: at correctness scale Catalyst would broadcast the
     # small side (also correct); the hint pins the strategy this
     # operator demonstrates — the co-located sort-merge join neither
     # side of which shuffles, which is the only viable plan when both
     # facts are 100 TB-class.
-    ob = spark.table("bucketed_orders").hint("merge")
-    lb = spark.table("bucketed_lineitem")
+    ob = load_or_build_bucketed(spark, sf_dir, "orders", "o_orderkey").hint("merge")
+    lb = load_or_build_bucketed(spark, sf_dir, "lineitem", "l_orderkey")
     revenue = (
         F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     ).cast("decimal(18,6)")
