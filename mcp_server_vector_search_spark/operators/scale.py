@@ -306,3 +306,68 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("modal_count"),
         )
     )
+
+
+N_RANGE_PARTS = 8
+
+
+@register(
+    "sort_global_rank",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+FROM orders
+WHERE o_totalprice > 400000
+""",
+)
+def sort_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed global rank (dense total order) WITHOUT the
+    single-partition window.
+
+    ``ROW_NUMBER() OVER (ORDER BY ...)`` with no PARTITION BY collapses
+    the whole input into ONE task — the classic scale cliff.  This
+    operator gets the identical answer with bounded parallelism and NO
+    window operator anywhere:
+
+    1. ``repartitionByRange`` on the sort key → partition i holds keys
+       strictly ordered before partition i+1 (range exchange, sampled
+       boundaries), then ``sortWithinPartitions`` (narrow);
+    2. ``monotonically_increasing_id`` encodes (partition, row-offset)
+       as ``pid << 33 | offset`` in row order — a pure projection, so
+       the local rank costs NO shuffle and no window exchange;
+    3. per-partition row counts (tiny: N_RANGE_PARTS rows) → offsets
+       via a nested-loop self-join on the tiny side, broadcast back;
+    4. global rank = local rank + rows in all earlier partitions.
+
+    The persist pins the sampled range boundaries so steps 2 and 3 see
+    the SAME partitioning.  Ties are broken by the unique key so the
+    rank is deterministic and oracle-hashable.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    mask = (1 << 33) - 1
+    keyed = (
+        o.where(F.col("o_totalprice") > 400000)
+        .select("o_orderkey", F.col("o_totalprice").cast("double").alias("o_totalprice"))
+        .repartitionByRange(N_RANGE_PARTS, F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .sortWithinPartitions(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .withColumn("mid", F.monotonically_increasing_id())
+        .withColumn("pid", F.shiftright("mid", 33))
+        .withColumn("local_rn", F.col("mid").bitwiseAND(F.lit(mask)) + 1)
+        .persist()
+    )
+    counts = keyed.groupBy("pid").agg(F.count(F.lit(1)).alias("n"))
+    earlier = counts.select(F.col("pid").alias("b_pid"), F.col("n").alias("b_n"))
+    offsets = (
+        counts.join(F.broadcast(earlier), F.col("b_pid") < F.col("pid"), "left")
+        .groupBy("pid")
+        .agg(F.coalesce(F.sum("b_n"), F.lit(0)).alias("offset"))
+    )
+    return (
+        keyed.join(F.broadcast(offsets), "pid")
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            (F.col("local_rn") + F.col("offset")).cast("long").alias("rnk"),
+        )
+    )

@@ -47,6 +47,7 @@ def load_all_operators() -> None:
         components,
         dedup,
         extensions,
+        pipeline,
         relational,
         scale,
         similarity_join,

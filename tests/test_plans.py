@@ -110,3 +110,31 @@ def test_rollup_reuse_aggregates_twice(spark):
 
     plan = formatted_plan(rollup_hourly_daily(spark, SF_CORRECTNESS))
     assert plan.count("HashAggregate") >= 4  # partial+final × two levels
+
+
+def test_global_rank_avoids_single_partition_window(spark):
+    """sort_global_rank's whole point: the global ROW_NUMBER is built
+    from a range exchange + per-partition windows + a broadcast offset
+    join — never a window over ONE partition holding all rows."""
+    from mcp_server_vector_search_spark.operators.scale import sort_global_rank
+
+    plan = formatted_plan(sort_global_rank(spark, SF_CORRECTNESS))
+    assert "rangepartitioning" in plan.lower()
+    # the scale cliff this operator exists to avoid: an exchange that
+    # funnels every row into one partition to feed a global window
+    assert "SinglePartition" not in plan
+    assert "Window" not in plan  # local ranks come from the id encoding
+
+
+def test_clean_corpus_is_one_aggregate_no_python(spark):
+    """The composed pipeline must stay one scan + one shuffle: gates in
+    the scan stage (codegen), dedup as a partial+final aggregate, no
+    Python eval anywhere."""
+    from mcp_server_vector_search_spark.operators.pipeline import pipeline_clean_corpus
+
+    plan = formatted_plan(pipeline_clean_corpus(spark, SF_CORRECTNESS))
+    assert "EvalPython" not in plan
+    # exactly one shuffle: the dedup aggregate (count tree nodes, not
+    # the detail section repeating each node's name)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "partial" in plan.lower()
