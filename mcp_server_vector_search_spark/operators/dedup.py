@@ -198,13 +198,24 @@ MINHASH_VERIFY_T = 0.9
 
 
 def minhash_signatures(documents: DataFrame) -> DataFrame:
-    """doc_id + 16 MinHash signatures over the distinct-token set."""
-    toks = documents.select(
-        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
+    """doc_id + 16 MinHash signatures over the distinct-token set.
+
+    Shuffle-free: the distinct-token hashes stay an ARRAY inside the
+    row and each signature is an ``array_min`` over a ``transform`` —
+    a pure map-side projection.  The explode+groupBy formulation moves
+    |tokens| rows through an exchange to compute the same 16 minima;
+    this one moves nothing (the signature build at 100 TB is scan-bound,
+    not shuffle-bound)."""
+    hms = F.transform(
+        F.array_distinct(tokens(F.col("text"))), lambda t: md5_hash60_mod(t)
     )
-    hm = toks.withColumn("hm", md5_hash60_mod(F.col("tok")))
-    return hm.groupBy("doc_id").agg(
-        *[F.min(minhash_perm(F.col("hm"), i)).alias(f"s{i}") for i in range(N_MINHASH)]
+    doc = documents.select("doc_id", hms.alias("hms"))
+    return doc.select(
+        "doc_id",
+        *[
+            F.array_min(F.transform("hms", lambda h: minhash_perm(h, i))).alias(f"s{i}")
+            for i in range(N_MINHASH)
+        ],
     )
 
 
@@ -360,27 +371,31 @@ HAMMING_T = 8
 
 def simhash_signatures(documents: DataFrame) -> DataFrame:
     """60-bit SimHash per doc: per-bit ±1 votes over distinct-token
-    hashes, bit set where the vote is non-negative."""
+    hashes, bit set where the vote is non-negative.
+
+    Shuffle-free: the hashes stay an ARRAY inside the row; bit b's
+    vote is non-negative iff set-bit count ×2 ≥ token count, so each
+    bit is a ``size(filter(...))`` over the array — the whole
+    fingerprint is one map-side projection (the explode+groupBy
+    formulation pushed |tokens| rows through an exchange to build
+    60 conditional sums)."""
     documents = spread(documents)
-    toks = documents.select(
-        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
-    )
-    h = toks.withColumn("h", md5_hash60(F.col("tok")))
-    votes = h.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{b}")
-            for b in range(SIMHASH_BITS)
-        ]
-    )
+    hs = F.transform(F.array_distinct(tokens(F.col("text"))), lambda t: md5_hash60(t))
+    doc = documents.select("doc_id", hs.alias("hs"))
+    n = F.size("hs")
+
+    def bit_set(b: int):
+        ones = F.size(
+            F.filter("hs", lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1)
+        )
+        return ones * 2 >= n
+
     sim = reduce(
-        lambda acc, b: acc
-        + F.when(F.col(f"b{b}") >= 0, F.lit(2**b)).otherwise(F.lit(0)),
+        lambda acc, b: acc + F.when(bit_set(b), F.lit(2**b)).otherwise(F.lit(0)),
         range(SIMHASH_BITS),
         F.lit(0).cast("long"),
     )
-    return votes.select("doc_id", sim.cast("long").alias("simhash"))
+    return doc.select("doc_id", sim.cast("long").alias("simhash"))
 
 
 def _simhash_sql_core() -> str:
