@@ -48,6 +48,7 @@ def load_all_operators() -> None:
         dedup,
         extensions,
         pipeline,
+        pq,
         relational,
         scale,
         similarity_join,

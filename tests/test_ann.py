@@ -98,3 +98,28 @@ def test_ivf_index_cache_roundtrip(spark):
     a = {(r.vec_id, r.centroid_id) for r in idx1.collect()}
     b = {(r.vec_id, r.centroid_id) for r in idx2.collect()}
     assert a == b and len(a) > 0
+
+
+def test_pq_recall_and_plan(spark):
+    """PQ + ADC + exact re-rank: recall@10 vs exact, and the ADC scan
+    must be pure JVM expressions over the codes column (no Python)."""
+    from mcp_server_vector_search_spark.operators import pq
+
+    truth = set(exact_topk_ids(spark, SF_CORRECTNESS))
+    df = pq.q_ann_pq_topk(spark, SF_CORRECTNESS)
+    got = {r.vec_id for r in df.collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.9, f"PQ recall@10 = {recall}"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
+def test_pq_codes_are_compact(spark):
+    """The whole point of PQ: the index row is M small codes."""
+    from mcp_server_vector_search_spark.operators import pq
+
+    codes, books = pq.load_or_build_pq_index(spark, SF_CORRECTNESS)
+    row = codes.first()
+    assert len(row.codes) == pq.M_SUBSPACES
+    assert all(0 <= c < pq.K_CODEWORDS for c in row.codes)
+    assert len(books) == pq.M_SUBSPACES and len(books[0]) == pq.K_CODEWORDS
