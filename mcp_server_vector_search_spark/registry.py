@@ -57,6 +57,7 @@ def load_all_operators() -> None:
         timeseries,
         topk,
         tpch_extra,
+        tpch_wave4,
         windows,
     )
     from .sources import formats, multimodal  # noqa: F401
