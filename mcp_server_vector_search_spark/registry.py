@@ -58,6 +58,7 @@ def load_all_operators() -> None:
         topk,
         tpch_extra,
         tpch_wave4,
+        tpch_wave5,
         windows,
     )
     from .sources import formats, multimodal  # noqa: F401
