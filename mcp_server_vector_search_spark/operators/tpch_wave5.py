@@ -76,11 +76,14 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The fixture lacks partsupp, so an "offer" is a supplier's average
     sold price for the part (from lineitem).  The correlated MIN is
-    decorrelated by hand: per-part minimum over the SAME aggregated
-    offers frame, joined back by (partkey, price) — ties all survive,
-    matching the SQL's `=` semantics.  Offers are computed once; the
-    per-part min table is |parts|-sized and broadcasts.
+    decorrelated into a per-part MIN window over the SAME aggregated
+    offers frame — lineitem is scanned ONCE (a join against a separately
+    aggregated min table would recompute the offers subtree, i.e. scan
+    the fact table twice); ties all survive, matching the SQL's `=`
+    semantics.  The window's exchange moves only |offers| rows.
     """
+    from pyspark.sql import Window as W
+
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").where(
         (F.col("p_type") == "LARGE") & (F.col("p_size") >= 40)
@@ -90,14 +93,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     offers = li.groupBy("l_partkey", "l_suppkey").agg(
         (_dsum(_dec("l_extendedprice")) / F.count("*")).alias("avg_price")
     )
-    best = offers.groupBy("l_partkey").agg(F.min("avg_price").alias("best_price"))
-    best = best.withColumnRenamed("l_partkey", "b_partkey")
+    best = F.min("avg_price").over(W.partitionBy("l_partkey"))
     return (
-        offers.join(
-            F.broadcast(best),
-            (F.col("l_partkey") == F.col("b_partkey"))
-            & (F.col("avg_price") == F.col("best_price")),
-        )
+        offers.withColumn("best_price", best)
+        .where(F.col("avg_price") == F.col("best_price"))
         .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
         .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))

@@ -138,3 +138,50 @@ def test_clean_corpus_is_one_aggregate_no_python(spark):
     # the detail section repeating each node's name)
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert "partial" in plan.lower()
+
+
+def test_q4_semi_join_with_pushed_date_slice(spark):
+    """Q4's EXISTS must plan as a LEFT SEMI join and the order-date
+    slice must reach the parquet scan, not run post-join."""
+    from mcp_server_vector_search_spark.operators.tpch_wave4 import q4_order_priority
+
+    plan = formatted_plan(q4_order_priority(spark, SF_CORRECTNESS))
+    assert "LeftSemi" in plan
+    assert re.search(r"PushedFilters:.*o_orderdate", plan)
+
+
+def test_q7_dimensions_broadcast(spark):
+    """Q7's supplier/customer/nation chains must broadcast — the only
+    shuffle allowed is orders ⋈ lineitem on orderkey."""
+    from mcp_server_vector_search_spark.operators.tpch_wave4 import q7_volume_shipping
+
+    plan = formatted_plan(q7_volume_shipping(spark, SF_CORRECTNESS))
+    assert plan.count("BroadcastHashJoin") >= 4
+    # partial+final aggregate over the joined stream
+    assert "partial" in plan.lower()
+
+
+def test_q21_self_joins_are_semi_and_anti(spark):
+    """Q21's EXISTS / NOT EXISTS must be LEFT SEMI / LEFT ANTI self-
+    joins — never a correlated per-row re-scan."""
+    from mcp_server_vector_search_spark.operators.tpch_wave5 import (
+        q21_waiting_suppliers,
+    )
+
+    plan = formatted_plan(q21_waiting_suppliers(spark, SF_CORRECTNESS))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "TakeOrderedAndProject" in plan  # top-N never globally sorts
+
+
+def test_q2_decorrelated_min_scans_fact_once(spark):
+    """Q2's correlated MIN must be decorrelated into a window over the
+    aggregated offers — exactly one lineitem scan (4 tree scans total:
+    fact + 3 broadcast dims), never a re-scan per subquery side."""
+    from mcp_server_vector_search_spark.operators.tpch_wave5 import (
+        q2_min_cost_supplier,
+    )
+
+    plan = formatted_plan(q2_min_cost_supplier(spark, SF_CORRECTNESS))
+    assert "BroadcastHashJoin" in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 4
