@@ -82,3 +82,60 @@ def file_minmax_ranges(path: str, column: str) -> list[tuple]:
             hi = st.max if hi is None else max(hi, st.max)
         ranges.append((lo, hi))
     return ranges
+
+
+def zorder_value(scaled_cols, bits: int = 12):
+    """Morton (Z-order) interleave of pre-scaled integer columns.
+
+    ``scaled_cols`` are Column exprs already scaled to ``[0, 2**bits)``.
+    Pure JVM bit arithmetic (shifts + masks folded in codegen): bit b of
+    column i lands at position ``b * len(cols) + i`` of the z-value, so
+    nearby (x, y) pairs share z-prefixes — sorting by z clusters BOTH
+    dimensions at once.
+    """
+    from pyspark.sql import functions as F
+
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(scaled_cols):
+            bit = F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * len(scaled_cols) + i))
+    return z
+
+
+def write_zorder_layout(
+    df: DataFrame, path: str, cluster_cols: list[str], n_files: int, bits: int = 12
+) -> None:
+    """Write ``df`` clustered on the Z-order curve of ``cluster_cols``.
+
+    One tiny min/max aggregate scales each column to ``[0, 2**bits)``
+    (linear scaling — no rank shuffle), then the write range-partitions
+    and sorts by the interleaved z-value.  Every output file covers a
+    compact z-range = a bounded rectangle in key space, so range
+    predicates on ANY of the cluster columns skip most files — the
+    multi-column generalization of ``write_sorted_layout``, which
+    clusters only its leading key.  Same technique Delta/Iceberg expose
+    as OPTIMIZE ZORDER BY (public docs); here it is plain DataFrame ops.
+    """
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        *[F.min(c).alias(f"__min_{c}") for c in cluster_cols],
+        *[F.max(c).alias(f"__max_{c}") for c in cluster_cols],
+    ).first()
+    top = (1 << bits) - 1
+    scaled = []
+    for c in cluster_cols:
+        lo, hi = stats[f"__min_{c}"], stats[f"__max_{c}"]
+        span = max(float(hi) - float(lo), 1.0)
+        scaled.append(
+            F.floor((F.col(c).cast("double") - F.lit(float(lo))) / span * top)
+        )
+    zdf = df.withColumn("__z", zorder_value(scaled, bits))
+    (
+        zdf.repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

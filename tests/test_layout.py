@@ -67,3 +67,43 @@ def test_compaction_reduces_file_count(spark):
         n_big = len(list(pathlib.Path(compacted).glob("*.parquet")))
         assert n_big == 2
         assert spark.read.parquet(compacted).count() == 10000
+
+
+def test_zorder_layout_bounds_both_dimensions(spark):
+    """Z-order clustering on (l_partkey, l_suppkey) must shrink the
+    per-file footer bounding box in BOTH dimensions — the property that
+    lets a predicate on either column skip files.  A layout sorted on
+    l_partkey alone leaves every file spanning ~the full suppkey range."""
+    from mcp_server_vector_search_spark.sources.layout import write_zorder_layout
+
+    li = load_table(spark, SF_CORRECTNESS, "lineitem")
+
+    def mean_span(path, col, domain):
+        ranges = file_minmax_ranges(path, col)
+        assert ranges, "footer stats missing"
+        return sum(hi - lo for lo, hi in ranges) / len(ranges) / domain
+
+    dom = {
+        c: (li.agg(F.max(c)).first()[0] - li.agg(F.min(c)).first()[0])
+        for c in ("l_partkey", "l_suppkey")
+    }
+    with tempfile.TemporaryDirectory() as tmp:
+        zpath = f"{tmp}/z"
+        write_zorder_layout(li, zpath, ["l_partkey", "l_suppkey"], n_files=16)
+        spath = f"{tmp}/s"
+        write_sorted_layout(li, spath, ["l_partkey"], n_files=16)
+
+        z_part = mean_span(zpath, "l_partkey", dom["l_partkey"])
+        z_supp = mean_span(zpath, "l_suppkey", dom["l_suppkey"])
+        s_supp = mean_span(spath, "l_suppkey", dom["l_suppkey"])
+
+        # z-order bounds both dims well below the full span...
+        assert z_part < 0.5 and z_supp < 0.5, (z_part, z_supp)
+        # ...while single-key sort leaves the second dim unclustered
+        assert s_supp > 0.9, s_supp
+        # and z-order's second-dim clustering beats single-key sort's
+        assert z_supp < s_supp / 2
+
+        # round-trip fidelity
+        back = spark.read.parquet(zpath)
+        assert back.count() == li.count()
