@@ -312,13 +312,10 @@ WITH expl AS (
            CAST(FLOOR(CAST(embedding[CAST(r.i AS INT)] AS DOUBLE)
                       * 1099511627776.0) AS BIGINT) AS val
     FROM embeddings CROSS JOIN range(1, 65) AS r(i)
-), per AS (
-    SELECT label, pos,
-           CAST(SUM(val) AS DOUBLE) / (COUNT(*) * 1099511627776.0) AS cval
-    FROM expl GROUP BY label, pos
 )
-SELECT label, list(CAST(cval AS DOUBLE) ORDER BY pos) AS centroid
-FROM per GROUP BY label
+SELECT label, pos,
+       CAST(SUM(val) AS DOUBLE) / (COUNT(*) * 1099511627776.0) AS cval
+FROM expl GROUP BY label, pos
 """,
 )
 def vector_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -327,16 +324,23 @@ def vector_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The scalable shape: posexplode to (label, pos, val) rows, partial+
     final aggregate per (label, pos) — a shuffle of |labels|·dim GROUPS,
-    never of vectors — then reassemble the dim-64 array.  Elements are
-    fixed-point quantized (×2^40, floored — both exact IEEE ops with no
-    rounding-mode dependence, unlike decimal casts whose half-up vs
-    half-even ties engines disagree on) so the elementwise sums are
-    integer-exact under any partial-aggregation order; one double
-    division at the end restores the scale.
+    never of vectors.  Elements are fixed-point quantized (×2^40,
+    floored — both exact IEEE ops with no rounding-mode dependence,
+    unlike decimal casts whose half-up vs half-even ties engines
+    disagree on) so the elementwise sums are integer-exact under any
+    partial-aggregation order; one double division at the end restores
+    the scale.
+
+    Output is the exploded scalar form ``(label, pos, cval)`` rather
+    than a reassembled ``array<double>`` column: scalar cells are the
+    canonical hashable exchange format (the same reason columnar
+    engines keep vectors decomposed until the boundary), and callers
+    that want the dense array apply one ``collect_list`` group-by —
+    see :func:`centroid_arrays`.
     """
     q = 2.0**40
     emb = load_table(spark, sf_dir, "embeddings")
-    per = (
+    return (
         emb.select("label", F.posexplode("embedding").alias("pos0", "v"))
         .select(
             "label",
@@ -346,6 +350,13 @@ def vector_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", "pos")
         .agg((F.sum("val").cast("double") / (F.count(F.lit(1)) * q)).alias("cval"))
     )
+
+
+def centroid_arrays(per: DataFrame) -> DataFrame:
+    """Reassemble exploded ``(label, pos, cval)`` rows into one
+    ``centroid: array<double>`` per label — the dense form consumed by
+    quantizer builds (``ann.py``).  Kept separate from the registered
+    query so the driver-facing output stays scalar-typed."""
     return per.groupBy("label").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "cval"))), lambda x: x.cval
