@@ -24,10 +24,14 @@ classic block-partitioned matrix product.
 
 from __future__ import annotations
 
+import math
+from functools import reduce
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.vector import dot, l2_norm
 from ..registry import register
@@ -36,6 +40,13 @@ from ..sources.tables import load_table
 SIM_THRESHOLD = 0.5
 SCORE_DECIMALS = 6
 
+# Build-side slices are bounded to this many in-memory bytes before each
+# collect+broadcast — the same order as Spark's own
+# autoBroadcastJoinThreshold ceiling.  dim-64 float64 rows are ~520 B, so
+# the default admits ~500k vectors per slice; a 100 TB corpus simply runs
+# more outer-loop iterations instead of materializing on the driver.
+GEMM_MAX_BROADCAST_BYTES = 256 * 1024 * 1024
+
 
 def gemm_cosine_pairs(
     embeddings: DataFrame,
@@ -43,56 +54,92 @@ def gemm_cosine_pairs(
     id_col: str = "vec_id",
     inclusive: bool = False,
     decimals: int = SCORE_DECIMALS,
+    max_broadcast_bytes: int = GEMM_MAX_BROADCAST_BYTES,
 ) -> DataFrame:
     """Exact cosine self-join pairs (a < b) via blocked BLAS dgemm.
 
-    The full table is collected once and torrent-broadcast to executors
-    (exactly what Spark's own broadcast join does with the build side);
-    the probe side streams through ``mapInPandas``.  All arithmetic is
-    float64 — same widening as the DuckDB oracle's ``::DOUBLE[]`` cast —
-    and rounding/threshold are applied JVM-side with ``F.round`` so
-    rounding semantics (HALF_UP) match the oracle exactly; the kernel
-    only pre-filters with a one-ulp-of-rounding margin.
+    Block-partitioned matrix product: the build side is split into
+    broadcast-sized slices (deterministic xxhash64 buckets on the id),
+    each slice is collected — a bounded collect, never the full table —
+    and torrent-broadcast exactly as Spark's broadcast join ships its
+    build side; the probe side streams through ``mapInPandas`` once per
+    slice and each (Arrow batch × slice) block is scored with ONE dgemm
+    call.  Slice results union; the a<b mask is slice-independent so the
+    union IS the exact pair set.  When everything fits in one slice
+    (the sf0.1 case) the loop degenerates to the single-pass kernel.
+
+    All arithmetic is float64 — same widening as the DuckDB oracle's
+    ``::DOUBLE[]`` cast — and rounding/threshold are applied JVM-side
+    with ``F.round`` so rounding semantics (HALF_UP) match the oracle
+    exactly; the kernel only pre-filters with a one-ulp-of-rounding
+    margin.
     """
     spark = embeddings.sparkSession
     sc = spark.sparkContext
-    rows = embeddings.select(id_col, "embedding").collect()
     schema = "a_id long, b_id long, __raw double"
-    if not rows:
-        return spark.createDataFrame([], schema).select(
-            "a_id", "b_id", F.lit(0.0).alias("cos_sim")
-        ).limit(0)
-    b_ids = np.asarray([r[0] for r in rows], dtype=np.int64)
-    B = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
-    b_norms = np.linalg.norm(B, axis=1)
-    bc = sc.broadcast((b_ids, B, b_norms))
+    empty = (
+        spark.createDataFrame([], schema)
+        .select("a_id", "b_id", F.lit(0.0).alias("cos_sim"))
+        .limit(0)
+    )
+
+    base = embeddings.select(id_col, "embedding")
+    first = base.select(F.size("embedding").alias("d")).head(1)
+    if not first:
+        return empty
+    dim = first[0]["d"]
+    n = base.count()
+    row_bytes = 8 * dim + 16  # float64 elements + id + slack
+    n_slices = max(1, math.ceil(n * row_bytes / max_broadcast_bytes))
+
+    if n_slices > 1:
+        # The probe side is rescanned once per slice — keep the 2-column
+        # projection hot instead of re-reading the source each pass.
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+        sliced = base.withColumn(
+            "__slice", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_slices))
+        )
+    else:
+        sliced = base.withColumn("__slice", F.lit(0))
+
     margin = threshold - 10.0 ** (-decimals)
+    probe = base.repartition(sc.defaultParallelism)
+    parts: list[DataFrame] = []
+    for s in range(n_slices):
+        rows = sliced.where(F.col("__slice") == s).select(id_col, "embedding").collect()
+        if not rows:
+            continue
+        b_ids = np.asarray([r[0] for r in rows], dtype=np.int64)
+        B = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
+        b_norms = np.linalg.norm(B, axis=1)
+        bc = sc.broadcast((b_ids, B, b_norms))
 
-    def score_blocks(batches):
-        ids_b, mat_b, nrm_b = bc.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            A = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            a_norms = np.linalg.norm(A, axis=1)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                sims = (A @ mat_b.T) / np.outer(a_norms, nrm_b)
-            mask = (
-                (a_ids[:, None] < ids_b[None, :])
-                & np.isfinite(sims)
-                & (sims > margin)
-            )
-            ai, bi = np.nonzero(mask)
-            yield pd.DataFrame(
-                {"a_id": a_ids[ai], "b_id": ids_b[bi], "__raw": sims[ai, bi]}
-            )
+        def score_blocks(batches, _bc=bc):
+            ids_b, mat_b, nrm_b = _bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                a_ids = pdf[id_col].to_numpy(dtype=np.int64)
+                A = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                a_norms = np.linalg.norm(A, axis=1)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sims = (A @ mat_b.T) / np.outer(a_norms, nrm_b)
+                mask = (
+                    (a_ids[:, None] < ids_b[None, :])
+                    & np.isfinite(sims)
+                    & (sims > margin)
+                )
+                ai, bi = np.nonzero(mask)
+                yield pd.DataFrame(
+                    {"a_id": a_ids[ai], "b_id": ids_b[bi], "__raw": sims[ai, bi]}
+                )
 
-    pairs = (
-        embeddings.select(id_col, "embedding")
-        .repartition(sc.defaultParallelism)
-        .mapInPandas(score_blocks, schema)
-        .withColumn("cos_sim", F.round("__raw", decimals))
+        parts.append(probe.mapInPandas(score_blocks, schema))
+
+    if not parts:
+        return empty
+    pairs = reduce(DataFrame.unionAll, parts).withColumn(
+        "cos_sim", F.round("__raw", decimals)
     )
     keep = F.col("cos_sim") >= threshold if inclusive else F.col("cos_sim") > threshold
     return pairs.where(keep).select("a_id", "b_id", "cos_sim")

@@ -96,3 +96,25 @@ def test_asof_join_null_before_first_order(spark):
     }
     assert rows[1] == (None, None)
     assert rows[2] == (101, 20.0)
+
+
+def test_gemm_chunked_matches_single_pass(spark):
+    """Forcing broadcast-sized build slices (multi-pass block outer
+    loop) must produce exactly the single-collect pair set — the 100 TB
+    path and the small path are the same math, different blocking."""
+    from mcp_server_vector_search_spark.operators.similarity_join import (
+        gemm_cosine_pairs,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    # Low threshold so the smoke fixture yields a non-trivial pair set.
+    single = {
+        (r.a_id, r.b_id, r.cos_sim) for r in gemm_cosine_pairs(emb, 0.15).collect()
+    }
+    # ~520 B/row → a few-KB cap forces many slices over 500 vectors.
+    chunked = {
+        (r.a_id, r.b_id, r.cos_sim)
+        for r in gemm_cosine_pairs(emb, 0.15, max_broadcast_bytes=16 * 1024).collect()
+    }
+    assert single == chunked
+    assert len(single) > 0
