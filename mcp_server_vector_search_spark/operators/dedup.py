@@ -315,9 +315,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Physical shape: ``sigs`` is persisted (it feeds the band self-join
     AND both estimate joins — without the persist Spark recomputes the
     token explode + 16-way min-agg three times); the exact verify is an
-    ``array_intersect`` on per-doc token ARRAYS broadcast-joined onto
-    the (few) candidates, instead of re-shuffling the exploded token
-    table.  The only big shuffle left is the signature build."""
+    ``array_intersect`` on per-doc token ARRAYS joined onto the (few)
+    candidates by doc_id, instead of re-shuffling the exploded token
+    table.  No broadcast hints on the corpus-sized ``sigs``/token
+    tables — the candidate side is the small one, and AQE picks the
+    build side at runtime (a forced broadcast of the big side would be
+    the 100 TB failure mode).  The only big shuffle left is the
+    signature build."""
     d = spread(load_table(spark, sf_dir, "documents"))
     tok_arrays = d.select(
         "doc_id", F.array_distinct(tokens(F.col("text"))).alias("toks")
@@ -337,16 +341,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         / float(N_MINHASH)
     )
     cand_est = (
-        cand.join(F.broadcast(sa), cand.a_id == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), cand.b_id == F.col("sb.doc_id"))
+        cand.join(sa, cand.a_id == F.col("sa.doc_id"))
+        .join(sb, cand.b_id == F.col("sb.doc_id"))
         .select("a_id", "b_id", est.alias("est"))
     )
 
     ta = tok_arrays.select(F.col("doc_id").alias("a_id"), F.col("toks").alias("ta"))
     tb = tok_arrays.select(F.col("doc_id").alias("b_id"), F.col("toks").alias("tb"))
     verified = (
-        cand_est.join(F.broadcast(ta), "a_id")
-        .join(F.broadcast(tb), "b_id")
+        cand_est.join(ta, "a_id")
+        .join(tb, "b_id")
         .withColumn("i", F.size(F.array_intersect("ta", "tb")))
         .withColumn("na", F.size("ta"))
         .withColumn("nb", F.size("tb"))
@@ -425,6 +429,65 @@ def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_signatures(load_table(spark, sf_dir, "documents"))
 
 
+def _simhash_chunk_bounds() -> list[tuple[int, int]]:
+    """(start_bit, width) for the h+1 pigeonhole chunks of the
+    fingerprint.  60 bits / 9 chunks → six 7-bit + three 6-bit chunks;
+    any two fingerprints within Hamming ≤ 8 agree exactly on at least
+    one chunk, so the chunk equi-join has perfect recall."""
+    n_chunks = HAMMING_T + 1
+    base, extra = divmod(SIMHASH_BITS, n_chunks)
+    bounds, start = [], 0
+    for i in range(n_chunks):
+        width = base + (1 if i < extra else 0)
+        bounds.append((start, width))
+        start += width
+    return bounds
+
+
+def simhash_candidate_pairs(sim: DataFrame) -> DataFrame:
+    """Candidate (a_id, ha, b_id, hb) pairs agreeing on ≥1 pigeonhole
+    chunk (NOT distinct — a pair agreeing on k chunks appears k times;
+    callers dedupe after their verify filter, when the row set is
+    smallest).
+
+    Each doc emits h+1 = 9 (chunk_idx, chunk_val) rows via one inline
+    explode (map-side, no shuffle); the self-equi-join on
+    (chunk_idx, chunk_val) is a bucket join — only fingerprints that
+    collide in a chunk are ever paired, never all pairs.  This is the
+    Manku/Jain/Sarma web-dedup decomposition: candidate volume is the
+    bucket collision mass, not O(n²).  The full fingerprint rides along
+    both sides so the Hamming verify needs no join back to the
+    signature table."""
+    chunk_vals = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("chunk"),
+                F.shiftright("simhash", start)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .cast("int")
+                .alias("val"),
+            )
+            for i, (start, width) in enumerate(_simhash_chunk_bounds())
+        ]
+    )
+    chunks = sim.select("doc_id", "simhash", F.explode(chunk_vals).alias("c")).select(
+        "doc_id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val")
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    return a.join(
+        b,
+        (F.col("a.chunk") == F.col("b.chunk"))
+        & (F.col("a.val") == F.col("b.val"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("a_id"),
+        F.col("a.simhash").alias("ha"),
+        F.col("b.doc_id").alias("b_id"),
+        F.col("b.simhash").alias("hb"),
+    )
+
+
 @register(
     "dedup_simhash_pairs",
     oracle=f"""
@@ -438,22 +501,23 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_T}
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming ≤ 8 of 60 bits).
 
-    Spelled as the exact all-pairs comparison; the bit_count(xor) probe
-    is a single codegen'd instruction per pair.  At 100 TB the
-    candidate step would band the fingerprint (h+1 chunks guarantee
-    recall for Hamming ≤ h by pigeonhole) — on this corpus the bucket
-    collision rate of 7-bit chunks makes banding slower than the scan,
-    so the exact form is also the fast form at test scale."""
-    # Persisted: both the broadcast build side and the probe side read
-    # the signature table — unpersisted it is computed twice.
+    Banded candidate generation (pigeonhole chunks, see
+    :func:`simhash_candidate_pairs`) followed by the exact
+    ``bit_count(xor)`` verify — identical output to the all-pairs
+    comparison (banding has perfect recall at Hamming ≤ h) with
+    candidate volume bounded by chunk-bucket collisions instead of
+    O(n²).  Fingerprints ride the candidate rows, so verify is a pure
+    map-side filter; the final distinct runs on the post-filter rows,
+    the smallest set in the pipeline."""
+    # Persisted: both sides of the chunk self-join read the signature
+    # table — unpersisted it is computed twice.
     sim = simhash_signatures(load_table(spark, sf_dir, "documents")).persist()
-    a = sim.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("ha"))
-    b = sim.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("hb"))
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return (
-        a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
+        simhash_candidate_pairs(sim)
         .where(ham <= HAMMING_T)
         .select("a_id", "b_id", ham.cast("int").alias("hamming"))
+        .distinct()
     )
 
 

@@ -185,3 +185,25 @@ def test_q2_decorrelated_min_scans_fact_once(spark):
     plan = formatted_plan(q2_min_cost_supplier(spark, SF_CORRECTNESS))
     assert "BroadcastHashJoin" in plan
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 4
+
+
+def test_simhash_pairs_is_banded_equi_join(spark):
+    """Candidate generation must be a chunk equi-join (hash/merge
+    join on (chunk, val)), never a broadcast nested-loop over all
+    pairs — the all-pairs form is the 100 TB failure mode."""
+    from mcp_server_vector_search_spark.operators.dedup import dedup_simhash_pairs
+
+    plan = formatted_plan(dedup_simhash_pairs(spark, SF_CORRECTNESS))
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_verify_has_no_forced_corpus_broadcast(spark):
+    """The verify stage joins candidates to corpus-sized sigs/token
+    tables by doc_id; a forced broadcast of the big side would OOM at
+    scale. AQE may still broadcast genuinely-small runtime sides, so
+    assert the *logical* plan carries no broadcast hint."""
+    from mcp_server_vector_search_spark.operators.dedup import dedup_minhash_lsh
+
+    df = dedup_minhash_lsh(spark, SF_CORRECTNESS)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in logical and "BROADCAST" not in logical
