@@ -44,22 +44,19 @@ def attach_binary_payload(documents: DataFrame) -> DataFrame:
 
 
 def _decode_image(payload: bytes) -> tuple[int, int]:
-    """Decode stub.  The real implementation would be e.g. PIL:
+    """Decode stub: deterministic fake dimensions derived from the
+    payload bytes.  The real implementation would be e.g. PIL:
 
         from PIL import Image; im = Image.open(io.BytesIO(payload))
         return im.width, im.height
 
-    PIL is not available in this environment, so we fall back to a
-    deterministic fake derived from the payload bytes (keeps tests and
-    schema real while the codec is absent).
+    The fake is the unconditional path until a real codec is wired in
+    (the stand-in payloads are utf-8 text, not decodable images, so
+    probing for PIL here would be wrong even where it IS installed);
+    it keeps tests and schema real while the codec is absent.
     """
-    try:  # pragma: no cover - decoder library absent in this container
-        import PIL.Image  # noqa: F401
-
-        raise NotImplementedError("real decode path not wired in this build")
-    except ImportError:
-        digest = hashlib.sha256(payload).digest()
-        return 16 + digest[0] % 240, 16 + digest[1] % 240
+    digest = hashlib.sha256(payload).digest()
+    return 16 + digest[0] % 240, 16 + digest[1] % 240
 
 
 def extract_metadata(with_payload: DataFrame) -> DataFrame:
