@@ -64,6 +64,86 @@ def hash_embedder(dim: int = DEFAULT_DIM) -> Callable[[Column], Column]:
     return embed
 
 
+# The reference's two embedder configurations (server.py:25,48): the live
+# OpenAI path and the declared-but-dead SentenceTransformer path.
+OPENAI_EMBED_MODEL = "text-embedding-3-small"
+OPENAI_EMBED_DIM = 1536
+ST_EMBED_MODEL = "all-MiniLM-L6-v2"
+ST_EMBED_DIM = 384
+
+
+def openai_embedder(
+    client_factory: Callable[[], object] | None = None,
+    model: str = OPENAI_EMBED_MODEL,
+    dim: int = OPENAI_EMBED_DIM,
+) -> Callable[[Column], Column]:
+    """OpenAI-compatible embedding adapter — the reference's live path
+    (server.py:39-57: ``client.embeddings.create`` with
+    ``text-embedding-3-small`` and a hard 1536-dim check).
+
+    ``client_factory`` builds the client once per executor process
+    (``None`` → ``openai.OpenAI()`` from env, import-guarded so the repo
+    needs no network or SDK in CI; tests inject a fake).  Parity
+    decision: the reference embeds one text per API call — this adapter
+    ships each Arrow batch as ONE ``input=[...]`` list, which is the
+    same documented API shape at 1/batch_size the request count; the
+    per-vector dim hard-fail (server.py:54-55) is kept verbatim.
+    """
+
+    def default_factory() -> object:
+        try:
+            from openai import OpenAI  # type: ignore[import-not-found]
+        except ImportError as e:  # pragma: no cover - SDK absent in CI
+            raise ImportError(
+                "openai SDK not installed; pass client_factory= explicitly"
+            ) from e
+        return OpenAI()
+
+    factory = client_factory or default_factory
+    state: dict[str, object] = {}
+
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def embed(texts: pd.Series) -> pd.Series:
+        client = state.get("c")
+        if client is None:
+            client = state["c"] = factory()
+        response = client.embeddings.create(input=texts.tolist(), model=model)
+        out = []
+        for item in response.data:
+            vec = item.embedding
+            if not isinstance(vec, list) or len(vec) != dim:
+                # reference server.py:54-55 semantics, verbatim
+                raise ValueError(f"The embedding must be a list of {dim} numbers")
+            out.append(np.asarray(vec, dtype=np.float32))
+        return pd.Series(out)
+
+    return embed
+
+
+def sentence_transformer_embedder(
+    model_name: str = ST_EMBED_MODEL, dim: int = ST_EMBED_DIM
+) -> Callable[[Column], Column]:
+    """SentenceTransformer adapter — the reference's module-level model
+    (server.py:25, ``all-MiniLM-L6-v2``, 384-dim; its ``get_embeddings``
+    at :27-37 is dead code the live tool never calls, SURVEY §1.4).
+    Import-guarded: the library is loaded lazily on the executor, once
+    per worker process."""
+
+    def loader() -> object:
+        try:
+            from sentence_transformers import (  # type: ignore[import-not-found]
+                SentenceTransformer,
+            )
+        except ImportError as e:  # pragma: no cover - library absent in CI
+            raise ImportError(
+                "sentence-transformers not installed; use hash_embedder or "
+                "model_embedder with a custom loader"
+            ) from e
+        return SentenceTransformer(model_name)
+
+    return model_embedder(loader, dim)
+
+
 def model_embedder(
     model_loader: Callable[[], object], dim: int, batch_encode: str = "encode"
 ) -> Callable[[Column], Column]:
