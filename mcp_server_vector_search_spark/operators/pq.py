@@ -13,10 +13,15 @@ Spark-first shape:
   et al., per the public PQ paper, Jégou/Douze/Schmid 2011) train on
   10⁵-10⁶ sampled vectors regardless of corpus size; the driver-side
   numpy fit here is the same O(sample) work a training job would do.
+  The sample is the first TRAIN_SAMPLE vectors by vec_id (TakeOrdered,
+  bounded) so training is deterministic under the data, not file order.
 - **Encode** (distributed, JVM-only): each subvector's nearest codeword
   via higher-order functions over a literal codebook — a pure
   projection, written once to a cached parquet (build-once/query-many,
-  same discipline as the IVF cache).
+  same discipline as the IVF cache).  Distances are ranked by the
+  expanded form ``|c|² - 2·⟨v,c⟩`` (monotone in true distance for a
+  fixed subvector), ROUNDED with a lowest-code tie-break so the oracle's
+  independent evaluation picks identical codes.
 - **Query** (distributed, JVM-only): ADC — the query's per-(subspace,
   codeword) dot products form a tiny M×K lookup table, folded into a
   literal; the approximate score of a row is an ``aggregate`` over its
@@ -26,24 +31,30 @@ Spark-first shape:
   vectors for exact scores → exact top-k of the pool.  Two-stage
   retrieval: cheap approximate scan, exact math on a few rows.
 
-Approximate ⇒ registered without an oracle (rows-only driver check);
-tests/test_ann.py asserts recall@10 against the exact operator.
+Because training is driver-side deterministic numpy, the oracle
+generator (functions/train.py rationale) re-trains the same codebooks
+at registration time and folds them into DuckDB literals — the whole
+encode→ADC→re-rank pipeline is exact value-hash-checked by the driver.
+tests/test_ann.py asserts recall@10 against the exact operator too.
 """
 
 from __future__ import annotations
 
 import hashlib
 import json
+import math
 from pathlib import Path
 from typing import Sequence
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.train import ORACLE_SF_DIR, kmeans, load_sorted_vectors, sql_floats
 from ..functions.vector import l2_normalize, neo4j_score
 from ..registry import register
 from ..sources.tables import load_table
-from .topk import QUERY_VEC_ID, SCORE_DECIMALS, query_vector_df
+from .topk import QUERY_VEC_ID, SCORE_DECIMALS
 
 SEED = 42
 DIM = 64
@@ -54,58 +65,65 @@ TRAIN_SAMPLE = 4096
 KMEANS_ITERS = 12
 K = 10
 RERANK_POOL = 100
+# Encode/ADC comparisons use rounded doubles (ties → lowest code /
+# vec_id) so Spark and DuckDB agree despite ulp-level summation-order
+# differences.
+DIST_DECIMALS = 9
 
 _PQ_CACHE_ROOT = Path(__file__).resolve().parents[2] / ".cache" / "pq"
 
 
 def _train_codebooks(sample_vectors, seed: int = SEED):
-    """Per-subspace k-means (numpy, deterministic) on a driver-side
-    sample: returns codebooks[m][c] = list of SUB_DIM floats."""
-    import numpy as np
-
+    """Per-subspace k-means (numpy, deterministic) on the sorted
+    driver-side sample: returns codebooks[m][c] = list of SUB_DIM
+    floats."""
     x = np.asarray(sample_vectors, dtype=np.float64)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-    rng = np.random.default_rng(seed)
     books = []
     for m in range(M_SUBSPACES):
         sub = x[:, m * SUB_DIM : (m + 1) * SUB_DIM]
-        centers = sub[rng.choice(len(sub), K_CODEWORDS, replace=False)].copy()
-        for _ in range(KMEANS_ITERS):
-            d = ((sub[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
-            assign = d.argmin(axis=1)
-            for c in range(K_CODEWORDS):
-                mask = assign == c
-                if mask.any():
-                    centers[c] = sub[mask].mean(axis=0)
+        centers = kmeans(sub, K_CODEWORDS, KMEANS_ITERS, seed)
         books.append([[float(v) for v in c] for c in centers])
     return books
 
 
-def _codebook_lit(books) -> F.Column:
-    """codebooks as a literal nested array column: CB[m][c][d]."""
-    return F.array(
-        *[
-            F.array(*[F.array(*[F.lit(v) for v in cw]) for cw in book])
-            for book in books
-        ]
-    )
+def _codeword_norms2(books) -> list[list[float]]:
+    """|c|² per codeword, computed once driver-side (sequential sums,
+    shared verbatim with the oracle literals)."""
+    return [
+        [sum(v * v for v in cw) for cw in book]
+        for book in books
+    ]
 
 
 def _encode(unit_df: DataFrame, books) -> DataFrame:
     """Nearest codeword per subspace, all JVM expressions: for each m,
-    distances to the K codewords of subspace m, argmin via
-    array_position(array_min).  Runs once at index build."""
-    cb = _codebook_lit(books)
+    rank codewords by the expanded distance ``|c|² - 2·⟨v,c⟩``
+    (monotone in true L2 for a fixed subvector — one dot product per
+    codeword instead of a diff-square pass), rounded, first-min =
+    lowest code on ties.  Runs once at index build."""
+    norms2 = _codeword_norms2(books)
 
     def code_for(m: int) -> F.Column:
         sub = F.slice(F.col("__unit"), m * SUB_DIM + 1, SUB_DIM)
-        dists = F.transform(
-            cb[m],
-            lambda cw: F.aggregate(
-                F.zip_with(sub, cw, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
+        dists = F.array(
+            *[
+                F.round(
+                    F.lit(norms2[m][c])
+                    - 2.0
+                    * F.aggregate(
+                        F.zip_with(
+                            sub,
+                            F.array(*[F.lit(v) for v in books[m][c]]),
+                            lambda a, b: a * b,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    ),
+                    DIST_DECIMALS,
+                )
+                for c in range(K_CODEWORDS)
+            ]
         )
         return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
@@ -113,27 +131,45 @@ def _encode(unit_df: DataFrame, books) -> DataFrame:
     return unit_df.select("vec_id", codes.alias("codes"))
 
 
+def _sorted_sample(emb: DataFrame, n: int = TRAIN_SAMPLE) -> list[list[float]]:
+    return [
+        [float(x) for x in r["embedding"]]
+        for r in emb.orderBy("vec_id").limit(n).select("embedding").collect()
+    ]
+
+
 def load_or_build_pq_index(
     spark: SparkSession, sf_dir: str, seed: int = SEED
 ) -> tuple[DataFrame, list]:
     """Build-once/query-many PQ codes for ``sf_dir``'s embeddings."""
     tag = hashlib.md5(
-        f"{sf_dir}:{M_SUBSPACES}:{K_CODEWORDS}:{seed}:v1".encode()
+        f"{sf_dir}:{M_SUBSPACES}:{K_CODEWORDS}:{seed}:v2".encode()
     ).hexdigest()[:12]
     root = _PQ_CACHE_ROOT / tag
     meta, data = root / "codebooks.json", root / "data"
     if meta.exists():
         return spark.read.parquet(str(data)), json.loads(meta.read_text())
     emb = load_table(spark, sf_dir, "embeddings")
-    sample = [
-        r["embedding"]
-        for r in emb.select("embedding").limit(TRAIN_SAMPLE).collect()
-    ]
-    books = _train_codebooks(sample, seed)
+    books = _train_codebooks(_sorted_sample(emb), seed)
     unit = emb.select("vec_id", l2_normalize("embedding").alias("__unit"))
     _encode(unit, books).write.mode("overwrite").parquet(str(data))
     meta.write_text(json.dumps(books))  # written LAST: gates half-built cache
     return spark.read.parquet(str(data)), books
+
+
+def _adc_lut(books, query_vec: Sequence[float]) -> list[list[float]]:
+    """lut[m][c] = ⟨q_sub_m, codeword_mc⟩ over the UNIT query — M×K
+    floats computed driver-side with sequential sums (shared verbatim
+    with the oracle literals)."""
+    n = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+    q = [x / n for x in query_vec]
+    return [
+        [
+            sum(q[m * SUB_DIM + d] * books[m][c][d] for d in range(SUB_DIM))
+            for c in range(K_CODEWORDS)
+        ]
+        for m in range(M_SUBSPACES)
+    ]
 
 
 def pq_adc_topk(
@@ -146,30 +182,19 @@ def pq_adc_topk(
 ) -> DataFrame:
     """Two-stage PQ query: ADC approximate scan over codes → exact
     re-rank of the top ``rerank`` pool."""
-    import math
-
-    n = math.sqrt(sum(x * x for x in query_vec)) or 1.0
-    q = [x / n for x in query_vec]
-    # ADC lookup table: lut[m][c] = <q_sub_m, codeword_mc> — M×K floats,
-    # computed on the driver and folded into the plan as a literal.
-    lut = [
-        [
-            sum(
-                q[m * SUB_DIM + d] * books[m][c][d] for d in range(SUB_DIM)
-            )
-            for c in range(K_CODEWORDS)
-        ]
-        for m in range(M_SUBSPACES)
-    ]
+    lut = _adc_lut(books, query_vec)
     lut_lit = F.array(
         *[F.array(*[F.lit(float(v)) for v in row]) for row in lut]
     )
     # approx cosine = sum over subspaces of lut[m][codes[m]]
     idx = F.sequence(F.lit(0), F.lit(M_SUBSPACES - 1))
-    approx = F.aggregate(
-        F.zip_with(F.col("codes"), idx, lambda c, m: lut_lit[m][c]),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    approx = F.round(
+        F.aggregate(
+            F.zip_with(F.col("codes"), idx, lambda c, m: lut_lit[m][c]),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        DIST_DECIMALS,
     )
     pool = (
         codes.withColumn("approx_score", approx)
@@ -187,7 +212,74 @@ def pq_adc_topk(
     )
 
 
-@register("ann_pq_topk")  # approximate → rows-only driver check; recall tested
+def _pq_oracle() -> str | None:
+    """DuckDB mirror of ``q_ann_pq_topk`` at the driver's correctness
+    SF: identical numpy-trained codebooks as literals, the same rounded
+    expanded-distance encode, the same rounded ADC ordering, the same
+    exact re-rank."""
+    try:
+        ids, x = load_sorted_vectors(ORACLE_SF_DIR)
+    except Exception:  # pragma: no cover - testdata absent
+        return None
+    books = _train_codebooks([list(v) for v in x[:TRAIN_SAMPLE]])
+    norms2 = _codeword_norms2(books)
+    qvec = [float(v) for v in x[ids.index(QUERY_VEC_ID)]]
+    lut = _adc_lut(books, qvec)
+    cw_rows = ",\n  ".join(
+        f"({m}, {c}, {repr(norms2[m][c])}, {sql_floats(books[m][c])}::DOUBLE[])"
+        for m in range(M_SUBSPACES)
+        for c in range(K_CODEWORDS)
+    )
+    lut_rows = ",\n  ".join(
+        f"({m}, {c}, {repr(lut[m][c])})"
+        for m in range(M_SUBSPACES)
+        for c in range(K_CODEWORDS)
+    )
+    return f"""
+WITH unit AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding::DOUBLE[],
+                        y -> y / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                       embedding::DOUBLE[]))) AS u
+  FROM embeddings
+),
+cw(m, c, cn2, cv) AS (VALUES
+  {cw_rows}
+),
+dists AS (
+  SELECT unit.vec_id, cw.m, cw.c,
+         ROUND(cw.cn2 - 2 * list_dot_product(
+             unit.u[cw.m * {SUB_DIM} + 1 : cw.m * {SUB_DIM} + {SUB_DIM}], cw.cv),
+             {DIST_DECIMALS}) AS d
+  FROM unit CROSS JOIN cw
+),
+codes AS (
+  SELECT vec_id, m, c AS code FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, c) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+lut(m, c, v) AS (VALUES
+  {lut_rows}
+),
+approx AS (
+  SELECT codes.vec_id,
+         ROUND(list_sum(list(lut.v ORDER BY codes.m)), {DIST_DECIMALS}) AS a
+  FROM codes JOIN lut ON lut.m = codes.m AND lut.c = codes.code
+  GROUP BY codes.vec_id
+),
+pool AS (SELECT vec_id FROM approx ORDER BY a DESC, vec_id LIMIT {RERANK_POOL}),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+SELECT e.vec_id,
+       ROUND((1.0 + list_cosine_similarity(e.embedding::DOUBLE[], q.qv)) / 2.0,
+             {SCORE_DECIMALS}) AS score
+FROM embeddings e JOIN pool p ON p.vec_id = e.vec_id CROSS JOIN q
+ORDER BY score DESC, e.vec_id
+LIMIT {K}
+"""
+
+
+@register("ann_pq_topk", oracle=_pq_oracle())
 def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes, books = load_or_build_pq_index(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")

@@ -1,10 +1,12 @@
 """Query/oracle registry wired into ``__spark_entry__.py``.
 
 Every operator registers a named query (``fn(spark, sf_dir) ->
-DataFrame``) and, when SQL-expressible, the equivalent DuckDB oracle
-SQL.  Approximate operators (ANN, LSH with non-portable hashing)
-register without an oracle — the driver then records a rows-only check
-and our own tests assert recall against the exact variants.
+DataFrame``) and the equivalent DuckDB oracle SQL.  Approximate
+operators (IVF/PQ/SRP ANN) are oracle-checked too: their training
+stages are deterministic driver-side numpy, re-run at registration
+time and folded into the SQL as literals (see functions/train.py).
+A query registered with ``oracle=None`` falls back to the driver's
+weaker rows-only record.
 """
 
 from __future__ import annotations
