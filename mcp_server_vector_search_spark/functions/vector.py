@@ -37,6 +37,20 @@ def vector_lit(values: Iterable[float]) -> Column:
     return F.array(*[F.lit(float(v)) for v in values])
 
 
+def matrix_lit(rows: Iterable[Iterable[float]]) -> Column:
+    """A literal array<array<double>> built from ONE SQL-parsed
+    expression.  Per-element ``F.lit`` construction costs a py4j round
+    trip each — a quantizer plan with 5k literal elements spends ~3-5 s
+    of DRIVER time just building the plan; the JVM SQL parser does the
+    same in milliseconds.  ``repr`` emits shortest round-tripping
+    decimals, and the D suffix parses them as doubles, so values are
+    bit-identical to the per-lit form."""
+    body = ",".join(
+        "array(" + ",".join(f"{float(v)!r}D" for v in row) + ")" for row in rows
+    )
+    return F.expr(f"array({body})")
+
+
 def dot(a: ColumnOrName, b: ColumnOrName) -> Column:
     """Dot product of two array<numeric> columns, computed in double.
 

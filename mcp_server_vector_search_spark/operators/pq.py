@@ -51,7 +51,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.train import ORACLE_SF_DIR, kmeans, load_sorted_vectors, sql_floats
-from ..functions.vector import l2_normalize, neo4j_score
+from ..functions.vector import l2_normalize, matrix_lit, neo4j_score
 from ..registry import register
 from ..sources.tables import load_table
 from .topk import QUERY_VEC_ID, SCORE_DECIMALS
@@ -101,29 +101,29 @@ def _encode(unit_df: DataFrame, books) -> DataFrame:
     rank codewords by the expanded distance ``|c|² - 2·⟨v,c⟩``
     (monotone in true L2 for a fixed subvector — one dot product per
     codeword instead of a diff-square pass), rounded, first-min =
-    lowest code on ties.  Runs once at index build."""
+    lowest code on ties.  Codebooks/norms enter the plan as
+    SQL-parsed matrix literals (one py4j call each, not one per
+    element).  Runs once at index build."""
     norms2 = _codeword_norms2(books)
 
     def code_for(m: int) -> F.Column:
         sub = F.slice(F.col("__unit"), m * SUB_DIM + 1, SUB_DIM)
-        dists = F.array(
-            *[
-                F.round(
-                    F.lit(norms2[m][c])
-                    - 2.0
-                    * F.aggregate(
-                        F.zip_with(
-                            sub,
-                            F.array(*[F.lit(v) for v in books[m][c]]),
-                            lambda a, b: a * b,
-                        ),
-                        F.lit(0.0),
-                        lambda acc, v: acc + v,
-                    ),
-                    DIST_DECIMALS,
-                )
-                for c in range(K_CODEWORDS)
-            ]
+        book_m = matrix_lit(books[m])
+        cn2_m = F.expr(
+            "array(" + ",".join(f"{float(v)!r}D" for v in norms2[m]) + ")"
+        )
+        dists = F.transform(
+            F.sequence(F.lit(1), F.lit(K_CODEWORDS)),
+            lambda c: F.round(
+                F.element_at(cn2_m, c)
+                - 2.0
+                * F.aggregate(
+                    F.zip_with(sub, F.element_at(book_m, c), lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                DIST_DECIMALS,
+            ),
         )
         return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
@@ -183,9 +183,7 @@ def pq_adc_topk(
     """Two-stage PQ query: ADC approximate scan over codes → exact
     re-rank of the top ``rerank`` pool."""
     lut = _adc_lut(books, query_vec)
-    lut_lit = F.array(
-        *[F.array(*[F.lit(float(v)) for v in row]) for row in lut]
-    )
+    lut_lit = matrix_lit(lut)
     # approx cosine = sum over subspaces of lut[m][codes[m]]
     idx = F.sequence(F.lit(0), F.lit(M_SUBSPACES - 1))
     approx = F.round(

@@ -66,13 +66,25 @@ def _agg(df: DataFrame, fmt: str) -> DataFrame:
 def source_roundtrip_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write → read → aggregate through each row/column format; every
     per-format aggregate must equal the original table's (loss anywhere
-    in a sink/source pair breaks the oracle match)."""
+    in a sink/source pair breaks the oracle match).
+
+    The three sink jobs are independent, so they are submitted from
+    threads — Spark's scheduler interleaves their tasks across the same
+    executors (the standard concurrent-jobs pattern), turning three
+    sequential I/O waits into one.  The projected input is persisted
+    once: three writes + three read-back aggregates would otherwise
+    re-scan the source six times."""
+    from concurrent.futures import ThreadPoolExecutor
+
     cols = ["l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice"]
-    li = load_table(spark, sf_dir, "lineitem").select(*cols)
+    li = load_table(spark, sf_dir, "lineitem").select(*cols).persist()
+    li.count()  # materialize once before the concurrent writers fork
     tmp = tempfile.mkdtemp(prefix="fmt_roundtrip_")
-    parts = [
-        _agg(_roundtrip(li, fmt, f"{tmp}/{fmt}"), fmt) for fmt in FORMATS
-    ]
+    with ThreadPoolExecutor(max_workers=len(FORMATS)) as pool:
+        back = list(
+            pool.map(lambda fmt: _roundtrip(li, fmt, f"{tmp}/{fmt}"), FORMATS)
+        )
+    parts = [_agg(df, fmt) for df, fmt in zip(back, FORMATS)]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionAll(p)

@@ -81,8 +81,8 @@ SHOWCASE = [
     (
         "vector_centroid_per_label",
         "The vector mean shuffles |labels|·dim GROUP partials, never "
-        "vectors: posexplode feeds a partial/final HashAggregate pair, "
-        "and the array is reassembled from 640 group rows.",
+        "vectors: posexplode feeds a partial/final HashAggregate pair; "
+        "the output stays in exploded scalar form (640 group rows).",
     ),
     (
         "timeseries_resample_ffill",
@@ -111,6 +111,25 @@ SHOWCASE = [
         "is re-ranked with exact float math.",
     ),
     (
+        "dedup_simhash_pairs",
+        "Banded SimHash: candidate generation is a hash equi-join on "
+        "(chunk, value) — no BroadcastNestedLoopJoin anywhere in the "
+        "plan; the Hamming verify is a map-side filter on fingerprints "
+        "carried through the join.",
+    ),
+    (
+        "ann_ivf_topk",
+        "IVF probe over the centroid_id-partitioned layout: "
+        "`PartitionFilters` carries the nprobe IN-list, so non-probed "
+        "cells are never read; scoring is JVM higher-order functions.",
+    ),
+    (
+        "ann_lsh_topk",
+        "SRP-LSH candidates: 20 bucket-equality predicates over literal "
+        "hyperplane dot products, all map-side in one scan; only the "
+        "final top-k exchanges rows.",
+    ),
+    (
         "q4_order_priority",
         "EXISTS plans as one LEFT SEMI join with an equi key plus "
         "non-equi residual; the order-date slice reaches `PushedFilters` "
@@ -131,11 +150,26 @@ def main() -> None:
     spark = get_spark(app_name="gen_plans")
     registry.load_all_operators()
     parts = [HEADER]
+    evidence_keys = (
+        "PartitionFilters",
+        "PushedFilters",
+        "ReadSchema",
+        "SelectedBucketsCount",
+    )
     for name, why in SHOWCASE:
         df = registry.QUERIES[name](spark, SF)
         plan = formatted_plan(df)
         tree = plan.split("\n\n")[0]
-        parts.append(f"\n## {name}\n\n{why}\n\n```\n{tree.strip()}\n```\n")
+        # keep the scan-detail lines the section's claim rests on
+        details = [
+            ln.strip()
+            for ln in plan.splitlines()
+            if any(k in ln for k in evidence_keys)
+        ]
+        detail_block = ("\n" + "\n".join(details)) if details else ""
+        parts.append(
+            f"\n## {name}\n\n{why}\n\n```\n{tree.strip()}{detail_block}\n```\n"
+        )
     Path(__file__).resolve().parent.parent.joinpath("PLANS.md").write_text(
         "".join(parts)
     )
