@@ -220,22 +220,39 @@ def minhash_signatures(documents: DataFrame) -> DataFrame:
 
 
 def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
-    """Distinct (a_id, b_id) pairs sharing at least one full band.
+    """Distinct (a_id, b_id, est) candidate pairs sharing ≥1 full band,
+    with the signature-agreement Jaccard estimate computed INLINE.
 
     Band key = the band's r signatures concatenated; the self-join on
     (band_idx, key) is the LSH bucket join — each bucket only compares
-    within itself, never across, which is the whole point at 100 TB."""
+    within itself, never across, which is the whole point at 100 TB.
+    The full 16-signature row rides both sides of the join, so the
+    estimate needs no join back to the signature table (two fewer
+    shuffles than cand→sigs×2); a pair matching both bands yields
+    identical rows, deduped by the final distinct on the already-small
+    candidate set."""
     bands = None
+    sig_cols = [f"s{i}" for i in range(N_MINHASH)]
     for bi in range(N_BANDS):
         cols = [f"s{i}" for i in range(bi * BAND_ROWS, (bi + 1) * BAND_ROWS)]
         band = sigs.select(
             "doc_id",
             F.lit(bi).alias("band"),
             F.concat_ws(",", *[F.col(c).cast("string") for c in cols]).alias("key"),
+            *sig_cols,
         )
         bands = band if bands is None else bands.unionAll(band)
     a = bands.alias("a")
     b = bands.alias("b")
+    est = (
+        reduce(
+            lambda acc, i: acc
+            + F.when(F.col(f"a.s{i}") == F.col(f"b.s{i}"), 1).otherwise(0),
+            range(N_MINHASH),
+            F.lit(0),
+        )
+        / float(N_MINHASH)
+    )
     return (
         a.join(
             b,
@@ -243,7 +260,11 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            est.alias("est"),
+        )
         .distinct()
     )
 
@@ -312,39 +333,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1 - (1 - j^8)^2 at threshold j) — tested against the exact n-gram
     operator in tests/test_dedup.py.
 
-    Physical shape: ``sigs`` is persisted (it feeds the band self-join
-    AND both estimate joins — without the persist Spark recomputes the
-    token explode + 16-way min-agg three times); the exact verify is an
-    ``array_intersect`` on per-doc token ARRAYS joined onto the (few)
-    candidates by doc_id, instead of re-shuffling the exploded token
-    table.  No broadcast hints on the corpus-sized ``sigs``/token
-    tables — the candidate side is the small one, and AQE picks the
-    build side at runtime (a forced broadcast of the big side would be
-    the 100 TB failure mode).  The only big shuffle left is the
+    Physical shape: ``sigs`` is persisted (it feeds both sides of the
+    band self-join — without the persist Spark recomputes the token
+    explode + 16-way min-agg twice); the signatures ride the band join
+    so the estimate is computed inline (no join back to ``sigs``); the
+    exact verify is an ``array_intersect`` on per-doc token ARRAYS
+    joined onto the (few) candidates by doc_id, instead of re-shuffling
+    the exploded token table.  No broadcast hints on the corpus-sized
+    token tables — the candidate side is the small one, and AQE picks
+    the build side at runtime (a forced broadcast of the big side would
+    be the 100 TB failure mode).  The only big shuffle left is the
     signature build."""
     d = spread(load_table(spark, sf_dir, "documents"))
     tok_arrays = d.select(
         "doc_id", F.array_distinct(tokens(F.col("text"))).alias("toks")
     ).persist()  # read twice (a-side and b-side of the verify)
     sigs = minhash_signatures(d).persist()
-    cand = lsh_candidate_pairs(sigs)
-
-    sa = sigs.alias("sa")
-    sb = sigs.alias("sb")
-    est = (
-        reduce(
-            lambda acc, i: acc
-            + F.when(F.col(f"sa.s{i}") == F.col(f"sb.s{i}"), 1).otherwise(0),
-            range(N_MINHASH),
-            F.lit(0),
-        )
-        / float(N_MINHASH)
-    )
-    cand_est = (
-        cand.join(sa, cand.a_id == F.col("sa.doc_id"))
-        .join(sb, cand.b_id == F.col("sb.doc_id"))
-        .select("a_id", "b_id", est.alias("est"))
-    )
+    cand_est = lsh_candidate_pairs(sigs)
 
     ta = tok_arrays.select(F.col("doc_id").alias("a_id"), F.col("toks").alias("ta"))
     tb = tok_arrays.select(F.col("doc_id").alias("b_id"), F.col("toks").alias("tb"))

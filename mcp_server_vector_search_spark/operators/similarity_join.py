@@ -84,11 +84,12 @@ def gemm_cosine_pairs(
     )
 
     base = embeddings.select(id_col, "embedding")
-    first = base.select(F.size("embedding").alias("d")).head(1)
-    if not first:
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"), F.first(F.size("embedding")).alias("d")
+    ).first()
+    n, dim = stats["n"], stats["d"]
+    if not n:
         return empty
-    dim = first[0]["d"]
-    n = base.count()
     row_bytes = 8 * dim + 16  # float64 elements + id + slack
     n_slices = max(1, math.ceil(n * row_bytes / max_broadcast_bytes))
 
