@@ -545,11 +545,107 @@ WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (semantic dedup).  Same GEMM
-    kernel as the similarity join; the scale path replaces the pair
-    generator with the ANN index (ann.py) and keeps the verify."""
+    """Embedding-cosine near-dup pairs (semantic dedup), EXACT: every
+    pair above threshold, via the block-partitioned GEMM kernel.  The
+    sub-quadratic scale path is :func:`dedup_embedding_lsh` below."""
     from .similarity_join import gemm_cosine_pairs
 
     return gemm_cosine_pairs(
         load_table(spark, sf_dir, "embeddings"), EMB_NEARDUP_T, inclusive=True
+    )
+
+
+def _embedding_lsh_oracle() -> str | None:
+    """DuckDB mirror of ``dedup_embedding_lsh``: the same seeded SRP
+    planes as literals, 20 bucket expressions, bucket-collision
+    candidates, exact rounded-cosine verify."""
+    from ..functions.train import sql_floats
+    from .ann import SRP_BITS, SRP_TABLES, srp_planes
+
+    planes = srp_planes()
+
+    def bucket_sql(t: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+            f"{sql_floats(planes[t * SRP_BITS + j])}::DOUBLE[]) >= 0 "
+            f"THEN {2**j} ELSE 0 END)"
+            for j in range(SRP_BITS)
+        )
+
+    bucket_cols = ",\n         ".join(
+        f"({bucket_sql(t)}) AS b{t}" for t in range(SRP_TABLES)
+    )
+    expl = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, b{t} AS bk FROM b" for t in range(SRP_TABLES)
+    )
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         {bucket_cols}
+  FROM embeddings
+),
+expl AS (
+  {expl}
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+  FROM expl x JOIN expl y
+    ON x.t = y.t AND x.bk = y.bk AND x.vec_id < y.vec_id
+)
+SELECT c.a_id, c.b_id,
+       ROUND(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]),
+             {R}) AS cos_sim
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.a_id
+JOIN embeddings eb ON eb.vec_id = c.b_id
+WHERE ROUND(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]),
+            {R}) >= {EMB_NEARDUP_T}
+"""
+
+
+@register("dedup_embedding_lsh", oracle=_embedding_lsh_oracle())
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via SRP-LSH candidates — the
+    sub-quadratic 100 TB semantic dedup.
+
+    Candidate generation: each vector's L bucket ids (one map-side
+    nested-HOF pass, ``ann.bucket_columns_expr``) explode to
+    (table, bucket) rows carrying ONLY the id — never the vector, so
+    the candidate shuffle is L×8-byte keys per doc, not L×vectors —
+    and the self-equi-join on (table, bucket) emits only
+    bucket-colliding pairs.  Verify: candidates join back to the
+    embeddings by id (AQE picks the build side) and the exact rounded
+    cosine filters the threshold.  Recall vs the exact GEMM operator is
+    the SRP collision curve (asserted ≥ 0.9 in tests/test_dedup.py);
+    the oracle mirrors the identical plane literals, so the approximate
+    result itself is value-hash-checked.
+    """
+    from .ann import SRP_TABLES, bucket_columns_expr, srp_planes
+    from ..functions.vector import dot, l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings").persist()
+    buckets = emb.select(
+        "vec_id", F.posexplode(bucket_columns_expr(srp_planes())).alias("t", "bk")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb"))
+    cos = dot("va", "vb") / F.nullif(l2_norm("va") * l2_norm("vb"), F.lit(0.0))
+    return (
+        cand.join(ea, "a_id")
+        .join(eb, "b_id")
+        .withColumn("cos_sim", F.round(cos, R))
+        .where(F.col("cos_sim") >= EMB_NEARDUP_T)
+        .select("a_id", "b_id", "cos_sim")
     )

@@ -78,3 +78,20 @@ def test_minhash_estimate_tracks_jaccard(spark):
     assert rows
     mae = sum(abs(r.est_jaccard - r.jaccard) for r in rows) / len(rows)
     assert mae < 0.2, f"MinHash estimate MAE {mae:.3f} too high for k=16"
+
+
+def test_embedding_lsh_recall_vs_exact(spark):
+    """The SRP-bucketed semantic dedup must recover most of the exact
+    GEMM pair set (sub-quadratic candidates, same verify threshold)."""
+    exact = {
+        (r.a_id, r.b_id)
+        for r in dedup.dedup_embedding_cosine(spark, SF_CORRECTNESS).collect()
+    }
+    approx = {
+        (r.a_id, r.b_id)
+        for r in dedup.dedup_embedding_lsh(spark, SF_CORRECTNESS).collect()
+    }
+    assert exact, "exact pair set empty — fixture changed?"
+    assert approx <= exact  # verify stage guarantees no false positives
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, f"embedding-LSH recall {recall:.2f}"
