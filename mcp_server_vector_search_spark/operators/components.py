@@ -8,20 +8,19 @@ into ONE cluster with one canonical survivor.  That is connected
 components, which Spark has no built-in for; we implement deterministic
 min-label propagation as an iterative DataFrame loop:
 
-    labels(node) = node
-    repeat: labels(node) = min(labels(node), min over neighbors)
-    until the global label sum stops changing
+    large-star: hang every larger neighbor of u onto min(Γ⁺(u))
+    small-star: hang every smaller-or-equal neighbor onto min(Γ⁺(u))
+    alternate until the edge set is a fixed point (then it is a forest
+    of stars rooted at each component's minimum id)
 
-Each iteration is one equi-join + one aggregation; convergence takes
-O(component diameter) rounds (near-dup clusters are shallow — dozens of
-rounds would imply a pathological chain of pairwise-similar docs).  The
-sum-of-labels convergence probe is monotone non-increasing, so one tiny
-aggregate per round decides termination — no driver-side diffing of
-label tables.  At 100 TB you would swap the propagation rule for the
-large-star/small-star variant (Kiveris et al., "Connected Components in
-MapReduce and Beyond", SOCC'14) which converges in O(log n) rounds with
-the same join+agg building blocks; labels are persisted per round and
-the previous round unpersisted, exactly as here.
+This is the large-star/small-star algorithm (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SOCC'14): each
+half-round is one groupBy-min + one join — plain shuffle building
+blocks — and it converges in O(log n) rounds even on path-shaped
+graphs, where naive min-label propagation needs O(diameter) rounds.
+Edges are persisted per round and the previous round unpersisted;
+termination is a count+checksum fixed-point probe (two tiny aggregates
+per round, no driver-side diffing of edge tables).
 """
 
 from __future__ import annotations
@@ -56,8 +55,8 @@ def connected_components(
 
     Hybrid execution: if the edge table is small (``driver_max_edges``)
     it is collected and solved with path-compressed union-find — one
-    job, no iteration.  Otherwise the distributed min-label loop runs
-    (one join + one agg per round, O(diameter) rounds).
+    job, no iteration.  Otherwise the distributed large-star/small-star
+    loop runs (two groupBy+join half-rounds per round, O(log n) rounds).
     """
     # Persisted: the count that picks the strategy and the strategy
     # itself both read the (possibly expensive) upstream pair pipeline.
@@ -68,7 +67,7 @@ def connected_components(
             return _driver_union_find(edges)
         finally:
             edges.unpersist()
-    return _distributed_min_label(edges, max_iter)
+    return _distributed_star(edges, max_iter)
 
 
 def _driver_union_find(edges: DataFrame) -> DataFrame:
@@ -93,41 +92,85 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
     return edges.sparkSession.createDataFrame(out, "node long, comp long")
 
 
-def _distributed_min_label(edges: DataFrame, max_iter: int) -> DataFrame:
-    both = edges.select(
-        F.col("a_id").alias("u"), F.col("b_id").alias("v")
-    ).unionAll(edges.select(F.col("b_id").alias("u"), F.col("a_id").alias("v")))
-    both = both.persist()
-    labels = (
-        both.select(F.col("u").alias("node")).distinct()
-        .withColumn("comp", F.col("node"))
-        .persist()
+def _large_star(e: DataFrame) -> DataFrame:
+    """Hang every STRICTLY LARGER neighbor of u onto m = min(Γ⁺(u)).
+    Input/output: undirected edge list as (u, v) rows, either order."""
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select("u", F.least("mv", "u").alias("m"))
     )
-    prev_sum = labels.agg(F.sum("comp")).first()[0]
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Hang every smaller-or-equal neighbor (and u itself) onto
+    m = min(Γ⁺(u)), where Γ(u) here is u's SMALLER neighbors (edges are
+    keyed by their larger endpoint)."""
+    by_hi = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    mins = by_hi.groupBy("u").agg(F.min("v").alias("m"))
+    hang_neighbors = (
+        by_hi.join(mins, "u")
+        .where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    hang_self = mins.select(F.col("u"), F.col("m").alias("v"))
+    return hang_neighbors.unionAll(hang_self)
+
+
+def _edge_fingerprint(e: DataFrame):
+    """(count, checksum) of the canonical edge set — the fixed-point
+    probe.  Two scalar aggregates; no edge table ever reaches the
+    driver."""
+    canon = e.select(
+        F.greatest("u", "v").alias("hi"), F.least("u", "v").alias("lo")
+    ).distinct()
+    # XOR-fold the hashes: order-insensitive, collision-safe over a
+    # DISTINCT set, and cannot overflow (sum of 64-bit hashes can).
+    row = canon.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64("hi", "lo")).alias("h"),
+    ).first()
+    return row["n"], row["h"]
+
+
+def _distributed_star(edges: DataFrame, max_iter: int) -> DataFrame:
+    """Large-star/small-star alternation (Kiveris et al. SOCC'14).
+    At the fixed point the edge set is a forest of stars whose root is
+    each component's minimum id — the labels are the edges themselves.
+
+    Each round's edge set is ``localCheckpoint``ed: iterative DataFrame
+    loops otherwise nest the logical plan once per round until analysis
+    itself OOMs — checkpointing truncates lineage so round N's plan is
+    one join deep, not N.  (A multi-tenant production job would
+    ``checkpoint`` to reliable storage instead; same call shape.)"""
+    e = (
+        edges.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev = _edge_fingerprint(e)
     for _ in range(max_iter):
-        neigh = (
-            both.join(labels, both.v == labels.node)
-            .groupBy("u")
-            .agg(F.min("comp").alias("ncomp"))
-        )
-        new_labels = (
-            labels.join(neigh, labels.node == neigh.u, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
-                ).alias("comp"),
-            )
-            .persist()
-        )
-        new_sum = new_labels.agg(F.sum("comp")).first()[0]
-        labels.unpersist()
-        labels = new_labels
-        if new_sum == prev_sum:
+        new_e = _small_star(_large_star(e)).distinct().localCheckpoint()
+        cur = _edge_fingerprint(new_e)
+        e.unpersist()
+        e = new_e
+        if cur == prev:
             break
-        prev_sum = new_sum
-    both.unpersist()
-    return labels
+        prev = cur
+    # stars: every edge is (node, component_min); roots label themselves
+    labels = e.select(F.col("u").alias("node"), F.col("v").alias("comp")).unionAll(
+        e.select(F.col("v").alias("node"), F.col("v").alias("comp"))
+    )
+    return labels.groupBy("node").agg(F.min("comp").alias("comp"))
 
 
 @register(

@@ -118,3 +118,27 @@ def test_gemm_chunked_matches_single_pass(spark):
     }
     assert single == chunked
     assert len(single) > 0
+
+
+def test_star_cc_matches_union_find_random_graphs(spark):
+    """Large-star/small-star must produce exactly the union-find
+    labeling on random graphs, including path-shaped components (the
+    O(diameter) killer for naive min-label propagation)."""
+    import random
+
+    rng = random.Random(1234)
+    edges = [(i, i + 1) for i in range(0, 30)]  # one long path
+    nodes = list(range(100, 200))
+    for _ in range(120):  # random clutter
+        a, b = rng.sample(nodes, 2)
+        edges.append((a, b))
+    df = spark.createDataFrame(edges, "a_id long, b_id long")
+    want = {
+        (r["node"], r["comp"])
+        for r in connected_components(df, driver_max_edges=10**9).collect()
+    }
+    got = {
+        (r["node"], r["comp"])
+        for r in connected_components(df, driver_max_edges=0).collect()
+    }
+    assert got == want and len(got) > 0
