@@ -30,7 +30,6 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine_similarity, vector_lit
 from ..sources.tables import load_table
 
 WATERMARK = "2 hours"
@@ -106,19 +105,13 @@ def incremental_index_append(
         _as_stream_dir(f"{sf_dir}/embeddings.parquet")
     )
 
-    # argmax over centroids as a fold over a literal array of structs
-    scored = F.array(
-        *[
-            F.struct(
-                cosine_similarity("embedding", vector_lit(c)).alias("score"),
-                F.lit(i).alias("cid"),
-            )
-            for i, c in enumerate(centroids)
-        ]
-    )
-    assigned = stream.withColumn(
-        "centroid_id", F.array_max(scored).getField("cid")
-    )
+    # The SAME assignment expression as the batch index build
+    # (operators/ann.assignment_expr: matrix-literal transform, rounded
+    # sims, lowest-id ties) — streamed appends land in exactly the cell
+    # a batch rebuild would choose, so the layout never forks.
+    from ..operators.ann import assignment_expr
+
+    assigned = stream.withColumn("centroid_id", assignment_expr(centroids))
 
     def append_batch(batch_df: DataFrame, epoch_id: int) -> None:
         (
