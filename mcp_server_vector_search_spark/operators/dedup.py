@@ -155,16 +155,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     by shingle document-frequency, which is what keeps this viable at
     scale (hot shingles are the skew risk → AQE).
 
-    Physical shape: the exploded shingle table is persisted (both join
-    sides + the intersection count read it; unpersisted, the tokenize +
-    shingle + explode tree runs three times), and per-doc sizes come
-    from ``F.size`` on the broadcast shingle ARRAYS rather than a third
-    aggregation over the exploded table."""
+    Physical shape: each exploded shingle row carries its document's
+    total shingle COUNT (one extra int per row), so the per-pair union
+    size falls out of the same aggregation that counts the intersection
+    — no join back to a per-document size table at all (the previous
+    shape either force-broadcast a corpus-sized table or paid two
+    shuffle joins).  The shingle ARRAY table is what persists — caching
+    the exploded per-shingle rows instead costs more to materialize
+    than the explode it saves (measured 2×); both self-join sides
+    explode lazily from the cached arrays."""
     d = spread(load_table(spark, sf_dir, "documents"))
-    # One persisted shingle-array table feeds everything: both explode
-    # sides of the equi-join and the two size lookups.
     sh_arrays = d.select("doc_id", _shingles(F.col("text")).alias("sh")).persist()
-    sh = sh_arrays.select("doc_id", F.explode("sh").alias("s"))
+    sh = sh_arrays.select(
+        "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s")
+    )
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -172,17 +176,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
         )
-        .agg(F.count(F.lit(1)).alias("i"))
+        .agg(
+            F.count(F.lit(1)).alias("i"),
+            F.first(F.col("a.n")).alias("na"),
+            F.first(F.col("b.n")).alias("nb"),
+        )
     )
-    na = sh_arrays.select(F.col("doc_id").alias("a_id"), F.size("sh").alias("na"))
-    nb = sh_arrays.select(F.col("doc_id").alias("b_id"), F.size("sh").alias("nb"))
     jac = F.round(
         F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i")), R
     )
     return (
-        inter.join(F.broadcast(na), "a_id")
-        .join(F.broadcast(nb), "b_id")
-        .withColumn("jaccard", jac)
+        inter.withColumn("jaccard", jac)
         .where(F.col("jaccard") >= JACCARD_T)
         .select("a_id", "b_id", "jaccard")
     )

@@ -195,7 +195,10 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(F.broadcast(df), "tok").select(
+    # No broadcast hint: df is the vocabulary table (corpus-derived,
+    # unbounded at 100 TB); tf reshuffles onto the tok key either way
+    # and AQE broadcasts df only when it is genuinely small at runtime.
+    scored = tf.join(df, "tok").select(
         "doc_id",
         "tok",
         F.round(
