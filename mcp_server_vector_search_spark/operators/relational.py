@@ -302,7 +302,9 @@ LIMIT 10
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter → fact-fact join on the
-    natural key → aggregate → top-N.  customer(BUILDING) broadcasts;
+    natural key → aggregate → top-N.  customer(BUILDING) carries no
+    broadcast hint — customers scale with the corpus, so AQE broadcasts
+    only when the filtered side is genuinely small at runtime;
     orders⋈lineitem shuffles on orderkey (co-partitioned, no skew);
     the top-10 is TakeOrderedAndProject over the aggregate."""
     c = load_table(spark, sf_dir, "customer").where(
@@ -313,7 +315,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", 4, 2))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(_dsum(rev).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
@@ -340,9 +342,11 @@ GROUP BY n.n_name
 )
 def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way star join with a cross-dimension equality
-    (customer and supplier in the same nation).  Catalyst reorders the
-    dims to broadcast; the region filter prunes nations before the fact
-    join touches them (dynamic filter at scale)."""
+    (customer and supplier in the same nation).  nation/region broadcast
+    by hint (bounded, 25/5 rows at any scale); customer and supplier
+    join unhinted — AQE broadcasts them only when runtime-small.  The
+    region filter prunes nations before the fact join touches them
+    (dynamic filter at scale)."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -354,7 +358,7 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)

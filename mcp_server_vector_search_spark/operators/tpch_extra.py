@@ -76,7 +76,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
         )
-        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
         .agg(
             (
                 F.lit(100.0)
@@ -136,7 +136,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = rev.agg(F.max("total_revenue").alias("max_rev"))
     return (
         rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("max_rev"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .join(s, F.col("s_suppkey") == F.col("supplier_no"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -179,7 +179,7 @@ def q17_small_quantity_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut"))
     )
     return (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .join(avg_q, F.col("ap_key") == F.col("l_partkey"))
         .where(F.col("l_quantity") < F.col("qty_cut"))
         .agg(
@@ -229,7 +229,7 @@ def q19_or_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((b == "Brand#23") & sz.between(1, 35) & q.between(20, 30))
     )
     return (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .where(cond)
         .agg(
             _dsum(

@@ -97,8 +97,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         offers.withColumn("best_price", best)
         .where(F.col("avg_price") == F.col("best_price"))
-        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
         .select("p_partkey", "s_name", "n_name", "best_price")
     )
@@ -144,7 +144,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == Q11_NATION)
     value = _dec("l_extendedprice") * _dec("l_quantity")
     natl = (
-        li.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        li.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
         .groupBy("l_partkey")
         .agg(F.sum(value).alias("part_value_dec"))
@@ -204,9 +204,9 @@ def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     return (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .join(
-            F.broadcast(bad), F.col("s_suppkey") == F.col("l_suppkey"), "left_anti"
+            bad, F.col("s_suppkey") == F.col("l_suppkey"), "left_anti"
         )
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
@@ -251,14 +251,14 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey")
     )
     heavy = (
-        li.join(F.broadcast(red), F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+        li.join(red, F.col("p_partkey") == F.col("l_partkey"), "left_semi")
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(_dec("l_quantity")).alias("qty"))
         .where(F.col("qty") > F.lit(Q20_QTY))
         .select("l_suppkey")
     )
     return (
-        s.join(F.broadcast(heavy), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        s.join(heavy, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
         .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
         .select("s_name", "n_name")
     )
@@ -343,7 +343,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("k3") == F.col("l_orderkey")) & (F.col("s3") != F.col("l_suppkey")),
             "left_anti",
         )
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
