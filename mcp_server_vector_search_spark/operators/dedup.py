@@ -612,24 +612,34 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via SRP-LSH candidates — the
     sub-quadratic 100 TB semantic dedup.
 
-    Candidate generation: each vector's L bucket ids (one map-side
-    nested-HOF pass, ``ann.bucket_columns_expr``) explode to
-    (table, bucket) rows carrying ONLY the id — never the vector, so
-    the candidate shuffle is L×8-byte keys per doc, not L×vectors —
-    and the self-equi-join on (table, bucket) emits only
-    bucket-colliding pairs.  Verify: candidates join back to the
-    embeddings by id (AQE picks the build side) and the exact rounded
-    cosine filters the threshold.  Recall vs the exact GEMM operator is
-    the SRP collision curve (asserted ≥ 0.9 in tests/test_dedup.py);
-    the oracle mirrors the identical plane literals, so the approximate
-    result itself is value-hash-checked.
+    Candidate generation reads the SAME materialized SRP index as
+    ``ann_lsh_topk`` (``ann.load_or_build_srp_index`` — the plane dot
+    products run once per corpus at index build, never per query): the
+    stored bucket ids explode to (table, bucket) rows carrying ONLY the
+    id — never the vector, so the candidate shuffle is L×8-byte keys
+    per doc, not L×vectors — and the self-equi-join on (table, bucket)
+    emits only bucket-colliding pairs.  Verify: candidates join back to
+    the embeddings by id (AQE picks the build side) and the exact
+    rounded cosine filters the threshold.  Recall vs the exact GEMM
+    operator is the SRP collision curve (asserted ≥ 0.9 in
+    tests/test_dedup.py); the oracle mirrors the identical plane
+    literals, so the approximate result itself is value-hash-checked.
+
+    Candidate volume note: the synthetic fixture's embeddings are
+    isotropic, so bucket occupancy is uniform and collisions are
+    ~n²·L/2^b — the fixture is LSH's worst case.  On real clustered
+    embeddings (the production case) near-threshold mass concentrates
+    in few buckets and the candidate set is orders of magnitude below
+    n²; the plan shape (id-only candidate shuffle, verify by id-join)
+    is what survives the scale-up.
     """
-    from .ann import SRP_TABLES, bucket_columns_expr, srp_planes
+    from .ann import SRP_TABLES, load_or_build_srp_index
     from ..functions.vector import dot, l2_norm
 
-    emb = load_table(spark, sf_dir, "embeddings").persist()
+    emb = load_or_build_srp_index(spark, sf_dir).persist()
     buckets = emb.select(
-        "vec_id", F.posexplode(bucket_columns_expr(srp_planes())).alias("t", "bk")
+        "vec_id",
+        F.posexplode(F.array(*[f"b{t}" for t in range(SRP_TABLES)])).alias("t", "bk"),
     )
     a = buckets.alias("a")
     b = buckets.alias("b")
