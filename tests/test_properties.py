@@ -112,3 +112,43 @@ def test_hash_embedder_deterministic_and_unit(spark):
         n = float(np.linalg.norm(np.array(v, dtype=np.float64)))
         if t:
             assert math.isclose(n, 1.0, rel_tol=1e-5)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(vec, min_size=1, max_size=12))
+def test_matrix_lit_bit_exact_roundtrip(spark, rows):
+    """matrix_lit's SQL-parsed literals must be bit-identical to the
+    per-element F.lit form (shortest-repr + D suffix round trip)."""
+    from mcp_server_vector_search_spark.functions.vector import matrix_lit
+
+    got = spark.range(1).select(matrix_lit(rows).alias("m")).first()["m"]
+    assert len(got) == len(rows)
+    for grow, row in zip(got, rows):
+        assert list(grow) == [float(v) for v in row]
+
+
+def test_kmeans_deterministic_and_partitions_sample():
+    """Same (input, seed) → identical centers; different seed → a valid
+    codebook of the same shape."""
+    from mcp_server_vector_search_spark.functions.train import kmeans
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((200, DIM))
+    c1 = kmeans(x, 4, 5, seed=13)
+    c2 = kmeans(x, 4, 5, seed=13)
+    assert np.array_equal(c1, c2)
+    c3 = kmeans(x, 4, 5, seed=7)
+    assert c3.shape == c1.shape
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(finite, min_size=1, max_size=16))
+def test_sql_floats_roundtrip_through_duckdb(values):
+    """sql_floats literals parse back to the identical doubles in the
+    oracle engine — the property every trained-constant oracle rests on."""
+    import duckdb
+
+    from mcp_server_vector_search_spark.functions.train import sql_floats
+
+    got = duckdb.sql(f"SELECT {sql_floats(values)}::DOUBLE[] AS v").fetchone()[0]
+    assert list(got) == [float(v) for v in values]
