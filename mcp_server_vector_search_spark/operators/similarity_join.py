@@ -104,7 +104,13 @@ def gemm_cosine_pairs(
         sliced = base.withColumn("__slice", F.lit(0))
 
     margin = threshold - 10.0 ** (-decimals)
-    probe = base.repartition(sc.defaultParallelism)
+    # Spread a narrow scan across cores before the CPU-bound kernel;
+    # pass wide scans through (a 100 TB probe side already has more
+    # splits than cores — repartitioning it would be a full shuffle).
+    if base.rdd.getNumPartitions() >= sc.defaultParallelism:
+        probe = base
+    else:
+        probe = base.repartition(sc.defaultParallelism)
     parts: list[DataFrame] = []
     for s in range(n_slices):
         rows = sliced.where(F.col("__slice") == s).select(id_col, "embedding").collect()

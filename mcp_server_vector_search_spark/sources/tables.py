@@ -53,10 +53,13 @@ def spread(df: DataFrame) -> DataFrame:
 
     The testdata tables are single parquet files → one input split, so
     without this every downstream map-side expression runs on one core.
-    At 100 TB a scan has thousands of splits and the planner never needs
-    this; it exists because correctness-scale inputs are tiny.
+    GATED on the actual split count: a 100 TB scan already has thousands
+    of splits, and an unconditional repartition there would be a full
+    corpus shuffle for nothing — wide scans pass through untouched.
     """
     sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
     return df.repartition(sc.defaultParallelism)
 
 
