@@ -1,0 +1,138 @@
+"""Training-data mixing: stratified rates and weighted source up/down-
+sampling, all hash-deterministic.
+
+A 100 TB pretraining pipeline's last mile is MIXING: per-language /
+per-source keep rates and real-valued source weights (2.5 copies of a
+high-quality source, half of a noisy one).  Everything here extends the
+``sample_hash_deterministic`` discipline (operators/analytics.py):
+selection is an md5-prefix predicate on the ROW KEY — reproducible
+across retries, cluster sizes, and engines (which is also what makes
+these operators exactly oracle-checkable), embarrassingly parallel, no
+RNG state anywhere.  Up-sampling materializes copies with an explode
+over ``sequence(1, copies)`` — a map-side fan-out, no shuffle; the
+fractional copy is decided by the same hash prefix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import load_table
+
+# per-language keep rates as 2-hex-digit md5-prefix bounds (k/256):
+#   en 25% (high-resource → downsample hard), de/es 50%, fr 75%, zh 90%
+LANG_RATES = {"en": "40", "de": "80", "es": "80", "fr": "c0", "zh": "e6"}
+DEFAULT_RATE = "80"
+
+# per-source real-valued mix weights: floor copies + hash-decided
+# fractional copy.  src0-4 upsample 2.5×, src5-9 keep 1×, rest 0.5×.
+UP_SOURCES = tuple(f"src{i}" for i in range(5))
+KEEP_SOURCES = tuple(f"src{i}" for i in range(5, 10))
+
+
+def _hash2(col: F.Column) -> F.Column:
+    """First two hex chars of md5(key) — uniform in 00..ff, identical
+    in DuckDB (`substr(md5(...), 1, 2)`)."""
+    return F.substring(F.md5(col.cast("string")), 1, 2)
+
+
+def _lang_rate_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{lang}' THEN '{bound}'" for lang, bound in LANG_RATES.items()
+    )
+    return f"CASE lang {cases} ELSE '{DEFAULT_RATE}' END"
+
+
+@register(
+    "sample_stratified_lang",
+    oracle=f"""
+SELECT lang,
+       COUNT(*) AS n_sampled,
+       SUM(n_chars) AS chars_sampled
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < {_lang_rate_sql()}
+GROUP BY lang
+""",
+)
+def sample_stratified_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic keep rates (language rebalancing).
+
+    The keep predicate is row-local (hash prefix vs a per-stratum
+    bound), so the stratified sample needs NO per-stratum counting
+    pass, no shuffle, and reproduces exactly under retry — unlike
+    ``sampleBy``, whose per-partition RNG resamples on every
+    repartition.  Rates tune by widening the hex bound (k/256
+    granularity; two more hex digits give k/2^16)."""
+    d = load_table(spark, sf_dir, "documents")
+    bound = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(b)).otherwise(F.lit(None))
+            for lang, b in LANG_RATES.items()
+        ],
+        F.lit(DEFAULT_RATE),
+    )
+    return (
+        d.where(_hash2(F.col("doc_id")) < bound)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").alias("chars_sampled"),
+        )
+    )
+
+
+@register(
+    "mix_upsample_sources",
+    oracle=f"""
+WITH weighted AS (
+  SELECT doc_id, source,
+         (CASE WHEN source IN {UP_SOURCES} THEN 2
+               WHEN source IN {KEEP_SOURCES} THEN 1 ELSE 0 END)
+         + (CASE WHEN (CASE WHEN source IN {KEEP_SOURCES} THEN '00' ELSE '80' END)
+                      > substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                 THEN 1 ELSE 0 END) AS copies
+  FROM documents
+),
+replicated AS (
+  SELECT w.doc_id, w.source, CAST(r.c AS INTEGER) AS copy_id
+  FROM weighted w, UNNEST(range(1, w.copies + 1)) AS r(c)
+  WHERE w.copies > 0
+)
+SELECT source,
+       COUNT(*) AS n_rows_out,
+       COUNT(DISTINCT doc_id) AS n_docs_kept
+FROM replicated GROUP BY source
+""",
+)
+def mix_upsample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source mixing with REAL-VALUED multipliers: src0-4 at
+    2.5× (each doc yields 2 copies plus a hash-decided third), src5-9
+    at 1×, everything else at 0.5× (hash-decided keep).
+
+    The replication is ``explode(sequence(1, copies))`` — map-side
+    fan-out with a ``copy_id`` so downstream shuffles (e.g. the global
+    shuffle-before-training) treat copies as distinct rows; no RNG, so
+    the mixed corpus is bit-reproducible.  The summary aggregates the
+    replicated relation per source (the materialized explode IS what is
+    being tested against the oracle's arithmetic mirror)."""
+    d = load_table(spark, sf_dir, "documents")
+    floor_copies = (
+        F.when(F.col("source").isin(*UP_SOURCES), F.lit(2))
+        .when(F.col("source").isin(*KEEP_SOURCES), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    frac_bound = F.when(
+        F.col("source").isin(*KEEP_SOURCES), F.lit("00")
+    ).otherwise(F.lit("80"))
+    copies = floor_copies + (_hash2(F.col("doc_id")) < frac_bound).cast("int")
+    replicated = (
+        d.select("doc_id", "source", copies.alias("copies"))
+        .where(F.col("copies") > 0)
+        .withColumn("copy_id", F.explode(F.sequence(F.lit(1), F.col("copies"))))
+    )
+    return replicated.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows_out"),
+        F.countDistinct("doc_id").alias("n_docs_kept"),
+    )

@@ -52,6 +52,7 @@ def load_all_operators() -> None:
         pipeline,
         pq,
         relational,
+        sampling,
         scale,
         similarity_join,
         temporal,
