@@ -105,18 +105,18 @@ NGRAM = 3
 JACCARD_T = 0.5
 
 
-def _shingles(text_col):
-    """Distinct word 3-gram shingles of a document (empty if < 3 tokens —
+def _shingles(text_col, n: int = NGRAM):
+    """Distinct word n-gram shingles of a document (empty if < n tokens —
     guarded because Spark's ``sequence(1, 0)`` would count DOWN)."""
     toks = tokens(text_col)
-    idx = F.sequence(F.lit(1), F.size(toks) - (NGRAM - 1))
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
     shingled = F.transform(
         idx,
         lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + off) for off in range(NGRAM)]
+            " ", *[F.element_at(toks, i + off) for off in range(n)]
         ),
     )
-    return F.when(F.size(toks) >= NGRAM, F.array_distinct(shingled)).otherwise(
+    return F.when(F.size(toks) >= n, F.array_distinct(shingled)).otherwise(
         F.array().cast("array<string>")
     )
 
@@ -189,6 +189,68 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.withColumn("jaccard", jac)
         .where(F.col("jaccard") >= JACCARD_T)
         .select("a_id", "b_id", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: n-gram overlap against a held-out eval set
+# ---------------------------------------------------------------------------
+
+DECON_NGRAM = 5
+BENCH_MAX_DOC = 25  # stand-in eval set: doc_id < 25
+
+
+def _decon_shingle_sql(src_filter: str) -> str:
+    parts = " || ' ' || ".join(
+        f"string_split(text, ' ')[i+{off}]" for off in range(DECON_NGRAM)
+    )
+    return f"""
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(
+           range(1, len(string_split(text, ' ')) - {DECON_NGRAM - 2}),
+           i -> {parts})) AS s
+  FROM documents WHERE {src_filter}
+"""
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    oracle=f"""
+WITH bench AS (
+  SELECT DISTINCT s FROM ({_decon_shingle_sql(f"doc_id < {BENCH_MAX_DOC}")})
+),
+corpus AS ({_decon_shingle_sql(f"doc_id >= {BENCH_MAX_DOC}")})
+SELECT c.doc_id, COUNT(*) AS n_overlapping_ngrams
+FROM corpus c JOIN bench b ON c.s = b.s
+GROUP BY c.doc_id
+""",
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3/Pile discipline): flag corpus
+    documents sharing any {n}-gram with the held-out eval set, with the
+    overlap count as evidence.  The fixture's eval set is doc_id < 25;
+    a real pipeline points the benchmark side at its eval corpora.
+
+    Scale shape: the benchmark shingle set is BOUNDED (eval sets are
+    thousands of documents regardless of corpus size), so it is the one
+    legitimately force-broadcast side in the dedup family — corpus
+    shingles stream map-side through the broadcast semi-probe and only
+    flagged (doc_id, count) rows ever shuffle.  Removal is then an
+    anti-join of the corpus against this flag table."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    sh5 = _shingles(F.col("text"), DECON_NGRAM)
+    bench = (
+        d.where(F.col("doc_id") < BENCH_MAX_DOC)
+        .select(F.explode(sh5).alias("s"))
+        .distinct()
+    )
+    corpus = d.where(F.col("doc_id") >= BENCH_MAX_DOC).select(
+        "doc_id", F.explode(sh5).alias("s")
+    )
+    return (
+        corpus.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlapping_ngrams"))
     )
 
 
