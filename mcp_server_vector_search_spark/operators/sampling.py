@@ -16,6 +16,7 @@ fractional copy is decided by the same hash prefix.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -135,4 +136,66 @@ def mix_upsample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return replicated.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_rows_out"),
         F.countDistinct("doc_id").alias("n_docs_kept"),
+    )
+
+
+PACK_CAP = 256  # tokens per training sequence
+
+
+@register(
+    "pack_sequences_cumsum",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         len(string_split(text, ' ')) AS n_tok,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+offs AS (
+  SELECT doc_id, source, n_tok,
+         SUM(n_tok) OVER (PARTITION BY source ORDER BY h
+                          ROWS UNBOUNDED PRECEDING) - n_tok AS start_off
+  FROM toks
+)
+SELECT source,
+       CAST(start_off // {PACK_CAP} AS INTEGER) AS pack_id,
+       COUNT(*) AS n_docs,
+       SUM(n_tok) AS pack_tokens
+FROM offs
+GROUP BY source, CAST(start_off // {PACK_CAP} AS INTEGER)
+""",
+)
+def pack_sequences_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sequence packing: assign documents to fixed-capacity
+    training packs by running token offset, per source shard.
+
+    The assignment is ``pack_id = floor(start_offset / CAP)`` over a
+    deterministic (hash-ordered) running token sum — the one-pass
+    approximation of bin packing every large-scale pretraining pipeline
+    uses (documents are concatenated in shard order and split every CAP
+    tokens; a doc straddling a boundary belongs to the pack where it
+    starts).  One window per SOURCE shard — packing never needs a
+    global sort, so the shuffle is per-shard and parallel; the
+    deterministic hash order doubles as the corpus shuffle.  Exact
+    bin-packing (FFD) is inherently sequential and buys ~2% fill at
+    pretraining scale — the cumsum form is the scale-honest choice."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = W.partitionBy("source").orderBy(h).rowsBetween(W.unboundedPreceding, 0)
+    offs = d.select(
+        "doc_id",
+        "source",
+        n_tok.alias("n_tok"),
+        (F.sum(n_tok).over(w) - n_tok).alias("start_off"),
+    )
+    return (
+        offs.withColumn(
+            "pack_id", F.floor(F.col("start_off") / PACK_CAP).cast("int")
+        )
+        .groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("pack_tokens"),
+        )
     )
