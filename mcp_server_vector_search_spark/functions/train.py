@@ -62,6 +62,17 @@ def load_sorted_vectors(sf_dir: str) -> tuple[list[int], np.ndarray]:
 
 
 def sql_floats(values: Sequence[float]) -> str:
-    """A DuckDB DOUBLE[] literal. ``repr`` emits the shortest
-    round-tripping decimal, so the parsed double is bit-identical."""
-    return "[" + ", ".join(repr(float(v)) for v in values) + "]"
+    """A DuckDB DOUBLE[] literal, bit-exact.  ``repr`` emits the
+    shortest round-tripping decimal; the ``e0`` suffix is load-bearing —
+    DuckDB parses a bare decimal literal as DECIMAL first and the cast
+    to DOUBLE can land one ulp off (found by hypothesis:
+    ``0.9999899864196777`` → ``...776``), while an exponent-suffixed
+    literal goes straight through strtod, correctly rounded."""
+
+    return "[" + ", ".join(sql_float(v) for v in values) + "]"
+
+
+def sql_float(v: float) -> str:
+    """One bit-exact DuckDB DOUBLE literal (see :func:`sql_floats`)."""
+    r = repr(float(v))
+    return r if ("e" in r or "E" in r) else r + "e0"

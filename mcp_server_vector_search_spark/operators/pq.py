@@ -50,7 +50,13 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.train import ORACLE_SF_DIR, kmeans, load_sorted_vectors, sql_floats
+from ..functions.train import (
+    ORACLE_SF_DIR,
+    kmeans,
+    load_sorted_vectors,
+    sql_float,
+    sql_floats,
+)
 from ..functions.vector import l2_normalize, matrix_lit, neo4j_score
 from ..registry import register
 from ..sources.tables import load_table
@@ -224,12 +230,12 @@ def _pq_oracle() -> str | None:
     qvec = [float(v) for v in x[ids.index(QUERY_VEC_ID)]]
     lut = _adc_lut(books, qvec)
     cw_rows = ",\n  ".join(
-        f"({m}, {c}, {repr(norms2[m][c])}, {sql_floats(books[m][c])}::DOUBLE[])"
+        f"({m}, {c}, {sql_float(norms2[m][c])}, {sql_floats(books[m][c])}::DOUBLE[])"
         for m in range(M_SUBSPACES)
         for c in range(K_CODEWORDS)
     )
     lut_rows = ",\n  ".join(
-        f"({m}, {c}, {repr(lut[m][c])})"
+        f"({m}, {c}, {sql_float(lut[m][c])})"
         for m in range(M_SUBSPACES)
         for c in range(K_CODEWORDS)
     )
