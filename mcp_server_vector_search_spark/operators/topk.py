@@ -261,3 +261,63 @@ def q_topk_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings = load_table(spark, sf_dir, "embeddings")
     queries = embeddings.where(F.col("vec_id") < N_BATCH_QUERIES)
     return topk_per_query(embeddings, queries)
+
+
+# ---------------------------------------------------------------------------
+# Facade semantics as driver-checkable queries: the reference's dimension
+# hard-fail (O3) and row→JSON serialization (O6)
+# ---------------------------------------------------------------------------
+
+EMB_DIM = 64  # the fixture's table-level invariant (reference: 1536)
+
+
+@register(
+    "vector_dim_check",
+    oracle=f"""
+SELECT COUNT(*) AS n_total,
+       SUM(CASE WHEN len(embedding) = {EMB_DIM} THEN 1 ELSE 0 END) AS n_valid,
+       SUM(CASE WHEN len(embedding) = {EMB_DIM} THEN 0 ELSE 1 END) AS n_invalid
+FROM embeddings
+""",
+)
+def q_vector_dim_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed form of the reference's embedding-dimension
+    validation (server.py:55-56 and :80-84 — the only schema
+    enforcement in the whole reference): a CHECK-style scan over the
+    table invariant.  The engine facade raises on any violation
+    (engine.py); this query surfaces the same predicate as auditable
+    counts so the invariant carries a driver correctness row."""
+    from ..functions.vector import dim_check
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ok = dim_check("embedding", EMB_DIM).cast("int")
+    return emb.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(ok).alias("n_valid"),
+        F.sum(F.lit(1) - ok).alias("n_invalid"),
+    )
+
+
+@register(
+    "rows_as_json",
+    oracle="""
+SELECT doc_id,
+       to_json(struct_pack(doc_id := doc_id, text := text, lang := lang,
+                           source := source, n_chars := n_chars)) AS js
+FROM documents
+""",
+)
+def q_rows_as_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's output surface is JSON rows
+    (server.py:62-64: eager collect → ``json.dumps([r.data() ...])``);
+    the Spark analog is ``to_json(struct(...))`` — a JVM expression
+    producing the same compact key:value encoding per row, verified
+    byte-for-byte against DuckDB's ``to_json``.  Serialization stays
+    distributed; only the boundary collect ships strings."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.to_json(
+            F.struct("doc_id", "text", "lang", "source", "n_chars")
+        ).alias("js"),
+    )
