@@ -321,3 +321,34 @@ def q_rows_as_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct("doc_id", "text", "lang", "source", "n_chars")
         ).alias("js"),
     )
+
+
+@register(
+    "empty_result_guard",
+    oracle=f"""
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+)
+SELECT e.vec_id,
+       ROUND((1.0 + list_cosine_similarity(e.embedding::DOUBLE[], q.qv)) / 2.0,
+             {SCORE_DECIMALS}) AS score
+FROM embeddings e CROSS JOIN q
+WHERE e.vec_id < 0
+ORDER BY score DESC, e.vec_id
+LIMIT {FLAGSHIP_K}
+""",
+)
+def q_empty_result_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's empty-result behavior (server.py:31-34,113 via
+    SURVEY §2.1 O7): a query matching nothing returns an EMPTY result
+    with the full stable schema — no error, no null row, and the
+    ``LIMIT k`` happily returns fewer than k (``queryNodes`` may too).
+    Exercised as a driver row by running the flagship scoring shape
+    over an impossible predicate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = query_vector_df(emb, QUERY_VEC_ID)
+    return topk(
+        score_against(emb.where(F.col("vec_id") < 0), q).select("vec_id", "score"),
+        FLAGSHIP_K,
+        [F.desc("score"), F.asc("vec_id")],
+    )
