@@ -199,3 +199,40 @@ def pack_sequences_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").alias("pack_tokens"),
         )
     )
+
+
+SAMPLE_K_PER_GROUP = 20
+
+
+@register(
+    "sample_topk_per_group",
+    oracle=f"""
+SELECT lang, doc_id, n_chars
+FROM (
+  SELECT lang, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+) WHERE rn <= {SAMPLE_K_PER_GROUP}
+""",
+)
+def sample_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample (balanced eval slices,
+    per-class inspection sets): rank rows within each language by the
+    row-key hash and keep the first k.
+
+    Unlike rate-based sampling this guarantees the count per stratum;
+    the hash order makes it a uniform draw that is identical on every
+    engine, cluster size, and retry.  One window per stratum — the
+    shuffle is the per-group partition, never a global sort; at scale
+    this is the standard distributed reservoir replacement (exact k,
+    no reservoir state)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= SAMPLE_K_PER_GROUP)
+        .select("lang", "doc_id", "n_chars")
+    )

@@ -106,3 +106,119 @@ def timeseries_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("avg_value", ignorenulls=True).over(w).alias("filled_value"),
         )
     )
+
+
+@register(
+    "timeseries_interpolate_linear",
+    oracle=f"""
+WITH grid AS (
+    SELECT g AS bucket
+    FROM generate_series(TIMESTAMP '{_GRID_START}',
+                         TIMESTAMP '{_GRID_END}',
+                         INTERVAL 15 MINUTE) t(g)
+), types AS (
+    SELECT DISTINCT event_type FROM events
+), b AS (
+    SELECT event_type,
+           to_timestamp(FLOOR(epoch(ts) / {_STEP_SEC}) * {_STEP_SEC})::TIMESTAMP AS bucket,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_value
+    FROM events GROUP BY 1, 2
+), dense AS (
+    SELECT t.event_type, g.bucket, b.avg_value
+    FROM grid g CROSS JOIN types t
+    LEFT JOIN b ON b.event_type = t.event_type AND b.bucket = g.bucket
+), ctx AS (
+    SELECT event_type, bucket, avg_value,
+           last_value(avg_value IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+           last_value(CASE WHEN avg_value IS NOT NULL THEN bucket END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+           first_value(avg_value IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+           first_value(CASE WHEN avg_value IS NOT NULL THEN bucket END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY bucket
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+    FROM dense
+)
+SELECT event_type, bucket,
+       ROUND(CASE
+         WHEN avg_value IS NOT NULL THEN avg_value
+         WHEN pv IS NULL THEN NULL
+         WHEN nv IS NULL THEN pv
+         ELSE pv + (nv - pv) * (epoch(bucket) - epoch(pt))
+                             / (epoch(nt) - epoch(pt))
+       END, 6) AS interp_value
+FROM ctx
+""",
+)
+def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation across empty buckets — the gap-fill used
+    for sensor alignment and feature snapshots when carrying the last
+    value forward biases downstream aggregates.
+
+    Same dense-grid scaffold as the forward fill; each empty bucket
+    sees its previous and next observed (value, time) via two
+    ignore-nulls windows over the SAME series partition — still one
+    shuffle on the series key, each series interpolated locally.
+    Leading gaps stay NULL (nothing to anchor), trailing gaps extend
+    the last observation — both engines agree on the edges."""
+    ev = load_table(spark, sf_dir, "events")
+    buckets = ev.groupBy(
+        "event_type",
+        F.timestamp_seconds(
+            F.floor(F.unix_timestamp("ts") / _STEP_SEC) * _STEP_SEC
+        ).alias("bucket"),
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_value")
+    )
+    grid = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(_GRID_START).cast("timestamp"),
+                F.lit(_GRID_END).cast("timestamp"),
+                F.expr("INTERVAL 15 MINUTES"),
+            )
+        ).alias("bucket")
+    )
+    types = ev.select("event_type").distinct()
+    dense = grid.crossJoin(F.broadcast(types)).join(
+        buckets, ["event_type", "bucket"], "left"
+    )
+    back = (
+        W.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    fwd = (
+        W.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    obs_t = F.when(F.col("avg_value").isNotNull(), F.col("bucket"))
+    ctx = dense.select(
+        "event_type",
+        "bucket",
+        "avg_value",
+        F.last("avg_value", ignorenulls=True).over(back).alias("pv"),
+        F.last(obs_t, ignorenulls=True).over(back).alias("pt"),
+        F.first("avg_value", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(obs_t, ignorenulls=True).over(fwd).alias("nt"),
+    )
+    frac = (F.unix_timestamp("bucket") - F.unix_timestamp("pt")) / (
+        F.unix_timestamp("nt") - F.unix_timestamp("pt")
+    )
+    interp = (
+        F.when(F.col("avg_value").isNotNull(), F.col("avg_value"))
+        .when(F.col("pv").isNull(), F.lit(None))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+    )
+    return ctx.select(
+        "event_type", "bucket", F.round(interp, 6).alias("interp_value")
+    )
