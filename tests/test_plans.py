@@ -207,3 +207,30 @@ def test_minhash_verify_has_no_forced_corpus_broadcast(spark):
     df = dedup_minhash_lsh(spark, SF_CORRECTNESS)
     logical = df._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" not in logical and "BROADCAST" not in logical
+
+
+def test_srp_query_filters_int_columns_not_hofs(spark):
+    """The SRP query path must read materialized bucket ints — the
+    80 plane dot products belong to the index build, never the query
+    (aggregate/transform in the query filter would mean per-query HOF
+    evaluation over the corpus)."""
+    from mcp_server_vector_search_spark.operators.ann import q_ann_lsh_topk
+
+    plan = formatted_plan(q_ann_lsh_topk(spark, SF_CORRECTNESS))
+    # scoring legitimately uses HOFs; the candidate FILTER must not
+    conditions = [ln for ln in plan.splitlines() if "Condition" in ln]
+    assert conditions
+    assert all("aggregate(" not in ln and "transform(" not in ln for ln in conditions)
+    assert any("b0" in ln for ln in conditions)
+
+
+def test_embedding_lsh_candidates_shuffle_ids_only(spark):
+    """The candidate self-join must not carry embedding vectors — the
+    exploded (table, bucket) rows carry ids; vectors only re-enter at
+    the verify joins."""
+    from mcp_server_vector_search_spark.operators.dedup import dedup_embedding_lsh
+
+    plan = formatted_plan(dedup_embedding_lsh(spark, SF_CORRECTNESS))
+    # the posexplode arguments must carry bucket ints, never the vector
+    gen = [ln for ln in plan.splitlines() if "posexplode" in ln]
+    assert gen and all("embedding" not in ln for ln in gen)
