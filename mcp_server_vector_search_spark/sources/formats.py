@@ -120,3 +120,49 @@ def sink_partitioned_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "source_schema_evolution",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n_rows,
+       SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS n_missing_priority
+FROM (
+  SELECT o_orderkey, o_orderstatus, NULL AS o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 1
+)
+GROUP BY o_orderstatus
+""",
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet generations: generation 1 writes
+    two columns, generation 2 adds ``o_orderpriority``; a
+    ``mergeSchema`` read unions the physical schemas and fills the
+    missing column with nulls for old files — the standard lake
+    pattern for adding a column without rewriting history.  The
+    aggregate proves both generations arrived intact (row counts per
+    status, null count localized to generation 1).  At scale the
+    merged-schema read costs one footer pass; no data rewrite."""
+    o = load_table(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="schema_evo_")
+    gen1 = o.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    gen2 = o.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    gen1.write.mode("overwrite").parquet(f"{tmp}/t/gen=1")
+    gen2.write.mode("overwrite").parquet(f"{tmp}/t/gen=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{tmp}/t/gen=1", f"{tmp}/t/gen=2"
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.col("o_orderpriority").isNull().cast("bigint")
+        ).alias("n_missing_priority"),
+    )
