@@ -561,6 +561,39 @@ def window_moving_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "window_range_frame",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)))
+            OVER (PARTITION BY o_custkey
+                  ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+                  RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS spend_30d
+FROM orders
+WHERE o_custkey < 100
+""",
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-based (RANGE) frame: each order sees the customer's total
+    spend over the trailing 30 DAYS of event time — a different
+    physical operator from the ROWS frame (the frame boundary slides by
+    ordering VALUE, and peers with equal timestamps are always in-frame
+    together, which also makes the result tie-stable without a
+    tie-break column)."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 100)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, W.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(_dec("o_totalprice", 14, 2)).over(w).cast("double").alias("spend_30d"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scalar function library
 # ---------------------------------------------------------------------------
