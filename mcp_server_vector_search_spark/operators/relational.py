@@ -472,6 +472,45 @@ def setops_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "setops_multiset_all",
+    oracle="""
+SELECT 'except_all' AS tag, k AS nationkey, COUNT(*) AS n FROM (
+  SELECT c_nationkey AS k FROM customer
+  EXCEPT ALL
+  SELECT s_nationkey AS k FROM supplier
+) GROUP BY k
+UNION ALL
+SELECT 'intersect_all' AS tag, k AS nationkey, COUNT(*) AS n FROM (
+  SELECT c_nationkey AS k FROM customer
+  INTERSECT ALL
+  SELECT s_nationkey AS k FROM supplier
+) GROUP BY k
+""",
+)
+def setops_multiset_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set ops (EXCEPT ALL / INTERSECT ALL): multiplicity
+    matters — a nation with 40 customers and 3 suppliers keeps 37 rows
+    under EXCEPT ALL and 3 under INTERSECT ALL, where the distinct
+    variants collapse to membership.  Both engines implement these as a
+    counted anti/semi aggregation, one shuffle on the key."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+
+    def counted(df: DataFrame, t: str) -> DataFrame:
+        return df.groupBy("nationkey").agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(t).alias("tag"), "nationkey", "n"
+        )
+
+    return counted(c.exceptAll(s), "except_all").unionAll(
+        counted(c.intersectAll(s), "intersect_all")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Window functions
 # ---------------------------------------------------------------------------
