@@ -274,7 +274,7 @@ def rollup_hourly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_distribution_ranks",
     oracle="""
 SELECT c_custkey, c_mktsegment,
-       NTILE(4)       OVER w AS quartile,
+       CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
        PERCENT_RANK() OVER w AS pct_rank,
        CUME_DIST()    OVER w AS cume
 FROM customer
@@ -385,7 +385,7 @@ WITH d AS (
     FROM d CROSS JOIN (VALUES (-1), (0), (1)) AS o(off)
 )
 SELECT a.doc_id AS a_id, d2.doc_id AS b_id,
-       levenshtein(a.text, d2.text) AS dist
+       CAST(levenshtein(a.text, d2.text) AS INTEGER) AS dist
 FROM a JOIN d AS d2
   ON a.lang = d2.lang AND a.jb = d2.b AND a.doc_id < d2.doc_id
 WHERE abs(a.n_chars - d2.n_chars) <= {_ED_MAXDIFF}

@@ -644,7 +644,7 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT p_partkey,
        UPPER(p_name) AS name_upper,
        SUBSTR(p_type, 1, 4) AS type_prefix,
-       LENGTH(p_name) AS name_len,
+       CAST(LENGTH(p_name) AS INTEGER) AS name_len,
        CONCAT(p_brand, ':', p_type) AS brand_type,
        REPLACE(p_name, ' ', '_') AS name_snake,
        CASE WHEN p_name LIKE '%widget%' THEN 1 ELSE 0 END AS is_widget,
@@ -723,7 +723,7 @@ def scalar_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_array_functions",
     oracle="""
 SELECT doc_id,
-       LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+       CAST(LEN(STRING_SPLIT(text, ' ')) AS INTEGER) AS n_tokens,
        STRING_SPLIT(text, ' ')[1] AS first_token,
        LIST_CONTAINS(STRING_SPLIT(text, ' '), 'spark') AS has_spark,
        LIST_SORT(STRING_SPLIT(text, ' '))[1] AS min_token

@@ -51,7 +51,7 @@ def _lang_rate_sql() -> str:
     oracle=f"""
 SELECT lang,
        COUNT(*) AS n_sampled,
-       SUM(n_chars) AS chars_sampled
+       CAST(SUM(n_chars) AS BIGINT) AS chars_sampled
 FROM documents
 WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < {_lang_rate_sql()}
 GROUP BY lang
@@ -160,7 +160,7 @@ offs AS (
 SELECT source,
        CAST(start_off // {PACK_CAP} AS INTEGER) AS pack_id,
        COUNT(*) AS n_docs,
-       SUM(n_tok) AS pack_tokens
+       CAST(SUM(n_tok) AS BIGINT) AS pack_tokens
 FROM offs
 GROUP BY source, CAST(start_off // {PACK_CAP} AS INTEGER)
 """,

@@ -25,10 +25,10 @@ R = 6  # shared rounding for double-typed derived metrics
     "text_token_stats",
     oracle="""
 SELECT doc_id,
-       len(string_split(text, ' ')) AS n_tokens,
-       len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
-       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
-       LENGTH(text) AS n_chars
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_bpe_tokens,
+       CAST(LENGTH(text) AS INTEGER) AS n_chars
 FROM documents
 """,
 )

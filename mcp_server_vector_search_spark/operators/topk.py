@@ -275,8 +275,8 @@ EMB_DIM = 64  # the fixture's table-level invariant (reference: 1536)
     "vector_dim_check",
     oracle=f"""
 SELECT COUNT(*) AS n_total,
-       SUM(CASE WHEN len(embedding) = {EMB_DIM} THEN 1 ELSE 0 END) AS n_valid,
-       SUM(CASE WHEN len(embedding) = {EMB_DIM} THEN 0 ELSE 1 END) AS n_invalid
+       CAST(SUM(CASE WHEN len(embedding) = {EMB_DIM} THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+       CAST(SUM(CASE WHEN len(embedding) = {EMB_DIM} THEN 0 ELSE 1 END) AS BIGINT) AS n_invalid
 FROM embeddings
 """,
 )

@@ -127,7 +127,7 @@ def sink_partitioned_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderstatus,
        COUNT(*) AS n_rows,
-       SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS n_missing_priority
+       CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_priority
 FROM (
   SELECT o_orderkey, o_orderstatus, NULL AS o_orderpriority
   FROM orders WHERE o_orderkey % 2 = 0

@@ -52,6 +52,63 @@ def canonical(rows: list, colnames: list[str]):
     return sorted(mat, key=repr)
 
 
+# DuckDB result type → acceptable Spark simpleString()s.  The driver's
+# value-hash is type-sensitive (round-2 lesson: DuckDB SUM over integers
+# yields HUGEINT where Spark yields BIGINT — values equal, hash differed),
+# so the rehearsal must enforce type parity, not just value parity.
+# TIMESTAMP admits both Spark timestamp flavors (parquet readers differ);
+# an empty set (HUGEINT, UHUGEINT) means "no Spark equivalent — always flag".
+_DUCK_TO_SPARK: dict[str, set[str]] = {
+    "TINYINT": {"tinyint"},
+    "SMALLINT": {"smallint"},
+    "INTEGER": {"int"},
+    "BIGINT": {"bigint"},
+    "HUGEINT": set(),
+    "UHUGEINT": set(),
+    "FLOAT": {"float"},
+    "DOUBLE": {"double"},
+    "VARCHAR": {"string"},
+    "BOOLEAN": {"boolean"},
+    "DATE": {"date"},
+    "TIMESTAMP": {"timestamp", "timestamp_ntz"},
+    "TIMESTAMP WITH TIME ZONE": {"timestamp"},
+    "BLOB": {"binary"},
+}
+
+
+def _spark_equiv(duck_type: str) -> set[str] | None:
+    """Acceptable Spark types for a DuckDB type string; None = unmapped
+    (complex/nested types — value comparison still covers them)."""
+    t = str(duck_type).upper()
+    if t in _DUCK_TO_SPARK:
+        return _DUCK_TO_SPARK[t]
+    if t.startswith("DECIMAL"):
+        return {t.lower().replace(" ", "")}
+    if t.endswith("[]"):
+        inner = _spark_equiv(t[:-2])
+        if inner is None:
+            return None
+        return {f"array<{i}>" for i in inner}
+    return None
+
+
+def type_problems(spark_df, rel) -> list[str]:
+    """Strict type-parity: every DuckDB output column's type must map to
+    the Spark column's type (the driver hashes values type-sensitively)."""
+    problems: list[str] = []
+    s_types = {f.name: f.dataType.simpleString() for f in spark_df.schema.fields}
+    for name, dt_ in zip(rel.columns, rel.types):
+        ok = _spark_equiv(dt_)
+        if ok is None or name not in s_types:
+            continue
+        if s_types[name] not in ok:
+            problems.append(
+                f"type mismatch on '{name}': duckdb={dt_} (maps to {sorted(ok) or 'nothing'})"
+                f" vs spark={s_types[name]}"
+            )
+    return problems
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
     """Return a list of mismatch descriptions (empty = parity)."""
     problems: list[str] = []
@@ -64,6 +121,7 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
     if sorted(s_cols) != sorted(d_cols):
         problems.append(f"schema mismatch: spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
         return problems
+    problems.extend(type_problems(spark_df, rel))
     if len(s_rows) != len(d_rows):
         problems.append(f"row count mismatch: spark={len(s_rows)} duckdb={len(d_rows)}")
     sc, dc = canonical(s_rows, s_cols), canonical(d_rows, d_cols)
