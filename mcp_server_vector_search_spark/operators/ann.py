@@ -324,7 +324,16 @@ def bucket_columns_expr(planes: np.ndarray, bits: int = SRP_BITS) -> F.Column:
 
 def _py_bucket(vec: Sequence[float], planes: np.ndarray, table: int, bits: int = SRP_BITS) -> int:
     """Driver-side bucket of the query vector — sequential-sum dot so
-    the oracle generator (which calls this too) gets the same ints."""
+    the oracle generator (which calls this too) gets the same ints.
+
+    Cross-engine determinism: the ``>= 0`` sign test is computed in
+    three engines (Spark HOF fold, this Python loop, DuckDB
+    ``list_dot_product`` in the oracle SQL).  All three do sequential
+    left-to-right double accumulation over bit-identical literals
+    (functions/vector.py dot; functions/train.py sql_float), so the
+    buckets agree bit-for-bit — pinned for every vector at the oracle
+    scale factor by tests/test_ann.py::
+    test_srp_bucket_bit_identity_across_engines."""
     out = 0
     for j in range(bits):
         p = planes[table * bits + j]

@@ -718,10 +718,16 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ea = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("va"))
     eb = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb"))
     cos = dot("va", "vb") / F.nullif(l2_norm("va") * l2_norm("vb"), F.lit(0.0))
-    return (
+    out = (
         cand.join(ea, "a_id")
         .join(eb, "b_id")
         .withColumn("cos_sim", F.round(cos, R))
         .where(F.col("cos_sim") >= EMB_NEARDUP_T)
         .select("a_id", "b_id", "cos_sim")
+        # Materialize the bounded pair set, then release the 3×-read index
+        # cache so it doesn't accumulate across queries in a long session
+        # (persist→materialize→unpersist, as in connected_components).
+        .localCheckpoint(eager=True)
     )
+    emb.unpersist()
+    return out

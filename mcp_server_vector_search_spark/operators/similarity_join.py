@@ -144,12 +144,23 @@ def gemm_cosine_pairs(
         parts.append(probe.mapInPandas(score_blocks, schema))
 
     if not parts:
+        if n_slices > 1:
+            base.unpersist()
         return empty
     pairs = reduce(DataFrame.unionAll, parts).withColumn(
         "cos_sim", F.round("__raw", decimals)
     )
     keep = F.col("cos_sim") >= threshold if inclusive else F.col("cos_sim") > threshold
-    return pairs.where(keep).select("a_id", "b_id", "cos_sim")
+    out = pairs.where(keep).select("a_id", "b_id", "cos_sim")
+    if n_slices > 1:
+        # Materialize the (bounded, post-threshold) pair set before
+        # dropping the probe-side cache: the returned plan then no longer
+        # references the persisted projection, so cached partitions don't
+        # accumulate across queries in a long-lived session (same
+        # persist→materialize→unpersist discipline as connected_components).
+        out = out.localCheckpoint(eager=True)
+        base.unpersist()
+    return out
 
 
 def cosine_self_join(

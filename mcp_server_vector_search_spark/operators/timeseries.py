@@ -148,8 +148,8 @@ SELECT event_type, bucket,
          WHEN avg_value IS NOT NULL THEN avg_value
          WHEN pv IS NULL THEN NULL
          WHEN nv IS NULL THEN pv
-         ELSE pv + (nv - pv) * (epoch(bucket) - epoch(pt))
-                             / (epoch(nt) - epoch(pt))
+         ELSE pv + (nv - pv) * ((epoch(bucket) - epoch(pt))
+                              / (epoch(nt) - epoch(pt)))
        END, 6) AS interp_value
 FROM ctx
 """,

@@ -123,3 +123,59 @@ def test_pq_codes_are_compact(spark):
     assert len(row.codes) == pq.M_SUBSPACES
     assert all(0 <= c < pq.K_CODEWORDS for c in row.codes)
     assert len(books) == pq.M_SUBSPACES and len(books[0]) == pq.K_CODEWORDS
+
+
+def test_srp_bucket_bit_identity_across_engines(spark):
+    """Pin the cross-engine determinism assumption the SRP oracles rest
+    on (ADVICE r2): the sign test ``dot(v, plane) >= 0`` must produce
+    identical bucket ids in all three places it is computed — the Spark
+    HOF expression that builds the stored index, the driver-side Python
+    loop that buckets the query vector, and the DuckDB SQL the oracle
+    generator emits.  All three do sequential left-to-right double
+    summation over bit-identical literals (functions/vector.py:54-61,
+    functions/train.py sql_float), so the buckets must agree exactly —
+    for EVERY vector at the oracle scale factor, not just the query."""
+    import duckdb
+
+    from mcp_server_vector_search_spark.functions.train import (
+        load_sorted_vectors,
+        sql_floats,
+    )
+
+    planes = ann.srp_planes()
+
+    # engine 1: Spark HOF expression (what the stored SRP index contains)
+    emb = load_table(spark, SF_CORRECTNESS, "embeddings")
+    spark_rows = emb.select(
+        "vec_id", ann.bucket_columns_expr(planes).alias("b")
+    ).collect()
+    spark_buckets = {r.vec_id: list(r.b) for r in spark_rows}
+
+    # engine 2: driver-side Python (what buckets the query vector)
+    ids, x = load_sorted_vectors(SF_CORRECTNESS)
+    py_buckets = {
+        vid: [ann._py_bucket(vec, planes, t) for t in range(ann.SRP_TABLES)]
+        for vid, vec in zip(ids, x)
+    }
+
+    # engine 3: DuckDB SQL (what the oracle compares against)
+    bucket_cols = ", ".join(
+        "("
+        + " + ".join(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+            f"{sql_floats(planes[t * ann.SRP_BITS + j])}::DOUBLE[]) >= 0 "
+            f"THEN {2**j} ELSE 0 END)"
+            for j in range(ann.SRP_BITS)
+        )
+        + f") AS b{t}"
+        for t in range(ann.SRP_TABLES)
+    )
+    con = duckdb.connect()
+    duck_rows = con.sql(
+        f"SELECT vec_id, {bucket_cols} "
+        f"FROM read_parquet('{SF_CORRECTNESS}/embeddings.parquet')"
+    ).fetchall()
+    con.close()
+    duck_buckets = {r[0]: list(r[1:]) for r in duck_rows}
+
+    assert spark_buckets == py_buckets == duck_buckets
