@@ -85,7 +85,7 @@ def test_embedding_lsh_recall_vs_exact(spark):
     GEMM pair set (sub-quadratic candidates, same verify threshold)."""
     exact = {
         (r.a_id, r.b_id)
-        for r in dedup.dedup_embedding_cosine(spark, SF_CORRECTNESS).collect()
+        for r in dedup.dedup_embedding_cosine_exact(spark, SF_CORRECTNESS).collect()
     }
     approx = {
         (r.a_id, r.b_id)
@@ -95,3 +95,18 @@ def test_embedding_lsh_recall_vs_exact(spark):
     assert approx <= exact  # verify stage guarantees no false positives
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.9, f"embedding-LSH recall {recall:.2f}"
+
+
+def test_embedding_cosine_kernel_matches_hof_verify(spark):
+    """The two verify kernels over the same SRP candidates — numpy batch
+    kernel (dedup_embedding_cosine) and HOF cosine (dedup_embedding_lsh)
+    — must produce the identical rounded pair set."""
+    a = {
+        (r.a_id, r.b_id, r.cos_sim)
+        for r in dedup.dedup_embedding_cosine(spark, SF_CORRECTNESS).collect()
+    }
+    b = {
+        (r.a_id, r.b_id, r.cos_sim)
+        for r in dedup.dedup_embedding_lsh(spark, SF_CORRECTNESS).collect()
+    }
+    assert a == b and a

@@ -227,10 +227,32 @@ def test_srp_query_filters_int_columns_not_hofs(spark):
 def test_embedding_lsh_candidates_shuffle_ids_only(spark):
     """The candidate self-join must not carry embedding vectors — the
     exploded (table, bucket) rows carry ids; vectors only re-enter at
-    the verify joins."""
-    from mcp_server_vector_search_spark.operators.dedup import dedup_embedding_lsh
+    the verify joins.  (Asserted on the lazy plan; the registered query
+    materializes + checkpoints it to release the index cache.)"""
+    from mcp_server_vector_search_spark.operators.dedup import _embedding_lsh_lazy
 
-    plan = formatted_plan(dedup_embedding_lsh(spark, SF_CORRECTNESS))
+    lazy, emb = _embedding_lsh_lazy(spark, SF_CORRECTNESS)
+    plan = formatted_plan(lazy)
+    emb.unpersist()
     # the posexplode arguments must carry bucket ints, never the vector
     gen = [ln for ln in plan.splitlines() if "posexplode" in ln]
     assert gen and all("embedding" not in ln for ln in gen)
+
+
+def test_embedding_cosine_composes_candidates_then_kernel(spark):
+    """The registered semantic-dedup entry must be the composed
+    candidates→verify plan (VERDICT r2 #3): id-only SRP candidate
+    shuffle (posexplode of bucket ints, no vectors) feeding the
+    Arrow-batched numpy verify kernel (MapInPandas), never an O(n²)
+    all-pairs join."""
+    from mcp_server_vector_search_spark.operators.dedup import (
+        _embedding_cosine_lazy,
+    )
+
+    lazy, emb = _embedding_cosine_lazy(spark, SF_CORRECTNESS)
+    plan = formatted_plan(lazy)
+    emb.unpersist()
+    gen = [ln for ln in plan.splitlines() if "posexplode" in ln]
+    assert gen and all("embedding" not in ln for ln in gen)
+    assert "MapInPandas" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
