@@ -28,6 +28,28 @@ SLIDE_SEC = 1800
 SESSION_GAP_SEC = 1800
 
 
+def tumbling_agg(events: DataFrame) -> DataFrame:
+    """The tumbling aggregation as a DataFrame→DataFrame transform:
+    the SAME Catalyst expression runs in batch (oracle-checked below)
+    and in streaming (full batch≡stream equivalence asserted in
+    tests/test_streaming.py::test_tumbling_stream_equals_batch)."""
+    return (
+        events.groupBy(F.window("ts", f"{TUMBLE_SEC} seconds"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 @register(
     "window_tumbling_events",
     oracle=f"""
@@ -43,22 +65,7 @@ GROUP BY 1, 2
 def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1h windows per event type via ``F.window`` — the
     idiomatic Spark spelling (struct window, epoch-aligned)."""
-    e = load_table(spark, sf_dir, "events")
-    return (
-        e.groupBy(F.window("ts", f"{TUMBLE_SEC} seconds"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias(
-                "total_value"
-            ),
-        )
-        .select(
-            F.col("window.start").alias("win_start"),
-            "event_type",
-            "n_events",
-            "total_value",
-        )
-    )
+    return tumbling_agg(load_table(spark, sf_dir, "events"))
 
 
 @register(

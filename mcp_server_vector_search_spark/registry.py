@@ -48,6 +48,7 @@ def load_all_operators() -> None:
         ann,
         components,
         dedup,
+        engine_queries,
         extensions,
         pipeline,
         pq,

@@ -345,3 +345,52 @@ def test_stream_stream_interval_join(spark):
     )
     assert want.n > 0  # the fixture actually produces matches
     assert (got.n, got.np) == (want.n, want.np)
+
+
+def _run_complete_foreach_batch(df):
+    """Drive a streaming aggregation in COMPLETE mode through
+    foreachBatch; each epoch delivers the full updated state, so the
+    last epoch IS the final result."""
+    state = {}
+
+    def sink(batch_df, epoch_id):
+        state["rows"] = [tuple(r) for r in batch_df.collect()]
+
+    q = (
+        df.writeStream.foreachBatch(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return state.get("rows", [])
+
+
+def test_tumbling_stream_equals_batch(spark):
+    """FULL batch≡stream equivalence for the registered tumbling shape
+    (VERDICT r2 #6): the same operators/windows.tumbling_agg expression
+    over the same events, once as a batch job and once through
+    Structured Streaming (complete mode via foreachBatch), must produce
+    the identical result set — not just an append-mode subset."""
+    from mcp_server_vector_search_spark.operators.windows import tumbling_agg
+
+    got = set(_run_complete_foreach_batch(tumbling_agg(ingest.read_event_stream(spark, SF_SMOKE))))
+    want = {tuple(r) for r in tumbling_agg(load_table(spark, SF_SMOKE, "events")).collect()}
+    assert got == want and got
+
+
+def test_session_stream_equals_batch(spark):
+    """FULL batch≡stream equivalence for gap-based session windows:
+    F.session_window is the same Catalyst expression in both modes; the
+    streaming state machine must converge to the batch gap-merge."""
+    got = set(
+        _run_complete_foreach_batch(
+            ingest.session_windows(ingest.read_event_stream(spark, SF_SMOKE))
+        )
+    )
+    want = {
+        tuple(r)
+        for r in ingest.session_windows(load_table(spark, SF_SMOKE, "events")).collect()
+    }
+    assert got == want and got
