@@ -30,18 +30,29 @@ def main() -> None:
     # warmup: touch the session + parquet footers once
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    # Per-query fault isolation: one failing query must never cost the
+    # round its whole perf record (round 3 lost all timings to a single
+    # AnalysisException).  Failures are recorded as {"err": ...} entries
+    # alongside the successful timings.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in sorted(registry.QUERIES):
         fn = registry.QUERIES[name]
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
-        # Operators may persist() scratch subtrees (signature tables,
-        # exploded shingles); drop them so queries are timed independently
-        # instead of competing for storage memory.
-        spark.catalog.clearCache()
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count()
+        except Exception as exc:  # noqa: BLE001 — survive any one query
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
+        else:
+            timings[name] = round(time.perf_counter() - t0, 4)
+            print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        finally:
+            # Operators may persist() scratch subtrees (signature tables,
+            # exploded shingles); drop them so queries are timed
+            # independently instead of competing for storage memory.
+            spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     print(
@@ -51,6 +62,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "errors": errors,
                 "sf": float(sf),
             }
         )

@@ -31,18 +31,30 @@ EMBEDDING_DIM = 64  # testdata embedding dimension (reference uses 1536; dim is 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy Parquet scan of one testdata table.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects by default; we read it as INT64 nanos
-    (legacy conf, runtime-settable) and convert to a microsecond
-    timestamp — truncation, matching how DuckDB reads the same file.
+    ``events.ts`` has shipped in two physical encodings across fixture
+    generations, both normalized here to a session-tz TIMESTAMP so every
+    downstream consumer (``unix_micros``, ``withWatermark``, ``F.window``)
+    sees one type:
+
+    - parquet TIMESTAMP(NANOS): Spark's vectorized reader rejects it by
+      default; we read it as INT64 nanos (legacy conf, runtime-settable)
+      and truncate to microseconds — matching how DuckDB reads the file.
+    - parquet ``timestamp[us]`` (no tz): Spark infers TIMESTAMP_NTZ,
+      which event-time and epoch functions reject.  Under the session's
+      UTC timezone (session.py:48) a cast to TIMESTAMP is an exact
+      relabel of the same wall-clock instant — identical to DuckDB's
+      naive-timestamp reading — so no value shifts.
     """
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

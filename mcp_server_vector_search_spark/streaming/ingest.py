@@ -55,8 +55,14 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(_as_stream_dir(f"{sf_dir}/events.parquet"))
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # Same exact relabel as load_table: under the UTC session tz,
+        # NTZ→TIMESTAMP preserves the wall-clock instant, and event-time
+        # watermarks require TIMESTAMP.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     assert stream.schema == batch.schema
     return stream
 
