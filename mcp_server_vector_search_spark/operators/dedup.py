@@ -675,6 +675,14 @@ def _srp_candidate_pairs(emb: DataFrame) -> DataFrame:
         "vec_id",
         F.posexplode(F.array(*[f"b{t}" for t in range(SRP_TABLES)])).alias("t", "bk"),
     )
+    # Pin the bucket-join shuffle to the configured width: the join's
+    # CPU cost is quadratic in bucket occupancy while its shuffled BYTES
+    # are tiny (ids + two ints), so AQE's byte-based coalescing collapses
+    # it to one partition and serializes the pair expansion.  An explicit
+    # numPartitions is exempt from coalescing; hot-bucket skew is bounded
+    # by the band-bit count, not AQE (LSH's own knob).
+    n_shuffle = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    buckets = buckets.repartition(n_shuffle, "t", "bk")
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -698,9 +706,20 @@ def _embedding_lsh_lazy(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Da
 
     emb = load_or_build_srp_index(spark, sf_dir).persist()
     cand = _srp_candidate_pairs(emb)
-    ea = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("va"))
-    eb = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb"))
-    cos = dot("va", "vb") / F.nullif(l2_norm("va") * l2_norm("vb"), F.lit(0.0))
+    # Norms are computed once per ROW before the join (n traversals),
+    # not twice per candidate PAIR after it (2·|cand| traversals) — the
+    # per-pair expression is then the single dot-product traversal.
+    ea = emb.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("va"),
+        l2_norm("embedding").alias("na"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("vb"),
+        l2_norm("embedding").alias("nb"),
+    )
+    cos = dot("va", "vb") / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0))
     lazy = (
         cand.join(ea, "a_id")
         .join(eb, "b_id")

@@ -47,6 +47,13 @@ SCORE_DECIMALS = 6
 # more outer-loop iterations instead of materializing on the driver.
 GEMM_MAX_BROADCAST_BYTES = 256 * 1024 * 1024
 
+# Minimum probe rows per task when spreading a narrow scan: each task
+# pays ~50-100 ms of Python-worker + Arrow overhead, and a 4k-row block
+# against a broadcast slice is ~1 GFLOP of dgemm — about the same — so
+# smaller blocks are overhead-bound.  Only the small-scan spread path
+# uses this; wide scans keep their natural partitioning.
+GEMM_MIN_ROWS_PER_TASK = 4096
+
 
 def gemm_cosine_pairs(
     embeddings: DataFrame,
@@ -104,13 +111,16 @@ def gemm_cosine_pairs(
         sliced = base.withColumn("__slice", F.lit(0))
 
     margin = threshold - 10.0 ** (-decimals)
-    # Spread a narrow scan across cores before the CPU-bound kernel;
-    # pass wide scans through (a 100 TB probe side already has more
-    # splits than cores — repartitioning it would be a full shuffle).
-    if base.rdd.getNumPartitions() >= sc.defaultParallelism:
+    # Spread a narrow scan across cores before the CPU-bound kernel —
+    # but only to as many tasks as the row count can feed (a 2k-row
+    # probe across 32 tasks is pure per-task overhead).  Wide scans pass
+    # through (a 100 TB probe side already has more splits than cores —
+    # repartitioning it would be a full shuffle).
+    n_tasks = max(1, min(sc.defaultParallelism, math.ceil(n / GEMM_MIN_ROWS_PER_TASK)))
+    if base.rdd.getNumPartitions() >= n_tasks:
         probe = base
     else:
-        probe = base.repartition(sc.defaultParallelism)
+        probe = base.repartition(n_tasks)
     parts: list[DataFrame] = []
     for s in range(n_slices):
         rows = sliced.where(F.col("__slice") == s).select(id_col, "embedding").collect()
