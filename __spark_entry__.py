@@ -37,6 +37,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # fixed in sources/tables.py this round) — then the other event-time
 # queries whose ``ts`` normalization changed and must be re-verified.
 _NEVER_DRIVER_CHECKED = [
+    "hybrid_search_rrf",
     "agg_salted_skew",
     "agg_quantiles_exact",
     "agg_histogram_prices",

@@ -50,6 +50,7 @@ def load_all_operators() -> None:
         dedup,
         engine_queries,
         extensions,
+        hybrid,
         pipeline,
         pq,
         relational,

@@ -275,6 +275,19 @@ def test_sketches_aggregate_partially_before_merge(spark):
     assert "EvalPython" not in plan
 
 
+def test_hybrid_search_pools_are_top_k_not_global_sort(spark):
+    """Both retrieval legs must cut their candidate pool with
+    TakeOrderedAndProject (per-partition heaps); the only
+    single-partition windows are the rank numberings over the ≤20-row
+    pools — bounded input, not a scale cliff — and the corpus-wide
+    BM25/token aggregates must never funnel into one partition."""
+    from mcp_server_vector_search_spark.operators.hybrid import q_hybrid_search
+
+    plan = formatted_plan(q_hybrid_search(spark, SF_CORRECTNESS))
+    assert plan.count("TakeOrderedAndProject") >= 2  # one cut per leg
+    assert "EvalPython" not in plan  # BM25 + cosine stay JVM-side
+
+
 def test_embedding_cosine_composes_candidates_then_kernel(spark):
     """The registered semantic-dedup entry must be the composed
     candidates→verify plan (VERDICT r2 #3): id-only SRP candidate
