@@ -38,6 +38,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries whose ``ts`` normalization changed and must be re-verified.
 _NEVER_DRIVER_CHECKED = [
     "hybrid_search_rrf",
+    "chunk_documents_overlap",
     "agg_salted_skew",
     "agg_quantiles_exact",
     "agg_histogram_prices",

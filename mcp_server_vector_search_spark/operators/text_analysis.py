@@ -213,3 +213,67 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= TFIDF_TOP)
         .select("doc_id", "tok", "tfidf", "rnk")
     )
+
+
+# RAG-style chunking: fixed token windows with overlap.  64-token chunks
+# at a 48-token stride (25% overlap) is a common retrieval-chunking
+# default; both are parameters, not constants.
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+@register(
+    "chunk_documents_overlap",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tokens,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, tokens, n, unnest(generate_series(0, n - 1, {CHUNK_STRIDE})) AS s
+  FROM toks
+)
+SELECT doc_id,
+       CAST(s / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       array_to_string(tokens[s + 1 : s + {CHUNK_TOKENS}], ' ') AS chunk_text,
+       CAST(LEAST({CHUNK_TOKENS}, n - s) AS INTEGER) AS n_tokens
+FROM starts
+""",
+)
+def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunks with document provenance — the
+    splitting stage every RAG/embedding ingest runs before embedding
+    (the reference's corpus arrives pre-chunked into ``description``
+    nodes; this is the operator that produces such a corpus at 100 TB).
+
+    Row-local: tokenize once, explode the stride-spaced start offsets,
+    slice each window from the SAME token array — no shuffle at all,
+    the whole operator runs in the scan stage.  Chunk count per doc is
+    ceil(n/stride), so output size is input·(chunk/stride) and the
+    explode is bounded per row.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.split("text", " ").alias("tokens"),
+        F.size(F.split("text", " ")).alias("n"),
+    )
+    starts = toks.select(
+        "doc_id",
+        "tokens",
+        "n",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(CHUNK_STRIDE))
+        ).alias("s"),
+    )
+    return starts.select(
+        "doc_id",
+        (F.col("s") / CHUNK_STRIDE).cast("long").alias("chunk_id"),
+        F.array_join(
+            F.slice("tokens", F.col("s") + 1, CHUNK_TOKENS), " "
+        ).alias("chunk_text"),
+        F.least(F.lit(CHUNK_TOKENS), F.col("n") - F.col("s"))
+        .cast("int")
+        .alias("n_tokens"),
+    )

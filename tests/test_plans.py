@@ -288,6 +288,19 @@ def test_hybrid_search_pools_are_top_k_not_global_sort(spark):
     assert "EvalPython" not in plan  # BM25 + cosine stay JVM-side
 
 
+def test_chunking_is_shuffle_free(spark):
+    """Overlapping chunking is row-local (tokenize → explode offsets →
+    slice): the whole operator must run in the scan stage with zero
+    exchanges and no Python."""
+    from mcp_server_vector_search_spark.operators.text_analysis import (
+        chunk_documents_overlap,
+    )
+
+    plan = formatted_plan(chunk_documents_overlap(spark, SF_CORRECTNESS))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
 def test_embedding_cosine_composes_candidates_then_kernel(spark):
     """The registered semantic-dedup entry must be the composed
     candidates→verify plan (VERDICT r2 #3): id-only SRP candidate
