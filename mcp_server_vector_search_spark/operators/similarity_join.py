@@ -221,31 +221,86 @@ def pairwise_cosine_verify(
     """Verify stage for an id-pair candidate set: exact rounded cosine
     scored with ONE vectorized numpy kernel per Arrow batch.
 
-    Candidates carry only (a_id, b_id); the two id-joins ship vectors
-    for candidate ids only (AQE sizes the build side).  Each batch then
-    computes all its row-wise dots as ``(A*B).sum(1)`` — dense algebra
-    instead of a per-pair interpreted HOF expression, the same reason
-    ``gemm_cosine_pairs`` uses dgemm.  Rounding/threshold are applied
-    JVM-side with ``F.round`` so HALF_UP semantics match the oracle."""
-    ea = vectors.select(F.col(id_col).alias("a_id"), F.col("embedding").alias("va"))
-    eb = vectors.select(F.col(id_col).alias("b_id"), F.col("embedding").alias("vb"))
-    joined = cand.join(ea, "a_id").join(eb, "b_id")
+    Candidates carry only (a_id, b_id).  When the whole vector table
+    fits one broadcast slice (``GEMM_MAX_BROADCAST_BYTES`` — the same
+    bound the blocked-GEMM join uses), it is collected once and torrent-
+    broadcast, and the candidate stream stays BARE ID PAIRS end to end:
+    16 bytes per pair through Arrow instead of two embedded vectors
+    (~2·8·dim — a ~65× Arrow-volume cut at dim 64).  Above the bound,
+    the two id-joins ship vectors for candidate ids only (AQE sizes the
+    build side).  Either way each batch computes its row-wise dots as
+    ``(A*B).sum(1)`` — dense algebra instead of a per-pair interpreted
+    HOF expression, the same reason ``gemm_cosine_pairs`` uses dgemm.
+    Rounding/threshold are applied JVM-side with ``F.round`` so HALF_UP
+    semantics match the oracle."""
+    base = vectors.select(F.col(id_col).alias("__vid"), "embedding")
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"), F.first(F.size("embedding")).alias("d")
+    ).first()
+    n, dim = stats["n"], stats["d"]
+    fits = n is not None and dim is not None and (
+        n * (8 * dim + 16) <= GEMM_MAX_BROADCAST_BYTES
+    )
 
-    def score(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            A = np.stack(pdf["va"].to_numpy()).astype(np.float64)
-            B = np.stack(pdf["vb"].to_numpy()).astype(np.float64)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                sims = (A * B).sum(axis=1) / (
-                    np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+    if fits:
+        rows = base.collect()
+        ids = np.asarray([r[0] for r in rows], dtype=np.int64)
+        M = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
+        order = np.argsort(ids)
+        ids, M = ids[order], M[order]
+        norms = np.linalg.norm(M, axis=1)
+        bc = vectors.sparkSession.sparkContext.broadcast((ids, M, norms))
+
+        def score_ids(batches):
+            vid, mat, nrm = bc.value
+
+            def lookup(col):
+                idx = np.clip(np.searchsorted(vid, col), 0, len(vid) - 1)
+                return idx, vid[idx] == col
+
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                a = pdf["a_id"].to_numpy(dtype=np.int64)
+                b = pdf["b_id"].to_numpy(dtype=np.int64)
+                ai, ok_a = lookup(a)
+                bi, ok_b = lookup(b)
+                # inner-join semantics: pairs naming an unknown id are
+                # dropped, exactly as the id-join path would drop them
+                keep = ok_a & ok_b
+                ai, bi, a, b = ai[keep], bi[keep], a[keep], b[keep]
+                A, B = mat[ai], mat[bi]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sims = (A * B).sum(axis=1) / (nrm[ai] * nrm[bi])
+                yield pd.DataFrame({"a_id": a, "b_id": b, "__raw": sims})
+
+        pairs = cand.select("a_id", "b_id").mapInPandas(
+            score_ids, "a_id long, b_id long, __raw double"
+        )
+    else:
+        ea = vectors.select(
+            F.col(id_col).alias("a_id"), F.col("embedding").alias("va")
+        )
+        eb = vectors.select(
+            F.col(id_col).alias("b_id"), F.col("embedding").alias("vb")
+        )
+        joined = cand.join(ea, "a_id").join(eb, "b_id")
+
+        def score(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                A = np.stack(pdf["va"].to_numpy()).astype(np.float64)
+                B = np.stack(pdf["vb"].to_numpy()).astype(np.float64)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sims = (A * B).sum(axis=1) / (
+                        np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+                    )
+                yield pd.DataFrame(
+                    {"a_id": pdf["a_id"], "b_id": pdf["b_id"], "__raw": sims}
                 )
-            yield pd.DataFrame(
-                {"a_id": pdf["a_id"], "b_id": pdf["b_id"], "__raw": sims}
-            )
 
-    pairs = joined.mapInPandas(score, "a_id long, b_id long, __raw double")
+        pairs = joined.mapInPandas(score, "a_id long, b_id long, __raw double")
     scored = pairs.withColumn("cos_sim", F.round("__raw", decimals)).where(
         F.col("cos_sim").isNotNull()
     )
