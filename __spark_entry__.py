@@ -39,6 +39,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _NEVER_DRIVER_CHECKED = [
     "hybrid_search_rrf",
     "chunk_documents_overlap",
+    "ann_ivfpq_topk",
     "agg_salted_skew",
     "agg_quantiles_exact",
     "agg_histogram_prices",

@@ -51,6 +51,7 @@ def load_all_operators() -> None:
         engine_queries,
         extensions,
         hybrid,
+        ivfpq,
         pipeline,
         pq,
         relational,

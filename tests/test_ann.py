@@ -3,6 +3,7 @@ are judged by recall@k against the exact top-k, not by an SQL oracle."""
 
 from __future__ import annotations
 
+import re
 import tempfile
 
 from pyspark.sql import functions as F
@@ -179,3 +180,21 @@ def test_srp_bucket_bit_identity_across_engines(spark):
     duck_buckets = {r[0]: list(r[1:]) for r in duck_rows}
 
     assert spark_buckets == py_buckets == duck_buckets
+
+
+def test_ivfpq_recall_and_pruning(spark):
+    """IVF-PQ composition: recall@10 vs exact must hold with BOTH
+    approximations stacked, and the probe scan must carry the
+    centroid_id partition filter (pruned cells are never read)."""
+    from mcp_server_vector_search_spark.operators import ivfpq
+    from mcp_server_vector_search_spark.plans.explain import formatted_plan
+
+    truth = set(exact_topk_ids(spark, SF_CORRECTNESS))
+    df = ivfpq.q_ann_ivfpq_topk(spark, SF_CORRECTNESS)
+    got = {r.vec_id for r in df.collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.9, f"IVF-PQ recall@10 = {recall}"
+
+    plan = formatted_plan(df)
+    assert re.search(r"PartitionFilters:.*centroid_id", plan)
+    assert "EvalPython" not in plan  # ADC + re-rank stay JVM-side
