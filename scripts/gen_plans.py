@@ -135,6 +135,26 @@ SHOWCASE = [
         "non-equi residual; the order-date slice reaches `PushedFilters` "
         "before the join.",
     ),
+    (
+        "ann_ivfpq_topk",
+        "IVF-PQ composition: `PartitionFilters` prunes to the nprobe "
+        "cells AND the pruned scan reads only the byte-scale codes "
+        "column; float vectors are read once, for the exact re-rank "
+        "pool join.",
+    ),
+    (
+        "hybrid_search_rrf",
+        "Both retrieval legs cut their pools with "
+        "`TakeOrderedAndProject` (per-partition heaps); BM25's "
+        "term-frequency explode filters to the query terms before any "
+        "shuffle, and corpus stats broadcast as 1-row builds.",
+    ),
+    (
+        "chunk_documents_overlap",
+        "Overlapping RAG chunking is row-local: tokenize once, explode "
+        "stride offsets, slice from the same token array — zero "
+        "Exchange operators in the whole plan.",
+    ),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the scale design
