@@ -40,6 +40,7 @@ _NEVER_DRIVER_CHECKED = [
     "hybrid_search_rrf",
     "chunk_documents_overlap",
     "ann_ivfpq_topk",
+    "text_repetition_scores",
     "agg_salted_skew",
     "agg_quantiles_exact",
     "agg_histogram_prices",

@@ -277,3 +277,80 @@ def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("n_tokens"),
     )
+
+
+@register(
+    "text_repetition_scores",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS tokens,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+g AS (
+  SELECT doc_id, tokens, n,
+         list_transform(range(1, n - 1),
+                        i -> array_to_string(tokens[i : i + 2], ' ')) AS grams
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN len(grams) > 0
+            THEN ROUND(1.0 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE), {R})
+            ELSE 0.0 END AS rep_3gram,
+       CASE WHEN n > 0
+            THEN ROUND(list_max(list_transform(list_distinct(tokens),
+                     tt -> len(list_filter(tokens, x -> x = tt))))
+                 / CAST(n AS DOUBLE), {R})
+            ELSE 0.0 END AS top_token_ratio
+FROM g
+""",
+)
+def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals — the Gopher/C4-style quality
+    rules the corpus gates run alongside length/stopword checks
+    (covered by ``text_quality_scores``): the duplicate-3-gram ratio
+    (1 − distinct/total) and the most-frequent-token dominance ratio.
+
+    Entirely row-local array algebra (transform/slice/array_distinct/
+    filter over one tokenize) — like chunking, the operator runs in the
+    scan stage with zero exchanges; per-row cost is O(distinct·n) on
+    bounded documents.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    base = d.select("doc_id", toks.alias("tokens"), F.size(toks).alias("n"))
+    # Guarded: Spark's sequence(1, n-2) DESCENDS when n < 3 (DuckDB's
+    # range() is empty there), so short docs get an explicit empty list.
+    grams = F.when(
+        F.col("n") >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.col("n") - 2),
+            lambda i: F.array_join(F.slice("tokens", i, 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = base.withColumn("grams", grams)
+    rep = F.when(
+        F.size("grams") > 0,
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct("grams"))
+            / F.size("grams").cast("double"),
+            R,
+        ),
+    ).otherwise(F.lit(0.0))
+    top = F.when(
+        F.col("n") > 0,
+        F.round(
+            F.array_max(
+                F.transform(
+                    F.array_distinct("tokens"),
+                    lambda tt: F.size(F.filter("tokens", lambda x: x == tt)),
+                )
+            )
+            / F.col("n").cast("double"),
+            R,
+        ),
+    ).otherwise(F.lit(0.0))
+    return g.select(
+        "doc_id", rep.alias("rep_3gram"), top.alias("top_token_ratio")
+    )
