@@ -147,8 +147,17 @@ def build_ivf_index(
 def write_ivf_index(assigned: DataFrame, path: str) -> None:
     """Materialize the IVF layout: parquet partitioned by centroid_id.
     At 100 TB this is the index build job; the partitioning is what the
-    query-time pruning keys on."""
-    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    query-time pruning keys on.
+
+    The repartition on the partition column aligns write tasks with
+    cells — without it every one of W writer tasks emits a file into
+    every cell directory (W×cells small files; a probe then opens
+    W×nprobe footers).  At 100 TB the same discipline applies with a
+    (centroid_id, file_slot) compound to keep per-cell files at HDFS
+    block size rather than one giant file."""
+    assigned.repartition("centroid_id").write.mode("overwrite").partitionBy(
+        "centroid_id"
+    ).parquet(path)
 
 
 # Built indexes are offline artifacts reused across queries (the
@@ -172,7 +181,7 @@ def load_or_build_ivf_index(
     reference's index DDL vs its per-query ``queryNodes`` call.  The
     centroids file is written LAST so a half-built cache is never read.
     """
-    tag = hashlib.md5(f"{sf_dir}:{n_centroids}:{seed}:v2".encode()).hexdigest()[:12]
+    tag = hashlib.md5(f"{sf_dir}:{n_centroids}:{seed}:v3".encode()).hexdigest()[:12]
     root = _INDEX_CACHE_ROOT / tag
     meta, data = root / "centroids.json", root / "data"
     if meta.exists():

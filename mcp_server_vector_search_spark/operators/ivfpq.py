@@ -73,7 +73,7 @@ def load_or_build_ivfpq_index(
     corpus pass computes assignment + codes together, map-side only.
     Metadata is written LAST so a half-built cache is never read."""
     tag = hashlib.md5(
-        f"{sf_dir}:{N_CENTROIDS}:{IVF_SEED}:{M_SUBSPACES}:{K_CODEWORDS}:v1".encode()
+        f"{sf_dir}:{N_CENTROIDS}:{IVF_SEED}:{M_SUBSPACES}:{K_CODEWORDS}:v2".encode()
     ).hexdigest()[:12]
     root = _IVFPQ_CACHE_ROOT / tag
     meta, data = root / "meta.json", root / "data"
@@ -92,7 +92,11 @@ def load_or_build_ivfpq_index(
     coded = _encode(unit, books).join(
         unit.select("vec_id", "centroid_id"), "vec_id"
     )
-    coded.write.mode("overwrite").partitionBy("centroid_id").parquet(str(data))
+    # repartition on the partition column: one writer task per cell, so
+    # the layout is cells files, not writers×cells (see write_ivf_index)
+    coded.repartition("centroid_id").write.mode("overwrite").partitionBy(
+        "centroid_id"
+    ).parquet(str(data))
     meta.write_text(json.dumps({"cents": cents, "books": books}))
     return spark.read.parquet(str(data)), cents, books
 
