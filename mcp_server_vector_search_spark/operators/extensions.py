@@ -81,11 +81,14 @@ def udaf_grouped_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Python UDTF ------------------------------------------------------------
 
-@F.udtf(returnType="pos int, tok string")
+@F.udtf(returnType="pos int, tok string", useArrow=True)
 class _TokenizeUDTF:
     """Generative table function: one (position, token) row per token.
     The UDTF registration path (Spark 4) — semantically ``posexplode``
-    over a split, which is what the oracle uses to check it."""
+    over a split, which is what the oracle uses to check it.  Arrow
+    eval (``useArrow=True`` → ArrowEvalPythonUDTF) so even the demo
+    UDTF honors the no-row-at-a-time-pickle policy the plan lint
+    enforces (tests/test_plan_lint.py)."""
 
     def eval(self, text: str):
         if text is None:

@@ -1,0 +1,88 @@
+"""Global plan lint: every registered query's physical plan, one set of
+scale rules.
+
+The per-operator tests in test_plans.py pin specific shapes; this is
+the wholesale regression net — ANY registered query that silently picks
+up a scale anti-pattern (a cartesian product, a row-at-a-time Python
+eval, an unexpected nested-loop join) fails here, including queries
+added in future rounds that never got a bespoke plan test.
+
+Known-bounded exceptions are whitelisted BY NAME with the reason, so a
+new violation is a test failure, not a silent grandfathering.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mcp_server_vector_search_spark import registry
+from mcp_server_vector_search_spark.plans.explain import formatted_plan
+
+from .conftest import SF_CORRECTNESS
+
+registry.load_all_operators()
+
+# 1-row or k-row literal sides: a nested-loop/cross join against a
+# bounded build is the standard "attach a scalar to every row" shape.
+BNLJ_OK = {
+    "flagship_topk_cosine",  # 1-row query-vector side (topk.py:60)
+    "vector_scores_all",  # same 1-row query vector
+    "vector_distance_library",  # same
+    "topk_per_query_batch",  # k-row query batch, broadcast
+    "semantic_search_hash_embedder",  # 1-row embedded prompt
+    "engine_search_e2e",  # 1-row embedded prompt via the facade
+    "ann_lsh_topk",  # 1-row bucket literal probe
+    "timeseries_resample_ffill",  # 1-row (min,max) grid bounds
+    "timeseries_interpolate_linear",  # same
+    "q11_important_parts",  # 1-row global-sum scalar
+    "q15_top_supplier",  # 1-row max-revenue scalar
+    "q17_small_quantity_avg",  # per-part avg is equi-joined; global guard is 1-row
+    "q22_idle_customers",  # 1-row global-avg scalar
+    "subquery_correlated_above_avg",  # decorrelated 1-row average
+    "hybrid_search_rrf",  # 1-row corpus stats (N, avgdl)
+    "q14_promo_revenue",  # 1-row denominator scalar
+    "q8_market_share",  # 1-row denominators
+    "sessionize_users",  # 1-row session-count scalar join
+    "empty_result_guard",  # 0/1-row guard by construction
+    "dedup_editdistance_pairs",  # banded: length-band equi key + residual
+    "join_range_funnel",  # interval join: equi user key + range residual
+    "join_asof_latest_order",  # as-of: union carry-forward, bounded probe
+    "rows_as_json",  # k-row serialization demo
+    "decontaminate_ngram_overlap",  # bounded eval-set broadcast probe
+    "chunk_documents_overlap",  # no join at all; listed defensively
+    "sort_global_rank",  # 32-row per-range-partition offset table broadcast
+}
+
+# Arrow-batched Python (ArrowEvalPython / MapInPandas /
+# FlatMapGroupsInPandas) is the sanctioned Python path; these queries
+# use it by design.  Row-at-a-time BatchEvalPython is never allowed.
+ARROW_OK = {
+    "udf_scalar_pandas",
+    "udaf_grouped_geomean",
+    "udtf_tokenize",
+    "similarity_join_threshold",
+    "dedup_embedding_cosine",
+    "semantic_search_hash_embedder",
+    "engine_search_e2e",
+    "multimodal_frame_sample",
+    "multimodal_metadata",
+}
+
+
+@pytest.mark.parametrize("name", sorted(registry.QUERIES))
+def test_plan_scale_lint(spark, name):
+    plan = formatted_plan(registry.QUERIES[name](spark, SF_CORRECTNESS))
+
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    if "BroadcastNestedLoopJoin" in plan:
+        assert name in BNLJ_OK, (
+            f"{name}: BroadcastNestedLoopJoin outside the bounded-side "
+            "whitelist — add a bespoke justification or fix the join"
+        )
+    # row-at-a-time Python is never acceptable
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+    if "ArrowEvalPython" in plan or "MapInPandas" in plan or "FlatMapGroupsInPandas" in plan:
+        assert name in ARROW_OK, (
+            f"{name}: unexpected Python stage — whitelist it with a "
+            "reason if the Python is intentional"
+        )
