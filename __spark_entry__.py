@@ -41,6 +41,7 @@ _NEVER_DRIVER_CHECKED = [
     "chunk_documents_overlap",
     "ann_ivfpq_topk",
     "text_repetition_scores",
+    "text_inverted_conjunctive",
     "agg_salted_skew",
     "agg_quantiles_exact",
     "agg_histogram_prices",

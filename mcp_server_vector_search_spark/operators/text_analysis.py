@@ -354,3 +354,66 @@ def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "doc_id", rep.alias("rep_3gram"), top.alias("top_token_ratio")
     )
+
+
+# Conjunctive query terms: the engine's canonical prompt (ann.PROMPT_TEXT),
+# imported lazily to avoid a module cycle at registration time.
+def _prompt_terms() -> tuple[str, ...]:
+    from .ann import PROMPT_TEXT
+
+    return tuple(dict.fromkeys(PROMPT_TEXT.split(" ")))
+
+
+def _inverted_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _prompt_terms())
+    n_terms = len(_prompt_terms())
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+postings AS (
+  SELECT tok, list_sort(list(doc_id)) AS plist, COUNT(*) AS df
+  FROM toks GROUP BY tok
+),
+hits AS (
+  SELECT unnest(plist) AS doc_id, tok FROM postings WHERE tok IN ({terms})
+)
+SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_terms
+FROM hits GROUP BY doc_id HAVING COUNT(*) = {n_terms}
+"""
+
+
+@register("text_inverted_conjunctive", oracle=_inverted_oracle())
+def text_inverted_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build + conjunctive (AND) term query — the text
+    counterpart of the IVF principle that the LAYOUT is the index: the
+    posting table (token → sorted doc-id list + document frequency) is
+    the materialization a 100 TB lexical store writes once, bucketed by
+    token, and every boolean/BM25 query afterwards probes O(query
+    terms) posting rows instead of scanning the corpus.
+
+    Build: one distinct-token explode → per-token hash agg (map-side
+    combined; the shuffle is O(vocab), not O(tokens) — same argument as
+    ``word_freq_topn``).  Query: the prompt's terms select their
+    posting rows, re-explode, and an exact-count HAVING keeps docs
+    containing ALL terms.  The registered query runs build+query in one
+    plan; with the postings parquet materialized, only the query stages
+    remain.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    terms = _prompt_terms()
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    postings = toks.groupBy("tok").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("plist"),
+        F.count(F.lit(1)).alias("df"),
+    )
+    hits = postings.where(F.col("tok").isin(*terms)).select(
+        F.explode("plist").alias("doc_id")
+    )
+    return (
+        hits.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_terms"))
+        .where(F.col("n_terms") == len(terms))
+    )
