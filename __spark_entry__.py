@@ -42,6 +42,8 @@ _NEVER_DRIVER_CHECKED = [
     "ann_ivfpq_topk",
     "text_repetition_scores",
     "text_inverted_conjunctive",
+    "split_train_val_test",
+    "dedup_incremental_exact",
     "agg_salted_skew",
     "agg_quantiles_exact",
     "agg_histogram_prices",

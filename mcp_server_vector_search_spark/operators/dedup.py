@@ -802,3 +802,62 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = lazy.localCheckpoint(eager=True)
     emb.unpersist()
     return out
+
+
+# Incremental dedup: the new batch is the top ~20% of the doc-id range
+# (a deterministic stand-in for "today's crawl"); everything below is
+# the already-deduplicated corpus.
+INCR_NEW_FRACTION = 0.8  # cut = 0.8 · max(doc_id)
+
+
+@register(
+    "dedup_incremental_exact",
+    oracle="""
+WITH fps AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+           AS fp
+  FROM documents
+),
+cut AS (SELECT CAST(0.8 * MAX(doc_id) AS BIGINT) AS c FROM documents),
+old AS (
+  SELECT fp, MIN(doc_id) AS dup_of
+  FROM fps, cut WHERE doc_id < c GROUP BY fp
+),
+new_batch AS (SELECT doc_id, fp FROM fps, cut WHERE doc_id >= c)
+SELECT n.doc_id AS new_doc, o.dup_of, n.fp
+FROM new_batch n JOIN old o USING (fp)
+""",
+)
+def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: new-batch documents whose bag
+    fingerprint already exists in the corpus, WITHOUT re-deduplicating
+    the corpus — the shape every rolling ingest runs (today's crawl vs
+    the accumulated store).
+
+    The corpus side reduces to one fingerprint aggregate (min doc id
+    per bag-fp — O(distinct fps) shuffle, map-side combined); the new
+    batch is the small side by construction, so AQE broadcasts it and
+    the corpus is never re-shuffled by the join.  At 100 TB the corpus
+    fingerprint table is the persisted artifact this operator reads
+    instead of recomputing (same build-once discipline as the ANN
+    indexes); recomputing it here keeps the registered query
+    self-contained.
+    """
+    from ..functions.text import bag_signature
+
+    d = load_table(spark, sf_dir, "documents")
+    fps = d.select("doc_id", F.md5(bag_signature(F.col("text"))).alias("fp"))
+    cut = d.agg(
+        (F.lit(INCR_NEW_FRACTION) * F.max("doc_id")).cast("long").alias("c")
+    )
+    fps_cut = fps.crossJoin(F.broadcast(cut))
+    old = (
+        fps_cut.where(F.col("doc_id") < F.col("c"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("dup_of"))
+    )
+    new_batch = fps_cut.where(F.col("doc_id") >= F.col("c")).select(
+        F.col("doc_id").alias("new_doc"), "fp"
+    )
+    return new_batch.join(old, "fp").select("new_doc", "dup_of", "fp")

@@ -236,3 +236,54 @@ def sample_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= SAMPLE_K_PER_GROUP)
         .select("lang", "doc_id", "n_chars")
     )
+
+
+# Deterministic corpus split: md5 of the row key buckets into 256 cells;
+# cells [0,204) → train (~80%), [204,230) → val (~10%), rest → test.
+SPLIT_TRAIN_CELLS = 204
+SPLIT_VAL_CELLS = 230
+
+
+@register(
+    "split_train_val_test",
+    oracle=f"""
+WITH cells AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER) AS cell
+  FROM documents
+)
+SELECT CASE WHEN cell < {SPLIT_TRAIN_CELLS} THEN 'train'
+            WHEN cell < {SPLIT_VAL_CELLS} THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM cells GROUP BY 1
+""",
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic, exclusive train/val/test assignment — every
+    training pipeline's first partitioning decision.  The md5-cell
+    device is the same engine-stable hash the deterministic sampler
+    uses (``sample_hash_deterministic``): identical on every engine,
+    cluster size, and retry, and a document can never change split when
+    the corpus grows (assignment depends only on its own key).
+    Row-local expression → scan-stage decision, no shuffle beyond the
+    reporting aggregate; writing the three splits is the same plan with
+    a partitioned sink on ``split``."""
+    d = load_table(spark, sf_dir, "documents")
+    cell = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast("int")
+    split = (
+        F.when(cell < SPLIT_TRAIN_CELLS, "train")
+        .when(cell < SPLIT_VAL_CELLS, "val")
+        .otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )

@@ -51,6 +51,7 @@ BNLJ_OK = {
     "decontaminate_ngram_overlap",  # bounded eval-set broadcast probe
     "chunk_documents_overlap",  # no join at all; listed defensively
     "sort_global_rank",  # 32-row per-range-partition offset table broadcast
+    "dedup_incremental_exact",  # 1-row corpus-cut scalar broadcast
 }
 
 # Arrow-batched Python (ArrowEvalPython / MapInPandas /
