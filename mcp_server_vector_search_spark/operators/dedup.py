@@ -801,6 +801,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     lazy, emb = _embedding_cosine_lazy(spark, sf_dir)
     out = lazy.localCheckpoint(eager=True)
     emb.unpersist()
+    # The verify kernel's vector broadcast is no longer referenced by the
+    # checkpointed plan — free it so repeated calls don't accumulate.
+    from .similarity_join import release_pending_broadcasts
+
+    release_pending_broadcasts()
     return out
 
 
@@ -819,7 +824,7 @@ WITH fps AS (
            AS fp
   FROM documents
 ),
-cut AS (SELECT CAST(0.8 * MAX(doc_id) AS BIGINT) AS c FROM documents),
+cut AS (SELECT CAST(FLOOR(0.8 * MAX(doc_id)) AS BIGINT) AS c FROM documents),
 old AS (
   SELECT fp, MIN(doc_id) AS dup_of
   FROM fps, cut WHERE doc_id < c GROUP BY fp
@@ -848,8 +853,11 @@ def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     fps = d.select("doc_id", F.md5(bag_signature(F.col("text"))).alias("fp"))
+    # Explicit floor on BOTH sides (Spark here, FLOOR in the oracle SQL):
+    # a bare cast-to-long truncates in Spark but rounds in DuckDB, so the
+    # new/old boundary would diverge whenever the fraction is >= 0.5.
     cut = d.agg(
-        (F.lit(INCR_NEW_FRACTION) * F.max("doc_id")).cast("long").alias("c")
+        F.floor(F.lit(INCR_NEW_FRACTION) * F.max("doc_id")).cast("long").alias("c")
     )
     fps_cut = fps.crossJoin(F.broadcast(cut))
     old = (

@@ -1,4 +1,4 @@
-"""IVF-PQ: partition-pruned cells scanned by compressed codes.
+"""IVF-PQ: partition-pruned cells scanned by compressed RESIDUAL codes.
 
 The classic composed ANN index (Jégou/Douze/Schmid 2011's IVFADC, the
 default FAISS serving shape): the coarse quantizer bounds WHAT is read
@@ -9,27 +9,44 @@ operators/pq.py).  At 100 TB the two multiply: a probe touches
 ``nprobe/n_centroids`` of the corpus at ``M/(8·dim)`` of the bytes,
 and the only float-vector reads are the ``rerank``-row exact pool.
 
-This module is pure composition — the quantizer, codebooks, encode
-expression, ADC lookup, and probe selection are the SAME functions the
-standalone IVF and PQ operators use (same seeds, same rounding, same
-tie-breaks), so the oracle is the two proven oracle fragments chained:
-assign → encode → probed ADC → exact re-rank.  Codes here encode the
-normalized vector itself, not the cell residual; residual encoding is
-the upstream refinement (FAISS's default) and would only change the
-training/encode fragments, not the layout or query shape.
+Codes encode the CELL RESIDUAL ``r = û − c_cell`` (FAISS's IVFADC
+default), not the raw unit vector: residuals concentrate near the
+origin so the shared codebooks spend their 16 codewords per subspace on
+a much tighter distribution — strictly better quantization error (and
+recall) at the same M.  The approximate score decomposes exactly:
+
+    ⟨q̂, û⟩ = ⟨q̂, c_cell⟩ + ⟨q̂, r⟩ ≈ offset[cell] + Σ_m lut[m][code_m]
+
+so query time adds ONE per-cell constant (n_centroids driver-side dot
+products) to the same M-lookup ADC sum; the scan shape, layout, and
+re-rank are unchanged from the non-residual form.
+
+This module is pure composition — the quantizer, encode expression,
+ADC lookup, and probe selection are the SAME functions the standalone
+IVF and PQ operators use (same seeds, same rounding, same tie-breaks),
+so the oracle is the two proven oracle fragments chained: assign →
+residual → encode → probed ADC+offset → exact re-rank.
 """
 
 from __future__ import annotations
 
 import hashlib
 import json
+import math
 from pathlib import Path
 from typing import Sequence
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.train import ORACLE_SF_DIR, load_sorted_vectors, sql_float, sql_floats
+from ..functions.train import (
+    ORACLE_SF_DIR,
+    kmeans,
+    load_sorted_vectors,
+    sql_float,
+    sql_floats,
+)
 from ..functions.vector import l2_normalize, matrix_lit, neo4j_score
 from ..registry import register
 from ..sources.tables import load_table
@@ -43,23 +60,68 @@ from .ann import (
     train_centroids,
 )
 from .pq import (
+    DIM,
     DIST_DECIMALS,
     K,
     K_CODEWORDS,
+    KMEANS_ITERS,
     M_SUBSPACES,
     RERANK_POOL,
+    SEED,
     SUB_DIM,
     TRAIN_SAMPLE,
     _adc_lut,
     _codeword_norms2,
     _encode,
     _sorted_sample,
-    _train_codebooks,
     cached_query_vector,
 )
 from .topk import QUERY_VEC_ID, SCORE_DECIMALS
 
 _IVFPQ_CACHE_ROOT = Path(__file__).resolve().parents[2] / ".cache" / "ivfpq"
+
+
+def _train_residual_codebooks(sample_vectors, cents, seed: int = SEED):
+    """Per-subspace k-means over the sample's CELL RESIDUALS.
+
+    Deterministic numpy, driver-side, bounded sample — same training
+    discipline as ``pq._train_codebooks``, but the training points are
+    ``û − c_assign(û)``: assignment replicates the engine's rule
+    (rounded unit-sphere cosine, first-max = lowest cid on ties).  The
+    books are a MODEL shared verbatim between the Spark literals and
+    the oracle literals, so bit-equality between this numpy assignment
+    and the JVM assignment is not load-bearing — determinism is."""
+    x = np.asarray(sample_vectors, dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    C = np.asarray(cents, dtype=np.float64)
+    sims = np.round(x @ C.T, ASSIGN_DECIMALS)
+    res = x - C[sims.argmax(axis=1)]  # argmax = first max = lowest cid
+    books = []
+    for m in range(M_SUBSPACES):
+        sub = res[:, m * SUB_DIM : (m + 1) * SUB_DIM]
+        centers = kmeans(sub, K_CODEWORDS, KMEANS_ITERS, seed)
+        books.append([[float(v) for v in c] for c in centers])
+    return books
+
+
+def _cell_offsets(query_vec: Sequence[float], cents) -> list[float]:
+    """offset[cid] = ⟨q̂, c_cid⟩ for EVERY cell — n_centroids sequential
+    driver-side dot products, shared verbatim with the oracle literals."""
+    n = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+    q = [x / n for x in query_vec]
+    return [
+        sum(q[d] * c[d] for d in range(len(q)))
+        for c in cents
+    ]
+
+
+def _residual_expr(cents) -> F.Column:
+    """``û − c_cell`` as a pure JVM zip_with over the literal centroid
+    matrix, indexed by the row's ``centroid_id`` — map-side only, runs
+    once at index build."""
+    cent_lit = matrix_lit(cents)
+    cell = F.element_at(cent_lit, F.col("centroid_id").cast("int") + 1)
+    return F.zip_with(F.col("__unit"), cell, lambda a, b: a - b)
 
 
 def load_or_build_ivfpq_index(
@@ -70,10 +132,16 @@ def load_or_build_ivfpq_index(
 
     Both models train on the same sorted bounded sample as their
     standalone operators (the FAISS sampling discipline); the one full
-    corpus pass computes assignment + codes together, map-side only.
-    Metadata is written LAST so a half-built cache is never read."""
+    corpus pass computes assignment + residual + codes together,
+    map-side only.  Metadata is written LAST so a half-built cache is
+    never read."""
+    # The tag names every constant that determines the persisted model:
+    # TRAIN_SAMPLE drives the trained centroids/codebooks in meta.json,
+    # so changing it must invalidate the cache (ADVICE r4).  "res:v3"
+    # marks the residual-encoding generation.
     tag = hashlib.md5(
-        f"{sf_dir}:{N_CENTROIDS}:{IVF_SEED}:{M_SUBSPACES}:{K_CODEWORDS}:v2".encode()
+        f"{sf_dir}:{N_CENTROIDS}:{IVF_SEED}:{M_SUBSPACES}:{K_CODEWORDS}:"
+        f"{TRAIN_SAMPLE}:res:v3".encode()
     ).hexdigest()[:12]
     root = _IVFPQ_CACHE_ROOT / tag
     meta, data = root / "meta.json", root / "data"
@@ -83,13 +151,16 @@ def load_or_build_ivfpq_index(
     emb = load_table(spark, sf_dir, "embeddings")
     _, vecs = _sorted_sample(emb, TRAIN_SAMPLE)
     cents = train_centroids(vecs)
-    books = _train_codebooks(vecs)
+    books = _train_residual_codebooks(vecs, cents)
     unit = emb.select(
         "vec_id",
         assignment_expr(cents).alias("centroid_id"),
         l2_normalize("embedding").alias("__unit"),
     )
-    coded = _encode(unit, books).join(
+    resid = unit.select(
+        "vec_id", "centroid_id", _residual_expr(cents).alias("__unit")
+    )
+    coded = _encode(resid, books).join(
         unit.select("vec_id", "centroid_id"), "vec_id"
     )
     # repartition on the partition column: one writer task per cell, so
@@ -112,16 +183,20 @@ def ivfpq_topk(
     rerank: int = RERANK_POOL,
 ) -> DataFrame:
     """Probed-ADC query: partition-prune to nprobe cells, rank the
-    pruned CODES by the ADC table, exact-re-rank the pool."""
+    pruned CODES by ``offset[cell] + Σ lut[m][code]``, exact-re-rank
+    the pool."""
     probes = nearest_centroids(query_vec, cents, nprobe)
     lut_lit = matrix_lit(_adc_lut(books, query_vec))
+    offs = _cell_offsets(query_vec, cents)
+    off_lit = F.array(*[F.lit(float(o)) for o in offs])
     idx = F.sequence(F.lit(0), F.lit(M_SUBSPACES - 1))
     approx = F.round(
         F.aggregate(
             F.zip_with(F.col("codes"), idx, lambda c, m: lut_lit[m][c]),
             F.lit(0.0),
             lambda acc, v: acc + v,
-        ),
+        )
+        + F.element_at(off_lit, F.col("centroid_id").cast("int") + 1),
         DIST_DECIMALS,
     )
     pool = (
@@ -142,20 +217,21 @@ def ivfpq_topk(
 
 
 def _ivfpq_oracle() -> str | None:
-    """The IVF assign fragment chained with the PQ encode/ADC fragments
-    (each already proven against its standalone operator), restricted to
-    the probed cells, then the exact re-rank."""
+    """The IVF assign fragment chained with the residual + PQ
+    encode/ADC fragments (each already proven against its standalone
+    operator), restricted to the probed cells, then the exact re-rank."""
     try:
         ids, x = load_sorted_vectors(ORACLE_SF_DIR)
     except Exception:  # pragma: no cover - testdata absent
         return None
     vecs = [list(v) for v in x[:TRAIN_SAMPLE]]
     cents = train_centroids(vecs)
-    books = _train_codebooks(vecs)
+    books = _train_residual_codebooks(vecs, cents)
     norms2 = _codeword_norms2(books)
     qvec = [float(v) for v in x[ids.index(QUERY_VEC_ID)]]
     probes = nearest_centroids(qvec, cents, NPROBE)
     lut = _adc_lut(books, qvec)
+    offs = _cell_offsets(qvec, cents)
     cent_rows = ",\n  ".join(
         f"({i}, {sql_floats(c)}::DOUBLE[])" for i, c in enumerate(cents)
     )
@@ -168,6 +244,9 @@ def _ivfpq_oracle() -> str | None:
         f"({m}, {c}, {sql_float(lut[m][c])})"
         for m in range(M_SUBSPACES)
         for c in range(K_CODEWORDS)
+    )
+    off_rows = ",\n  ".join(
+        f"({i}, {sql_float(o)})" for i, o in enumerate(offs)
     )
     return f"""
 WITH cents(cid, cv) AS (VALUES
@@ -193,15 +272,22 @@ unit AS (
                                                        embedding::DOUBLE[]))) AS u
   FROM embeddings
 ),
+res AS (
+  SELECT u.vec_id,
+         list_transform(range(1, {DIM + 1}), i -> u.u[i] - c.cv[i]) AS r
+  FROM unit u
+  JOIN assign a ON a.vec_id = u.vec_id
+  JOIN cents c ON c.cid = a.centroid_id
+),
 cw(m, c, cn2, cv) AS (VALUES
   {cw_rows}
 ),
 dists AS (
-  SELECT unit.vec_id, cw.m, cw.c,
+  SELECT res.vec_id, cw.m, cw.c,
          ROUND(cw.cn2 - 2 * list_dot_product(
-             unit.u[cw.m * {SUB_DIM} + 1 : cw.m * {SUB_DIM} + {SUB_DIM}], cw.cv),
+             res.r[cw.m * {SUB_DIM} + 1 : cw.m * {SUB_DIM} + {SUB_DIM}], cw.cv),
              {DIST_DECIMALS}) AS d
-  FROM unit CROSS JOIN cw
+  FROM res CROSS JOIN cw
 ),
 codes AS (
   SELECT vec_id, m, c AS code FROM (
@@ -212,11 +298,18 @@ codes AS (
 lut(m, c, v) AS (VALUES
   {lut_rows}
 ),
+off(cid, o) AS (VALUES
+  {off_rows}
+),
 approx AS (
   SELECT codes.vec_id,
-         ROUND(list_sum(list(lut.v ORDER BY codes.m)), {DIST_DECIMALS}) AS a
-  FROM codes JOIN lut ON lut.m = codes.m AND lut.c = codes.code
-  GROUP BY codes.vec_id
+         ROUND(list_sum(list(lut.v ORDER BY codes.m)) + off.o,
+               {DIST_DECIMALS}) AS a
+  FROM codes
+  JOIN assign g ON g.vec_id = codes.vec_id
+  JOIN off ON off.cid = g.centroid_id
+  JOIN lut ON lut.m = codes.m AND lut.c = codes.code
+  GROUP BY codes.vec_id, off.o
 ),
 pool AS (
   SELECT x.vec_id, g.centroid_id

@@ -110,6 +110,7 @@ def gemm_cosine_pairs(
     else:
         sliced = base.withColumn("__slice", F.lit(0))
 
+    slice_bcs: list = []
     margin = threshold - 10.0 ** (-decimals)
     # Spread a narrow scan across cores before the CPU-bound kernel —
     # but only to as many tasks as the row count can feed (a 2k-row
@@ -130,6 +131,7 @@ def gemm_cosine_pairs(
         B = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
         b_norms = np.linalg.norm(B, axis=1)
         bc = sc.broadcast((b_ids, B, b_norms))
+        slice_bcs.append(bc)
 
         def score_blocks(batches, _bc=bc):
             ids_b, mat_b, nrm_b = _bc.value
@@ -162,13 +164,15 @@ def gemm_cosine_pairs(
     )
     keep = F.col("cos_sim") >= threshold if inclusive else F.col("cos_sim") > threshold
     out = pairs.where(keep).select("a_id", "b_id", "cos_sim")
+    # Materialize the (bounded, post-threshold) pair set, then release
+    # every per-slice broadcast and the probe-side cache: the returned
+    # plan no longer references either, so neither cached partitions nor
+    # up-to-256MB broadcasts accumulate across queries in a long-lived
+    # session (spark.catalog.clearCache() does NOT free broadcasts).
+    out = out.localCheckpoint(eager=True)
+    for bc in slice_bcs:
+        bc.unpersist()
     if n_slices > 1:
-        # Materialize the (bounded, post-threshold) pair set before
-        # dropping the probe-side cache: the returned plan then no longer
-        # references the persisted projection, so cached partitions don't
-        # accumulate across queries in a long-lived session (same
-        # persist→materialize→unpersist discipline as connected_components).
-        out = out.localCheckpoint(eager=True)
         base.unpersist()
     return out
 
@@ -208,6 +212,25 @@ def cosine_self_join(
         .where(F.col("cos_sim") > threshold)
         .select("a_id", "b_id", "cos_sim")
     )
+
+
+# Broadcasts created by the LAZY verify kernel below must outlive the
+# returned plan, so the function cannot unpersist them itself.  Callers
+# release them right after materializing (localCheckpoint/collect) via
+# release_pending_broadcasts(); otherwise a long-lived session (bench
+# runs every registered query in one JVM) accumulates up-to-256MB
+# executor broadcasts that spark.catalog.clearCache() never frees.
+_PENDING_BROADCASTS: list = []
+
+
+def release_pending_broadcasts() -> None:
+    """Unpersist every broadcast the lazy verify kernel has created."""
+    while _PENDING_BROADCASTS:
+        bc = _PENDING_BROADCASTS.pop()
+        try:
+            bc.unpersist()
+        except Exception:  # noqa: BLE001 — best-effort cleanup
+            pass
 
 
 def pairwise_cosine_verify(
@@ -250,6 +273,7 @@ def pairwise_cosine_verify(
         ids, M = ids[order], M[order]
         norms = np.linalg.norm(M, axis=1)
         bc = vectors.sparkSession.sparkContext.broadcast((ids, M, norms))
+        _PENDING_BROADCASTS.append(bc)
 
         def score_ids(batches):
             vid, mat, nrm = bc.value

@@ -93,6 +93,16 @@ class MCPServer:
         msg_id = msg.get("id")
         is_notification = "id" not in msg
 
+        reply = self._dispatch(method, msg_id, msg)
+        # JSON-RPC 2.0 §4.1: a notification (no id) MUST NOT be answered —
+        # for ANY method, known or not.  Side effects (e.g. initialize
+        # flipping the state flag) still happen above; only the reply is
+        # suppressed.
+        if is_notification:
+            return None
+        return reply
+
+    def _dispatch(self, method: Any, msg_id: Any, msg: dict) -> Optional[dict]:
         if method == "initialize":
             self.initialized = True
             return _result(msg_id, {
@@ -108,8 +118,6 @@ class MCPServer:
             return _result(msg_id, {"tools": [TOOL_SPEC]})
         if method == "tools/call":
             return self._call_tool(msg_id, msg.get("params") or {})
-        if is_notification:
-            return None  # unknown notifications are dropped per spec
         return _error(msg_id, METHOD_NOT_FOUND, f"unknown method {method!r}")
 
     def _call_tool(self, msg_id: Any, params: dict) -> dict:

@@ -97,6 +97,23 @@ def test_error_surfaces(server):
     assert resp["error"]["code"] == serving.INVALID_REQUEST
 
 
+def test_notifications_never_answered(server):
+    """JSON-RPC 2.0 §4.1: a message without an id is a notification and
+    MUST NOT be answered — for ANY method, known or unknown.  Side
+    effects still happen (an initialize notification flips the state
+    flag even though no reply is sent)."""
+    for method in ("ping", "tools/list", "no/such/method",
+                   "notifications/initialized"):
+        assert server.handle_message(
+            {"jsonrpc": "2.0", "method": method}
+        ) is None
+    server.initialized = False
+    assert server.handle_message(
+        {"jsonrpc": "2.0", "method": "initialize", "params": {}}
+    ) is None
+    assert server.initialized is True
+
+
 def test_stdio_loop_round_trip(spark, sf_smoke):
     corpus = corpus_from_documents(load_table(spark, sf_smoke, "documents"))
     lines = [
