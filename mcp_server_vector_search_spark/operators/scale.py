@@ -205,19 +205,72 @@ def agg_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_sketches")  # approximate → rows-only driver check
+# Sketch parameters + acceptance bounds for the accuracy certificate.
+HLL_RSD = 0.01          # approx_count_distinct relative standard deviation
+HLL_TOLERANCE = 3 * HLL_RSD   # 3σ — deterministic per fixture, never flaky
+PCTL_ACCURACY = 10000   # percentile_approx: rank error ≤ 1/accuracy
+PCTL_RANK_SLACK = 10.0 / PCTL_ACCURACY  # 10× the documented rank error
+
+
+@register(
+    "agg_approx_sketches",
+    oracle="""
+SELECT COUNT(DISTINCT l_partkey)  AS nd_partkey,
+       COUNT(DISTINCT l_suppkey)  AS nd_suppkey,
+       COUNT(DISTINCT l_orderkey) AS nd_orderkey,
+       TRUE AS hll_partkey_ok, TRUE AS hll_suppkey_ok, TRUE AS hll_orderkey_ok,
+       TRUE AS p50_ok, TRUE AS p99_ok
+FROM lineitem
+""",
+)
 def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-pass mergeable sketches: HLL++ distinct counts + t-digest-style
-    approximate quantiles.  tests/test_scale.py bounds the error vs the
-    exact operators; the driver records a rows-only check (approximate
-    results are not SQL-reproducible by design)."""
+    """One-pass mergeable sketches — HLL++ distinct counts + quantile
+    sketch — emitted as an ACCURACY CERTIFICATE so the row is
+    hash-verifiable (VERDICT r4 #1): raw sketch values are not
+    SQL-reproducible, but "the sketch is within its documented error of
+    the exact answer" is a deterministic boolean both engines can state.
+    The query computes approx AND exact in one pass and returns the
+    exact counts (hash-checked against DuckDB's exact counts) plus one
+    boolean per sketch: HLL within 3σ of its configured rsd; the
+    percentile value inside the exact-quantile band at ±10× the
+    documented rank error.  The oracle asserts the booleans TRUE — a
+    sketch drifting out of bounds flips a bit and fails the hash.
+
+    At 100 TB only the sketch half of this pass survives (the exact
+    distincts/percentiles here exist to certify it); the sketches are
+    mergeable map-side partials — O(1) state per partition."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("nd_partkey"),
-        F.approx_count_distinct("l_suppkey", rsd=0.01).alias("nd_suppkey"),
-        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("nd_orderkey"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_price"),
-        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99_price"),
+    lo50, hi50 = 0.5 - PCTL_RANK_SLACK, 0.5 + PCTL_RANK_SLACK
+    lo99, hi99 = 0.99 - PCTL_RANK_SLACK, 0.99 + PCTL_RANK_SLACK
+    agg = li.agg(
+        F.countDistinct("l_partkey").alias("nd_partkey"),
+        F.countDistinct("l_suppkey").alias("nd_suppkey"),
+        F.countDistinct("l_orderkey").alias("nd_orderkey"),
+        F.approx_count_distinct("l_partkey", rsd=HLL_RSD).alias("a_pk"),
+        F.approx_count_distinct("l_suppkey", rsd=HLL_RSD).alias("a_sk"),
+        F.approx_count_distinct("l_orderkey", rsd=HLL_RSD).alias("a_ok"),
+        F.percentile_approx("l_extendedprice", 0.5, PCTL_ACCURACY).alias("ap50"),
+        F.percentile_approx("l_extendedprice", 0.99, PCTL_ACCURACY).alias("ap99"),
+        F.expr(
+            f"percentile(l_extendedprice, array({lo50!r}, {hi50!r}, {lo99!r}, {hi99!r}))"
+        ).alias("bands"),
+    )
+
+    def hll_ok(approx: str, exact: str) -> F.Column:
+        return (
+            F.abs(F.col(approx) - F.col(exact))
+            <= F.lit(HLL_TOLERANCE) * F.col(exact)
+        )
+
+    return agg.select(
+        "nd_partkey",
+        "nd_suppkey",
+        "nd_orderkey",
+        hll_ok("a_pk", "nd_partkey").alias("hll_partkey_ok"),
+        hll_ok("a_sk", "nd_suppkey").alias("hll_suppkey_ok"),
+        hll_ok("a_ok", "nd_orderkey").alias("hll_orderkey_ok"),
+        F.col("ap50").between(F.col("bands")[0], F.col("bands")[1]).alias("p50_ok"),
+        F.col("ap99").between(F.col("bands")[2], F.col("bands")[3]).alias("p99_ok"),
     )
 
 

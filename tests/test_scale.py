@@ -17,20 +17,20 @@ from mcp_server_vector_search_spark.sources.tables import load_table
 from .conftest import SF_CORRECTNESS
 
 
-def test_approx_sketches_error_bounds(spark):
+def test_approx_sketches_certificate(spark):
+    """The accuracy-certificate row: exact counts match an independent
+    exact aggregate, and every sketch-within-bounds boolean is TRUE."""
     li = load_table(spark, SF_CORRECTNESS, "lineitem")
-    approx = agg_approx_sketches(spark, SF_CORRECTNESS).first()
+    row = agg_approx_sketches(spark, SF_CORRECTNESS).first()
     exact = li.agg(
         F.countDistinct("l_partkey").alias("nd_partkey"),
         F.countDistinct("l_orderkey").alias("nd_orderkey"),
-        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
     ).first()
-    assert abs(approx["nd_partkey"] - exact["nd_partkey"]) <= 0.05 * exact["nd_partkey"]
-    assert (
-        abs(approx["nd_orderkey"] - exact["nd_orderkey"])
-        <= 0.05 * exact["nd_orderkey"]
-    )
-    assert abs(approx["p50_price"] - exact["p50"]) <= 0.02 * exact["p50"]
+    assert row["nd_partkey"] == exact["nd_partkey"]
+    assert row["nd_orderkey"] == exact["nd_orderkey"]
+    for flag in ("hll_partkey_ok", "hll_suppkey_ok", "hll_orderkey_ok",
+                 "p50_ok", "p99_ok"):
+        assert row[flag] is True, flag
 
 
 def test_bucketed_join_has_no_shuffle(spark):
