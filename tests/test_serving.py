@@ -140,3 +140,42 @@ def test_stdio_loop_round_trip(spark, sf_smoke):
     assert call["isError"] is False
     assert len(json.loads(call["content"][0]["text"])) == 3
     assert replies[3]["error"]["code"] == serving.PARSE_ERROR
+
+
+def test_stdio_subprocess_round_trip():
+    """The real transport end to end (VERDICT r4 #3): spawn the module
+    as a child process — its own SparkSession, real pipes — and run the
+    initialize → tools/list → tools/call handshake over stdin/stdout.
+    Covers main() and the serve_stdio framing loop under the exact
+    conditions an MCP host launches it."""
+    import os
+    import subprocess
+    import sys
+
+    lines = [
+        json.dumps({"jsonrpc": "2.0", "id": 1, "method": "initialize",
+                    "params": {}}),
+        json.dumps({"jsonrpc": "2.0", "method": "notifications/initialized"}),
+        json.dumps({"jsonrpc": "2.0", "id": 2, "method": "tools/list"}),
+        json.dumps({"jsonrpc": "2.0", "id": 3, "method": "tools/call",
+                    "params": {"name": TOOL_NAME,
+                               "arguments": {"prompt": "hello world", "k": 3}}}),
+    ]
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001")
+    proc = subprocess.run(
+        [sys.executable, "-m", "mcp_server_vector_search_spark.serving"],
+        input="\n".join(lines) + "\n",
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    replies = [json.loads(l) for l in proc.stdout.splitlines() if l.strip()]
+    assert len(replies) == 3, (proc.stdout, proc.stderr[-2000:])
+    by_id = {r["id"]: r for r in replies}
+    assert by_id[1]["result"]["serverInfo"]["name"].startswith("mcp-server")
+    assert by_id[2]["result"]["tools"][0]["name"] == TOOL_NAME
+    call = by_id[3]["result"]
+    assert call["isError"] is False
+    assert len(json.loads(call["content"][0]["text"])) == 3
