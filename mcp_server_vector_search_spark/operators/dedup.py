@@ -262,6 +262,54 @@ BAND_ROWS = 8  # r: signatures per band
 N_BANDS = N_MINHASH // BAND_ROWS  # b = 2
 MINHASH_VERIFY_T = 0.9
 
+# Salt cells for the band-bucket self-joins (minhash + simhash): a hot
+# bucket — every near-identical copy of one document lands in ONE
+# (band, key) group — would otherwise put its whole B² pair product on
+# a single reduce task.  Salting splits each bucket into S cells and
+# gives every cell PAIR its own reduce key, bounding per-task work to
+# (B/S)² at a ≲(S+1)/2-row replication cost (same discipline as
+# join_salted_skew, applied to a self-join).
+LSH_SALTS = 4
+
+
+def salted_bucket_pairs(
+    rows: DataFrame,
+    bucket_cols: list[str],
+    id_col: str = "doc_id",
+    n_salts: int = LSH_SALTS,
+) -> DataFrame:
+    """Self-join every bucket (equality on ``bucket_cols``) into its
+    distinct-id pairs with hot-bucket salting.
+
+    Each row gets a deterministic cell ``s = hash(id) mod S`` and is
+    replicated into the cell-pair tasks it participates in: as the LEFT
+    role of pairs ``(i=s, j)`` for ``j ≥ s`` and as the RIGHT role of
+    pairs ``(i, j=s)`` for ``i ≤ s``.  The join key is
+    ``(bucket, i, j)`` — each cell pair is an independent reduce key, so
+    the shuffle spreads a B-row bucket over S(S+1)/2 tasks of ≤(B/S)²
+    work.  Every unordered pair of DISTINCT ids appears at least once
+    (same-cell pairs in both orders): callers emit
+    ``least/greatest(id)`` and dedupe downstream, where the row set is
+    smallest.  Salt comes from the id hash — deterministic, never
+    rand(), so task retries are idempotent."""
+    cell = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts)).cast("int")
+    salted = rows.withColumn("__cell", cell)
+    left = salted.withColumn(
+        "__pair", F.explode(F.sequence(F.col("__cell"), F.lit(n_salts - 1)))
+    )
+    right = salted.withColumn(
+        "__pair", F.explode(F.sequence(F.lit(0), F.col("__cell")))
+    )
+    a, b = left.alias("a"), right.alias("b")
+    cond = (
+        (F.col("a.__cell") == F.col("b.__pair"))
+        & (F.col("a.__pair") == F.col("b.__cell"))
+        & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+    )
+    for c in bucket_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    return a.join(b, cond)
+
 
 def minhash_signatures(documents: DataFrame) -> DataFrame:
     """doc_id + 16 MinHash signatures over the distinct-token set.
@@ -285,18 +333,29 @@ def minhash_signatures(documents: DataFrame) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
-    """Distinct (a_id, b_id, est) candidate pairs sharing ≥1 full band,
-    with the signature-agreement Jaccard estimate computed INLINE.
+def lsh_candidate_pairs(sigs: DataFrame, distinct: bool = True) -> DataFrame:
+    """(a_id, b_id, est) candidate pairs sharing ≥1 full band, with the
+    signature-agreement Jaccard estimate computed INLINE.
+
+    ``distinct=False`` skips the pre-verify dedupe: a pair matching k
+    bands appears ~k times and callers dedupe AFTER their verify
+    filter, when the row set is smallest — on a duplicate-heavy corpus
+    the post-filter set is far smaller than the candidate set, so this
+    trades one full-width candidate shuffle for a little repeated
+    map-side verify work (the simhash pipeline's discipline).
 
     Band key = the band's r signatures concatenated; the self-join on
     (band_idx, key) is the LSH bucket join — each bucket only compares
     within itself, never across, which is the whole point at 100 TB.
     The full 16-signature row rides both sides of the join, so the
     estimate needs no join back to the signature table (two fewer
-    shuffles than cand→sigs×2); a pair matching both bands yields
-    identical rows, deduped by the final distinct on the already-small
-    candidate set."""
+    shuffles than cand→sigs×2).  The bucket self-join runs through
+    :func:`salted_bucket_pairs` — a hot band bucket (every
+    near-identical copy of a viral document) spreads over cell-pair
+    tasks instead of one straggler reducer.  A pair matching both bands
+    (or meeting in both orders within a salt cell) yields identical
+    rows, deduped by the final distinct on the already-small candidate
+    set."""
     bands = None
     sig_cols = [f"s{i}" for i in range(N_MINHASH)]
     for bi in range(N_BANDS):
@@ -308,8 +367,6 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
             *sig_cols,
         )
         bands = band if bands is None else bands.unionAll(band)
-    a = bands.alias("a")
-    b = bands.alias("b")
     est = (
         reduce(
             lambda acc, i: acc
@@ -319,20 +376,12 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
         )
         / float(N_MINHASH)
     )
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("a_id"),
-            F.col("b.doc_id").alias("b_id"),
-            est.alias("est"),
-        )
-        .distinct()
+    cand = salted_bucket_pairs(bands, ["band", "key"]).select(
+        F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("a_id"),
+        F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("b_id"),
+        est.alias("est"),
     )
+    return cand.distinct() if distinct else cand
 
 
 def _minhash_oracle() -> str:
@@ -415,7 +464,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.array_distinct(tokens(F.col("text"))).alias("toks")
     ).persist()  # read twice (a-side and b-side of the verify)
     sigs = minhash_signatures(d).persist()
-    cand_est = lsh_candidate_pairs(sigs)
+    # distinct=False: dedupe AFTER the verify filter (smallest row set)
+    # instead of shuffling the full multi-band candidate stream first.
+    cand_est = lsh_candidate_pairs(sigs, distinct=False)
 
     ta = tok_arrays.select(F.col("doc_id").alias("a_id"), F.col("toks").alias("ta"))
     tb = tok_arrays.select(F.col("doc_id").alias("b_id"), F.col("toks").alias("tb"))
@@ -433,6 +484,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         verified.withColumn("jaccard", jac)
         .where(F.col("jaccard") >= MINHASH_VERIFY_T)
         .select("a_id", "b_id", F.round("est", R).alias("est_jaccard"), "jaccard")
+        .distinct()
     )
 
 
@@ -528,7 +580,9 @@ def simhash_candidate_pairs(sim: DataFrame) -> DataFrame:
     Manku/Jain/Sarma web-dedup decomposition: candidate volume is the
     bucket collision mass, not O(n²).  The full fingerprint rides along
     both sides so the Hamming verify needs no join back to the
-    signature table."""
+    signature table.  The bucket self-join runs through
+    :func:`salted_bucket_pairs`, so a hot chunk bucket spreads over
+    cell-pair tasks instead of one straggler reducer."""
     chunk_vals = F.array(
         *[
             F.struct(
@@ -544,18 +598,12 @@ def simhash_candidate_pairs(sim: DataFrame) -> DataFrame:
     chunks = sim.select("doc_id", "simhash", F.explode(chunk_vals).alias("c")).select(
         "doc_id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val")
     )
-    a = chunks.alias("a")
-    b = chunks.alias("b")
-    return a.join(
-        b,
-        (F.col("a.chunk") == F.col("b.chunk"))
-        & (F.col("a.val") == F.col("b.val"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(
-        F.col("a.doc_id").alias("a_id"),
-        F.col("a.simhash").alias("ha"),
-        F.col("b.doc_id").alias("b_id"),
-        F.col("b.simhash").alias("hb"),
+    lo = F.col("a.doc_id") < F.col("b.doc_id")
+    return salted_bucket_pairs(chunks, ["chunk", "val"]).select(
+        F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("a_id"),
+        F.when(lo, F.col("a.simhash")).otherwise(F.col("b.simhash")).alias("ha"),
+        F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("b_id"),
+        F.when(lo, F.col("b.simhash")).otherwise(F.col("a.simhash")).alias("hb"),
     )
 
 

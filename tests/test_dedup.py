@@ -110,3 +110,65 @@ def test_embedding_cosine_kernel_matches_hof_verify(spark):
         for r in dedup.dedup_embedding_lsh(spark, SF_CORRECTNESS).collect()
     }
     assert a == b and a
+
+
+def test_salted_bucket_join_skew_correct_and_spread(spark):
+    """Hot-bucket hardening (VERDICT r4 #6): a corpus where EVERY doc is
+    a near-identical copy puts all band buckets on one key — the
+    worst-case skew.  The salted self-join must still produce exactly
+    the all-pairs result, and the join's shuffle must partition on the
+    salt cells (band, key, cell, pair) so the bucket spreads over
+    cell-pair tasks instead of one straggler reducer."""
+    from mcp_server_vector_search_spark.operators.dedup import (
+        LSH_SALTS,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        salted_bucket_pairs,
+    )
+    from mcp_server_vector_search_spark.plans.explain import formatted_plan
+
+    n = 60
+    docs = spark.createDataFrame(
+        [(i, "the same viral document text repeated everywhere") for i in range(n)],
+        "doc_id long, text string",
+    )
+    cand = lsh_candidate_pairs(minhash_signatures(docs))
+    pairs = {(r["a_id"], r["b_id"]) for r in cand.collect()}
+    assert pairs == {(a, b) for a in range(n) for b in range(n) if a < b}
+
+    plan = formatted_plan(cand)
+    # the bucket join's exchange must include the salt columns — that IS
+    # the spread (a plain (band, key) partitioning would put the whole
+    # bucket on one task)
+    assert "__cell" in plan and "__pair" in plan
+
+    # per-task bound: with S cells no (cell, pair) reduce group sees more
+    # than ceil(n/S)^2 candidate comparisons
+    one_bucket = minhash_signatures(docs).withColumn("band", F.lit(0)).withColumn(
+        "key", F.lit("k")
+    )
+    rows = (
+        salted_bucket_pairs(one_bucket, ["band", "key"])
+        .groupBy(
+            F.col("a.__cell").alias("ca"), F.col("b.__cell").alias("cb")
+        )
+        .count()
+        .collect()
+    )
+    sizes = {
+        r["__cell"]: r["count"]
+        for r in one_bucket.select(
+            F.pmod(F.xxhash64("doc_id"), F.lit(LSH_SALTS)).cast("int").alias("__cell")
+        )
+        .groupBy("__cell")
+        .count()
+        .collect()
+    }
+    assert rows
+    for r in rows:
+        bi, bj = sizes[r["ca"]], sizes[r["cb"]]
+        bound = bi * (bi - 1) if r["ca"] == r["cb"] else bi * bj
+        assert r["count"] <= bound
+        # and every cell-pair task is far below the unsalted single-task
+        # pair mass n(n-1)/2
+        assert r["count"] < n * (n - 1) // 2
