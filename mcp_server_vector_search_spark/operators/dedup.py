@@ -897,23 +897,43 @@ def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     indexes); recomputing it here keeps the registered query
     self-contained.
     """
-    from ..functions.text import bag_signature
-
     d = load_table(spark, sf_dir, "documents")
-    fps = d.select("doc_id", F.md5(bag_signature(F.col("text"))).alias("fp"))
     # Explicit floor on BOTH sides (Spark here, FLOOR in the oracle SQL):
     # a bare cast-to-long truncates in Spark but rounds in DuckDB, so the
     # new/old boundary would diverge whenever the fraction is >= 0.5.
     cut = d.agg(
         F.floor(F.lit(INCR_NEW_FRACTION) * F.max("doc_id")).cast("long").alias("c")
     )
-    fps_cut = fps.crossJoin(F.broadcast(cut))
-    old = (
-        fps_cut.where(F.col("doc_id") < F.col("c"))
-        .groupBy("fp")
-        .agg(F.min("doc_id").alias("dup_of"))
+    fps_cut = doc_fingerprints(d).crossJoin(F.broadcast(cut))
+    old = corpus_fingerprints(fps_cut.where(F.col("doc_id") < F.col("c")))
+    new_batch = fps_cut.where(F.col("doc_id") >= F.col("c"))
+    return probe_new_batch(new_batch, old)
+
+
+def doc_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp) bag fingerprints over ANY (doc_id, text) frame —
+    the shared map-side expression of the batch and streaming
+    incremental-dedup paths."""
+    from ..functions.text import bag_signature
+
+    return docs.select(
+        "doc_id", F.md5(bag_signature(F.col("text"))).alias("fp")
     )
-    new_batch = fps_cut.where(F.col("doc_id") >= F.col("c")).select(
-        F.col("doc_id").alias("new_doc"), "fp"
-    )
-    return new_batch.join(old, "fp").select("new_doc", "dup_of", "fp")
+
+
+def corpus_fingerprints(fps: DataFrame) -> DataFrame:
+    """The corpus reduced to one row per distinct fingerprint
+    (min doc_id = the canonical survivor).  This aggregate is the ONLY
+    thing the rolling-ingest probe ever touches — at 100 TB it is a
+    persisted artifact, incrementally unioned, never a corpus rescan."""
+    return fps.groupBy("fp").agg(F.min("doc_id").alias("dup_of"))
+
+
+def probe_new_batch(new_fps: DataFrame, corpus_fps: DataFrame) -> DataFrame:
+    """New-batch rows whose fingerprint already exists in the corpus.
+    The new batch is the small side by construction, so AQE broadcasts
+    it and the corpus aggregate is never re-shuffled by the join.  Used
+    identically by the batch query above and the foreachBatch streaming
+    variant (streaming/ingest.incremental_dedup_stream)."""
+    new_batch = new_fps.select(F.col("doc_id").alias("new_doc"), "fp")
+    return new_batch.join(corpus_fps, "fp").select("new_doc", "dup_of", "fp")

@@ -253,8 +253,15 @@ def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ceil(n/stride), so output size is input·(chunk/stride) and the
     explode is bounded per row.
     """
-    d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
+    return chunk_with_overlap(load_table(spark, sf_dir, "documents"))
+
+
+def chunk_with_overlap(docs: DataFrame) -> DataFrame:
+    """The chunking transform itself, over ANY (doc_id, text) frame —
+    batch or streaming (it is a stateless row-local projection, so the
+    identical expressions run under a streaming plan unchanged; see
+    streaming/ingest.chunk_document_stream)."""
+    toks = docs.select(
         "doc_id",
         F.split("text", " ").alias("tokens"),
         F.size(F.split("text", " ")).alias("n"),

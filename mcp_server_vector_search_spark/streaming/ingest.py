@@ -132,3 +132,59 @@ def incremental_index_append(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def chunk_document_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RAG chunking operator as a STREAM: documents arriving as
+    files are chunked with the IDENTICAL batch expressions
+    (operators/text_analysis.chunk_with_overlap — a stateless row-local
+    projection, so it is append-mode-safe with no watermark or state).
+    Batch/stream equivalence is asserted in tests/test_streaming.py."""
+    from ..operators.text_analysis import chunk_with_overlap
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_as_stream_dir(f"{sf_dir}/documents.parquet"))
+    )
+    return chunk_with_overlap(stream)
+
+
+def incremental_dedup_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    corpus_fps: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    min_doc_id: int,
+):
+    """Rolling-ingest dedup as a STREAM: each micro-batch of arriving
+    documents (doc_id ≥ ``min_doc_id`` — the same new/old boundary the
+    batch query computes) is fingerprinted and probed against the
+    static, pre-reduced corpus fingerprint aggregate via the SAME
+    expressions as the batch operator (operators/dedup.doc_fingerprints
+    / probe_new_batch), with matches appended to parquet.  The corpus
+    side is a bounded static frame reused across batches — the stream
+    never re-shuffles it (the foreachBatch analog of the batch plan's
+    broadcast shape).  Returns the StreamingQuery."""
+    from ..operators.dedup import doc_fingerprints, probe_new_batch
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_as_stream_dir(f"{sf_dir}/documents.parquet"))
+    )
+    new_docs = stream.where(F.col("doc_id") >= F.lit(min_doc_id))
+
+    def probe_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        out = probe_new_batch(doc_fingerprints(batch_df), corpus_fps)
+        out.write.mode("append").parquet(out_path)
+
+    return (
+        new_docs.writeStream.foreachBatch(probe_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

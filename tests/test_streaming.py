@@ -394,3 +394,61 @@ def test_session_stream_equals_batch(spark):
         for r in ingest.session_windows(load_table(spark, SF_SMOKE, "events")).collect()
     }
     assert got == want and got
+
+
+def test_chunking_stream_equals_batch(spark):
+    """Batch≡stream equivalence for the RAG chunking operator
+    (VERDICT r4 #7): the identical chunk_with_overlap expressions over
+    the same documents, once as the registered batch query and once
+    through a streaming plan, must produce the identical chunk set."""
+    from mcp_server_vector_search_spark.operators.text_analysis import (
+        chunk_documents_overlap,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="chunk_stream_")
+    q = (
+        ingest.chunk_document_stream(spark, SF_SMOKE)
+        .writeStream.format("memory")
+        .queryName("chunk_stream_eq")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {tuple(r) for r in spark.sql("SELECT * FROM chunk_stream_eq").collect()}
+    want = {tuple(r) for r in chunk_documents_overlap(spark, SF_SMOKE).collect()}
+    assert got == want and got
+
+
+def test_incremental_dedup_stream_equals_batch(spark):
+    """Batch≡stream equivalence for rolling-ingest dedup (VERDICT r4
+    #7): the corpus fingerprint aggregate is built once (static); the
+    stream probes arriving new-batch docs against it via the same
+    doc_fingerprints/probe_new_batch expressions the batch operator
+    composes.  The union of micro-batch outputs must equal the batch
+    result."""
+    from mcp_server_vector_search_spark.operators.dedup import (
+        INCR_NEW_FRACTION,
+        corpus_fingerprints,
+        dedup_incremental_exact,
+        doc_fingerprints,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    cut = docs.agg(
+        F.floor(F.lit(INCR_NEW_FRACTION) * F.max("doc_id")).cast("long").alias("c")
+    ).first()["c"]
+    corpus_fps = corpus_fingerprints(
+        doc_fingerprints(docs.where(F.col("doc_id") < cut))
+    ).localCheckpoint(eager=True)
+
+    out = tempfile.mkdtemp(prefix="incr_dedup_out_")
+    ckpt = tempfile.mkdtemp(prefix="incr_dedup_ckpt_")
+    q = ingest.incremental_dedup_stream(
+        spark, SF_SMOKE, corpus_fps, out, ckpt, min_doc_id=cut
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    want = {tuple(r) for r in dedup_incremental_exact(spark, SF_SMOKE).collect()}
+    assert got == want and got
