@@ -35,6 +35,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # Already-recent queries keep their r3/r4 records and rotate to the back.
 _PRIORITY_PREFIX = [
     "agg_approx_sketches",
+    "pipeline_build_corpus",
+    "pipeline_index_cells",
     "dedup_duplicate_clusters",
     "dedup_embedding_cosine",
     "dedup_minhash_lsh",

@@ -81,3 +81,238 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("lang").cast("string").alias("lang"),
         F.round(F.max("quality"), R).alias("best_quality"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed end-to-end "build the corpus" pipeline (VERDICT r4 #8):
+# chunk → repetition gate → quality gate → deterministic split →
+# exact chunk dedup — one lazy plan, ONE shuffle (the dedup groupBy).
+# ---------------------------------------------------------------------------
+
+REP_CAP = 0.5          # duplicate-3-gram ratio gate (Gopher-style)
+CHUNK_KEY_BASE = 100000  # doc_id · base + chunk_id → single sortable key
+
+
+def _chunk_gate_split_sql() -> str:
+    """The shared oracle fragment: chunked, gated, split-assigned chunk
+    rows — each sub-fragment mirrors an already-proven single-operator
+    oracle (chunk_documents_overlap, text_repetition_scores,
+    pipeline_clean_corpus's quality term, split_train_val_test's
+    md5-cell device)."""
+    from ..operators.sampling import SPLIT_TRAIN_CELLS, SPLIT_VAL_CELLS
+    from ..operators.text_analysis import CHUNK_STRIDE, CHUNK_TOKENS
+
+    return f"""
+toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tokens,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         CAST(s / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+         array_to_string(tokens[s + 1 : s + {CHUNK_TOKENS}], ' ') AS chunk_text
+  FROM (
+    SELECT doc_id, tokens, n,
+           unnest(generate_series(0, n - 1, {CHUNK_STRIDE})) AS s
+    FROM toks
+  )
+),
+ct AS (
+  SELECT doc_id, chunk_id, chunk_text,
+         string_split(chunk_text, ' ') AS ctok,
+         len(string_split(chunk_text, ' ')) AS cn
+  FROM chunks
+),
+rep AS (
+  SELECT *, CASE WHEN cn >= 3 THEN
+       ROUND(1.0 - len(list_distinct(list_transform(range(1, cn - 1),
+                 i -> array_to_string(ctok[i : i + 2], ' '))))
+             / CAST(cn - 2 AS DOUBLE), {R})
+       ELSE 0.0 END AS rep_3gram
+  FROM ct
+),
+scored AS (
+  SELECT *,
+         0.4 * least(1.0, cn / 50.0)
+         + 0.3 * (1.0 - len(list_filter(ctok, t -> list_contains(['the', 'a'], t)))::DOUBLE / cn)
+         + 0.3 * len(list_distinct(ctok))::DOUBLE / cn AS quality
+  FROM rep
+),
+gated AS (
+  SELECT * FROM scored
+  WHERE rep_3gram <= {REP_CAP} AND quality >= {QUALITY_CUT}
+),
+assigned AS (
+  SELECT doc_id, chunk_id, chunk_text,
+         CASE WHEN cell < {SPLIT_TRAIN_CELLS} THEN 'train'
+              WHEN cell < {SPLIT_VAL_CELLS} THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT *, CAST(('0x' || substr(md5(CAST(doc_id * {CHUNK_KEY_BASE} + chunk_id
+                                            AS VARCHAR)), 1, 2)) AS INTEGER) AS cell
+    FROM gated
+  )
+)"""
+
+
+@register(
+    "pipeline_build_corpus",
+    oracle=f"""
+WITH {{fragment}}
+SELECT split,
+       md5(array_to_string(list_sort(list_distinct(string_split(chunk_text, ' '))), ' '))
+         AS fp,
+       MIN(doc_id * {CHUNK_KEY_BASE} + chunk_id) // {CHUNK_KEY_BASE} AS keep_doc,
+       MIN(doc_id * {CHUNK_KEY_BASE} + chunk_id) % {CHUNK_KEY_BASE} AS keep_chunk,
+       COUNT(*) AS n_members
+FROM assigned
+GROUP BY split, fp
+""".replace("{fragment}", _chunk_gate_split_sql()),
+)
+def pipeline_build_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-BUILD pipeline (VERDICT r4 #8): RAG chunking
+    → repetition gate → quality gate → deterministic train/val/test
+    assignment → exact per-split chunk dedup, wired as ONE lazy plan.
+
+    Every stage reuses the single-operator expressions already proven
+    green on their own (operators/text_analysis.chunk_with_overlap,
+    the repetition/quality scores, sampling's md5-cell splits,
+    dedup's bag fingerprints), so the oracle is those fragments
+    chained.  Plan shape: chunking is a bounded per-row explode in the
+    scan stage, every gate and the split decision are map-side
+    expressions, and the ONLY exchange in the whole plan is the final
+    dedup groupBy on (split, fp) — at 100 TB this reads the corpus
+    once and shuffles only gate-surviving fingerprint groups (the
+    composition does not blow up the plan; asserted by the plan lint
+    and tests/test_plans.py).
+    """
+    from ..operators.sampling import SPLIT_TRAIN_CELLS, SPLIT_VAL_CELLS
+    from ..operators.text_analysis import chunk_with_overlap
+
+    chunks = chunk_with_overlap(load_table(spark, sf_dir, "documents"))
+    ctok = F.split("chunk_text", " ")
+    cn = F.size(ctok)
+    grams = F.when(
+        cn >= 3,
+        F.transform(
+            F.sequence(F.lit(1), cn - 2),
+            lambda i: F.array_join(F.slice(ctok, i, 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    rep = F.when(
+        F.size(grams) > 0,
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(grams)) / F.size(grams).cast("double"),
+            R,
+        ),
+    ).otherwise(F.lit(0.0))
+    gated = (
+        chunks.withColumn("rep_3gram", rep)
+        .withColumn("quality", T.quality_score(F.col("chunk_text")))
+        .where((F.col("rep_3gram") <= REP_CAP) & (F.col("quality") >= QUALITY_CUT))
+    )
+    pos = F.col("doc_id") * CHUNK_KEY_BASE + F.col("chunk_id")
+    cell = F.conv(F.substring(F.md5(pos.cast("string")), 1, 2), 16, 10).cast("int")
+    split = (
+        F.when(cell < SPLIT_TRAIN_CELLS, "train")
+        .when(cell < SPLIT_VAL_CELLS, "val")
+        .otherwise("test")
+    )
+    assigned = gated.select(
+        split.alias("split"),
+        F.md5(T.bag_signature(F.col("chunk_text"))).alias("fp"),
+        pos.alias("pos"),
+    )
+    return assigned.groupBy("split", "fp").agg(
+        F.floor(F.min("pos") / CHUNK_KEY_BASE).cast("long").alias("keep_doc"),
+        F.pmod(F.min("pos"), F.lit(CHUNK_KEY_BASE)).cast("long").alias("keep_chunk"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+
+
+def _index_cells_oracle() -> str | None:
+    """Centroid-assignment fragment (proven by the IVF family oracles)
+    applied to the pipeline's kept TRAIN documents."""
+    from ..functions.train import ORACLE_SF_DIR, load_sorted_vectors, sql_floats
+    from ..operators.ann import ASSIGN_DECIMALS, train_centroids
+    from ..operators.pq import TRAIN_SAMPLE
+
+    try:
+        _, x = load_sorted_vectors(ORACLE_SF_DIR)
+    except Exception:  # pragma: no cover - testdata absent
+        return None
+    cents = train_centroids([list(v) for v in x[:TRAIN_SAMPLE]])
+    cent_rows = ",\n  ".join(
+        f"({i}, {sql_floats(c)}::DOUBLE[])" for i, c in enumerate(cents)
+    )
+    return f"""
+WITH {_chunk_gate_split_sql()},
+kept AS (
+  SELECT DISTINCT MIN(doc_id * {CHUNK_KEY_BASE} + chunk_id) // {CHUNK_KEY_BASE} AS doc_id
+  FROM assigned
+  WHERE split = 'train'
+  GROUP BY md5(array_to_string(list_sort(list_distinct(string_split(chunk_text, ' '))), ' '))
+),
+cents(cid, cv) AS (VALUES
+  {cent_rows}
+),
+csims AS (
+  SELECT e.vec_id, c.cid,
+         ROUND(list_dot_product(e.embedding::DOUBLE[], c.cv)
+               / sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])),
+               {ASSIGN_DECIMALS}) AS sim
+  FROM embeddings e JOIN kept k ON k.doc_id = e.vec_id
+  CROSS JOIN cents c
+)
+SELECT CAST(cid AS INTEGER) AS centroid_id,
+       COUNT(*) AS n_vectors,
+       CAST(MIN(vec_id) AS BIGINT) AS min_vec
+FROM (
+  SELECT vec_id, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+    FROM csims
+  ) WHERE rn = 1
+)
+GROUP BY cid
+"""
+
+
+@register("pipeline_index_cells", oracle=_index_cells_oracle())
+def pipeline_index_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline's INDEX stage: the deduped TRAIN split's canonical
+    documents join their embeddings and are assigned to IVF cells with
+    the SAME quantizer expression the ANN indexes use
+    (operators/ann.assignment_expr, trained on the same bounded sorted
+    sample) — per-cell occupancy out.  Composes gates→splits→dedup→
+    embed-index end to end with an exact oracle (the trained-constant
+    device of the ANN family chained onto the pipeline fragment).
+
+    Scale shape: the kept-doc id set is the small side (post-gate,
+    post-dedup) — AQE broadcasts it into the embeddings join; the
+    assignment is a map-side literal-matrix expression; one aggregate
+    shuffle on centroid_id (n_centroids groups).  This is exactly the
+    "build the index from today's cleaned crawl" join a rolling 100 TB
+    pipeline runs.
+    """
+    from ..functions.train import load_sorted_vectors  # noqa: F401 (parity doc)
+    from ..operators.ann import assignment_expr, train_centroids
+    from ..operators.ann import _sample_vectors
+    from ..operators.pq import TRAIN_SAMPLE
+
+    kept = (
+        pipeline_build_corpus(spark, sf_dir)
+        .where(F.col("split") == "train")
+        .select(F.col("keep_doc").alias("vec_id"))
+        .distinct()
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = train_centroids(_sample_vectors(emb, TRAIN_SAMPLE))
+    assigned = emb.join(kept, "vec_id").withColumn(
+        "centroid_id", assignment_expr(cents)
+    )
+    return assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.min("vec_id").alias("min_vec"),
+    )

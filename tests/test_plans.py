@@ -318,3 +318,20 @@ def test_embedding_cosine_composes_candidates_then_kernel(spark):
     assert gen and all("embedding" not in ln for ln in gen)
     assert "MapInPandas" in plan
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_pipeline_build_corpus_single_shuffle(spark):
+    """The composed chunk→gate→split→dedup pipeline must stay ONE scan
+    + map-side stages + exactly one Exchange (the dedup groupBy): the
+    composition cannot blow up the plan."""
+    from mcp_server_vector_search_spark.operators.pipeline import (
+        pipeline_build_corpus,
+    )
+
+    import re
+
+    plan = formatted_plan(pipeline_build_corpus(spark, SF_CORRECTNESS))
+    # formatted plans list every node once in the tree and once in the
+    # details — count the detail headers "(n) Exchange"
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "Generate" in plan  # the chunk explode runs inline, pre-shuffle
