@@ -37,6 +37,7 @@ _PRIORITY_PREFIX = [
     "agg_approx_sketches",
     "pipeline_build_corpus",
     "pipeline_index_cells",
+    "ann_sq8_topk",
     "dedup_duplicate_clusters",
     "dedup_embedding_cosine",
     "dedup_minhash_lsh",

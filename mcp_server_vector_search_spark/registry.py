@@ -58,6 +58,7 @@ def load_all_operators() -> None:
         sampling,
         scale,
         similarity_join,
+        sq,
         temporal,
         text_analysis,
         timeseries,

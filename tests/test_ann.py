@@ -198,3 +198,33 @@ def test_ivfpq_recall_and_pruning(spark):
     plan = formatted_plan(df)
     assert re.search(r"PartitionFilters:.*centroid_id", plan)
     assert "EvalPython" not in plan  # ADC + re-rank stay JVM-side
+
+
+def test_sq8_recall_and_plan(spark):
+    """SQ8 + weighted-code-sum + exact re-rank: recall@10 vs exact must
+    beat PQ's bar comfortably (8 bits/dim ≫ PQ's 0.5 bits/dim), and the
+    approximate scan must be pure JVM expressions (no Python)."""
+    from mcp_server_vector_search_spark.operators import sq
+
+    truth = set(exact_topk_ids(spark, SF_CORRECTNESS))
+    df = sq.q_ann_sq8_topk(spark, SF_CORRECTNESS)
+    got = {r.vec_id for r in df.collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.9, f"SQ8 recall@10 = {recall}"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
+def test_sq8_codes_are_bytes(spark):
+    """The whole point of SQ8: dim int codes in [0, 255] per row."""
+    from mcp_server_vector_search_spark.operators import sq
+
+    idx, vmin, vdelta = sq.load_or_build_sq8_index(spark, SF_CORRECTNESS)
+    row = idx.select(
+        F.size("codes").alias("n"),
+        F.array_min("codes").alias("lo"),
+        F.array_max("codes").alias("hi"),
+    ).agg(
+        F.max("n").alias("n"), F.min("lo").alias("lo"), F.max("hi").alias("hi")
+    ).first()
+    assert row["n"] == sq.DIM and 0 <= row["lo"] and row["hi"] <= 255
