@@ -38,6 +38,7 @@ _PRIORITY_PREFIX = [
     "pipeline_build_corpus",
     "pipeline_index_cells",
     "ann_sq8_topk",
+    "text_phrase_query",
     "dedup_duplicate_clusters",
     "dedup_embedding_cosine",
     "dedup_minhash_lsh",

@@ -424,3 +424,101 @@ def text_inverted_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("int").alias("n_terms"))
         .where(F.col("n_terms") == len(terms))
     )
+
+
+# Phrase query: positional postings probed slot-by-slot.
+PHRASE_LEN = 3
+
+
+def _phrase_terms() -> tuple[str, ...] | None:
+    """The canonical test phrase: the first PHRASE_LEN tokens of doc 0
+    at the oracle scale — a constant of the registered query (the text
+    analog of the ANN family's trained-constant device), guaranteeing
+    at least one corpus match."""
+    try:
+        import pyarrow.parquet as pq
+
+        from ..functions.train import ORACLE_SF_DIR
+
+        t = pq.read_table(
+            f"{ORACLE_SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+        )
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        return tuple(texts[ids.index(0)].split(" ")[:PHRASE_LEN])
+    except Exception:  # pragma: no cover - testdata absent
+        return None
+
+
+def _phrase_oracle() -> str | None:
+    """Deliberately a DIFFERENT algorithm than the engine: a brute
+    sliding-window scan over every document (the O(corpus · phrase)
+    shape the positional index exists to avoid).  Same answer from an
+    independent formulation is stronger evidence than a mirrored one."""
+    terms = _phrase_terms()
+    if terms is None:  # pragma: no cover
+        return None
+    conds = " AND ".join(
+        f"tokens[s + {i}] = '{t}'" for i, t in enumerate(terms)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tokens,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, tokens, unnest(range(1, n - {PHRASE_LEN} + 2)) AS s
+  FROM toks WHERE n >= {PHRASE_LEN}
+)
+SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_occurrences
+FROM starts WHERE {conds}
+GROUP BY doc_id
+"""
+
+
+@register("text_phrase_query", oracle=_phrase_oracle())
+def text_phrase_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITIONAL inverted index + exact phrase query — the lexical
+    retrieval step conjunctive AND (``text_inverted_conjunctive``)
+    cannot express: the phrase must occur with its terms ADJACENT.
+
+    Build: one position-preserving explode → per-token posting rows of
+    sorted (doc_id, position) structs — the same O(vocab)-shuffle
+    layout-as-index argument as the plain posting lists, one struct
+    per occurrence instead of one id per document.  Query: each phrase
+    slot i probes its term's posting row and normalizes occurrences to
+    ``anchor = position − i``; a (doc, anchor) group containing every
+    slot is a phrase match (the classic positional-intersection
+    algorithm — work is O(Σ posting sizes of the phrase terms), never
+    a corpus scan).  The oracle verifies with an independent
+    brute-force sliding-window scan.
+    """
+    terms = _phrase_terms()
+    d = load_table(spark, sf_dir, "documents")
+    pos = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("p", "tok")
+    )
+    postings = pos.groupBy("tok").agg(
+        F.sort_array(F.collect_list(F.struct("doc_id", "p"))).alias("plist")
+    )
+    legs = None
+    for i, t in enumerate(terms):
+        leg = (
+            postings.where(F.col("tok") == t)
+            .select(F.explode("plist").alias("o"))
+            .select(
+                F.col("o.doc_id").alias("doc_id"),
+                (F.col("o.p") - F.lit(i)).alias("anchor"),
+                F.lit(i).alias("slot"),
+            )
+        )
+        legs = leg if legs is None else legs.unionAll(leg)
+    matches = (
+        legs.groupBy("doc_id", "anchor")
+        .agg(F.countDistinct("slot").alias("k"))
+        .where(F.col("k") == PHRASE_LEN)
+    )
+    return matches.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_occurrences")
+    )
