@@ -39,6 +39,7 @@ _PRIORITY_PREFIX = [
     "pipeline_index_cells",
     "ann_sq8_topk",
     "text_phrase_query",
+    "sample_weighted_es",
     "dedup_duplicate_clusters",
     "dedup_embedding_cosine",
     "dedup_minhash_lsh",

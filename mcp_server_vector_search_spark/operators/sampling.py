@@ -287,3 +287,75 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+# Weighted sampling without replacement (Efraimidis–Spirakis 2006):
+# top-k rows by key u^(1/w) with u uniform per row.  Integer weights
+# let the key be re-expressed with an INTEGER exponent — x → x^L is
+# monotone on (0,1), so ranking by u^(L/w) (L = lcm of the weights) is
+# the identical sample while using ONLY +, * and division by 2^52:
+# every step is exactly-rounded IEEE arithmetic, bit-identical across
+# engines, where pow()/ln() would be at the mercy of each libm.
+ES_WEIGHTS = {"en": 4, "es": 2}  # other langs weight 1; lcm L = 4
+ES_SAMPLE_K = 50
+_U_DENOM = float(1 << 52)  # 13 hex digits = 52 bits, exact in double
+
+
+def _es_exponents() -> dict[str, int]:
+    lcm = 4
+    return {lang: lcm // w for lang, w in ES_WEIGHTS.items()}  # others → lcm
+
+
+@register(
+    "sample_weighted_es",
+    oracle=f"""
+WITH u AS (
+  SELECT doc_id, lang,
+         (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+          + 0.5) / {_U_DENOM!r} AS u
+  FROM documents
+),
+keys AS (
+  SELECT doc_id, lang,
+         CASE lang WHEN 'en' THEN u
+                   WHEN 'es' THEN u * u
+                   ELSE ((u * u) * u) * u END AS k
+  FROM u
+)
+SELECT doc_id, lang, ROUND(k, 9) AS es_key
+FROM keys ORDER BY k DESC, doc_id LIMIT {ES_SAMPLE_K}
+""",
+)
+def sample_weighted_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WEIGHTED sampling without replacement — the data
+    mixer's "sample 50 docs, English 4×, Spanish 2×" primitive, via
+    Efraimidis–Spirakis exp-sort keys on engine-stable md5 uniforms.
+
+    ``u = (md5_52bits + 0.5) / 2^52`` is the same never-rand() device
+    as ``sample_hash_deterministic``; the ES key ``u^(1/w)`` is ranked
+    through the monotone integer-exponent form ``u^(L/w)`` (explicit
+    multiplication chains, no libm pow), so the sample is reproducible
+    bit-for-bit on any engine, cluster size, or retry.  Plan: a
+    map-side key expression + one TakeOrderedAndProject — no shuffle
+    beyond the top-k, and the k rows are the only thing collected.  At
+    100 TB this is how you draw a weighted eval set from the corpus in
+    one pass."""
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10)
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(_U_DENOM)
+    base = d.select("doc_id", "lang", u.alias("u"))
+    uu = F.col("u")
+    key = (
+        F.when(F.col("lang") == "en", uu)
+        .when(F.col("lang") == "es", uu * uu)
+        .otherwise(((uu * uu) * uu) * uu)
+    )
+    return (
+        base.select("doc_id", "lang", key.alias("k"))
+        .orderBy(F.desc("k"), F.asc("doc_id"))
+        .limit(ES_SAMPLE_K)
+        .select("doc_id", "lang", F.round("k", 9).alias("es_key"))
+    )

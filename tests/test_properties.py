@@ -240,3 +240,28 @@ def test_split_assignment_exclusive_and_stable(spark):
         expected = ("train" if cell < SPLIT_TRAIN_CELLS
                     else "val" if cell < SPLIT_VAL_CELLS else "test")
         assert expected in agg or agg == {}  # rule well-formed
+
+
+def test_weighted_es_sample_biases_by_weight(spark):
+    """The ES sample must over-represent weight-4 'en' relative to its
+    corpus share and be exactly reproducible run to run."""
+    from mcp_server_vector_search_spark.operators.sampling import (
+        ES_SAMPLE_K,
+        sample_weighted_es,
+    )
+    from mcp_server_vector_search_spark.sources.tables import load_table
+    from .conftest import SF_CORRECTNESS
+
+    s1 = sample_weighted_es(spark, SF_CORRECTNESS).collect()
+    s2 = sample_weighted_es(spark, SF_CORRECTNESS).collect()
+    assert s1 == s2 and len(s1) == ES_SAMPLE_K
+
+    corpus = load_table(spark, SF_CORRECTNESS, "documents")
+    n = corpus.count()
+    en_share = corpus.where(F.col("lang") == "en").count() / n
+    w1_share = corpus.where(~F.col("lang").isin("en", "es")).count() / n
+    en_sample = sum(1 for r in s1 if r["lang"] == "en") / len(s1)
+    w1_sample = sum(1 for r in s1 if r["lang"] not in ("en", "es")) / len(s1)
+    # weight-4 'en' over-represented, weight-1 langs under-represented
+    assert en_sample > en_share * 1.2, (en_sample, en_share)
+    assert w1_sample < w1_share * 0.6, (w1_sample, w1_share)
