@@ -40,6 +40,7 @@ _PRIORITY_PREFIX = [
     "ann_sq8_topk",
     "text_phrase_query",
     "sample_weighted_es",
+    "agg_freq_items_certificate",
     "dedup_duplicate_clusters",
     "dedup_embedding_cosine",
     "dedup_minhash_lsh",

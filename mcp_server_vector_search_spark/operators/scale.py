@@ -424,3 +424,49 @@ def sort_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("local_rn") + F.col("offset")).cast("long").alias("rnk"),
         )
     )
+
+
+# Heavy-hitters support threshold for the frequent-items certificate.
+FI_SUPPORT = 0.0335
+
+
+@register(
+    "agg_freq_items_certificate",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tot AS (SELECT COUNT(*) AS n_total FROM toks)
+SELECT tok, COUNT(*) AS n, TRUE AS in_sketch
+FROM toks, tot
+GROUP BY tok, tot.n_total
+HAVING COUNT(*) > {FI_SUPPORT} * tot.n_total
+""",
+)
+def agg_freq_items_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy-hitters (``DataFrame.stat.freqItems`` — the
+    Karp/Papadimitriou/Shenker one-pass algorithm) certified the same
+    way as ``agg_approx_sketches``: the sketch's documented guarantee
+    is ONE-SIDED (every item with frequency > support·n is returned;
+    false positives allowed), so the hash-verifiable statement is
+    "every EXACT heavy hitter is in the sketch result".  The query
+    computes the exact heavy hitters (hash-checked against DuckDB) and
+    flags each with its sketch membership; the oracle asserts TRUE —
+    a sketch that ever drops a true heavy hitter fails the hash.
+
+    At 100 TB the KPS pass is the map-side O(1/support)-state scan you
+    run INSTEAD of the exact token aggregate; the exact side here
+    exists to certify it (and is itself just the word-frequency
+    aggregate — O(vocab) shuffle, map-side combined)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
+    total = toks.count()  # scalar table stat; the oracle recomputes it
+    sketch_items = set(toks.stat.freqItems(["tok"], support=FI_SUPPORT).first()[0])
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > F.lit(FI_SUPPORT) * F.lit(float(total)))
+    )
+    return exact.withColumn(
+        "in_sketch", F.col("tok").isin(*sorted(sketch_items))
+    )
