@@ -155,6 +155,34 @@ SHOWCASE = [
         "stride offsets, slice from the same token array — zero "
         "Exchange operators in the whole plan.",
     ),
+    (
+        "pipeline_build_corpus",
+        "The composed chunk → repetition gate → quality gate → split → "
+        "dedup pipeline keeps exactly ONE Exchange (the final "
+        "(split, fingerprint) aggregate): chunk explode, both gates and "
+        "the split decision all run inside the scan stage.",
+    ),
+    (
+        "ann_sq8_topk",
+        "SQ8 weighted-code-sum scan: the approximate score is a zip_with "
+        "over the int-code array against a literal weight table plus one "
+        "base constant — byte-per-dimension I/O, no `EvalPython`; only "
+        "the top-100 pool re-ranks with exact float math.",
+    ),
+    (
+        "dedup_minhash_lsh",
+        "Salted band-bucket self-join: the candidate join's Exchange "
+        "partitions on (band, key, cell, pair) — a hot bucket spreads "
+        "over cell-pair reduce keys instead of one straggler; the exact "
+        "Jaccard verify joins token arrays by id onto candidates "
+        "(AQE-sized build side).",
+    ),
+    (
+        "sample_weighted_es",
+        "Weighted sampling without replacement is one map-side key "
+        "expression (md5 uniform + integer-exponent ES key) feeding "
+        "`TakeOrderedAndProject` — no shuffle, no RNG, k rows collected.",
+    ),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the scale design
