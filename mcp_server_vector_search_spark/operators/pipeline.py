@@ -187,11 +187,38 @@ def pipeline_build_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     composition does not blow up the plan; asserted by the plan lint
     and tests/test_plans.py).
     """
+    from ..functions.text import STOPWORDS
     from ..operators.sampling import SPLIT_TRAIN_CELLS, SPLIT_VAL_CELLS
-    from ..operators.text_analysis import chunk_with_overlap
+    from ..operators.text_analysis import CHUNK_STRIDE, CHUNK_TOKENS
 
-    chunks = chunk_with_overlap(load_table(spark, sf_dir, "documents"))
-    ctok = F.split("chunk_text", " ")
+    # Chunks as TOKEN ARRAYS, not re-joined strings: every gate below
+    # consumes the sliced array directly.  Deriving gates from a joined
+    # chunk_text string makes Catalyst's projection collapse re-inline
+    # the join+re-split into EVERY use site (the 3-gram transform alone
+    # re-splits the chunk per element — O(chunk²) string work per row,
+    # measured ~4× slower end-to-end); slicing the already-materialized
+    # token array is a bounded element copy.  Values are identical —
+    # join/split round-trips exactly on single-space tokens, which is
+    # why the oracle's string formulation still matches.
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.split("text", " ").alias("tokens"),
+        F.size(F.split("text", " ")).alias("n"),
+    )
+    starts = toks.select(
+        "doc_id",
+        "tokens",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(CHUNK_STRIDE))
+        ).alias("s"),
+    )
+    chunks = starts.select(
+        "doc_id",
+        (F.col("s") / CHUNK_STRIDE).cast("long").alias("chunk_id"),
+        F.slice("tokens", F.col("s") + 1, CHUNK_TOKENS).alias("ctok"),
+    )
+    ctok = F.col("ctok")
     cn = F.size(ctok)
     grams = F.when(
         cn >= 3,
@@ -208,9 +235,20 @@ def pipeline_build_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             R,
         ),
     ).otherwise(F.lit(0.0))
+    # the quality trio over the array — same arithmetic as
+    # functions.text.quality_score over the string form
+    stop_ratio = (
+        F.size(F.filter(ctok, lambda t: t.isin(STOPWORDS))).cast("double") / cn
+    )
+    distinct_ratio = F.size(F.array_distinct(ctok)).cast("double") / cn
+    quality = (
+        F.lit(0.4) * F.least(F.lit(1.0), cn.cast("double") / F.lit(50.0))
+        + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
+        + F.lit(0.3) * distinct_ratio
+    )
     gated = (
         chunks.withColumn("rep_3gram", rep)
-        .withColumn("quality", T.quality_score(F.col("chunk_text")))
+        .withColumn("quality", quality)
         .where((F.col("rep_3gram") <= REP_CAP) & (F.col("quality") >= QUALITY_CUT))
     )
     pos = F.col("doc_id") * CHUNK_KEY_BASE + F.col("chunk_id")
@@ -222,7 +260,7 @@ def pipeline_build_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assigned = gated.select(
         split.alias("split"),
-        F.md5(T.bag_signature(F.col("chunk_text"))).alias("fp"),
+        F.md5(F.array_join(F.array_sort(F.array_distinct(ctok)), " ")).alias("fp"),
         pos.alias("pos"),
     )
     return assigned.groupBy("split", "fp").agg(
