@@ -41,6 +41,7 @@ _PRIORITY_PREFIX = [
     "text_phrase_query",
     "sample_weighted_es",
     "agg_freq_items_certificate",
+    "split_leakage_check",
     "dedup_duplicate_clusters",
     "dedup_embedding_cosine",
     "dedup_minhash_lsh",

@@ -354,3 +354,51 @@ def pipeline_index_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vectors"),
         F.min("vec_id").alias("min_vec"),
     )
+
+
+@register(
+    "split_leakage_check",
+    oracle=f"""
+WITH {{fragment}},
+fps AS (
+  SELECT split,
+         md5(array_to_string(list_sort(list_distinct(string_split(chunk_text, ' '))), ' '))
+           AS fp
+  FROM assigned
+),
+train AS (SELECT DISTINCT fp FROM fps WHERE split = 'train'),
+held AS (SELECT split, fp FROM fps WHERE split <> 'train' GROUP BY split, fp)
+SELECT held.split,
+       COUNT(*) AS n_fps,
+       COALESCE(SUM(CASE WHEN train.fp IS NOT NULL THEN 1 ELSE 0 END), 0) AS n_leaked
+FROM held LEFT JOIN train ON train.fp = held.fp
+GROUP BY held.split
+""".replace("{fragment}", _chunk_gate_split_sql()),
+)
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→eval LEAKAGE audit — the check every split pipeline must
+    run before training: how many distinct val/test chunk fingerprints
+    also occur in the train split?  (``decontaminate_ngram_overlap``
+    guards against an EXTERNAL benchmark; this guards the pipeline's
+    own held-out splits.)
+
+    Composes the same chunk→gate→split fragment as
+    ``pipeline_build_corpus``; the train side reduces to a distinct
+    fingerprint set (the same persisted-aggregate artifact the
+    incremental dedup probes), the held-out sides probe it with a LEFT
+    join counted per split — at 100 TB both sides are id-width
+    fingerprint streams, never documents."""
+    from ..functions.text import STOPWORDS  # noqa: F401 (shared gates)
+
+    corpus = pipeline_build_corpus(spark, sf_dir)
+    fps = corpus.select("split", "fp")
+    train = fps.where(F.col("split") == "train").select("fp").distinct()
+    held = fps.where(F.col("split") != "train").select("split", "fp").distinct()
+    return (
+        held.join(train.withColumn("__hit", F.lit(1)), "fp", "left")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_fps"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_leaked"),
+        )
+    )
