@@ -511,16 +511,35 @@ def simhash_signatures(documents: DataFrame) -> DataFrame:
     doc = documents.select("doc_id", hs.alias("hs"))
     n = F.size("hs")
 
-    def bit_set(b: int):
-        ones = F.size(
-            F.filter("hs", lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1)
-        )
-        return ones * 2 >= n
-
-    sim = reduce(
-        lambda acc, b: acc + F.when(bit_set(b), F.lit(2**b)).otherwise(F.lit(0)),
-        range(SIMHASH_BITS),
+    # ONE pass over the hash array building all 60 bit-counts at once
+    # (fold of zip_with over a per-token bit vector), then one fold
+    # over the counts to place the bits.  The per-bit
+    # ``size(filter(...))`` formulation traversed the array 60 times
+    # and compiled a 60×-sized codegen unit (~10 s of per-query JIT at
+    # bench time); this tree is ~60× smaller with identical votes:
+    # bit b set iff ones_b · 2 ≥ n.
+    bits_idx = F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))
+    counts = F.aggregate(
+        "hs",
+        F.array_repeat(F.lit(0), SIMHASH_BITS),
+        lambda acc, h: F.zip_with(
+            acc,
+            bits_idx,
+            lambda a, b: a
+            + F.call_function("shiftright", h, b).bitwiseAND(F.lit(1)).cast("int"),
+        ),
+    )
+    sim = F.aggregate(
+        F.zip_with(
+            counts,
+            bits_idx,
+            lambda c, b: F.when(
+                c * 2 >= n,
+                F.call_function("shiftleft", F.lit(1).cast("long"), b),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
         F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
     )
     return doc.select("doc_id", sim.cast("long").alias("simhash"))
 
