@@ -312,25 +312,39 @@ def salted_bucket_pairs(
 
 
 def minhash_signatures(documents: DataFrame) -> DataFrame:
-    """doc_id + 16 MinHash signatures over the distinct-token set.
+    """doc_id + the 16 MinHash signatures as ONE array<long> column.
 
-    Shuffle-free: the distinct-token hashes stay an ARRAY inside the
-    row and each signature is an ``array_min`` over a ``transform`` —
-    a pure map-side projection.  The explode+groupBy formulation moves
-    |tokens| rows through an exchange to compute the same 16 minima;
-    this one moves nothing (the signature build at 100 TB is scan-bound,
-    not shuffle-bound)."""
+    Shuffle-free AND single-pass: one fold over the distinct-token
+    hashes accumulates all 16 permutation minima via zip_with against
+    the literal (A, B) coefficient arrays — same integer arithmetic,
+    bit-identical signatures.  (The earlier per-signature
+    ``array_min(transform(...))`` formulation traversed the hash array
+    16 times and compiled a 16×-sized codegen unit — the same
+    per-query JIT tax the SimHash build paid before its one-pass
+    rewrite.)  The explode+groupBy formulation moves |tokens| rows
+    through an exchange to compute the same minima; this moves nothing
+    (the signature build at 100 TB is scan-bound, not shuffle-bound)."""
     hms = F.transform(
         F.array_distinct(tokens(F.col("text"))), lambda t: md5_hash60_mod(t)
     )
     doc = documents.select("doc_id", hms.alias("hms"))
-    return doc.select(
-        "doc_id",
-        *[
-            F.array_min(F.transform("hms", lambda h: minhash_perm(h, i))).alias(f"s{i}")
-            for i in range(N_MINHASH)
-        ],
+    a_lit = F.expr("array(" + ",".join(f"{a}L" for a in MINHASH_A) + ")")
+    b_lit = F.expr("array(" + ",".join(f"{b}L" for b in MINHASH_B) + ")")
+    idx = F.sequence(F.lit(0), F.lit(N_MINHASH - 1))
+    # perm values live in [0, M); init at M so the fold's minimum over a
+    # non-empty hash array equals the true minimum
+    sigs = F.aggregate(
+        "hms",
+        F.array_repeat(F.lit(MERSENNE31).cast("long"), N_MINHASH),
+        lambda acc, h: F.zip_with(
+            acc,
+            idx,
+            lambda a, i: F.least(
+                a, (F.get(a_lit, i) * h + F.get(b_lit, i)) % F.lit(MERSENNE31)
+            ),
+        ),
     )
+    return doc.select("doc_id", sigs.alias("sigs"))
 
 
 def lsh_candidate_pairs(sigs: DataFrame, distinct: bool = True) -> DataFrame:
@@ -357,22 +371,27 @@ def lsh_candidate_pairs(sigs: DataFrame, distinct: bool = True) -> DataFrame:
     rows, deduped by the final distinct on the already-small candidate
     set."""
     bands = None
-    sig_cols = [f"s{i}" for i in range(N_MINHASH)]
     for bi in range(N_BANDS):
-        cols = [f"s{i}" for i in range(bi * BAND_ROWS, (bi + 1) * BAND_ROWS)]
+        key = F.array_join(
+            F.transform(
+                F.slice("sigs", bi * BAND_ROWS + 1, BAND_ROWS),
+                lambda s: s.cast("string"),
+            ),
+            ",",
+        )
         band = sigs.select(
-            "doc_id",
-            F.lit(bi).alias("band"),
-            F.concat_ws(",", *[F.col(c).cast("string") for c in cols]).alias("key"),
-            *sig_cols,
+            "doc_id", F.lit(bi).alias("band"), key.alias("key"), "sigs"
         )
         bands = band if bands is None else bands.unionAll(band)
     est = (
-        reduce(
-            lambda acc, i: acc
-            + F.when(F.col(f"a.s{i}") == F.col(f"b.s{i}"), 1).otherwise(0),
-            range(N_MINHASH),
+        F.aggregate(
+            F.zip_with(
+                F.col("a.sigs"),
+                F.col("b.sigs"),
+                lambda x, y: F.when(x == y, 1).otherwise(0),
+            ),
             F.lit(0),
+            lambda acc, v: acc + v,
         )
         / float(N_MINHASH)
     )
