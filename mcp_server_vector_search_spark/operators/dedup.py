@@ -747,14 +747,18 @@ WHERE ROUND(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[
 """
 
 
-def _srp_candidate_pairs(emb: DataFrame) -> DataFrame:
+def _srp_candidate_pairs(emb: DataFrame, distinct: bool = True) -> DataFrame:
     """SRP bucket-collision candidate pairs (a_id < b_id), ids only.
 
     Reads the materialized bucket int columns of the SRP index: the
     stored bucket ids explode to (table, bucket) rows carrying ONLY the
     id — never the vector, so the candidate shuffle is L×8-byte keys
     per doc, not L×vectors — and the self-equi-join on (table, bucket)
-    emits only bucket-colliding pairs."""
+    emits only bucket-colliding pairs.  ``distinct=False`` skips the
+    pre-verify dedupe (a pair colliding in k tables appears k times):
+    callers dedupe after their verify filter, when the row set is
+    smallest — the same post-filter discipline as the minhash/simhash
+    band joins."""
     from .ann import SRP_TABLES
 
     buckets = emb.select(
@@ -771,7 +775,7 @@ def _srp_candidate_pairs(emb: DataFrame) -> DataFrame:
     buckets = buckets.repartition(n_shuffle, "t", "bk")
     a = buckets.alias("a")
     b = buckets.alias("b")
-    return (
+    cand = (
         a.join(
             b,
             (F.col("a.t") == F.col("b.t"))
@@ -779,8 +783,8 @@ def _srp_candidate_pairs(emb: DataFrame) -> DataFrame:
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
-        .distinct()
     )
+    return cand.distinct() if distinct else cand
 
 
 def _embedding_lsh_lazy(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
@@ -791,6 +795,10 @@ def _embedding_lsh_lazy(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Da
     from ..functions.vector import dot, l2_norm
 
     emb = load_or_build_srp_index(spark, sf_dir).persist()
+    # distinct BEFORE verify here (unlike the band joins): with L=20
+    # tables a near-dup pair collides in most of them, so the raw
+    # stream carries ~10-20× multiplicity — deduping the id-only pairs
+    # first is measured 2-3× faster than verifying duplicates
     cand = _srp_candidate_pairs(emb)
     # Norms are computed once per ROW before the join (n traversals),
     # not twice per candidate PAIR after it (2·|cand| traversals) — the
