@@ -42,6 +42,7 @@ _PRIORITY_PREFIX = [
     "sample_weighted_es",
     "agg_freq_items_certificate",
     "split_leakage_check",
+    "events_cohort_retention",
     "dedup_duplicate_clusters",
     "dedup_embedding_cosine",
     "dedup_minhash_lsh",

@@ -155,3 +155,50 @@ def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_value"
         ),
     )
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+WITH uw AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+),
+first AS (
+  SELECT user_id, MIN(w) AS cohort FROM uw GROUP BY user_id
+)
+SELECT first.cohort AS cohort_week,
+       CAST(date_diff('day', first.cohort, uw.w) / 7 AS INTEGER) AS week_offset,
+       COUNT(*) AS n_users
+FROM uw JOIN first ON first.user_id = uw.user_id
+GROUP BY 1, 2
+""",
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the product-analytics staple: users
+    bucketed by first-active week (cohort), counted in every later week
+    they return, keyed (cohort_week, week_offset).
+
+    Shape: ONE corpus-scale shuffle (the distinct over (user, week) —
+    map-side combined, the raw event stream never moves again); the
+    per-user first-week aggregate and the retention join both run over
+    that already-reduced frame, co-partitioned on user_id, and the
+    final matrix aggregate is |cohorts|×|weeks| rows.  Week arithmetic
+    is date_trunc + day-difference/7 — exact integers in both engines,
+    no timezone-dependent float math."""
+    e = load_table(spark, sf_dir, "events")
+    uw = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("w")
+    ).distinct()
+    first = uw.groupBy("user_id").agg(F.min("w").alias("cohort_week"))
+    return (
+        uw.join(first, "user_id")
+        .select(
+            # DATE-typed key (DuckDB's date_trunc on TIMESTAMP yields DATE)
+            F.col("cohort_week").cast("date").alias("cohort_week"),
+            (F.datediff(F.col("w"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
