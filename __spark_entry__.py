@@ -43,6 +43,7 @@ _PRIORITY_PREFIX = [
     "agg_freq_items_certificate",
     "split_leakage_check",
     "events_cohort_retention",
+    "ann_ivf_upsert_cells",
     "dedup_duplicate_clusters",
     "dedup_embedding_cosine",
     "dedup_minhash_lsh",

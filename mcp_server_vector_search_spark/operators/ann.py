@@ -549,3 +549,128 @@ def q_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(K)
     )
+
+
+# IVF maintenance: batch upsert fraction (ids >= floor(frac·max) get
+# deterministically "re-embedded" as their reversed vector — a stand-in
+# for today's re-embedding run).
+UPSERT_FRACTION = 0.9
+
+
+def _ivf_upsert_oracle() -> str | None:
+    """Assignment of the post-upsert EFFECTIVE vectors (reversed for
+    updated ids), aggregated per cell — what reading back the upserted
+    layout must equal."""
+    try:
+        _, x = load_sorted_vectors(ORACLE_SF_DIR)
+    except Exception:  # pragma: no cover - testdata absent
+        return None
+    cents = train_centroids([list(v) for v in x[:TRAIN_SAMPLE]])
+    values = ",\n  ".join(
+        f"({i}, {sql_floats(c)}::DOUBLE[])" for i, c in enumerate(cents)
+    )
+    return f"""
+WITH cut AS (
+  SELECT CAST(FLOOR({UPSERT_FRACTION} * MAX(vec_id)) AS BIGINT) AS c
+  FROM embeddings
+),
+eff AS (
+  SELECT vec_id,
+         CASE WHEN vec_id >= cut.c THEN list_reverse(embedding::DOUBLE[])
+              ELSE embedding::DOUBLE[] END AS v,
+         CASE WHEN vec_id >= cut.c THEN 1 ELSE 0 END AS upd
+  FROM embeddings, cut
+),
+cents(cid, cv) AS (VALUES
+  {values}
+),
+sims AS (
+  SELECT e.vec_id, e.upd, c.cid,
+         ROUND(list_dot_product(e.v, c.cv)
+               / sqrt(list_dot_product(e.v, e.v)), {ASSIGN_DECIMALS}) AS sim
+  FROM eff e CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, upd, cid AS centroid_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+    FROM sims
+  ) WHERE rn = 1
+)
+SELECT CAST(centroid_id AS INTEGER) AS centroid_id,
+       COUNT(*) AS n_vectors,
+       SUM(upd) AS n_updated
+FROM assign GROUP BY centroid_id
+"""
+
+
+@register("ann_ivf_upsert_cells", oracle=_ivf_upsert_oracle())
+def q_ann_ivf_upsert_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index MAINTENANCE, end to end through real files: build the
+    centroid_id-partitioned layout, upsert a re-embedded batch (ids
+    above the cut get their reversed vector — vectors that genuinely
+    move cells), then READ BACK the layout and aggregate per cell.
+
+    Upsert into a cell-partitioned index is delete-and-append over the
+    AFFECTED partitions only: affected = old cells of the updated ids ∪
+    their new cells (collected as a bounded ≤ n_centroids list); those
+    partitions are rewritten as (surviving old rows ∪ re-assigned new
+    rows) under ``partitionOverwriteMode=dynamic``, so untouched cells'
+    files are never rewritten — at 100 TB the rewrite cost is
+    proportional to the touched cells, not the index.  The oracle
+    recomputes the effective post-upsert assignment from scratch; the
+    read-back aggregate must match it exactly, which certifies the
+    write path (no lost rows, no stale duplicates, no missed cells).
+    """
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = train_centroids(_sample_vectors(emb, TRAIN_SAMPLE))
+    cut = emb.agg(
+        F.floor(F.lit(UPSERT_FRACTION) * F.max("vec_id")).cast("long").alias("c")
+    ).first()["c"]
+
+    base = emb.select(
+        "vec_id", "embedding", assignment_expr(cents).alias("centroid_id")
+    )
+    layout = tempfile.mkdtemp(prefix="ivf_upsert_")
+    base.repartition("centroid_id").write.mode("overwrite").partitionBy(
+        "centroid_id"
+    ).parquet(layout)
+
+    updated = emb.where(F.col("vec_id") >= cut).select(
+        "vec_id", F.reverse("embedding").alias("embedding")
+    )
+    new_assigned = updated.select(
+        "vec_id", "embedding", assignment_expr(cents).alias("centroid_id")
+    )
+    stored = spark.read.parquet(layout)
+    old_cells = (
+        stored.where(F.col("vec_id") >= cut).select("centroid_id").distinct()
+    )
+    affected = sorted(
+        r["centroid_id"]
+        for r in old_cells.unionAll(
+            new_assigned.select("centroid_id").distinct()
+        ).distinct().collect()
+    )  # bounded: ≤ n_centroids rows
+    survivors = stored.where(
+        F.col("centroid_id").isin(affected) & (F.col("vec_id") < cut)
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        survivors.select("vec_id", "embedding", "centroid_id").unionAll(
+            new_assigned
+        ).repartition("centroid_id").write.mode("overwrite").partitionBy(
+            "centroid_id"
+        ).parquet(layout)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+
+    return (
+        spark.read.parquet(layout)
+        .groupBy(F.col("centroid_id").cast("int").alias("centroid_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum((F.col("vec_id") >= cut).cast("long")).alias("n_updated"),
+        )
+    )
