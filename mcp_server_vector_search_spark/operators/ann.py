@@ -666,11 +666,18 @@ def q_ann_ivf_upsert_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
 
-    return (
+    out = (
         spark.read.parquet(layout)
         .groupBy(F.col("centroid_id").cast("int").alias("centroid_id"))
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
             F.sum((F.col("vec_id") >= cut).cast("long")).alias("n_updated"),
         )
+        # materialize before deleting the scratch layout (the returned
+        # plan must not reference the removed files)
+        .localCheckpoint(eager=True)
     )
+    import shutil
+
+    shutil.rmtree(layout, ignore_errors=True)
+    return out
