@@ -598,7 +598,7 @@ assign AS (
 )
 SELECT CAST(centroid_id AS INTEGER) AS centroid_id,
        COUNT(*) AS n_vectors,
-       SUM(upd) AS n_updated
+       CAST(SUM(upd) AS BIGINT) AS n_updated
 FROM assign GROUP BY centroid_id
 """
 

@@ -370,7 +370,8 @@ train AS (SELECT DISTINCT fp FROM fps WHERE split = 'train'),
 held AS (SELECT split, fp FROM fps WHERE split <> 'train' GROUP BY split, fp)
 SELECT held.split,
        COUNT(*) AS n_fps,
-       COALESCE(SUM(CASE WHEN train.fp IS NOT NULL THEN 1 ELSE 0 END), 0) AS n_leaked
+       CAST(COALESCE(SUM(CASE WHEN train.fp IS NOT NULL THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_leaked
 FROM held LEFT JOIN train ON train.fp = held.fp
 GROUP BY held.split
 """.replace("{fragment}", _chunk_gate_split_sql()),
