@@ -44,6 +44,7 @@ _PRIORITY_PREFIX = [
     "split_leakage_check",
     "events_cohort_retention",
     "ann_ivf_upsert_cells",
+    "ann_bq_topk",
     "dedup_duplicate_clusters",
     "dedup_embedding_cosine",
     "dedup_minhash_lsh",

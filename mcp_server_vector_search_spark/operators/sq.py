@@ -228,3 +228,99 @@ def q_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = cached_query_vector(spark, sf_dir)
     return sq8_adc_topk(index, emb, vmin, vdelta, qvec)
+
+
+# ---------------------------------------------------------------------------
+# BQ: 1-bit binary quantization — sign fingerprints + Hamming pool
+# ---------------------------------------------------------------------------
+
+
+def _sign_fp(vec: Sequence[float]) -> int:
+    """Signed-64 packed sign bits (bit d set iff v_d ≥ 0) — driver-side
+    mirror of the JVM fold below, two's-complement adjusted so it is a
+    valid long literal."""
+    fp = 0
+    for d, x in enumerate(vec):
+        if x >= 0:
+            fp |= 1 << d
+    if fp >= 1 << 63:
+        fp -= 1 << 64
+    return fp
+
+
+def bq_fingerprint_expr() -> F.Column:
+    """All DIM sign bits packed into ONE long with a single array fold —
+    8 bytes per vector, the most aggressive point of the quantization
+    family (4096→8 bytes at dim 64 float64)."""
+    return F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.sequence(F.lit(0), F.lit(DIM - 1)),
+            lambda x, d: F.when(
+                x >= 0, F.call_function("shiftleft", F.lit(1).cast("long"), d)
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _bq_oracle() -> str | None:
+    """Hamming over per-dimension sign disagreement (the unpacked form
+    of bit_count(xor) — independent of any bit-packing), then the exact
+    re-rank."""
+    try:
+        ids, x = load_sorted_vectors(ORACLE_SF_DIR)
+    except Exception:  # pragma: no cover - testdata absent
+        return None
+    qid = QUERY_VEC_ID
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {qid}),
+ham AS (
+  SELECT e.vec_id,
+         len(list_filter(range(1, {DIM + 1}),
+             d -> (e.embedding[d] >= 0) <> (q.qv[d] >= 0))) AS h
+  FROM embeddings e CROSS JOIN q
+),
+pool AS (SELECT vec_id FROM ham ORDER BY h, vec_id LIMIT {RERANK_POOL}),
+qd AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {qid})
+SELECT e.vec_id,
+       ROUND((1.0 + list_cosine_similarity(e.embedding::DOUBLE[], qd.qv)) / 2.0,
+             {SCORE_DECIMALS}) AS score
+FROM embeddings e JOIN pool p ON p.vec_id = e.vec_id CROSS JOIN qd
+ORDER BY score DESC, e.vec_id
+LIMIT {K}
+"""
+
+
+@register("ann_bq_topk", oracle=_bq_oracle())
+def q_ann_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized ANN: each vector's DIM sign bits pack into ONE
+    long (8 bytes/vector — 64× below float64, 8× below SQ8), the
+    approximate scan ranks by ``bit_count(fp XOR query_fp)`` (Hamming ∝
+    angle for mean-centered data — Charikar's 1-bit SRP specialized to
+    the identity planes), and the top pool re-ranks exactly.  The
+    popcount scan is the cheapest possible first pass over a 100 TB
+    corpus: sequential 8-byte reads and one fused XOR+POPCNT per row.
+    The oracle computes the identical Hamming from unpacked per-dim
+    sign disagreement, so the packing arithmetic itself is verified."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = cached_query_vector(spark, sf_dir)
+    qfp = _sign_fp(qvec)
+    fps = emb.select("vec_id", bq_fingerprint_expr().alias("fp"))
+    pool = (
+        fps.withColumn(
+            "h", F.bit_count(F.col("fp").bitwiseXOR(F.lit(qfp)))
+        )
+        .orderBy(F.asc("h"), F.asc("vec_id"))
+        .limit(RERANK_POOL)
+        .select("vec_id")
+    )
+    qcol = F.array(*[F.lit(float(x)) for x in qvec])
+    return (
+        emb.join(F.broadcast(pool), "vec_id")
+        .withColumn("score", F.round(neo4j_score("embedding", qcol), SCORE_DECIMALS))
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(K)
+        .select("vec_id", "score")
+    )

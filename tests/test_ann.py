@@ -228,3 +228,18 @@ def test_sq8_codes_are_bytes(spark):
         F.max("n").alias("n"), F.min("lo").alias("lo"), F.max("hi").alias("hi")
     ).first()
     assert row["n"] == sq.DIM and 0 <= row["lo"] and row["hi"] <= 255
+
+
+def test_bq_recall_and_plan(spark):
+    """1-bit sign fingerprints + Hamming pool + exact re-rank: the
+    coarsest quantizer still recovers the exact top-10 within its
+    100-row pool on this corpus, and the scan is pure JVM."""
+    from mcp_server_vector_search_spark.operators import sq
+
+    truth = set(exact_topk_ids(spark, SF_CORRECTNESS))
+    df = sq.q_ann_bq_topk(spark, SF_CORRECTNESS)
+    got = {r.vec_id for r in df.collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.8, f"BQ recall@10 = {recall}"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
