@@ -1,0 +1,213 @@
+"""Corpus-curation operators: curriculum binning, deterministic global
+shuffle, and pattern redaction (PII scrub plumbing).
+
+Three operations every 100 TB pretraining pipeline runs between "raw
+corpus" and "training shards", none of which the reference engine has
+(its surface is retrieval only — reference ``server.py`` delegates all
+data-shaping to whatever loaded Neo4j):
+
+- **Curriculum binning**: rank documents by a quality signal and cut
+  the corpus into k ordered tiers (curriculum learning feeds cleaner
+  tiers earlier/longer).  `ntile` over a global sort — at scale a
+  range-partitioned sort (sampled boundaries, AQE-balanced), ONE
+  shuffle, then per-tier aggregates are map-side combined.
+- **Deterministic global shuffle**: training wants data order
+  decorrelated from ingest order, reproducibly.  Ordering by
+  ``md5(key)`` is a seedless, engine-portable permutation: retries,
+  cluster size, and partition layout cannot change it (unlike
+  ``ORDER BY rand()``).  At 100 TB this is `repartitionByRange` on the
+  hash key + `sortWithinPartitions` — the sort IS the shuffle; shard
+  files then stream out in hash order.
+- **Pattern redaction**: scrub PII-shaped spans (emails, phone
+  numbers) plus a configurable blocklist before anything reaches a
+  trainer.  One compiled regex alternation per row, JVM-side
+  (`regexp_replace`/`regexp_count` stay in whole-stage codegen) — a
+  full-corpus pass with zero shuffles; the per-language report
+  aggregate is the only exchange, on a handful of keys.
+
+All three are exact-oracled: the quality signal uses integer token
+counts (no float ambiguity in the ordering), the shuffle key is a hex
+digest compared as a string, and redaction counts come from the same
+RE2-compatible pattern evaluated by both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import load_table
+
+N_BINS = 4
+SHUFFLE_HEAD = 50
+
+# PII-shaped patterns + demo blocklist, RE2-compatible (no lookaround)
+# so Spark's Java regex and DuckDB's RE2 agree on every match.  The
+# email/phone alternates are the real redaction payload (this synthetic
+# corpus contains none — the blocklist terms exercise the path).
+REDACT_PATTERN = (
+    r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-z]{2,}"
+    r"|\b\d{3}[- .]\d{3,4}[- .]\d{4}\b"
+    r"|\b(?:key|token)\b"
+)
+REDACT_TOKEN = "[REDACTED]"
+
+
+@register(
+    "sample_curriculum_bins",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, n_chars,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct,
+         len(string_split(text, ' ')) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS quality
+  FROM documents
+),
+binned AS (
+  SELECT *, ntile({N_BINS}) OVER (ORDER BY quality DESC, doc_id) AS bin
+  FROM scored
+)
+SELECT CAST(bin AS INTEGER) AS bin,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(n_distinct) AS BIGINT) AS sum_distinct_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+FROM binned GROUP BY bin
+""",
+)
+def sample_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ordered curriculum tiers via ``ntile`` over a global sort.
+
+    The quality signal (distinct-token ratio, the repetition-penalizing
+    half of ``text_quality_scores``) orders the corpus; ``ntile(k)``
+    cuts it into k equal tiers.  Ordering compares the IEEE double
+    ``n_distinct/n_tokens`` (a single exact-rounded division — both
+    engines produce the identical bit pattern, so no rounding fudge is
+    needed) with ``doc_id`` as the total-order tie-break.
+
+    Scale: one range-partitioned sort shuffle; the per-bin aggregate
+    that follows is map-side combined into ≤k rows.  The ntile window
+    runs unpartitioned here (the whole point is a GLOBAL ranking) —
+    at 100 TB the same result comes from a two-pass quantile cut:
+    compute k-1 exact quality quantiles, then bin by comparison,
+    turning the global sort into a full-scan + broadcast compare."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    scored = d.select(
+        "doc_id",
+        "n_chars",
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(toks).alias("n_tokens"),
+    ).withColumn(
+        "quality", F.col("n_distinct").cast("double") / F.col("n_tokens")
+    )
+    binned = scored.withColumn(
+        "bin",
+        F.ntile(N_BINS).over(
+            W.orderBy(F.col("quality").desc(), F.col("doc_id"))
+        ),
+    )
+    return binned.groupBy(F.col("bin").cast("int").alias("bin")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("n_distinct").cast("long").alias("sum_distinct_tokens"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+    )
+
+
+@register(
+    "sample_global_shuffle",
+    oracle=f"""
+SELECT CAST(ROW_NUMBER() OVER (
+         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+         AS shuffle_pos,
+       doc_id, lang, source
+FROM documents
+ORDER BY shuffle_pos
+LIMIT {SHUFFLE_HEAD}
+""",
+)
+def sample_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: permute by
+    ``md5(doc_id)`` and emit the head of the new order.
+
+    Seedless and engine-portable: the permutation depends only on the
+    keys, so any retry, any cluster size, any partition layout
+    reproduces it exactly — the property ``ORDER BY rand()`` lacks.
+    The head-of-order result keeps the driver check bounded; a real
+    shard-writer materializes the full order with
+    ``repartitionByRange(md5_key).sortWithinPartitions(md5_key)`` and
+    writes one shard per range partition (no global merge needed —
+    range boundaries make shard order == global order).
+
+    Plan: ``orderBy(key).limit(k)`` collapses to
+    ``TakeOrderedAndProject`` (per-partition top-k, driver merge) — no
+    full sort, no single-partition window over the corpus; positions
+    are then ranked over the BOUNDED k-row head only."""
+    d = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.col("doc_id").cast("string"))
+    head = (
+        d.select(key.alias("k"), "doc_id", "lang", "source")
+        .orderBy("k", "doc_id")
+        .limit(SHUFFLE_HEAD)
+    )
+    return head.select(
+        F.row_number()
+        .over(W.orderBy("k", "doc_id"))
+        .cast("long")
+        .alias("shuffle_pos"),
+        "doc_id",
+        "lang",
+        "source",
+    )
+
+
+@register(
+    "text_redact_patterns",
+    oracle=f"""
+WITH hits AS (
+  SELECT lang,
+         len(regexp_extract_all(text, '{REDACT_PATTERN}')) AS n_hits,
+         LENGTH(regexp_replace(text, '{REDACT_PATTERN}',
+                               '{REDACT_TOKEN}', 'g')) AS redacted_len
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_redacted,
+       CAST(SUM(n_hits) AS BIGINT) AS total_redactions,
+       CAST(SUM(redacted_len) AS BIGINT) AS redacted_chars
+FROM hits GROUP BY lang
+""",
+)
+def text_redact_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-shaped pattern redaction sweep with a per-language report.
+
+    One regex alternation (emails | phone shapes | blocklist terms)
+    drives both the count (``regexp_count``) and the scrub
+    (``regexp_replace``) — evaluated JVM-side inside whole-stage
+    codegen, so the full-corpus pass costs one scan and zero
+    shuffles; only the ≤n_langs report rows shuffle.  The pattern is
+    RE2-compatible (no lookaround) so the oracle's DuckDB engine
+    evaluates the identical matches.  A production scrub writes the
+    redacted ``text`` column back to shards; the report aggregate here
+    is the audit trail a compliance pass needs."""
+    d = load_table(spark, sf_dir, "documents")
+    n_hits = F.regexp_count(F.col("text"), F.lit(REDACT_PATTERN))
+    redacted_len = F.length(
+        F.regexp_replace(F.col("text"), REDACT_PATTERN, REDACT_TOKEN)
+    )
+    return (
+        d.select("lang", n_hits.alias("n_hits"), redacted_len.alias("rl"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_hits") > 0).cast("long")).alias("docs_redacted"),
+            F.sum("n_hits").cast("long").alias("total_redactions"),
+            F.sum("rl").cast("long").alias("redacted_chars"),
+        )
+    )

@@ -47,6 +47,7 @@ def load_all_operators() -> None:
         analytics,
         ann,
         components,
+        curation,
         dedup,
         engine_queries,
         extensions,
