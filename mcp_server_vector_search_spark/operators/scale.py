@@ -470,3 +470,69 @@ def agg_freq_items_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.withColumn(
         "in_sketch", F.col("tok").isin(*sorted(sketch_items))
     )
+
+
+@register(
+    "join_bloom_runtime_filter",
+    oracle="""
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+         AS revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY o.o_orderpriority
+""",
+)
+def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join: Catalyst's ``InjectRuntimeFilter``
+    builds a bloom filter over the FILTERED build side's join keys and
+    pushes ``might_contain`` into the probe side's scan — probe rows
+    whose key cannot match are dropped at the scan, before the shuffle.
+
+    This is THE mechanism that makes selective fact-fact joins viable
+    at 100 TB: a shuffle join moves both full tables; with the runtime
+    filter the probe side sheds (1 - selectivity) of its rows pre-
+    shuffle for the cost of an 8 MB bitmap broadcast.  Unlike a semi
+    join rewrite it is best-effort (false positives only re-admit rows
+    the join then drops), so plan correctness never depends on it.
+
+    The injection thresholds are session confs; they are set only long
+    enough to OPTIMIZE this plan (the bloom subquery is frozen into the
+    cached ``queryExecution``), then restored — at local test scale the
+    probe scan is below the default 10 GB application-side threshold
+    that would enable it untouched on a real cluster.  The plan is
+    asserted in tests/test_plans.py (``might_contain`` present)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    conf = spark.conf
+    prev_bc = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    # broadcast off while planning: a broadcast join already prunes via
+    # its build-side relation, so the rule only fires for shuffle joins
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        sel = o.where(F.col("o_orderpriority") == "1-URGENT")
+        out = (
+            sel.join(li, sel.o_orderkey == li.l_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+                .cast("double")
+                .alias("revenue"),
+            )
+        )
+        # materialize the optimized+physical plan under these confs;
+        # later actions reuse the cached queryExecution
+        out._jdf.queryExecution().executedPlan()
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
+    return out

@@ -335,3 +335,19 @@ def test_pipeline_build_corpus_single_shuffle(spark):
     # details — count the detail headers "(n) Exchange"
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
     assert "Generate" in plan  # the chunk explode runs inline, pre-shuffle
+
+
+def test_bloom_runtime_filter_injected(spark):
+    """The runtime bloom filter must reach the probe-side scan
+    (might_contain over the build side's key aggregate), and the
+    planning-time conf overrides must be restored afterwards."""
+    from mcp_server_vector_search_spark.operators.scale import (
+        join_bloom_runtime_filter,
+    )
+
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    df = join_bloom_runtime_filter(spark, SF_CORRECTNESS)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "might_contain" in plan
+    assert "bloom_filter_agg" in plan
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
