@@ -139,3 +139,75 @@ def write_zorder_layout(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+from ..registry import register  # noqa: E402
+
+COMPACT_FRAGMENTS = 64
+COMPACT_TARGET_ROWS = 100
+
+
+@register(
+    "sink_compaction_certificate",
+    oracle=f"""
+SELECT COUNT(*) AS n_rows,
+       CAST(CEIL(COUNT(*) / {COMPACT_TARGET_ROWS}.0) AS INTEGER)
+         AS n_files_compacted,
+       TRUE AS rows_preserved,
+       TRUE AS files_reduced
+FROM documents
+""",
+)
+def sink_compaction_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction MAINTENANCE, certified through real files:
+    fragment ``documents`` into many tiny parquet files (the state a
+    streaming landing zone reaches), run ``compact`` to size-targeted
+    files, then read the compacted layout back and emit a certificate
+    row the oracle predicts independently.
+
+    The certificate pins the exact contract: no rows lost
+    (``rows_preserved``), the file count is exactly
+    ``ceil(n_rows / target)`` (the oracle recomputes it from COUNT(*)
+    alone — a compaction that dropped or duplicated files changes the
+    value), and the count went DOWN (``files_reduced``).  The compact
+    pass itself is a shuffle-free ``coalesce`` — at 100 TB the nightly
+    compaction job reads only the landing zone's small files and never
+    reshuffles rows, so its cost is IO-proportional.
+    """
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    d = load_table_docs(spark, sf_dir)
+    scratch = tempfile.mkdtemp(prefix="compaction_")
+    small, compacted = f"{scratch}/small", f"{scratch}/compacted"
+    d.repartition(COMPACT_FRAGMENTS).write.mode("overwrite").parquet(small)
+    compact(spark, small, compacted, COMPACT_TARGET_ROWS)
+
+    n_in = spark.read.parquet(small).count()
+    files_in = len(list(Path(small).glob("*.parquet")))
+    files_out = len(list(Path(compacted).glob("*.parquet")))
+    out = (
+        spark.read.parquet(compacted)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "n_rows",
+            F.lit(files_out).cast("int").alias("n_files_compacted"),
+            (F.col("n_rows") == F.lit(n_in)).alias("rows_preserved"),
+            F.lit(files_out < files_in).alias("files_reduced"),
+        )
+        # materialize before deleting the scratch layout
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    return out
+
+
+def load_table_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents via the shared normalizing loader (import placed here
+    to keep this module import-light for the layout helpers)."""
+    from .tables import load_table
+
+    return load_table(spark, sf_dir, "documents")

@@ -243,3 +243,23 @@ def test_bq_recall_and_plan(spark):
     assert recall >= 0.8, f"BQ recall@10 = {recall}"
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_opq_recall_rotation_and_plan(spark):
+    """OPQ: the learned rotation must be orthonormal (else the encode
+    space distorts cosine), recall@10 must hold, and the ADC scan must
+    stay pure-JVM."""
+    import numpy as np
+
+    from mcp_server_vector_search_spark.operators import opq
+
+    _, rot, books = opq.load_or_build_opq_index(spark, SF_CORRECTNESS)
+    r = np.asarray(rot)
+    assert np.allclose(r @ r.T, np.eye(len(r)), atol=1e-9)
+    truth = set(exact_topk_ids(spark, SF_CORRECTNESS))
+    df = opq.q_ann_opq_topk(spark, SF_CORRECTNESS)
+    got = {r_.vec_id for r_ in df.collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.9, f"OPQ recall@10 = {recall}"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
