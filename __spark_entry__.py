@@ -35,6 +35,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # Already-recent queries keep their r3/r4 records and rotate to the back.
 _PRIORITY_PREFIX = [
     "agg_approx_sketches",
+    "ann_opq_topk",
+    "sample_curriculum_bins",
+    "sample_global_shuffle",
+    "text_redact_patterns",
+    "join_bloom_runtime_filter",
+    "sink_compaction_certificate",
     "pipeline_build_corpus",
     "pipeline_index_cells",
     "ann_sq8_topk",

@@ -183,6 +183,33 @@ SHOWCASE = [
         "expression (md5 uniform + integer-exponent ES key) feeding "
         "`TakeOrderedAndProject` — no shuffle, no RNG, k rows collected.",
     ),
+    (
+        "join_bloom_runtime_filter",
+        "`InjectRuntimeFilter` evidence: the probe-side lineitem scan "
+        "carries a `might_contain(...)` filter over the filtered build "
+        "side's `bloom_filter_agg` subquery — probe rows shed BEFORE "
+        "the join's shuffle, the mechanism selective fact-fact joins "
+        "rely on at 100 TB.",
+    ),
+    (
+        "sample_global_shuffle",
+        "The deterministic md5-key shuffle's bounded head compiles to "
+        "`TakeOrderedAndProject`; the rank window then runs over 50 "
+        "rows, not the corpus — no single-partition window anywhere.",
+    ),
+    (
+        "text_redact_patterns",
+        "The redaction sweep (regexp_count + regexp_replace over one "
+        "alternation) runs entirely inside the scan's codegen stage; "
+        "the only Exchange is the per-language audit aggregate.",
+    ),
+    (
+        "ann_opq_topk",
+        "OPQ's rotated-space ADC scan reads ONLY the codes column (the "
+        "64×64 rotation ran once at index build); scoring is a zip_with "
+        "against the literal LUT — no Python, no extra shuffle beyond "
+        "the top-pool exchange.",
+    ),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the scale design
@@ -203,6 +230,7 @@ def main() -> None:
         "PushedFilters",
         "ReadSchema",
         "SelectedBucketsCount",
+        "might_contain",
     )
     for name, why in SHOWCASE:
         df = registry.QUERIES[name](spark, SF)
