@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as T
 from ..registry import register
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 
 QUALITY_CUT = 0.70
 KEEP_LANGS = ("en", "es")
@@ -200,7 +200,10 @@ def pipeline_build_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # token array is a bounded element copy.  Values are identical —
     # join/split round-trips exactly on single-space tokens, which is
     # why the oracle's string formulation still matches.
-    d = load_table(spark, sf_dir, "documents")
+    # spread BEFORE the explode: chunking amplifies per-row compute
+    # ~(n/stride)×, so a single-split scan would run the whole gate
+    # stage on one core (gated no-op on wide scans — tables.spread)
+    d = spread(load_table(spark, sf_dir, "documents"))
     toks = d.select(
         "doc_id",
         F.split("text", " ").alias("tokens"),
@@ -335,9 +338,7 @@ def pipeline_index_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline runs.
     """
     from ..functions.train import load_sorted_vectors  # noqa: F401 (parity doc)
-    from ..operators.ann import assignment_expr, train_centroids
-    from ..operators.ann import _sample_vectors
-    from ..operators.pq import TRAIN_SAMPLE
+    from ..operators.ann import assignment_expr, load_or_build_ivf_index
 
     kept = (
         pipeline_build_corpus(spark, sf_dir)
@@ -346,7 +347,9 @@ def pipeline_index_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = train_centroids(_sample_vectors(emb, TRAIN_SAMPLE))
+    # same (sample, k, seed, iters) as the IVF index — the cached
+    # centroids ARE the retrain result, minus the per-call collect+fit
+    _, cents = load_or_build_ivf_index(spark, sf_dir)
     assigned = emb.join(kept, "vec_id").withColumn(
         "centroid_id", assignment_expr(cents)
     )
