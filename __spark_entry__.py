@@ -41,6 +41,8 @@ _PRIORITY_PREFIX = [
     "text_redact_patterns",
     "join_bloom_runtime_filter",
     "sink_compaction_certificate",
+    "join_lateral_topn",
+    "source_python_datasource",
     "pipeline_build_corpus",
     "pipeline_index_cells",
     "ann_sq8_topk",

@@ -811,3 +811,30 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="val",
     )
+
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+         WHERE o.o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey
+         LIMIT 2) t
+"""
+
+
+@register("join_lateral_topn", oracle=_LATERAL_SQL)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT (the
+    SQL-standard spelling of "top-N per key"), through the SQL-text
+    path; identical SQL runs on the DuckDB oracle.
+
+    Catalyst DECORRELATES the lateral: the per-customer top-2 becomes
+    one windowed rank over orders partitioned by ``o_custkey`` joined
+    back to customers — a set-at-a-time plan, never a per-customer
+    re-execution of the subquery.  That rewrite is what makes lateral
+    top-N survive at 100 TB: cost is one shuffle of orders on the
+    correlation key, not |customer| subqueries."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_LATERAL_SQL)

@@ -70,4 +70,4 @@ def load_all_operators() -> None:
         tpch_wave5,
         windows,
     )
-    from .sources import formats, layout, multimodal  # noqa: F401
+    from .sources import formats, layout, multimodal, pysource  # noqa: F401
