@@ -165,6 +165,22 @@ def sample_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def redact_rows(d: DataFrame) -> DataFrame:
+    """Row-level redaction projection (stateless, append-mode-safe):
+    per doc, the scrubbed text plus hit count and scrubbed length.
+    Shared verbatim by the batch audit query and the streaming scrub
+    (streaming/ingest.redact_document_stream) so batch≡stream
+    equivalence holds by construction."""
+    return d.select(
+        "doc_id",
+        "lang",
+        F.regexp_count(F.col("text"), F.lit(REDACT_PATTERN)).alias("n_hits"),
+        F.regexp_replace(F.col("text"), REDACT_PATTERN, REDACT_TOKEN).alias(
+            "redacted_text"
+        ),
+    ).withColumn("redacted_len", F.length("redacted_text"))
+
+
 @register(
     "text_redact_patterns",
     oracle=f"""
@@ -197,12 +213,9 @@ def text_redact_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     redacted ``text`` column back to shards; the report aggregate here
     is the audit trail a compliance pass needs."""
     d = load_table(spark, sf_dir, "documents")
-    n_hits = F.regexp_count(F.col("text"), F.lit(REDACT_PATTERN))
-    redacted_len = F.length(
-        F.regexp_replace(F.col("text"), REDACT_PATTERN, REDACT_TOKEN)
-    )
     return (
-        d.select("lang", n_hits.alias("n_hits"), redacted_len.alias("rl"))
+        redact_rows(d)
+        .select("lang", "n_hits", F.col("redacted_len").alias("rl"))
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

@@ -188,3 +188,22 @@ def incremental_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def redact_document_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PII-pattern scrub as a STREAM: documents arriving as files
+    are redacted with the IDENTICAL batch projection
+    (operators/curation.redact_rows — stateless and row-local, so
+    append mode needs no watermark or state).  This is the shape of a
+    compliance scrub on a live ingest path: rows are clean BEFORE they
+    land in the corpus, and the batch audit query stays the lagging
+    full-corpus check.  Equivalence asserted in tests/test_streaming.py."""
+    from ..operators.curation import redact_rows
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_as_stream_dir(f"{sf_dir}/documents.parquet"))
+    )
+    return redact_rows(stream)

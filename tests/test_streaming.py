@@ -452,3 +452,28 @@ def test_incremental_dedup_stream_equals_batch(spark):
     got = {tuple(r) for r in spark.read.parquet(out).collect()}
     want = {tuple(r) for r in dedup_incremental_exact(spark, SF_SMOKE).collect()}
     assert got == want and got
+
+
+def test_redaction_stream_equals_batch(spark):
+    """Batch≡stream equivalence for the pattern-redaction scrub: the
+    shared row-level projection over the same documents must emit the
+    identical redacted rows through a streaming plan."""
+    from mcp_server_vector_search_spark.operators.curation import redact_rows
+    from mcp_server_vector_search_spark.sources.tables import load_table
+
+    q = (
+        ingest.redact_document_stream(spark, SF_SMOKE)
+        .writeStream.format("memory")
+        .queryName("redact_stream_eq")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {tuple(r) for r in spark.sql("SELECT * FROM redact_stream_eq").collect()}
+    want = {
+        tuple(r)
+        for r in redact_rows(load_table(spark, SF_SMOKE, "documents")).collect()
+    }
+    assert got == want and got
