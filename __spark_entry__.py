@@ -43,6 +43,7 @@ _PRIORITY_PREFIX = [
     "sink_compaction_certificate",
     "join_lateral_topn",
     "source_python_datasource",
+    "udf_grouped_map_zscore",
     "pipeline_build_corpus",
     "pipeline_index_cells",
     "ann_sq8_topk",

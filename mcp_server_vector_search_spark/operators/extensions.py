@@ -115,3 +115,62 @@ def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __udtf_docs d, LATERAL tokenize_udtf(d.text) t
         """
     )
+
+
+# --- grouped-map applyInPandas ---------------------------------------------
+
+_ZSCORE_SCHEMA = "event_type string, n long, max_z double, min_z double"
+
+
+def _zscore_extremes(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Whole-group pandas logic: per-type z-normalize, emit extremes.
+    One Arrow batch per group — the arbitrary-per-group-computation
+    slot (model scoring, per-entity fits) that pure SQL can't express
+    in general; z-scores here keep it oracle-checkable."""
+    v = pdf["value"]
+    m, s = v.mean(), v.std(ddof=1)
+    z = (v - m) / s
+    return pd.DataFrame(
+        [
+            {
+                "event_type": pdf["event_type"].iloc[0],
+                "n": int(len(pdf)),
+                "max_z": round(float(z.max()), R),
+                "min_z": round(float(z.min()), R),
+            }
+        ]
+    )
+
+
+@register(
+    "udf_grouped_map_zscore",
+    oracle=f"""
+WITH stats AS (
+  SELECT event_type, value,
+         AVG(value) OVER (PARTITION BY event_type) AS m,
+         STDDEV_SAMP(value) OVER (PARTITION BY event_type) AS s
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n,
+       ROUND(MAX((value - m) / s), {R}) AS max_z,
+       ROUND(MIN((value - m) / s), {R}) AS min_z
+FROM stats GROUP BY event_type
+""",
+)
+def udf_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map ``applyInPandas``: the per-KEY arbitrary-pandas slot
+    (the batch sibling of ``applyInPandasWithState``).  Each group
+    arrives as ONE pandas DataFrame over Arrow; output is one summary
+    row per group.
+
+    Scale: one shuffle on the group key, then group-local Python.  The
+    caveat this operator demonstrates honestly: a group must fit one
+    worker's memory — keys with unbounded cardinality-per-key need the
+    salted/aggregate forms instead (operators/scale.py).  Events have
+    ~4 types here, each bounded; the oracle re-expresses the z-score
+    extremes in pure SQL to certify the pandas path."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    return e.groupBy("event_type").applyInPandas(
+        _zscore_extremes, schema=_ZSCORE_SCHEMA
+    )

@@ -67,6 +67,7 @@ ARROW_OK = {
     "engine_search_e2e",
     "multimodal_frame_sample",
     "multimodal_metadata",
+    "udf_grouped_map_zscore",  # grouped-map applyInPandas demo (by design)
 }
 
 
