@@ -332,8 +332,16 @@ def test_pipeline_build_corpus_single_shuffle(spark):
 
     plan = formatted_plan(pipeline_build_corpus(spark, SF_CORRECTNESS))
     # formatted plans list every node once in the tree and once in the
-    # details — count the detail headers "(n) Exchange"
-    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    # details — count the detail headers "(n) Exchange".  ONE key
+    # shuffle (the dedup groupBy's hashpartitioning) is allowed; the
+    # only other admissible exchange is tables.spread's round-robin
+    # work-spread, which is GATED on single-split scans and vanishes on
+    # a wide (100 TB) input.
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    n_hash = len(re.findall(r"Arguments: hashpartitioning", plan))
+    n_rr = len(re.findall(r"Arguments: RoundRobinPartitioning", plan))
+    assert n_hash == 1, plan
+    assert n_exchanges == n_hash + n_rr, plan
     assert "Generate" in plan  # the chunk explode runs inline, pre-shuffle
 
 
