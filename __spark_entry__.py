@@ -44,6 +44,7 @@ _PRIORITY_PREFIX = [
     "join_lateral_topn",
     "source_python_datasource",
     "udf_grouped_map_zscore",
+    "recursive_year_spine",
     "pipeline_build_corpus",
     "pipeline_index_cells",
     "ann_sq8_topk",

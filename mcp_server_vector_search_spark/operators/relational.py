@@ -838,3 +838,44 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_LATERAL_SQL)
+
+
+_RECURSIVE_SPINE_SQL = """
+WITH RECURSIVE bounds AS (
+  SELECT DATE_TRUNC('year', MIN(o_orderdate)) AS lo,
+         DATE_TRUNC('year', MAX(o_orderdate)) AS hi
+  FROM orders
+),
+years(y) AS (
+  SELECT lo FROM bounds
+  UNION ALL
+  SELECT y + INTERVAL 1 YEAR FROM years WHERE y < (SELECT hi FROM bounds)
+),
+per_year AS (
+  SELECT DATE_TRUNC('year', o_orderdate) AS y, COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT CAST(years.y AS DATE) AS year_start,
+       CAST(COALESCE(per_year.n_orders, 0) AS BIGINT) AS n_orders
+FROM years LEFT JOIN per_year ON per_year.y = years.y
+"""
+
+
+@register("recursive_year_spine", oracle=_RECURSIVE_SPINE_SQL)
+def recursive_year_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's ``WITH RECURSIVE``) building a calendar
+    SPINE — the warehouse pattern that guarantees a row for every
+    period even when the fact table has gaps; identical SQL runs on the
+    DuckDB oracle.
+
+    Scale discipline for recursion in a distributed engine: the
+    recursive part must touch only the FRONTIER (here: one row per
+    step, the next period), never re-scan the corpus — the corpus
+    aggregate is a separate non-recursive CTE joined AFTER the spine
+    exists.  Iteration count is the recursion's real cost driver
+    (each step is a plan execution), so the spine is built at the
+    coarsest granularity the report needs; the same shape covers
+    org-hierarchy / BOM closures where the frontier is the newly
+    reached nodes."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_RECURSIVE_SPINE_SQL)
