@@ -45,6 +45,7 @@ _PRIORITY_PREFIX = [
     "source_python_datasource",
     "udf_grouped_map_zscore",
     "recursive_year_spine",
+    "ann_matryoshka_topk",
     "pipeline_build_corpus",
     "pipeline_index_cells",
     "ann_sq8_topk",

@@ -53,6 +53,7 @@ def load_all_operators() -> None:
         extensions,
         hybrid,
         ivfpq,
+        matryoshka,
         opq,
         pipeline,
         pq,

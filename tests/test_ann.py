@@ -263,3 +263,20 @@ def test_opq_recall_rotation_and_plan(spark):
     assert recall >= 0.9, f"OPQ recall@10 = {recall}"
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_matryoshka_recall_and_plan(spark):
+    """Prefix-dimension retrieval: the 16-dim coarse pool must recover
+    the exact top-10 (synthetic embeddings carry signal in every
+    coordinate, so the prefix is a fair filter here), the pool must cut
+    via TakeOrderedAndProject, and no Python anywhere."""
+    from mcp_server_vector_search_spark.operators import matryoshka
+
+    truth = set(exact_topk_ids(spark, SF_CORRECTNESS))
+    df = matryoshka.q_ann_matryoshka_topk(spark, SF_CORRECTNESS)
+    got = {r.vec_id for r in df.collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.9, f"matryoshka recall@10 = {recall}"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
