@@ -46,6 +46,7 @@ _PRIORITY_PREFIX = [
     "udf_grouped_map_zscore",
     "recursive_year_spine",
     "ann_matryoshka_topk",
+    "quality_constraint_certificate",
     "pipeline_build_corpus",
     "pipeline_index_cells",
     "ann_sq8_topk",

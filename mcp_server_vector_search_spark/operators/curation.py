@@ -224,3 +224,88 @@ def text_redact_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rl").cast("long").alias("redacted_chars"),
         )
     )
+
+
+QC_STATUSES = ("F", "O", "P")
+
+
+@register(
+    "quality_constraint_certificate",
+    oracle=f"""
+WITH m AS (
+  SELECT COUNT(*) AS n_rows,
+         COUNT(DISTINCT o_orderkey) AS n_keys,
+         CAST(SUM(CASE WHEN o_totalprice >= 0 THEN 0 ELSE 1 END) AS BIGINT)
+           AS neg_price,
+         CAST(SUM(CASE WHEN o_orderstatus IN ('F','O','P') THEN 0 ELSE 1 END)
+              AS BIGINT) AS bad_status,
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS null_cust
+  FROM orders
+)
+SELECT 'row_count' AS constraint, CAST(n_rows AS DOUBLE) AS metric,
+       n_rows > 0 AS passed FROM m
+UNION ALL
+SELECT 'orderkey_unique', CAST(n_keys AS DOUBLE), n_keys = n_rows FROM m
+UNION ALL
+SELECT 'totalprice_nonnegative', CAST(neg_price AS DOUBLE), neg_price = 0 FROM m
+UNION ALL
+SELECT 'status_in_domain', CAST(bad_status AS DOUBLE), bad_status = 0 FROM m
+UNION ALL
+SELECT 'custkey_complete', CAST(null_cust AS DOUBLE), null_cust = 0 FROM m
+""",
+)
+def quality_constraint_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraint suite (the Deequ/Great-
+    Expectations pattern, public AWS Labs / GE designs): uniqueness,
+    completeness, domain, and range checks over ``orders``, emitted as
+    one (constraint, metric, passed) row each.
+
+    The engine-idiomatic part: ALL constraint metrics come out of ONE
+    aggregate over ONE scan (count, count-distinct, and three
+    conditional sums fused into a single partial-aggregated pass), then
+    fan out to rows map-side — at 100 TB the validation suite costs one
+    corpus read regardless of how many constraints it carries.  The
+    certificate shape (metric + boolean) is the same device as the
+    compaction/sketch certificates: the oracle recomputes every metric
+    independently, so a broken check cannot silently pass."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        F.sum((~(F.col("o_totalprice") >= 0)).cast("long")).alias("neg_price"),
+        F.sum((~F.col("o_orderstatus").isin(*QC_STATUSES)).cast("long")).alias(
+            "bad_status"
+        ),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("null_cust"),
+    )
+    checks = F.array(
+        F.struct(
+            F.lit("row_count").alias("constraint"),
+            F.col("n_rows").cast("double").alias("metric"),
+            (F.col("n_rows") > 0).alias("passed"),
+        ),
+        F.struct(
+            F.lit("orderkey_unique").alias("constraint"),
+            F.col("n_keys").cast("double").alias("metric"),
+            (F.col("n_keys") == F.col("n_rows")).alias("passed"),
+        ),
+        F.struct(
+            F.lit("totalprice_nonnegative").alias("constraint"),
+            F.col("neg_price").cast("double").alias("metric"),
+            (F.col("neg_price") == 0).alias("passed"),
+        ),
+        F.struct(
+            F.lit("status_in_domain").alias("constraint"),
+            F.col("bad_status").cast("double").alias("metric"),
+            (F.col("bad_status") == 0).alias("passed"),
+        ),
+        F.struct(
+            F.lit("custkey_complete").alias("constraint"),
+            F.col("null_cust").cast("double").alias("metric"),
+            (F.col("null_cust") == 0).alias("passed"),
+        ),
+    )
+    return m.select(F.explode(checks).alias("c")).select(
+        "c.constraint", "c.metric", "c.passed"
+    )
