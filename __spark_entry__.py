@@ -47,6 +47,8 @@ _PRIORITY_PREFIX = [
     "recursive_year_spine",
     "ann_matryoshka_topk",
     "quality_constraint_certificate",
+    "join_dpp_partitioned",
+    "agg_hll_mergeable_certificate",
     "pipeline_build_corpus",
     "pipeline_index_cells",
     "ann_sq8_topk",

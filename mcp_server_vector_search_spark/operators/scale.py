@@ -536,3 +536,111 @@ def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
         )
     return out
+
+
+DPP_DIM_ROWS = [("R", "returned"), ("A", "accepted"), ("N", "none")]
+_DPP_CACHE_ROOT = Path(__file__).resolve().parents[2] / ".cache" / "dpp"
+
+
+def _dpp_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once l_returnflag-partitioned lineitem layout (the
+    partitioned-fact precondition DPP prunes against)."""
+    tag = hashlib.md5(f"{sf_dir}:dpp:v1".encode()).hexdigest()[:12]
+    root = _DPP_CACHE_ROOT / tag
+    data, marker = root / "data", root / "_done"
+    if not marker.exists():
+        li = load_table(spark, sf_dir, "lineitem")
+        li.select(
+            "l_orderkey", "l_extendedprice", "l_returnflag"
+        ).repartition("l_returnflag").write.mode("overwrite").partitionBy(
+            "l_returnflag"
+        ).parquet(str(data))
+        marker.parent.mkdir(parents=True, exist_ok=True)
+        marker.write_text("ok")
+    return str(data)
+
+
+@register(
+    "join_dpp_partitioned",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_returnflag = 'R'
+GROUP BY l_returnflag
+""",
+)
+def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: a filter on the DIMENSION side prunes
+    the partitioned FACT scan at runtime — the broadcast join's build
+    side doubles as a `dynamicpruning` subquery on the fact's partition
+    column, so unneeded partitions are never read.
+
+    This is the partitioned-lake sibling of the runtime bloom filter
+    (`join_bloom_runtime_filter`): bloom sheds ROWS pre-shuffle, DPP
+    sheds whole PARTITIONS pre-scan.  At 100 TB with a date- or
+    category-partitioned fact table, DPP is routinely the difference
+    between scanning 3 partitions and 3000 — and it composes with
+    static pruning and pushdown for free.  Plan-asserted in
+    tests/test_plans.py (`dynamicpruningexpression` on the fact scan).
+
+    The fact layout builds once per sf_dir (cached like the IVF index);
+    the dim is a genuinely separate table — DPP does not fire on a
+    self-derived dim (Catalyst collapses it), which is itself the
+    honest contract: pruning needs an independent filter source."""
+    fact = spark.read.parquet(_dpp_layout(spark, sf_dir))
+    dim = spark.createDataFrame(DPP_DIM_ROWS, "flag string, label string")
+    return (
+        fact.join(F.broadcast(dim), fact.l_returnflag == dim.flag)
+        .where(F.col("label") == "returned")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+HLL_REL_ERR = 0.05  # default lgK=12 gives ~1.6% standard error; 3σ bound
+
+
+@register(
+    "agg_hll_mergeable_certificate",
+    oracle="""
+SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_exact,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_sketches_merged,
+       TRUE AS union_estimate_ok
+FROM documents
+""",
+)
+def agg_hll_mergeable_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache DataSketches HLL MERGEABILITY, certified: per-language
+    sketches (`hll_sketch_agg`) union into one corpus sketch
+    (`hll_union_agg`) whose estimate must land within the documented
+    error of the exact distinct count — computed in the same query so
+    the oracle can hash-check the whole statement.
+
+    Mergeability is the property that makes sketches THE 100 TB
+    distinct-count answer: each partition/day/source sketches
+    independently (map-side, constant memory), and any grouping of the
+    binary sketches unions later without re-reading data — the exact
+    distinct here exists only to certify the estimate (same device as
+    `agg_approx_sketches` / `agg_freq_items_certificate`)."""
+    d = load_table(spark, sf_dir, "documents")
+    per_lang = d.groupBy("lang").agg(F.expr("hll_sketch_agg(doc_id)").alias("sk"))
+    unioned = per_lang.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"),
+        F.count(F.lit(1)).alias("n_sketches_merged"),
+    )
+    exact = d.agg(F.countDistinct("doc_id").alias("n_exact"))
+    return exact.crossJoin(unioned).select(
+        "n_exact",
+        "n_sketches_merged",
+        (
+            F.abs(F.col("est") - F.col("n_exact"))
+            <= F.lit(HLL_REL_ERR) * F.col("n_exact")
+        ).alias("union_estimate_ok"),
+    )

@@ -359,3 +359,15 @@ def test_bloom_runtime_filter_injected(spark):
     assert "might_contain" in plan
     assert "bloom_filter_agg" in plan
     assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
+
+
+def test_dpp_prunes_fact_partitions(spark):
+    """The dimension-side filter must reach the partitioned fact scan
+    as a dynamicpruning subquery on the partition column."""
+    from mcp_server_vector_search_spark.operators.scale import (
+        join_dpp_partitioned,
+    )
+
+    df = join_dpp_partitioned(spark, SF_CORRECTNESS)
+    plan = df._jdf.queryExecution().executedPlan().toString().lower()
+    assert "dynamicpruning" in plan
