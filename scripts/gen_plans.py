@@ -210,6 +210,27 @@ SHOWCASE = [
         "against the literal LUT — no Python, no extra shuffle beyond "
         "the top-pool exchange.",
     ),
+    (
+        "join_dpp_partitioned",
+        "Dynamic partition pruning: the fact scan carries a "
+        "`dynamicpruning` subquery fed by the broadcast dim's filter — "
+        "whole partitions shed before any bytes are read (the "
+        "partition-level sibling of the bloom row filter).",
+    ),
+    (
+        "ann_matryoshka_topk",
+        "Matryoshka prefix retrieval: the coarse pool ranks a 32-dim "
+        "slice via `TakeOrderedAndProject`; only the pool joins back "
+        "to full vectors — nothing to train, and the scan cost drops "
+        "with the prefix width.",
+    ),
+    (
+        "recursive_year_spine",
+        "Recursive CTE discipline: the recursion's frontier is ONE row "
+        "per step (the next period); the corpus aggregate is a "
+        "separate CTE joined after the spine — the recursion never "
+        "re-scans the fact table.",
+    ),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the scale design
