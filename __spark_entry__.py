@@ -49,6 +49,7 @@ _PRIORITY_PREFIX = [
     "quality_constraint_certificate",
     "join_dpp_partitioned",
     "agg_hll_mergeable_certificate",
+    "mix_temperature_sources",
     "pipeline_build_corpus",
     "pipeline_index_cells",
     "ann_sq8_topk",

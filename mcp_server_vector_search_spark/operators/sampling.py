@@ -359,3 +359,121 @@ def sample_weighted_es(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(ES_SAMPLE_K)
         .select("doc_id", "lang", F.round("k", 9).alias("es_key"))
     )
+
+
+# --- temperature-scaled source mixing ---------------------------------------
+
+TEMP_ALPHA = 0.5  # mixing temperature: w_s ∝ count_s^alpha
+
+
+def temperature_mix_plan(counts: dict[str, int]) -> dict[str, tuple[int, int]]:
+    """Per-source (floor_copies, frac_threshold/65536) for a
+    temperature-alpha rebalance that PRESERVES total corpus size.
+
+    Pure driver-side arithmetic shared verbatim between the Spark query
+    (runtime counts) and the oracle generator (registration-time
+    counts), so both engines apply bit-identical literals — the
+    functions/train.py discipline applied to mixing weights.  The
+    deterministic sequential sum over name-sorted sources removes the
+    one order-sensitive float reduction from the cross-engine path."""
+    total = sum(counts.values())
+    keys = sorted(counts)
+    denom = 0.0
+    for k in keys:
+        denom += counts[k] ** TEMP_ALPHA
+    plan = {}
+    for k in keys:
+        w = counts[k] ** TEMP_ALPHA / denom
+        copies = total * w / counts[k]
+        fl = int(copies)
+        plan[k] = (fl, int((copies - fl) * 65536))
+    return plan
+
+
+def _temp_mix_oracle() -> str | None:
+    import duckdb
+
+    try:
+        con = duckdb.connect()
+        rows = con.execute(
+            "SELECT source, COUNT(*) FROM read_parquet("
+            "'/root/testdata/sf0.01/documents.parquet') GROUP BY source"
+        ).fetchall()
+        con.close()
+    except Exception:  # pragma: no cover - testdata absent
+        return None
+    plan = temperature_mix_plan({s: int(c) for s, c in rows})
+    fl_case = " ".join(
+        f"WHEN '{s}' THEN {fl}" for s, (fl, _) in sorted(plan.items())
+    )
+    th_case = " ".join(
+        f"WHEN '{s}' THEN {th}" for s, (_, th) in sorted(plan.items())
+    )
+    return f"""
+WITH weighted AS (
+  SELECT doc_id, source,
+         (CASE source {fl_case} END)
+         + (CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                      AS INTEGER) < (CASE source {th_case} END)
+                 THEN 1 ELSE 0 END) AS copies
+  FROM documents
+),
+replicated AS (
+  SELECT w.doc_id, w.source, CAST(r.c AS INTEGER) AS copy_id
+  FROM weighted w, UNNEST(range(1, w.copies + 1)) AS r(c)
+  WHERE w.copies > 0
+)
+SELECT source,
+       COUNT(*) AS n_rows_out,
+       COUNT(DISTINCT doc_id) AS n_docs_kept
+FROM replicated GROUP BY source
+"""
+
+
+@register("mix_temperature_sources", oracle=_temp_mix_oracle())
+def mix_temperature_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (the multilingual-pretraining
+    standard, e.g. mT5/XLM-R's alpha-sampling, public papers): source s
+    is sampled with weight ∝ count_s^alpha, flattening the source
+    distribution while preserving total corpus size — big sources
+    downsample, small sources upsample, alpha interpolates between
+    proportional (1.0) and uniform (0.0).
+
+    Shape: ONE tiny counting aggregate (≤ n_sources rows collected —
+    the same bounded-collect budget as the quantizer samples), weights
+    folded into literals, then the replication/keep decision is the
+    same hash-fractional explode as ``mix_upsample_sources`` — map-side,
+    RNG-free, bit-reproducible under retries.  The per-source plan
+    arithmetic is shared verbatim with the oracle generator, giving the
+    data-dependent weights an exact cross-engine check."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = {
+        r["source"]: r["n"]
+        for r in d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    plan = temperature_mix_plan(counts)
+    fl = F.coalesce(
+        *[
+            F.when(F.col("source") == s, F.lit(f)).otherwise(F.lit(None))
+            for s, (f, _) in sorted(plan.items())
+        ]
+    )
+    th = F.coalesce(
+        *[
+            F.when(F.col("source") == s, F.lit(t)).otherwise(F.lit(None))
+            for s, (_, t) in sorted(plan.items())
+        ]
+    )
+    hash4 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("int")
+    copies = fl + (hash4 < th).cast("int")
+    replicated = (
+        d.select("doc_id", "source", copies.alias("copies"))
+        .where(F.col("copies") > 0)
+        .withColumn("copy_id", F.explode(F.sequence(F.lit(1), F.col("copies"))))
+    )
+    return replicated.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows_out"),
+        F.countDistinct("doc_id").alias("n_docs_kept"),
+    )

@@ -265,3 +265,31 @@ def test_weighted_es_sample_biases_by_weight(spark):
     # weight-4 'en' over-represented, weight-1 langs under-represented
     assert en_sample > en_share * 1.2, (en_sample, en_share)
     assert w1_sample < w1_share * 0.6, (w1_sample, w1_share)
+
+
+def test_temperature_mix_flattens_and_preserves_size(spark):
+    """Temperature mixing must (a) keep the mixed corpus within
+    rounding of the input size, and (b) flatten the source
+    distribution: the max/min source share ratio must shrink."""
+    from mcp_server_vector_search_spark.operators.sampling import (
+        mix_temperature_sources,
+    )
+    from mcp_server_vector_search_spark.sources.tables import load_table
+
+    from .conftest import SF_CORRECTNESS
+
+    d = load_table(spark, SF_CORRECTNESS, "documents")
+    in_counts = {
+        r["source"]: r["n"]
+        for r in d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    out = mix_temperature_sources(spark, SF_CORRECTNESS)
+    out_counts = {r["source"]: r["n_rows_out"] for r in out.collect()}
+    n_in, n_out = sum(in_counts.values()), sum(out_counts.values())
+    # each source's fractional copy rounds by at most 1 doc-expectation
+    assert abs(n_out - n_in) <= len(in_counts) * max(
+        1, max(in_counts.values()) // 4
+    )
+    ratio_in = max(in_counts.values()) / min(in_counts.values())
+    ratio_out = max(out_counts.values()) / min(out_counts.values())
+    assert ratio_out < ratio_in or ratio_in == 1.0
