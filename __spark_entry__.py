@@ -50,6 +50,7 @@ _PRIORITY_PREFIX = [
     "join_dpp_partitioned",
     "agg_hll_mergeable_certificate",
     "mix_temperature_sources",
+    "sink_zorder_pruned_scan",
     "pipeline_build_corpus",
     "pipeline_index_cells",
     "ann_sq8_topk",

@@ -211,3 +211,67 @@ def load_table_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .tables import load_table
 
     return load_table(spark, sf_dir, "documents")
+
+
+import hashlib as _hashlib  # noqa: E402
+from pathlib import Path  # noqa: E402
+
+_ZORDER_CACHE_ROOT = Path(__file__).resolve().parents[2] / ".cache" / "zorder"
+ZORDER_FILES = 16
+ZORDER_PART_LO, ZORDER_PART_HI = 100, 400
+ZORDER_SUPP_LO, ZORDER_SUPP_HI = 10, 40
+
+
+def _zorder_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once Z-order-clustered lineitem layout on
+    (l_partkey, l_suppkey)."""
+    tag = _hashlib.md5(f"{sf_dir}:zorder:{ZORDER_FILES}:v1".encode()).hexdigest()[:12]
+    root = _ZORDER_CACHE_ROOT / tag
+    data, marker = root / "data", root / "_done"
+    if not marker.exists():
+        from .tables import load_table
+
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+        )
+        write_zorder_layout(li, str(data), ["l_partkey", "l_suppkey"], ZORDER_FILES)
+        marker.parent.mkdir(parents=True, exist_ok=True)
+        marker.write_text("ok")
+    return str(data)
+
+
+@register(
+    "sink_zorder_pruned_scan",
+    oracle=f"""
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+FROM lineitem
+WHERE l_partkey BETWEEN {ZORDER_PART_LO} AND {ZORDER_PART_HI}
+  AND l_suppkey BETWEEN {ZORDER_SUPP_LO} AND {ZORDER_SUPP_HI}
+""",
+)
+def sink_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-dimensional range predicate over the Z-ORDER-clustered
+    layout (Morton interleave of l_partkey × l_suppkey —
+    ``write_zorder_layout``): because every file covers a compact
+    rectangle in BOTH key dimensions, the two range predicates skip
+    most files/row-groups from footer stats alone; a single-key sorted
+    layout can prune on only its leading column.  The rows themselves
+    hash-match the oracle's direct scan — proving the clustered rewrite
+    lost nothing — while tests/test_layout.py proves the bounding-box
+    shrink that makes the skipping real.  Build-once cached layout
+    (IVF-index discipline); at 100 TB this is the OPTIMIZE ZORDER job
+    every lakehouse runs on its fact tables."""
+    from pyspark.sql import functions as F
+
+    z = spark.read.parquet(_zorder_layout(spark, sf_dir))
+    return (
+        z.where(
+            F.col("l_partkey").between(ZORDER_PART_LO, ZORDER_PART_HI)
+            & F.col("l_suppkey").between(ZORDER_SUPP_LO, ZORDER_SUPP_HI)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
+        )
+    )
