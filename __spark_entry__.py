@@ -51,6 +51,7 @@ _PRIORITY_PREFIX = [
     "agg_hll_mergeable_certificate",
     "mix_temperature_sources",
     "sink_zorder_pruned_scan",
+    "agg_mad_outliers",
     "pipeline_build_corpus",
     "pipeline_index_cells",
     "ann_sq8_topk",

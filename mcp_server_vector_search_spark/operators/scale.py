@@ -644,3 +644,70 @@ def agg_hll_mergeable_certificate(spark: SparkSession, sf_dir: str) -> DataFrame
             <= F.lit(HLL_REL_ERR) * F.col("n_exact")
         ).alias("union_estimate_ok"),
     )
+
+
+MAD_K = 3.0  # outlier cut: |x - median| > K * MAD
+
+
+@register(
+    "agg_mad_outliers",
+    oracle=f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS m
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, e.value, med.m,
+         ABS(e.value - med.m) AS ad
+  FROM events e JOIN med USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(ad, 0.5) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT dev.event_type,
+       COUNT(*) AS n_events,
+       ROUND(MIN(dev.m), {R}) AS median_value,
+       ROUND(MIN(mad.mad), {R}) AS mad_value,
+       CAST(SUM(CASE WHEN dev.ad > {MAD_K} * mad.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev JOIN mad USING (event_type)
+GROUP BY dev.event_type
+""",
+)
+def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection: median-absolute-deviation outlier
+    counts per event type — the monitoring pass a pipeline runs over
+    metrics where mean/stddev are poisoned by the very outliers being
+    hunted (MAD's breakdown point is 50% vs 0% for z-scores).
+
+    Plan shape: two exact grouped medians (sort-based within ≤n_types
+    groups, the `agg_quantiles_exact` machinery) chained by BROADCAST
+    joins of the tiny per-type stats back onto the stream — the corpus
+    is scanned twice but never shuffled on anything wider than
+    event_type.  At 100 TB the exact medians swap for
+    `percentile_approx` sketches with the same query shape (the
+    certificate device of `agg_approx_sketches` then bounds the
+    error)."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("m")
+    )
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("value") - F.col("m"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(ad, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.min("m"), R).alias("median_value"),
+            F.round(F.min("mad"), R).alias("mad_value"),
+            F.sum(
+                (F.col("ad") > F.lit(MAD_K) * F.col("mad")).cast("long")
+            ).alias("n_outliers"),
+        )
+    )
