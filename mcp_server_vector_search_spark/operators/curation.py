@@ -270,13 +270,21 @@ def quality_constraint_certificate(spark: SparkSession, sf_dir: str) -> DataFram
     compaction/sketch certificates: the oracle recomputes every metric
     independently, so a broken check cannot silently pass."""
     o = load_table(spark, sf_dir, "orders")
+    # violation counters via when/otherwise so a NULL value falls into
+    # the violation branch (matching the oracle's CASE ... ELSE 1 and
+    # the data-quality semantics: an unknown price is NOT a pass) —
+    # sum(bool.cast) would silently skip NULL rows instead
     m = o.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("o_orderkey").alias("n_keys"),
-        F.sum((~(F.col("o_totalprice") >= 0)).cast("long")).alias("neg_price"),
-        F.sum((~F.col("o_orderstatus").isin(*QC_STATUSES)).cast("long")).alias(
-            "bad_status"
-        ),
+        F.sum(
+            F.when(F.col("o_totalprice") >= 0, F.lit(0)).otherwise(F.lit(1))
+        ).cast("long").alias("neg_price"),
+        F.sum(
+            F.when(F.col("o_orderstatus").isin(*QC_STATUSES), F.lit(0)).otherwise(
+                F.lit(1)
+            )
+        ).cast("long").alias("bad_status"),
         F.sum(F.col("o_custkey").isNull().cast("long")).alias("null_cust"),
     )
     checks = F.array(

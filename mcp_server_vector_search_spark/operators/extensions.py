@@ -122,6 +122,14 @@ def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ZSCORE_SCHEMA = "event_type string, n long, max_z double, min_z double"
 
 
+def _round_half_away(x: float, nd: int) -> float:
+    """Round-half-AWAY-from-zero — the mode DuckDB ROUND and Spark
+    F.round share; Python's round() is banker's (half-even), which
+    would diverge from the oracle exactly on .xxxxx5 boundaries."""
+    p = 10.0**nd
+    return math.copysign(math.floor(abs(x) * p + 0.5), x) / p
+
+
 def _zscore_extremes(pdf: pd.DataFrame) -> pd.DataFrame:
     """Whole-group pandas logic: per-type z-normalize, emit extremes.
     One Arrow batch per group — the arbitrary-per-group-computation
@@ -135,8 +143,8 @@ def _zscore_extremes(pdf: pd.DataFrame) -> pd.DataFrame:
             {
                 "event_type": pdf["event_type"].iloc[0],
                 "n": int(len(pdf)),
-                "max_z": round(float(z.max()), R),
-                "min_z": round(float(z.min()), R),
+                "max_z": _round_half_away(float(z.max()), R),
+                "min_z": _round_half_away(float(z.min()), R),
             }
         ]
     )

@@ -61,6 +61,7 @@ from ..functions.vector import l2_normalize, matrix_lit, neo4j_score
 from ..registry import register
 from ..sources.tables import load_table
 from .pq import (
+    cached_query_vector,
     DIST_DECIMALS,
     K,
     K_CODEWORDS,
@@ -359,13 +360,7 @@ def q_ann_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     RERANK_POOL rows of floats."""
     codes, rot, books = load_or_build_opq_index(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
-    meta, _ = _cache_paths(sf_dir, SEED)
-    m = json.loads(meta.read_text())
-    try:
-        qvec = m["sample_vecs"][m["sample_ids"].index(QUERY_VEC_ID)]
-    except ValueError:
-        qvec = [
-            float(v)
-            for v in emb.where(F.col("vec_id") == QUERY_VEC_ID).first()["embedding"]
-        ]
+    # query vector via the shared PQ-cache helper (same json float
+    # round-trip guarantees) instead of re-parsing this module's meta
+    qvec = cached_query_vector(spark, sf_dir)
     return opq_adc_topk(codes, emb, rot, books, qvec)

@@ -393,11 +393,13 @@ def temperature_mix_plan(counts: dict[str, int]) -> dict[str, tuple[int, int]]:
 def _temp_mix_oracle() -> str | None:
     import duckdb
 
+    from ..functions.train import ORACLE_SF_DIR
+
     try:
         con = duckdb.connect()
         rows = con.execute(
             "SELECT source, COUNT(*) FROM read_parquet("
-            "'/root/testdata/sf0.01/documents.parquet') GROUP BY source"
+            f"'{ORACLE_SF_DIR}/documents.parquet') GROUP BY source"
         ).fetchall()
         con.close()
     except Exception:  # pragma: no cover - testdata absent

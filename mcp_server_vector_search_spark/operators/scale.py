@@ -507,6 +507,9 @@ def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     conf = spark.conf
     prev_bc = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_bloom = conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled", None
+    )
     conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     conf.set(
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
@@ -535,6 +538,12 @@ def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         conf.unset(
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
         )
+        if prev_bloom is None:
+            conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        else:
+            conf.set(
+                "spark.sql.optimizer.runtime.bloomFilter.enabled", prev_bloom
+            )
     return out
 
 

@@ -56,7 +56,15 @@ def compact(
     df = spark.read.parquet(src_path)
     n = df.count()
     n_files = max(1, (n + target_rows_per_file - 1) // target_rows_per_file)
-    df.coalesce(n_files).write.mode("overwrite").parquet(dst_path)
+    # coalesce cannot INCREASE partition count: if the scan bin-packed
+    # the small files into fewer splits than the target (low-core
+    # machines shrink maxSplitBytes' denominator), fall back to a
+    # repartition so the written file count always equals n_files
+    if df.rdd.getNumPartitions() >= n_files:
+        df = df.coalesce(n_files)
+    else:
+        df = df.repartition(n_files)
+    df.write.mode("overwrite").parquet(dst_path)
     return n_files
 
 
@@ -244,7 +252,7 @@ def _zorder_layout(spark: SparkSession, sf_dir: str) -> str:
     "sink_zorder_pruned_scan",
     oracle=f"""
 SELECT COUNT(*) AS n_rows,
-       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
 FROM lineitem
 WHERE l_partkey BETWEEN {ZORDER_PART_LO} AND {ZORDER_PART_HI}
   AND l_suppkey BETWEEN {ZORDER_SUPP_LO} AND {ZORDER_SUPP_HI}
@@ -272,6 +280,10 @@ def sink_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
+            # exact decimal sum (double→long would TRUNCATE in Spark but
+            # round in DuckDB — the repo-wide decimal-sum convention)
+            F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_qty"),
         )
     )

@@ -266,7 +266,7 @@ def test_opq_recall_rotation_and_plan(spark):
 
 
 def test_matryoshka_recall_and_plan(spark):
-    """Prefix-dimension retrieval: the 16-dim coarse pool must recover
+    """Prefix-dimension retrieval: the PREFIX_DIM (32) coarse pool must recover
     the exact top-10 (synthetic embeddings carry signal in every
     coordinate, so the prefix is a fair filter here), the pool must cut
     via TakeOrderedAndProject, and no Python anywhere."""

@@ -354,11 +354,18 @@ def test_bloom_runtime_filter_injected(spark):
     )
 
     before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    before_bloom = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled", None
+    )
     df = join_bloom_runtime_filter(spark, SF_CORRECTNESS)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "might_contain" in plan
     assert "bloom_filter_agg" in plan
     assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled", None)
+        == before_bloom
+    )
 
 
 def test_dpp_prunes_fact_partitions(spark):
