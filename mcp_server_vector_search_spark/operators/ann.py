@@ -603,6 +603,27 @@ FROM assign GROUP BY centroid_id
 """
 
 
+def replace_partitions(layout: str, affected: list, replacement: DataFrame) -> None:
+    """EXPLICIT delete-and-append of a partitioned layout's affected
+    ``centroid_id`` cells.
+
+    Dynamic partition overwrite only replaces partitions PRESENT in the
+    written data, so an affected cell whose rows all moved away (and
+    that gains none) would silently keep its stale files; deleting by
+    the affected list clears emptied cells too.  The replacement rows
+    are materialized (localCheckpoint) BEFORE any file is deleted —
+    their plan reads the very partitions being replaced.  Unit-tested
+    against the emptied-cell case in tests/test_ann.py."""
+    import shutil
+
+    replacement = replacement.localCheckpoint(eager=True)
+    for c in affected:
+        shutil.rmtree(f"{layout}/centroid_id={c}", ignore_errors=True)
+    replacement.repartition("centroid_id").write.mode("append").partitionBy(
+        "centroid_id"
+    ).parquet(layout)
+
+
 @register("ann_ivf_upsert_cells", oracle=_ivf_upsert_oracle())
 def q_ann_ivf_upsert_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF index MAINTENANCE, end to end through real files: build the
@@ -613,10 +634,13 @@ def q_ann_ivf_upsert_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     Upsert into a cell-partitioned index is delete-and-append over the
     AFFECTED partitions only: affected = old cells of the updated ids ∪
     their new cells (collected as a bounded ≤ n_centroids list); those
-    partitions are rewritten as (surviving old rows ∪ re-assigned new
-    rows) under ``partitionOverwriteMode=dynamic``, so untouched cells'
-    files are never rewritten — at 100 TB the rewrite cost is
-    proportional to the touched cells, not the index.  The oracle
+    partition directories are deleted EXPLICITLY by that list and the
+    replacement rows (surviving old ∪ re-assigned new) appended, so
+    untouched cells' files are never rewritten — at 100 TB the rewrite
+    cost is proportional to the touched cells, not the index.  The
+    explicit delete matters: dynamic partition overwrite only replaces
+    partitions present in the WRITTEN data, so a cell whose rows all
+    moved away (gaining none) would silently keep stale files.  The oracle
     recomputes the effective post-upsert assignment from scratch; the
     read-back aggregate must match it exactly, which certifies the
     write path (no lost rows, no stale duplicates, no missed cells).
@@ -653,18 +677,10 @@ def q_ann_ivf_upsert_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             new_assigned.select("centroid_id").distinct()
         ).distinct().collect()
     )  # bounded: ≤ n_centroids rows
-    survivors = stored.where(
+    replacement = stored.where(
         F.col("centroid_id").isin(affected) & (F.col("vec_id") < cut)
-    )
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        survivors.select("vec_id", "embedding", "centroid_id").unionAll(
-            new_assigned
-        ).repartition("centroid_id").write.mode("overwrite").partitionBy(
-            "centroid_id"
-        ).parquet(layout)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    ).select("vec_id", "embedding", "centroid_id").unionAll(new_assigned)
+    replace_partitions(layout, affected, replacement)
 
     out = (
         spark.read.parquet(layout)

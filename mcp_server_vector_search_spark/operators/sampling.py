@@ -301,9 +301,31 @@ ES_SAMPLE_K = 50
 _U_DENOM = float(1 << 52)  # 13 hex digits = 52 bits, exact in double
 
 
+_ES_LCM = 4
+
+
 def _es_exponents() -> dict[str, int]:
-    lcm = 4
-    return {lang: lcm // w for lang, w in ES_WEIGHTS.items()}  # others → lcm
+    """lang → integer exponent L/w (others → L).  SINGLE source of the
+    power chains: both engines' key expressions are generated from
+    this map as left-associated multiplication chains, so editing
+    ES_WEIGHTS cannot desynchronize them."""
+    return {lang: _ES_LCM // w for lang, w in ES_WEIGHTS.items()}
+
+
+def _es_chain_sql(e: int) -> str:
+    """u^e as a left-associated explicit product, e.g. ((u * u) * u) * u."""
+    expr = "u"
+    for _ in range(e - 1):
+        expr = f"({expr} * u)" if expr != "u" else "u * u"
+    return expr
+
+
+def _es_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{lang}' THEN {_es_chain_sql(e)}"
+        for lang, e in sorted(_es_exponents().items())
+    )
+    return f"CASE lang {whens} ELSE {_es_chain_sql(_ES_LCM)} END"
 
 
 @register(
@@ -317,9 +339,7 @@ WITH u AS (
 ),
 keys AS (
   SELECT doc_id, lang,
-         CASE lang WHEN 'en' THEN u
-                   WHEN 'es' THEN u * u
-                   ELSE ((u * u) * u) * u END AS k
+         {_es_case_sql()} AS k
   FROM u
 )
 SELECT doc_id, lang, ROUND(k, 9) AS es_key
@@ -348,11 +368,17 @@ def sample_weighted_es(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) / F.lit(_U_DENOM)
     base = d.select("doc_id", "lang", u.alias("u"))
     uu = F.col("u")
-    key = (
-        F.when(F.col("lang") == "en", uu)
-        .when(F.col("lang") == "es", uu * uu)
-        .otherwise(((uu * uu) * uu) * uu)
-    )
+
+    def chain(e: int):  # left-associated u^e, mirroring _es_chain_sql
+        expr = uu
+        for _ in range(e - 1):
+            expr = expr * uu
+        return expr
+
+    key = F.lit(None).cast("double")
+    for lang, e in sorted(_es_exponents().items(), reverse=True):
+        key = F.when(F.col("lang") == lang, chain(e)).otherwise(key)
+    key = F.coalesce(key, chain(_ES_LCM))
     return (
         base.select("doc_id", "lang", key.alias("k"))
         .orderBy(F.desc("k"), F.asc("doc_id"))

@@ -496,22 +496,21 @@ def text_phrase_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     terms = _phrase_terms()
     d = load_table(spark, sf_dir, "documents")
+    if terms is None:  # oracle corpus absent: derive from THIS sf_dir
+        row = d.where(F.col("doc_id") == 0).select("text").first()
+        terms = tuple(row["text"].split(" ")[:PHRASE_LEN]) if row else ()
     pos = d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("p", "tok")
     )
-    postings = pos.groupBy("tok").agg(
-        F.sort_array(F.collect_list(F.struct("doc_id", "p"))).alias("plist")
-    )
+    # each slot probes its term's postings directly — the term filter IS
+    # the posting-list selection (a groupBy+collect_list+explode round
+    # trip would re-shuffle per slot only to rebuild these same rows)
     legs = None
     for i, t in enumerate(terms):
-        leg = (
-            postings.where(F.col("tok") == t)
-            .select(F.explode("plist").alias("o"))
-            .select(
-                F.col("o.doc_id").alias("doc_id"),
-                (F.col("o.p") - F.lit(i)).alias("anchor"),
-                F.lit(i).alias("slot"),
-            )
+        leg = pos.where(F.col("tok") == t).select(
+            "doc_id",
+            (F.col("p") - F.lit(i)).alias("anchor"),
+            F.lit(i).alias("slot"),
         )
         legs = leg if legs is None else legs.unionAll(leg)
     matches = (

@@ -280,3 +280,34 @@ def test_matryoshka_recall_and_plan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "EvalPython" not in plan
+
+
+def test_upsert_replace_partitions_clears_emptied_cell(spark):
+    """The stale-partition hole explicit delete-and-append exists to
+    close: when every row of an affected cell moves to another cell,
+    the emptied cell's files must disappear (dynamic partition
+    overwrite would have silently kept them)."""
+    import tempfile
+    from pathlib import Path
+
+    from mcp_server_vector_search_spark.operators.ann import replace_partitions
+
+    layout = tempfile.mkdtemp(prefix="upsert_empty_cell_")
+    base = spark.createDataFrame(
+        [(1, [1.0], 0), (2, [2.0], 0), (3, [3.0], 7), (4, [4.0], 7)],
+        "vec_id long, embedding array<double>, centroid_id int",
+    )
+    base.write.mode("overwrite").partitionBy("centroid_id").parquet(layout)
+    # cell 7's rows BOTH re-assign to cell 3; cell 0 is untouched
+    replacement = spark.createDataFrame(
+        [(3, [30.0], 3), (4, [40.0], 3)],
+        "vec_id long, embedding array<double>, centroid_id int",
+    )
+    replace_partitions(layout, [7, 3], replacement)
+    back = spark.read.parquet(layout)
+    rows = {(r.vec_id, r.centroid_id) for r in back.collect()}
+    assert rows == {(1, 0), (2, 0), (3, 3), (4, 3)}
+    assert not Path(f"{layout}/centroid_id=7").exists()
+    import shutil
+
+    shutil.rmtree(layout, ignore_errors=True)
