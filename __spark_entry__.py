@@ -52,6 +52,7 @@ _PRIORITY_PREFIX = [
     "mix_temperature_sources",
     "sink_zorder_pruned_scan",
     "agg_mad_outliers",
+    "events_top_paths",
     "pipeline_build_corpus",
     "pipeline_index_cells",
     "ann_sq8_topk",

@@ -202,3 +202,65 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+PATH_LEN = 3
+TOP_PATHS = 10
+
+
+@register(
+    "events_top_paths",
+    oracle=f"""
+WITH seqs AS (
+  SELECT user_id, list(event_type ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id
+),
+grams AS (
+  SELECT unnest(list_transform(range(1, len(seq) - {PATH_LEN} + 2),
+                i -> array_to_string(seq[i : i + {PATH_LEN} - 1], '>'))) AS path
+  FROM seqs WHERE len(seq) >= {PATH_LEN}
+)
+SELECT path, COUNT(*) AS n_journeys
+FROM grams GROUP BY path
+ORDER BY n_journeys DESC, path
+LIMIT {TOP_PATHS}
+""",
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: the most common {PATH_LEN}-step event-type
+    sequences across user journeys — the product-analytics "what do
+    users do next" query (the funnel's exploratory sibling).
+
+    Scale shape: ONE shuffle keyed on user_id builds each journey as a
+    (ts, event_id)-ordered array (`sort_array(collect_list(struct))` —
+    partial-aggregated, and journey length is bounded by per-user
+    activity, not corpus size); the sliding {PATH_LEN}-gram explode and
+    the path count are map-side + a ≤|paths| aggregate.  The total-order
+    tie-break (event_id) makes the journey arrays — and therefore the
+    path counts — engine-exact, so the top-{TOP_PATHS} is
+    hash-verifiable."""
+    e = load_table(spark, sf_dir, "events")
+    seqs = (
+        e.groupBy("user_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda s: s["event_type"],
+            ).alias("seq")
+        )
+        .where(F.size("seq") >= PATH_LEN)
+    )
+    grams = seqs.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("seq") - (PATH_LEN - 1)),
+                lambda i: F.concat_ws(">", F.slice("seq", i, PATH_LEN)),
+            )
+        ).alias("path")
+    )
+    return (
+        grams.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_journeys"))
+        .orderBy(F.desc("n_journeys"), F.asc("path"))
+        .limit(TOP_PATHS)
+    )
