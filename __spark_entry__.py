@@ -53,6 +53,7 @@ _PRIORITY_PREFIX = [
     "sink_zorder_pruned_scan",
     "agg_mad_outliers",
     "events_top_paths",
+    "engine_search_ann",
     "pipeline_build_corpus",
     "pipeline_index_cells",
     "ann_sq8_topk",

@@ -72,3 +72,86 @@ def q_engine_search_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     prompt, return the top-k (name, description, score) rows."""
     engine = SparkVectorSearch(_engine_corpus(spark, sf_dir))
     return engine.search_df(PROMPT_TEXT, k=ENGINE_K)
+
+
+def _engine_ann_oracle() -> str | None:
+    """IVF-pruned mirror of the facade search: the same trained
+    centroid literals, the same rounded-argmax assignment, the same
+    driver-side probe list over the PROMPT's hash embedding — then the
+    docs join and (name, description, score) projection."""
+    from ..functions.train import ORACLE_SF_DIR, load_sorted_vectors
+    from .ann import (
+        ASSIGN_DECIMALS,
+        NPROBE,
+        nearest_centroids,
+        train_centroids,
+    )
+    from .pq import TRAIN_SAMPLE
+
+    try:
+        _, x = load_sorted_vectors(ORACLE_SF_DIR)
+    except Exception:  # pragma: no cover - testdata absent
+        return None
+    cents = train_centroids([list(v) for v in x[:TRAIN_SAMPLE]])
+    qvec = prompt_embedding()
+    probes = nearest_centroids(qvec, cents, NPROBE)
+    values = ",\n  ".join(
+        f"({i}, {sql_floats(c)}::DOUBLE[])" for i, c in enumerate(cents)
+    )
+    qv = sql_floats(qvec)
+    return f"""
+WITH cents(cid, cv) AS (VALUES
+  {values}
+),
+sims AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         ROUND(list_dot_product(e.embedding::DOUBLE[], c.cv)
+               / sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])),
+               {ASSIGN_DECIMALS}) AS sim
+  FROM embeddings e CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, embedding, cid AS centroid_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+    FROM sims
+  ) WHERE rn = 1
+)
+SELECT CAST(d.doc_id AS VARCHAR) AS name,
+       d.text AS description,
+       ROUND((1.0 + list_cosine_similarity(a.embedding::DOUBLE[], {qv}::DOUBLE[])) / 2.0,
+             {SCORE_DECIMALS}) AS score
+FROM assign a JOIN documents d ON d.doc_id = a.vec_id
+WHERE a.centroid_id IN ({", ".join(str(p) for p in probes)})
+ORDER BY score DESC, name
+LIMIT {ENGINE_K}
+"""
+
+
+@register("engine_search_ann", oracle=_engine_ann_oracle())
+def q_engine_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The facade search over the ANN INDEX — the reference's actual
+    architecture (its tool delegates to Neo4j's HNSW index, reference
+    server.py:87 `db.index.vector.queryNodes`); here the delegate is
+    the IVF partitioned layout: prompt hash-embedding → driver-side
+    nprobe cell selection → partition-pruned exact scoring → docs
+    metadata join → top-k (name, description, score).
+
+    Compared to `engine_search_e2e` (exact full scan), this is the
+    100 TB serving path: the scan touches nprobe/n_centroids of the
+    corpus, and the docs join probes only the k result ids
+    (broadcast)."""
+    from .ann import ivf_topk, load_or_build_ivf_index
+
+    indexed, cents = load_or_build_ivf_index(spark, sf_dir)
+    qvec = prompt_embedding()
+    hits = ivf_topk(indexed, cents, qvec, k=ENGINE_K).select("vec_id", "score")
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.join(F.broadcast(hits), docs.doc_id == hits.vec_id)
+        .select(
+            F.col("doc_id").cast("string").alias("name"),
+            F.col("text").alias("description"),
+            "score",
+        )
+        .orderBy(F.desc("score"), F.asc("name"))
+    )
