@@ -207,3 +207,55 @@ def redact_document_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(_as_stream_dir(f"{sf_dir}/documents.parquet"))
     )
     return redact_rows(stream)
+
+
+def temperature_mix_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing on a LIVE ingest: arriving
+    document files are replicated/downsampled with weights FROZEN from
+    the reference corpus (operators/sampling.temperature_mix_plan over
+    the batch counts) — once the plan is literals, the explode/keep
+    decision is stateless and row-local, so the stream needs no state
+    store and no watermark.  A production mixer re-freezes the plan on
+    a cadence (weights drift as the corpus grows) by restarting the
+    query with fresh literals — the plan is a parameter, not state.
+    Batch≡stream equivalence asserted in tests/test_streaming.py."""
+    from pyspark.sql import functions as F
+
+    from ..operators.sampling import temperature_mix_plan
+    from ..sources.tables import load_table
+
+    counts = {
+        r["source"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    plan = temperature_mix_plan(counts)
+    fl = F.coalesce(
+        *[
+            F.when(F.col("source") == s, F.lit(f)).otherwise(F.lit(None))
+            for s, (f, _) in sorted(plan.items())
+        ]
+    )
+    th = F.coalesce(
+        *[
+            F.when(F.col("source") == s, F.lit(t)).otherwise(F.lit(None))
+            for s, (_, t) in sorted(plan.items())
+        ]
+    )
+    hash4 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("int")
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_as_stream_dir(f"{sf_dir}/documents.parquet"))
+    )
+    copies = fl + (hash4 < th).cast("int")
+    return (
+        stream.select("doc_id", "source", copies.alias("copies"))
+        .where(F.col("copies") > 0)
+        .withColumn("copy_id", F.explode(F.sequence(F.lit(1), F.col("copies"))))
+    )

@@ -477,3 +477,36 @@ def test_redaction_stream_equals_batch(spark):
         for r in redact_rows(load_table(spark, SF_SMOKE, "documents")).collect()
     }
     assert got == want and got
+
+
+def test_temperature_mix_stream_equals_batch(spark):
+    """Batch≡stream equivalence for the temperature mixer: frozen-plan
+    replication over the same documents must emit the identical
+    (doc_id, source, copy_id) multiset the batch operator aggregates."""
+    from pyspark.sql import functions as F
+
+    from mcp_server_vector_search_spark.operators.sampling import (
+        mix_temperature_sources,
+    )
+
+    q = (
+        ingest.temperature_mix_stream(spark, SF_SMOKE)
+        .writeStream.format("memory")
+        .queryName("temp_mix_stream_eq")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = (
+        spark.sql("SELECT * FROM temp_mix_stream_eq")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows_out"),
+            F.countDistinct("doc_id").alias("n_docs_kept"),
+        )
+        .collect()
+    )
+    want = mix_temperature_sources(spark, SF_SMOKE).collect()
+    assert {tuple(r) for r in got} == {tuple(r) for r in want} and got
