@@ -287,32 +287,22 @@ def quality_constraint_certificate(spark: SparkSession, sf_dir: str) -> DataFram
         ).cast("long").alias("bad_status"),
         F.sum(F.col("o_custkey").isNull().cast("long")).alias("null_cust"),
     )
+    suite = [
+        ("row_count", F.col("n_rows"), F.col("n_rows") > 0),
+        ("orderkey_unique", F.col("n_keys"), F.col("n_keys") == F.col("n_rows")),
+        ("totalprice_nonnegative", F.col("neg_price"), F.col("neg_price") == 0),
+        ("status_in_domain", F.col("bad_status"), F.col("bad_status") == 0),
+        ("custkey_complete", F.col("null_cust"), F.col("null_cust") == 0),
+    ]
     checks = F.array(
-        F.struct(
-            F.lit("row_count").alias("constraint"),
-            F.col("n_rows").cast("double").alias("metric"),
-            (F.col("n_rows") > 0).alias("passed"),
-        ),
-        F.struct(
-            F.lit("orderkey_unique").alias("constraint"),
-            F.col("n_keys").cast("double").alias("metric"),
-            (F.col("n_keys") == F.col("n_rows")).alias("passed"),
-        ),
-        F.struct(
-            F.lit("totalprice_nonnegative").alias("constraint"),
-            F.col("neg_price").cast("double").alias("metric"),
-            (F.col("neg_price") == 0).alias("passed"),
-        ),
-        F.struct(
-            F.lit("status_in_domain").alias("constraint"),
-            F.col("bad_status").cast("double").alias("metric"),
-            (F.col("bad_status") == 0).alias("passed"),
-        ),
-        F.struct(
-            F.lit("custkey_complete").alias("constraint"),
-            F.col("null_cust").cast("double").alias("metric"),
-            (F.col("null_cust") == 0).alias("passed"),
-        ),
+        *[
+            F.struct(
+                F.lit(name).alias("constraint"),
+                metric.cast("double").alias("metric"),
+                passed.alias("passed"),
+            )
+            for name, metric, passed in suite
+        ]
     )
     return m.select(F.explode(checks).alias("c")).select(
         "c.constraint", "c.metric", "c.passed"

@@ -61,6 +61,7 @@ from ..functions.vector import l2_normalize, matrix_lit, neo4j_score
 from ..registry import register
 from ..sources.tables import load_table
 from .pq import (
+    _encode as pq_encode,
     cached_query_vector,
     DIST_DECIMALS,
     K,
@@ -148,36 +149,6 @@ def _rotated_unit(rot) -> F.Column:
     )
 
 
-def _encode_rotated(rotated_df: DataFrame, books) -> DataFrame:
-    """PQ nearest-codeword encode over the pre-rotated ``__unit``
-    column (pq.py's encode, parameterized by these codebooks)."""
-    norms2 = _codeword_norms2(books)
-
-    def code_for(m: int) -> F.Column:
-        sub = F.slice(F.col("__unit"), m * SUB_DIM + 1, SUB_DIM)
-        book_m = matrix_lit(books[m])
-        cn2_m = F.expr(
-            "array(" + ",".join(f"{float(v)!r}D" for v in norms2[m]) + ")"
-        )
-        dists = F.transform(
-            F.sequence(F.lit(1), F.lit(K_CODEWORDS)),
-            lambda c: F.round(
-                F.element_at(cn2_m, c)
-                - 2.0
-                * F.aggregate(
-                    F.zip_with(sub, F.element_at(book_m, c), lambda a, b: a * b),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ),
-                DIST_DECIMALS,
-            ),
-        )
-        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-
-    codes = F.array(*[code_for(m) for m in range(M_SUBSPACES)])
-    return rotated_df.select("vec_id", codes.alias("codes"))
-
-
 def _cache_paths(sf_dir: str, seed: int) -> tuple[Path, Path]:
     tag = hashlib.md5(
         f"{sf_dir}:{M_SUBSPACES}:{K_CODEWORDS}:{TRAIN_SAMPLE}:{seed}:v1".encode()
@@ -200,7 +171,9 @@ def load_or_build_opq_index(spark: SparkSession, sf_dir: str, seed: int = SEED):
     vecs = [[float(x) for x in r["embedding"]] for r in rows]
     rot, books = _train_opq(vecs, seed)
     rotated = emb.select("vec_id", _rotated_unit(rot).alias("__unit"))
-    _encode_rotated(rotated, books).write.mode("overwrite").parquet(str(data))
+    # pq._encode is parameterized by codebooks and reads the ``__unit``
+    # column — the identical nearest-codeword stage, reused verbatim
+    pq_encode(rotated, books).write.mode("overwrite").parquet(str(data))
     meta.write_text(
         json.dumps(
             {"rot": rot, "books": books, "sample_ids": ids, "sample_vecs": vecs}

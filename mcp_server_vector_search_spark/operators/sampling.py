@@ -475,11 +475,28 @@ def mix_temperature_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic is shared verbatim with the oracle generator, giving the
     data-dependent weights an exact cross-engine check."""
     d = load_table(spark, sf_dir, "documents")
-    counts = {
+    plan = temperature_mix_plan(corpus_source_counts(d))
+    replicated = temperature_replicate(d, plan)
+    return replicated.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows_out"),
+        F.countDistinct("doc_id").alias("n_docs_kept"),
+    )
+
+
+def corpus_source_counts(d: DataFrame) -> dict[str, int]:
+    """Per-source row counts (bounded ≤ n_sources collect)."""
+    return {
         r["source"]: r["n"]
         for r in d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
     }
-    plan = temperature_mix_plan(counts)
+
+
+def temperature_replicate(d: DataFrame, plan: dict[str, tuple[int, int]]) -> DataFrame:
+    """The frozen-plan replication projection shared by the batch query
+    and the streaming mixer (streaming/ingest.temperature_mix_stream):
+    per-source floor copies + hash-fractional extra copy, exploded to
+    (doc_id, source, copy_id) rows.  Stateless and row-local once the
+    plan is literals."""
     fl = F.coalesce(
         *[
             F.when(F.col("source") == s, F.lit(f)).otherwise(F.lit(None))
@@ -496,12 +513,8 @@ def mix_temperature_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
     ).cast("int")
     copies = fl + (hash4 < th).cast("int")
-    replicated = (
+    return (
         d.select("doc_id", "source", copies.alias("copies"))
         .where(F.col("copies") > 0)
         .withColumn("copy_id", F.explode(F.sequence(F.lit(1), F.col("copies"))))
-    )
-    return replicated.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_rows_out"),
-        F.countDistinct("doc_id").alias("n_docs_kept"),
     )

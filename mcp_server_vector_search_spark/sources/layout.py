@@ -188,7 +188,9 @@ def sink_compaction_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as F
 
-    d = load_table_docs(spark, sf_dir)
+    from .tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
     scratch = tempfile.mkdtemp(prefix="compaction_")
     small, compacted = f"{scratch}/small", f"{scratch}/compacted"
     d.repartition(COMPACT_FRAGMENTS).write.mode("overwrite").parquet(small)
@@ -211,14 +213,6 @@ def sink_compaction_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(scratch, ignore_errors=True)
     return out
-
-
-def load_table_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents via the shared normalizing loader (import placed here
-    to keep this module import-light for the layout helpers)."""
-    from .tables import load_table
-
-    return load_table(spark, sf_dir, "documents")
 
 
 import hashlib as _hashlib  # noqa: E402

@@ -219,43 +219,20 @@ def temperature_mix_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     a cadence (weights drift as the corpus grows) by restarting the
     query with fresh literals — the plan is a parameter, not state.
     Batch≡stream equivalence asserted in tests/test_streaming.py."""
-    from pyspark.sql import functions as F
-
-    from ..operators.sampling import temperature_mix_plan
+    from ..operators.sampling import (
+        corpus_source_counts,
+        temperature_mix_plan,
+        temperature_replicate,
+    )
     from ..sources.tables import load_table
 
-    counts = {
-        r["source"]: r["n"]
-        for r in load_table(spark, sf_dir, "documents")
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
-    plan = temperature_mix_plan(counts)
-    fl = F.coalesce(
-        *[
-            F.when(F.col("source") == s, F.lit(f)).otherwise(F.lit(None))
-            for s, (f, _) in sorted(plan.items())
-        ]
+    plan = temperature_mix_plan(
+        corpus_source_counts(load_table(spark, sf_dir, "documents"))
     )
-    th = F.coalesce(
-        *[
-            F.when(F.col("source") == s, F.lit(t)).otherwise(F.lit(None))
-            for s, (_, t) in sorted(plan.items())
-        ]
-    )
-    hash4 = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
-    ).cast("int")
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(_as_stream_dir(f"{sf_dir}/documents.parquet"))
     )
-    copies = fl + (hash4 < th).cast("int")
-    return (
-        stream.select("doc_id", "source", copies.alias("copies"))
-        .where(F.col("copies") > 0)
-        .withColumn("copy_id", F.explode(F.sequence(F.lit(1), F.col("copies"))))
-    )
+    return temperature_replicate(stream, plan)
