@@ -54,6 +54,7 @@ _PRIORITY_PREFIX = [
     "agg_mad_outliers",
     "events_top_paths",
     "engine_search_ann",
+    "agg_market_basket_pairs",
     "pipeline_build_corpus",
     "pipeline_index_cells",
     "ann_sq8_topk",

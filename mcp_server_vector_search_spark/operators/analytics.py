@@ -543,3 +543,66 @@ def scalar_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.size(F.map_filter(m, lambda k, v: v > 50)).alias("n_big"),
     )
+
+
+BASKET_TOP = 15
+
+
+@register(
+    "agg_market_basket_pairs",
+    oracle=f"""
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       COUNT(*) AS n_orders
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY a.l_partkey, b.l_partkey
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT {BASKET_TOP}
+""",
+)
+def agg_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the part pairs most often bought in
+    the same order (the support counts behind association-rule mining,
+    Agrawal/Srikant's Apriori setting — public).
+
+    Scale shape: ONE shuffle on the basket id builds each order's part
+    array (partial-aggregated collect), then the i<j pair fan-out is a
+    row-local array expression — bounded by items-per-order², a
+    per-ORDER constant, never corpus-quadratic.  A self-join
+    formulation would shuffle the fact table twice (both join sides);
+    the collect form shuffles it once, which is why the ORACLE is kept
+    as the independent self-join — two different algorithms must agree
+    on the counts.  The pair aggregate is map-side combined and the
+    top-N collapses to ``TakeOrderedAndProject``.  The strict
+    ``part_a < part_b`` filter reproduces the join's semantics exactly,
+    including duplicate-part multiplicities."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_list("l_partkey")).alias("parts"))
+        .where(F.size("parts") >= 2)
+    )
+    arr = F.col("parts")
+    n = F.size(arr)
+    pair_lists = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.slice(arr, i + 1, n - i),
+                lambda y: F.struct(
+                    F.element_at(arr, i).alias("part_a"), y.alias("part_b")
+                ),
+            ),
+        )
+    )
+    pairs = (
+        baskets.select(F.explode(pair_lists).alias("pr"))
+        .select("pr.part_a", "pr.part_b")
+        .where(F.col("part_a") < F.col("part_b"))
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
+        .limit(BASKET_TOP)
+    )
