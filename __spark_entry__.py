@@ -55,6 +55,8 @@ _PRIORITY_PREFIX = [
     "events_top_paths",
     "engine_search_ann",
     "agg_market_basket_pairs",
+    "events_markov_transitions",
+    "agg_gini_concentration",
     "pipeline_build_corpus",
     "pipeline_index_cells",
     "ann_sq8_topk",

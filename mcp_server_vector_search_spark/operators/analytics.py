@@ -606,3 +606,68 @@ def agg_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
         .limit(BASKET_TOP)
     )
+
+
+@register(
+    "agg_gini_concentration",
+    oracle="""
+WITH ranked AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(o.o_totalprice AS DECIMAL(12,2)) AS x,
+         ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                            ORDER BY o.o_totalprice, o.o_orderkey) AS i
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+seg AS (
+  SELECT segment,
+         COUNT(*) AS n,
+         CAST(SUM(x) AS DOUBLE) AS s,
+         CAST(SUM(i * x) AS DOUBLE) AS ws
+  FROM ranked GROUP BY segment
+)
+SELECT segment, n AS n_orders,
+       ROUND(((2.0 * ws) / (n * s)) - ((n + 1.0) / n), 6) AS gini
+FROM seg
+""",
+)
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration Gini coefficient per market segment — the
+    inequality statistic a data curator runs on source/domain revenue
+    (or token-count) distributions to spot over-concentration.
+
+    Exact despite being rank-weighted: order values are DECIMAL, so
+    the rank-weighted sum Σi·xᵢ and the total Σxᵢ are both EXACT
+    (associative) aggregates — the only float math is the final
+    two-division formula, identically parenthesized in both engines.
+    Rank ties (equal x) cannot change Σi·xᵢ, so the orderkey tie-break
+    is for determinism of the window, not the result.  Plan: one
+    segment-partitioned sort window (range exchange at scale), then a
+    ≤n_segments aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    ranked = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_totalprice").cast("decimal(12,2)").alias("x"),
+            F.row_number()
+            .over(
+                W.partitionBy("c_mktsegment").orderBy("o_totalprice", "o_orderkey")
+            )
+            .alias("i"),
+        )
+    )
+    seg = ranked.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("s"),
+        F.sum(F.col("i") * F.col("x")).cast("double").alias("ws"),
+    )
+    return seg.select(
+        "segment",
+        F.col("n").alias("n_orders"),
+        F.round(
+            ((F.lit(2.0) * F.col("ws")) / (F.col("n") * F.col("s")))
+            - ((F.col("n") + F.lit(1.0)) / F.col("n")),
+            6,
+        ).alias("gini"),
+    )

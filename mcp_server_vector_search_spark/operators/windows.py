@@ -264,3 +264,56 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_journeys"), F.asc("path"))
         .limit(TOP_PATHS)
     )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+WITH nxt AS (
+  SELECT event_type AS from_state,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_state
+  FROM events
+),
+cnt AS (
+  SELECT from_state, to_state, COUNT(*) AS n
+  FROM nxt WHERE to_state IS NOT NULL
+  GROUP BY from_state, to_state
+)
+SELECT from_state, to_state, n AS n_transitions,
+       ROUND(n / CAST(SUM(n) OVER (PARTITION BY from_state) AS DOUBLE), 6)
+         AS p_transition
+FROM cnt
+""",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user journeys: for
+    each (state, next-state) pair, the transition count and empirical
+    probability — `events_top_paths`'s model-shaped sibling (what a
+    next-action predictor or a session simulator consumes).
+
+    Scale shape: one shuffle keyed on user_id for the LEAD window
+    (event-time ordered, event_id total-order tie-break), then the
+    transition aggregate is map-side combined into ≤|states|² rows and
+    the probability normalization is a window over that TINY matrix —
+    no second pass over the corpus.  The probability is a single
+    IEEE division of exact integer counts, identically rounded in both
+    engines."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = e.select(
+        F.col("event_type").alias("from_state"),
+        F.lead("event_type").over(w).alias("to_state"),
+    ).where(F.col("to_state").isNotNull())
+    cnt = nxt.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    total = F.sum("n_transitions").over(W.partitionBy("from_state"))
+    return cnt.select(
+        "from_state",
+        "to_state",
+        "n_transitions",
+        F.round(F.col("n_transitions") / total.cast("double"), 6).alias(
+            "p_transition"
+        ),
+    )
