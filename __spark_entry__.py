@@ -57,6 +57,7 @@ _PRIORITY_PREFIX = [
     "agg_market_basket_pairs",
     "events_markov_transitions",
     "agg_gini_concentration",
+    "timeseries_ewma_per_user",
     "pipeline_build_corpus",
     "pipeline_index_cells",
     "ann_sq8_topk",

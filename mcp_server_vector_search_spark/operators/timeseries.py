@@ -222,3 +222,56 @@ def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame
     return ctx.select(
         "event_type", "bucket", F.round(interp, 6).alias("interp_value")
     )
+
+
+EWMA_ALPHA = 0.2
+
+
+@register(
+    "timeseries_ewma_per_user",
+    oracle=f"""
+WITH series AS (
+  SELECT user_id,
+         list(value ORDER BY ts, event_id) AS vals
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(vals) AS BIGINT) AS n_events,
+       ROUND(list_reduce(vals,
+             (acc, x) -> {EWMA_ALPHA} * x + {1 - EWMA_ALPHA} * acc), 6) AS ewma
+FROM series
+""",
+)
+def timeseries_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per user — the sequential
+    per-entity fold (EWMA_t = α·x_t + (1-α)·EWMA_{t-1}) that windowed
+    aggregates cannot express, done as an ARRAY FOLD: one shuffle
+    builds each user's time-ordered value array, then ``F.aggregate``
+    runs the recurrence left-to-right inside codegen.
+
+    The fold is sequential IEEE arithmetic in both engines (Spark
+    ``aggregate`` and DuckDB ``list_reduce`` are both left folds
+    seeded by the first element), so the smoothed value is
+    hash-exact.  Scale: per-entity history is bounded (a user's
+    events), so collect-then-fold is safe; for unbounded streams the
+    same recurrence runs incrementally in
+    ``applyInPandasWithState`` (streaming/stateful.py) — state is one
+    number per key."""
+    e = load_table(spark, sf_dir, "events")
+    series = e.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))),
+            lambda s: s["value"],
+        ).alias("vals")
+    )
+    vals = F.col("vals")
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.size(vals) - 1),
+        F.element_at(vals, 1),
+        lambda acc, x: F.lit(EWMA_ALPHA) * x + F.lit(1 - EWMA_ALPHA) * acc,
+    )
+    return series.select(
+        "user_id",
+        F.size(vals).cast("long").alias("n_events"),
+        F.round(ewma, 6).alias("ewma"),
+    )
