@@ -58,6 +58,7 @@ _PRIORITY_PREFIX = [
     "events_markov_transitions",
     "agg_gini_concentration",
     "timeseries_ewma_per_user",
+    "agg_bitmap_distinct",
     "pipeline_build_corpus",
     "pipeline_index_cells",
     "ann_sq8_topk",
