@@ -59,6 +59,7 @@ _PRIORITY_PREFIX = [
     "agg_gini_concentration",
     "timeseries_ewma_per_user",
     "agg_bitmap_distinct",
+    "multimodal_resize",
     "pipeline_build_corpus",
     "pipeline_index_cells",
     "ann_sq8_topk",

@@ -175,3 +175,39 @@ def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     meta = extract_metadata(attach_binary_payload(docs))
     return meta.select("doc_id", "modality", "byte_len", "sha256")
+
+
+RESIZE_W, RESIZE_H = 64, 64
+_RESIZE_OUT_LEN = 32 * (RESIZE_W * RESIZE_H // 32 + 1)  # digest-tiled stub
+
+
+@register(
+    "multimodal_resize",
+    oracle=f"""
+SELECT doc_id,
+       CAST({RESIZE_W} AS INTEGER) AS width,
+       CAST({RESIZE_H} AS INTEGER) AS height,
+       CAST({_RESIZE_OUT_LEN} AS INTEGER) AS out_len,
+       substr(sha256(text), 1, 8) AS head_hex
+FROM documents
+""",
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resize transform end to end through the Arrow boundary: each
+    payload row comes back as a {RESIZE_W}×{RESIZE_H} re-encoded binary
+    (stub codec: sha256 digest tiled to the target byte budget), and
+    the registered result projects VALUES DERIVED FROM THE ACTUAL
+    OUTPUT BYTES — the byte length and the leading digest hex — so the
+    oracle's independent arithmetic verifies the mapInPandas batch
+    path produced exactly the bytes the stub specifies.  A real PIL/cv2
+    kernel swaps into the same slot; the Spark contract (schema, Arrow
+    batching, 1:1 row preservation) is what this row certifies."""
+    docs = load_table(spark, sf_dir, "documents")
+    resized = resize_images(attach_binary_payload(docs), RESIZE_W, RESIZE_H)
+    return resized.select(
+        "doc_id",
+        "width",
+        "height",
+        F.length("payload").cast("int").alias("out_len"),
+        F.lower(F.hex(F.substring(F.col("payload"), 1, 4))).alias("head_hex"),
+    )

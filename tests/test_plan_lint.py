@@ -68,6 +68,7 @@ ARROW_OK = {
     "engine_search_e2e",
     "multimodal_frame_sample",
     "multimodal_metadata",
+    "multimodal_resize",  # stubbed codec over mapInPandas (by design)
     "udf_grouped_map_zscore",  # grouped-map applyInPandas demo (by design)
 }
 
