@@ -235,22 +235,16 @@ def ivf_topk(
     )
 
 
-def _ivf_oracle() -> str | None:
-    """Exact DuckDB mirror of ``q_ann_ivf_topk`` at the driver's
-    correctness SF: the same numpy training produces the same centroid
-    literals; assignment is the same rounded-sim argmax (ROW_NUMBER
-    over sim DESC, cid ASC); probes come from the same
-    ``nearest_centroids`` call."""
-    try:
-        ids, x = load_sorted_vectors(ORACLE_SF_DIR)
-    except Exception:  # pragma: no cover - testdata absent
-        return None
-    cents = train_centroids([list(v) for v in x[:TRAIN_SAMPLE]])
-    qvec = [float(v) for v in x[ids.index(QUERY_VEC_ID)]]
-    probes = nearest_centroids(qvec, cents, NPROBE)
-    values = ",\n  ".join(f"({i}, {sql_floats(c)}::DOUBLE[])" for i, c in enumerate(cents))
-    return f"""
-WITH cents(cid, cv) AS (VALUES
+def ivf_assign_sql(cents) -> str:
+    """Shared oracle fragment: trained-centroid literals + rounded-argmax
+    cell assignment (`cents`/`sims`/`assign` CTEs, with the embedding
+    carried through `assign`).  Single source for every IVF-mirroring
+    oracle (`_ivf_oracle`, engine_queries._engine_ann_oracle) so the
+    assignment arithmetic cannot desynchronize between them."""
+    values = ",\n  ".join(
+        f"({i}, {sql_floats(c)}::DOUBLE[])" for i, c in enumerate(cents)
+    )
+    return f"""cents(cid, cv) AS (VALUES
   {values}
 ),
 sims AS (
@@ -265,7 +259,24 @@ assign AS (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
     FROM sims
   ) WHERE rn = 1
-),
+)"""
+
+
+def _ivf_oracle() -> str | None:
+    """Exact DuckDB mirror of ``q_ann_ivf_topk`` at the driver's
+    correctness SF: the same numpy training produces the same centroid
+    literals; assignment is the same rounded-sim argmax (ROW_NUMBER
+    over sim DESC, cid ASC); probes come from the same
+    ``nearest_centroids`` call."""
+    try:
+        ids, x = load_sorted_vectors(ORACLE_SF_DIR)
+    except Exception:  # pragma: no cover - testdata absent
+        return None
+    cents = train_centroids([list(v) for v in x[:TRAIN_SAMPLE]])
+    qvec = [float(v) for v in x[ids.index(QUERY_VEC_ID)]]
+    probes = nearest_centroids(qvec, cents, NPROBE)
+    return f"""
+WITH {ivf_assign_sql(cents)},
 q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
 SELECT a.vec_id, a.centroid_id,
        ROUND((1.0 + list_cosine_similarity(a.embedding::DOUBLE[], q.qv)) / 2.0,

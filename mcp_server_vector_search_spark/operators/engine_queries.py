@@ -81,49 +81,42 @@ def _engine_ann_oracle() -> str | None:
     docs join and (name, description, score) projection."""
     from ..functions.train import ORACLE_SF_DIR, load_sorted_vectors
     from .ann import (
-        ASSIGN_DECIMALS,
         NPROBE,
+        TRAIN_SAMPLE,
+        ivf_assign_sql,
         nearest_centroids,
         train_centroids,
     )
-    from .pq import TRAIN_SAMPLE
 
     try:
         _, x = load_sorted_vectors(ORACLE_SF_DIR)
     except Exception:  # pragma: no cover - testdata absent
         return None
+    # TRAIN_SAMPLE from .ann — it must mirror the sample the SERVED IVF
+    # index trains on (ann._sample_vectors' default), not PQ's
     cents = train_centroids([list(v) for v in x[:TRAIN_SAMPLE]])
     qvec = prompt_embedding()
     probes = nearest_centroids(qvec, cents, NPROBE)
-    values = ",\n  ".join(
-        f"({i}, {sql_floats(c)}::DOUBLE[])" for i, c in enumerate(cents)
-    )
     qv = sql_floats(qvec)
+    # the top-k POOL is cut by (score DESC, vec_id) — the same numeric
+    # tie-break ivf_topk applies — BEFORE the docs join; cutting after
+    # the join by name (VARCHAR) would order rounded-score ties
+    # lexicographically and pick a different row set
     return f"""
-WITH cents(cid, cv) AS (VALUES
-  {values}
-),
-sims AS (
-  SELECT e.vec_id, e.embedding, c.cid,
-         ROUND(list_dot_product(e.embedding::DOUBLE[], c.cv)
-               / sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])),
-               {ASSIGN_DECIMALS}) AS sim
-  FROM embeddings e CROSS JOIN cents c
-),
-assign AS (
-  SELECT vec_id, embedding, cid AS centroid_id FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
-    FROM sims
-  ) WHERE rn = 1
+WITH {ivf_assign_sql(cents)},
+pool AS (
+  SELECT vec_id,
+         ROUND((1.0 + list_cosine_similarity(embedding::DOUBLE[], {qv}::DOUBLE[])) / 2.0,
+               {SCORE_DECIMALS}) AS score
+  FROM assign
+  WHERE centroid_id IN ({", ".join(str(p) for p in probes)})
+  ORDER BY score DESC, vec_id
+  LIMIT {ENGINE_K}
 )
 SELECT CAST(d.doc_id AS VARCHAR) AS name,
        d.text AS description,
-       ROUND((1.0 + list_cosine_similarity(a.embedding::DOUBLE[], {qv}::DOUBLE[])) / 2.0,
-             {SCORE_DECIMALS}) AS score
-FROM assign a JOIN documents d ON d.doc_id = a.vec_id
-WHERE a.centroid_id IN ({", ".join(str(p) for p in probes)})
-ORDER BY score DESC, name
-LIMIT {ENGINE_K}
+       p.score
+FROM pool p JOIN documents d ON d.doc_id = p.vec_id
 """
 
 

@@ -277,8 +277,9 @@ def _index_cells_oracle() -> str | None:
     """Centroid-assignment fragment (proven by the IVF family oracles)
     applied to the pipeline's kept TRAIN documents."""
     from ..functions.train import ORACLE_SF_DIR, load_sorted_vectors, sql_floats
-    from ..operators.ann import ASSIGN_DECIMALS, train_centroids
-    from ..operators.pq import TRAIN_SAMPLE
+    # TRAIN_SAMPLE from .ann — must mirror the IVF index's own training
+    # sample (load_or_build_ivf_index), not PQ's codebook sample
+    from ..operators.ann import ASSIGN_DECIMALS, TRAIN_SAMPLE, train_centroids
 
     try:
         _, x = load_sorted_vectors(ORACLE_SF_DIR)

@@ -308,7 +308,16 @@ def _es_exponents() -> dict[str, int]:
     """lang → integer exponent L/w (others → L).  SINGLE source of the
     power chains: both engines' key expressions are generated from
     this map as left-associated multiplication chains, so editing
-    ES_WEIGHTS cannot desynchronize them."""
+    ES_WEIGHTS cannot desynchronize them.  Every weight must divide
+    _ES_LCM exactly — a non-divisor would silently FLOOR its exponent
+    in both engines (the cross-engine check can't catch a shared
+    error), so it is rejected here instead."""
+    for lang, w in ES_WEIGHTS.items():
+        if _ES_LCM % w != 0:
+            raise ValueError(
+                f"ES weight {w} for {lang!r} does not divide _ES_LCM={_ES_LCM}; "
+                "raise _ES_LCM to the true lcm of all weights"
+            )
     return {lang: _ES_LCM // w for lang, w in ES_WEIGHTS.items()}
 
 

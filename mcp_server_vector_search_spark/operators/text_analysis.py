@@ -499,6 +499,10 @@ def text_phrase_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     if terms is None:  # oracle corpus absent: derive from THIS sf_dir
         row = d.where(F.col("doc_id") == 0).select("text").first()
         terms = tuple(row["text"].split(" ")[:PHRASE_LEN]) if row else ()
+    if len(terms) < PHRASE_LEN:
+        # no full-length phrase derivable (doc 0 missing or too short):
+        # the well-typed empty result, not a crash on an empty leg list
+        return spark.createDataFrame([], "doc_id long, n_occurrences int")
     pos = d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("p", "tok")
     )
