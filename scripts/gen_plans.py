@@ -231,6 +231,26 @@ SHOWCASE = [
         "separate CTE joined after the spine — the recursion never "
         "re-scans the fact table.",
     ),
+    (
+        "agg_bitmap_distinct",
+        "Exact distincts by bitmap: each (group, 32768-bit bucket) "
+        "partial-aggregates its ids into ONE bitmap, so the shuffle "
+        "carries ≤4 KB per bucket instead of every distinct id — then "
+        "a sum of bit counts.",
+    ),
+    (
+        "agg_market_basket_pairs",
+        "Pair co-occurrence without a second fact shuffle: one "
+        "basket-keyed aggregate builds each order's part array; the "
+        "i<j pair fan-out is a row-local array expression, bounded by "
+        "items-per-basket².",
+    ),
+    (
+        "engine_search_ann",
+        "The serving path over the index: the probe scan carries the "
+        "centroid_id partition filter (only nprobe cells read) and the "
+        "docs join probes the k result ids via broadcast.",
+    ),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the scale design
