@@ -60,6 +60,7 @@ _PRIORITY_PREFIX = [
     "timeseries_ewma_per_user",
     "agg_bitmap_distinct",
     "multimodal_resize",
+    "dedup_ngram_containment",
     "pipeline_build_corpus",
     "pipeline_index_cells",
     "ann_sq8_topk",

@@ -983,3 +983,72 @@ def probe_new_batch(new_fps: DataFrame, corpus_fps: DataFrame) -> DataFrame:
     variant (streaming/ingest.incremental_dedup_stream)."""
     new_batch = new_fps.select(F.col("doc_id").alias("new_doc"), "fp")
     return new_batch.join(corpus_fps, "fp").select("new_doc", "dup_of", "fp")
+
+
+CONTAIN_T = 0.75
+
+_CONTAIN_ORACLE = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(string_split(text, ' ')) - {NGRAM - 2}),
+           i -> string_split(text, ' ')[i] || ' ' ||
+                string_split(text, ' ')[i+1] || ' ' ||
+                string_split(text, ' ')[i+2])) AS s
+  FROM documents
+),
+c AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id,
+       ROUND(i::DOUBLE / LEAST(ca.n, cb.n), {R}) AS containment
+FROM inter
+JOIN c ca ON a_id = ca.doc_id
+JOIN c cb ON b_id = cb.doc_id
+WHERE ROUND(i::DOUBLE / LEAST(ca.n, cb.n), {R}) >= {CONTAIN_T}
+"""
+
+
+@register("dedup_ngram_containment", oracle=_CONTAIN_ORACLE)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup: n-gram containment ``i / min(|A|, |B|)`` —
+    the Broder resemblance/containment split (public 1997 paper).
+    Jaccard under-scores a short document fully quoted inside a long
+    one (the union is dominated by the long doc); containment scores
+    that pair ~1.0, which is exactly the quote/subset duplication a
+    pretraining dedup pass must catch.
+
+    Identical physical shape to ``dedup_ngram_jaccard`` (shingle
+    equi-join with per-row size piggybacking — no size-table join, no
+    all-pairs), so the scale argument carries over verbatim; only the
+    final score expression differs."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    sh_arrays = d.select("doc_id", _shingles(F.col("text")).alias("sh"))
+    sh = sh_arrays.select(
+        "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(
+            F.count(F.lit(1)).alias("i"),
+            F.first(F.col("a.n")).alias("na"),
+            F.first(F.col("b.n")).alias("nb"),
+        )
+    )
+    cont = F.round(
+        F.col("i").cast("double") / F.least(F.col("na"), F.col("nb")), R
+    )
+    return (
+        inter.withColumn("containment", cont)
+        .where(F.col("containment") >= CONTAIN_T)
+        .select("a_id", "b_id", "containment")
+    )
