@@ -61,6 +61,7 @@ _PRIORITY_PREFIX = [
     "agg_bitmap_distinct",
     "multimodal_resize",
     "dedup_ngram_containment",
+    "dedup_jaccard_prefix_filter",
     "pipeline_build_corpus",
     "pipeline_index_cells",
     "ann_sq8_topk",

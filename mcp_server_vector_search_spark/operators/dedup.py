@@ -1052,3 +1052,84 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("containment") >= CONTAIN_T)
         .select("a_id", "b_id", "containment")
     )
+
+
+@register("dedup_jaccard_prefix_filter", oracle=_NGRAM_ORACLE)
+def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME n-gram Jaccard pairs as ``dedup_ngram_jaccard``, found
+    with PREFIX FILTERING (PPJoin/All-Pairs family — Bayardo et al.
+    2007, Xiao et al. 2008, public): for Jaccard ≥ t, two documents
+    MUST share at least one shingle among the first
+    ``p = n - ceil(t·n) + 1`` shingles of each, under any one global
+    shingle order — so the candidate join indexes only each document's
+    p-prefix instead of all n shingles.
+
+    Ordering shingles by ascending document frequency puts the RAREST
+    shingles in the prefix, which is what makes the candidate set
+    small: common shingles (the fan-out risk of the full join) never
+    generate candidates.  At t=0.5 the prefix halves the exploded
+    index; at the t=0.8-0.9 a production near-dup pass uses, it drops
+    to ~a tenth — the standard set-similarity-join scale lever.
+
+    Stages: one vocab aggregate (document frequencies), one per-doc
+    re-sort by (df, shingle), the PREFIX equi-join for candidates,
+    then exact verification on the full shingle arrays (array_intersect
+    of the two distinct arrays — same i/(na+nb-i) arithmetic).  The
+    ORACLE is the full-join formulation verbatim: two different
+    algorithms must produce the identical pair set, which is also
+    asserted directly against ``dedup_ngram_jaccard`` in
+    tests/test_dedup.py."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    sh_arrays = d.select("doc_id", _shingles(F.col("text")).alias("sh")).where(
+        F.size("sh") > 0
+    )
+    # document frequency of every (distinct-per-doc) shingle
+    dfreq = (
+        sh_arrays.select(F.explode("sh").alias("s"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    # re-sort each doc's shingles by (df, s) and keep the p-prefix
+    exploded = sh_arrays.select(
+        "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s")
+    ).join(dfreq, "s")
+    per_doc = exploded.groupBy("doc_id").agg(
+        F.first("n").alias("n"),
+        F.sort_array(F.collect_list(F.struct("df", "s"))).alias("ordered"),
+    )
+    p = F.col("n") - F.ceil(F.lit(JACCARD_T) * F.col("n")).cast("int") + 1
+    prefix = per_doc.select(
+        "doc_id",
+        F.explode(
+            F.slice(F.transform(F.col("ordered"), lambda x: x["s"]), 1, p)
+        ).alias("s"),
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    # exact verification on the full arrays
+    A = sh_arrays.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sha"))
+    B = sh_arrays.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("shb"))
+    verified = (
+        cand.join(A, "a_id")
+        .join(B, "b_id")
+        .withColumn("i", F.size(F.array_intersect("sha", "shb")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("i").cast("double")
+                / (F.size("sha") + F.size("shb") - F.col("i")),
+                R,
+            ),
+        )
+        .where(F.col("jaccard") >= JACCARD_T)
+    )
+    return verified.select("a_id", "b_id", "jaccard")

@@ -172,3 +172,22 @@ def test_salted_bucket_join_skew_correct_and_spread(spark):
         # and every cell-pair task is far below the unsalted single-task
         # pair mass n(n-1)/2
         assert r["count"] < n * (n - 1) // 2
+
+
+def test_prefix_filter_equals_full_join(spark):
+    """The PPJoin theorem in practice: prefix-filtered candidates +
+    exact verify must produce the IDENTICAL pair set as the full
+    shingle join."""
+    from mcp_server_vector_search_spark.operators.dedup import (
+        dedup_jaccard_prefix_filter,
+        dedup_ngram_jaccard,
+    )
+
+    from .conftest import SF_CORRECTNESS
+
+    full = {tuple(r) for r in dedup_ngram_jaccard(spark, SF_CORRECTNESS).collect()}
+    fast = {
+        tuple(r)
+        for r in dedup_jaccard_prefix_filter(spark, SF_CORRECTNESS).collect()
+    }
+    assert fast == full and full
