@@ -103,6 +103,15 @@ def dedup_bag_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NGRAM = 3
 JACCARD_T = 0.5
+# Exact rational form of JACCARD_T for PPJoin prefix-length arithmetic:
+# computing p = n - ceil(t*n) + 1 in double arithmetic is unsafe for
+# thresholds not exact in binary (0.8*5 -> 4.0000000000000002, ceil -> 5,
+# prefix one short of the PPJoin bound -> silently dropped true pairs),
+# so the prefix length uses integer ceil(T_NUM*n/T_DEN).  Keep these in
+# sync with JACCARD_T.
+JACCARD_T_NUM = 1
+JACCARD_T_DEN = 2
+assert JACCARD_T == JACCARD_T_NUM / JACCARD_T_DEN
 
 
 def _shingles(text_col, n: int = NGRAM):
@@ -1097,7 +1106,16 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("n").alias("n"),
         F.sort_array(F.collect_list(F.struct("df", "s"))).alias("ordered"),
     )
-    p = F.col("n") - F.ceil(F.lit(JACCARD_T) * F.col("n")).cast("int") + 1
+    # exact integer ceil(t*n) = (t_num*n + t_den - 1) div t_den — no
+    # double arithmetic, so the PPJoin bound holds for any rational t
+    p = (
+        F.col("n")
+        - F.expr(
+            f"(({JACCARD_T_NUM} * n + {JACCARD_T_DEN} - 1) "
+            f"div {JACCARD_T_DEN})"
+        ).cast("int")
+        + 1
+    )
     prefix = per_doc.select(
         "doc_id",
         F.explode(

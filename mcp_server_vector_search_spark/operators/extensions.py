@@ -137,14 +137,23 @@ def _zscore_extremes(pdf: pd.DataFrame) -> pd.DataFrame:
     in general; z-scores here keep it oracle-checkable."""
     v = pdf["value"]
     m, s = v.mean(), v.std(ddof=1)
-    z = (v - m) / s
+    # Degenerate groups (single row -> s is NaN; constant value -> s == 0)
+    # would give pandas NaN/inf z-scores where the SQL oracle's
+    # (value-m)/s yields NULL — emit NULL extremes explicitly so both
+    # paths agree by construction.
+    if len(pdf) < 2 or not s or pd.isna(s):
+        max_z = min_z = None
+    else:
+        z = (v - m) / s
+        max_z = _round_half_away(float(z.max()), R)
+        min_z = _round_half_away(float(z.min()), R)
     return pd.DataFrame(
         [
             {
                 "event_type": pdf["event_type"].iloc[0],
                 "n": int(len(pdf)),
-                "max_z": _round_half_away(float(z.max()), R),
-                "min_z": _round_half_away(float(z.min()), R),
+                "max_z": max_z,
+                "min_z": min_z,
             }
         ]
     )

@@ -497,54 +497,42 @@ def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     join rewrite it is best-effort (false positives only re-admit rows
     the join then drops), so plan correctness never depends on it.
 
-    The injection thresholds are session confs; they are set only long
-    enough to OPTIMIZE this plan (the bloom subquery is frozen into the
-    cached ``queryExecution``), then restored — at local test scale the
-    probe scan is below the default 10 GB application-side threshold
-    that would enable it untouched on a real cluster.  The plan is
-    asserted in tests/test_plans.py (``might_contain`` present)."""
-    o = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    conf = spark.conf
-    prev_bc = conf.get("spark.sql.autoBroadcastJoinThreshold")
-    prev_bloom = conf.get(
-        "spark.sql.optimizer.runtime.bloomFilter.enabled", None
-    )
-    conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-    conf.set(
+    The injection thresholds are SQL confs; to avoid mutating the
+    shared session (any query planned concurrently would compile with
+    broadcast joins disabled), the plan is built in a CHILD session
+    (``spark.newSession()`` — same SparkContext, isolated SQLConf)
+    where the thresholds are set permanently and harmlessly.  At local
+    test scale the probe scan is below the default 10 GB application-
+    side threshold that would enable the rule untouched on a real
+    cluster.  The plan is asserted in tests/test_plans.py
+    (``might_contain`` present)."""
+    child = spark.newSession()
+    # isolated conf: bloom on with zeroed size thresholds, broadcast
+    # off while planning — a broadcast join already prunes via its
+    # build-side relation, so the rule only fires for shuffle joins
+    child.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    child.conf.set(
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
         "0",
     )
-    # broadcast off while planning: a broadcast join already prunes via
-    # its build-side relation, so the rule only fires for shuffle joins
-    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        sel = o.where(F.col("o_orderpriority") == "1-URGENT")
-        out = (
-            sel.join(li, sel.o_orderkey == li.l_orderkey)
-            .groupBy("o_orderpriority")
-            .agg(
-                F.count(F.lit(1)).alias("n_items"),
-                F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
-                .cast("double")
-                .alias("revenue"),
-            )
+    child.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    child.conf.set(
+        "spark.sql.shuffle.partitions",
+        spark.conf.get("spark.sql.shuffle.partitions"),
+    )
+    o = load_table(child, sf_dir, "orders")
+    li = load_table(child, sf_dir, "lineitem")
+    sel = o.where(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        sel.join(li, sel.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("revenue"),
         )
-        # materialize the optimized+physical plan under these confs;
-        # later actions reuse the cached queryExecution
-        out._jdf.queryExecution().executedPlan()
-    finally:
-        conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
-        conf.unset(
-            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
-        )
-        if prev_bloom is None:
-            conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
-        else:
-            conf.set(
-                "spark.sql.optimizer.runtime.bloomFilter.enabled", prev_bloom
-            )
-    return out
+    )
 
 
 DPP_DIM_ROWS = [("R", "returned"), ("A", "accepted"), ("N", "none")]
@@ -662,22 +650,22 @@ MAD_K = 3.0  # outlier cut: |x - median| > K * MAD
     "agg_mad_outliers",
     oracle=f"""
 WITH med AS (
-  SELECT event_type, quantile_cont(value, 0.5) AS m
+  SELECT event_type, ROUND(quantile_cont(value, 0.5), {R}) AS m
   FROM events GROUP BY event_type
 ),
 dev AS (
   SELECT e.event_type, e.value, med.m,
-         ABS(e.value - med.m) AS ad
+         ROUND(ABS(e.value - med.m), {R}) AS ad
   FROM events e JOIN med USING (event_type)
 ),
 mad AS (
-  SELECT event_type, quantile_cont(ad, 0.5) AS mad
+  SELECT event_type, ROUND(quantile_cont(ad, 0.5), {R}) AS mad
   FROM dev GROUP BY event_type
 )
 SELECT dev.event_type,
        COUNT(*) AS n_events,
-       ROUND(MIN(dev.m), {R}) AS median_value,
-       ROUND(MIN(mad.mad), {R}) AS mad_value,
+       MIN(dev.m) AS median_value,
+       MIN(mad.mad) AS mad_value,
        CAST(SUM(CASE WHEN dev.ad > {MAD_K} * mad.mad THEN 1 ELSE 0 END)
             AS BIGINT) AS n_outliers
 FROM dev JOIN mad USING (event_type)
@@ -697,24 +685,32 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_type.  At 100 TB the exact medians swap for
     `percentile_approx` sketches with the same query shape (the
     certificate device of `agg_approx_sketches` then bounds the
-    error)."""
+    error).
+
+    Cross-engine determinism: the median and the absolute deviations
+    are ROUNDED to R decimals BEFORE the MAD and the K*MAD comparison
+    on both sides (Spark's `percentile` interpolates lower*(1-f)+
+    upper*f, DuckDB's `quantile_cont` lower+(upper-lower)*f — same
+    value mathematically, different last-ULP), so the outlier count
+    compares identical rounded doubles in both engines — the repo's
+    round-before-compare convention."""
     e = load_table(spark, sf_dir, "events").select("event_type", "value")
     med = e.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("m")
+        F.round(F.expr("percentile(value, 0.5)"), R).alias("m")
     )
     dev = e.join(F.broadcast(med), "event_type").withColumn(
-        "ad", F.abs(F.col("value") - F.col("m"))
+        "ad", F.round(F.abs(F.col("value") - F.col("m")), R)
     )
     mad = dev.groupBy("event_type").agg(
-        F.expr("percentile(ad, 0.5)").alias("mad")
+        F.round(F.expr("percentile(ad, 0.5)"), R).alias("mad")
     )
     return (
         dev.join(F.broadcast(mad), "event_type")
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.min("m"), R).alias("median_value"),
-            F.round(F.min("mad"), R).alias("mad_value"),
+            F.min("m").alias("median_value"),
+            F.min("mad").alias("mad_value"),
             F.sum(
                 (F.col("ad") > F.lit(MAD_K) * F.col("mad")).cast("long")
             ).alias("n_outliers"),
