@@ -184,7 +184,17 @@ def ivfpq_topk(
 ) -> DataFrame:
     """Probed-ADC query: partition-prune to nprobe cells, rank the
     pruned CODES by ``offset[cell] + Σ lut[m][code]``, exact-re-rank
-    the pool."""
+    the pool.
+
+    ``rerank`` must scale with PROBED CORPUS DENSITY, not stay a
+    constant: with M=8×K=16 codebooks the ADC score error is comparable
+    to the score gaps between mid-ranked neighbors, so the true top-k
+    survive the pool cut only if the pool is a few percent of the
+    probed rows (measured in tests/test_scale_stress.py: at 20k
+    clustered vectors, pool=100 → recall@10 ≈ 0.36, pool≈8% of probed
+    rows → 1.0).  The default suits the ≤5k-row driver fixtures;
+    larger corpora pass ``rerank ≈ max(100, 0.05 × n/nprobe-probed)``
+    or grow the codebooks (K=256 is the FAISS default for a reason)."""
     probes = nearest_centroids(query_vec, cents, nprobe)
     lut_lit = matrix_lit(_adc_lut(books, query_vec))
     offs = _cell_offsets(query_vec, cents)
