@@ -1,0 +1,238 @@
+"""Graph-based ANN: navigable k-NN routing graph + partition-pruned scan.
+
+The reference's actual index data structure is Lucene-HNSW behind
+Neo4j's ``db.index.vector.queryNodes`` (reference server.py:87,
+README.md:72-79).  The repo's IVF/PQ/SRP family covers the ANN
+*capability*; this module closes the index-FAMILY gap with the
+graph-structured design, re-expressed for a batch engine:
+
+- **Routing graph** (the HNSW role): a bounded sample of corpus
+  vectors becomes the node set; a k-NN graph (cosine, fixed
+  out-degree) over them is built driver-side with deterministic numpy
+  — the same FAISS-discipline bounded training pass as the IVF
+  quantizer.  At 100 TB the node set is 10^4-10^6 sampled vectors: it
+  stays driver/memory-resident exactly like HNSW's upper layers, while
+  the corpus itself never enters the graph.
+- **Beam search** (the HNSW query descent): greedy best-first from the
+  medoid entry point with a visited set and a bounded result beam —
+  the standard NSW/HNSW search loop (Malkov & Yashunin 2016, public) —
+  selects the probe nodes.  O(degree × beam) sims instead of scoring
+  every node: at 10^6 routing nodes this is what makes probe selection
+  sub-linear, which a flat nearest-centroid scan is not.
+- **Pruned scan** (Spark's role): every corpus vector is assigned to
+  its nearest routing node at index-build time (one map-side JVM pass,
+  the IVF assignment expression verbatim) and the layout is written
+  partitioned by ``node_id``.  The query reads ONLY the beam's cells —
+  partition pruning does the "graph index scan" — then exact-scores and
+  top-k's inside them (``TakeOrderedAndProject``, no global sort).
+
+Training is deterministic (sorted bounded sample, first-max
+tie-breaks, rounded sims), so the oracle generator re-runs the SAME
+graph build + beam search at registration time and folds the node
+literals and probe list into SQL — the distributed stages are exact
+value-hash-checked like the rest of the ANN family.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import heapq
+import json
+from pathlib import Path
+from typing import Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.train import ORACLE_SF_DIR, load_sorted_vectors
+from ..functions.vector import neo4j_score, vector_lit
+from ..registry import register
+from ..sources.tables import load_table
+from .ann import (
+    ASSIGN_DECIMALS,
+    K,
+    TRAIN_SAMPLE,
+    _sample_vectors,
+    assignment_expr,
+    ivf_assign_sql,
+    train_centroids,
+)
+from .topk import QUERY_VEC_ID, SCORE_DECIMALS
+
+# Node count matches the IVF cell count so the two index families prune
+# at the same ratio on the fixtures and recall is directly comparable
+# (recall@10 asserted >= 0.9 in tests/test_graph_ann.py).  At corpus
+# scale GRAPH_NODES grows to ~sqrt(n) or a fixed 10^5-10^6 — the beam
+# search stays O(degree x beam) regardless, which is the point.
+GRAPH_NODES = 16
+GRAPH_DEGREE = 5
+GRAPH_BEAM = 12  # result-beam width (HNSW "ef"); >= GRAPH_PROBES
+GRAPH_PROBES = 10
+
+
+def _unit_rows(vectors: Sequence[Sequence[float]]) -> np.ndarray:
+    x = np.asarray(vectors, dtype=np.float64)
+    return x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+
+
+def build_knn_graph(
+    node_vectors: Sequence[Sequence[float]], degree: int = GRAPH_DEGREE
+) -> list[list[int]]:
+    """Directed k-NN graph over the routing nodes: each node's out-edges
+    are its ``degree`` highest-cosine neighbors (rounded sims, ties to
+    the lower id — the family's determinism convention)."""
+    x = _unit_rows(node_vectors)
+    sims = np.round(x @ x.T, ASSIGN_DECIMALS)
+    graph: list[list[int]] = []
+    n = len(sims)
+    for u in range(n):
+        order = sorted(
+            (i for i in range(n) if i != u), key=lambda i: (-sims[u, i], i)
+        )
+        graph.append(order[:degree])
+    return graph
+
+
+def beam_search(
+    node_vectors: Sequence[Sequence[float]],
+    graph: list[list[int]],
+    query_vec: Sequence[float],
+    n_probes: int = GRAPH_PROBES,
+    beam: int = GRAPH_BEAM,
+) -> list[int]:
+    """NSW greedy best-first descent (the HNSW search-layer loop):
+    expand the nearest unexpanded candidate, keep a result beam of the
+    ``beam`` best visited nodes, stop when the nearest candidate is
+    worse than the beam's worst.  Deterministic: rounded sims, id
+    tie-breaks, medoid entry point.  Returns the ``n_probes`` best
+    visited node ids — the cells the pruned scan reads."""
+    x = _unit_rows(node_vectors)
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / max(float(np.linalg.norm(q)), 1e-12)
+    sims = np.round(x @ q, ASSIGN_DECIMALS)
+    entry = int(np.argmax(np.round(x @ x.T, ASSIGN_DECIMALS).sum(axis=1)))
+
+    visited = {entry}
+    cand: list[tuple[float, int]] = [(-sims[entry], entry)]  # min-heap on -sim
+    result: list[tuple[float, int]] = [(sims[entry], -entry)]  # min-heap on sim
+    while cand:
+        neg_s, u = heapq.heappop(cand)
+        if len(result) >= beam and -neg_s < result[0][0]:
+            break  # nearest candidate is worse than the beam's worst
+        for v in graph[u]:
+            if v in visited:
+                continue
+            visited.add(v)
+            heapq.heappush(cand, (-sims[v], v))
+            heapq.heappush(result, (sims[v], -v))
+            if len(result) > beam:
+                heapq.heappop(result)
+    found = sorted(((s, -ni) for s, ni in result), key=lambda t: (-t[0], t[1]))
+    return [i for _, i in found[:n_probes]]
+
+
+def _train_graph(
+    embeddings: DataFrame,
+) -> tuple[list[list[float]], list[list[int]]]:
+    """(unit node vectors, adjacency) — the routing nodes are TRAINED
+    coarse-quantizer landmarks (k-means over the sorted bounded
+    sample), not raw sample points: landmark cells partition the space
+    evenly where sampled-point cells do not (measured: recall@10 0.89
+    vs >=0.9 at the same probe budget).  A navigable graph over
+    quantizer landmarks is FAISS's own large-nlist design (the HNSW
+    coarse quantizer of ``IVF*_HNSW`` indexes — public), and what it
+    buys here is the same: probe selection in O(degree x beam) sims
+    instead of a flat scan over every landmark."""
+    sample = _sample_vectors(embeddings, TRAIN_SAMPLE)
+    nodes = train_centroids(sample, GRAPH_NODES)
+    return nodes, build_knn_graph(nodes)
+
+
+_GRAPH_CACHE_ROOT = Path(__file__).resolve().parents[2] / ".cache" / "graphann"
+
+
+def load_or_build_graph_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[list[float]], list[list[int]]]:
+    """Build-once/query-many graph-ANN layout: (index df, nodes, graph).
+    The layout is ``node_id``-partitioned parquet — the same
+    partition-pruning contract as the IVF family; metadata is written
+    LAST so a half-built cache is never read."""
+    tag = hashlib.md5(
+        f"{sf_dir}:{GRAPH_NODES}:{GRAPH_DEGREE}:{TRAIN_SAMPLE}:v2".encode()
+    ).hexdigest()[:12]
+    root = _GRAPH_CACHE_ROOT / tag
+    meta, data = root / "meta.json", root / "data"
+    if meta.exists():
+        m = json.loads(meta.read_text())
+        return spark.read.parquet(str(data)), m["nodes"], m["graph"]
+    emb = load_table(spark, sf_dir, "embeddings")
+    nodes, graph = _train_graph(emb)
+    assigned = emb.withColumn("node_id", assignment_expr(nodes))
+    assigned.repartition("node_id").write.mode("overwrite").partitionBy(
+        "node_id"
+    ).parquet(str(data))
+    meta.parent.mkdir(parents=True, exist_ok=True)
+    meta.write_text(json.dumps({"nodes": nodes, "graph": graph}))
+    return spark.read.parquet(str(data)), nodes, graph
+
+
+def graph_topk(
+    index: DataFrame,
+    nodes: list[list[float]],
+    graph: list[list[int]],
+    query_vec: Sequence[float],
+    k: int = K,
+    n_probes: int = GRAPH_PROBES,
+) -> DataFrame:
+    """Beam-search the routing graph for probe cells, partition-prune
+    the scan to them, exact-score and top-k inside (fused to
+    ``TakeOrderedAndProject`` like every top-k in the repo)."""
+    probes = beam_search(nodes, graph, query_vec, n_probes)
+    qcol = vector_lit(query_vec)
+    return (
+        index.where(F.col("node_id").isin(probes))
+        .withColumn("score", F.round(neo4j_score("embedding", qcol), SCORE_DECIMALS))
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", F.col("node_id").cast("int").alias("node_id"), "score")
+    )
+
+
+def _graph_oracle() -> str | None:
+    """Exact DuckDB mirror: the same sample -> same graph -> same beam
+    -> same probe list; assignment reuses the IVF family's shared
+    rounded-argmax fragment with the node literals."""
+    try:
+        ids, x = load_sorted_vectors(ORACLE_SF_DIR)
+    except Exception:  # pragma: no cover - testdata absent
+        return None
+    nodes = train_centroids([list(v) for v in x[:TRAIN_SAMPLE]], GRAPH_NODES)
+    graph = build_knn_graph(nodes)
+    qvec = [float(v) for v in x[ids.index(QUERY_VEC_ID)]]
+    probes = beam_search(nodes, graph, qvec)
+    return f"""
+WITH {ivf_assign_sql(nodes)},
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+SELECT a.vec_id, CAST(a.centroid_id AS INTEGER) AS node_id,
+       ROUND((1.0 + list_cosine_similarity(a.embedding::DOUBLE[], q.qv)) / 2.0,
+             {SCORE_DECIMALS}) AS score
+FROM assign a CROSS JOIN q
+WHERE a.centroid_id IN ({", ".join(str(p) for p in probes)})
+ORDER BY score DESC, a.vec_id
+LIMIT {K}
+"""
+
+
+@register("ann_graph_topk", oracle=_graph_oracle())
+def q_ann_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HNSW-equivalent query path (reference server.py:87): navigable
+    graph descent picks the cells, the engine reads only those."""
+    index, nodes, graph = load_or_build_graph_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(v)
+        for v in emb.where(F.col("vec_id") == QUERY_VEC_ID).first()["embedding"]
+    ]
+    return graph_topk(index, nodes, graph, qvec)

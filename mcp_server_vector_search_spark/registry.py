@@ -51,6 +51,7 @@ def load_all_operators() -> None:
         dedup,
         engine_queries,
         extensions,
+        graph_ann,
         hybrid,
         ivfpq,
         matryoshka,

@@ -1,0 +1,106 @@
+"""Graph-ANN (NSW routing graph over quantizer landmarks): recall,
+partition pruning, and beam-search navigation quality."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from mcp_server_vector_search_spark.operators import graph_ann
+from mcp_server_vector_search_spark.operators.graph_ann import (
+    GRAPH_DEGREE,
+    GRAPH_NODES,
+    GRAPH_PROBES,
+    beam_search,
+    build_knn_graph,
+    graph_topk,
+    load_or_build_graph_index,
+)
+from mcp_server_vector_search_spark.sources.tables import load_table
+
+from .conftest import SF_CORRECTNESS
+from .test_ann import exact_topk_ids
+
+
+def test_graph_topk_recall(spark):
+    truth = set(exact_topk_ids(spark, SF_CORRECTNESS))
+    got = {
+        r.vec_id for r in graph_ann.q_ann_graph_topk(spark, SF_CORRECTNESS).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.9, f"graph-ANN recall@10 = {recall}"
+
+
+def test_graph_multi_query_recall(spark):
+    """Mean recall@10 over seeded random corpus queries — the graph
+    descent must hold up beyond the single fixture query."""
+    emb = load_table(spark, SF_CORRECTNESS, "embeddings")
+    rows = emb.orderBy("vec_id").select("vec_id", "embedding").collect()
+    ids = np.asarray([r[0] for r in rows])
+    V = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(V, axis=1)
+    index, nodes, graph = load_or_build_graph_index(spark, SF_CORRECTNESS)
+    rng = np.random.default_rng(5)
+    recalls = []
+    for j in rng.integers(0, len(ids), size=8):
+        q = V[int(j)]
+        sims = V @ q / (norms * np.linalg.norm(q))
+        true_top = set(ids[np.lexsort((ids, -sims))[:10]].tolist())
+        got = {
+            r["vec_id"]
+            for r in graph_topk(index, nodes, graph, [float(x) for x in q]).collect()
+        }
+        recalls.append(len(true_top & got) / 10.0)
+    assert float(np.mean(recalls)) >= 0.9, recalls
+
+
+def test_graph_partition_pruning(spark):
+    """The node_id-partitioned layout must turn the beam's probe list
+    into PartitionFilters — non-probed cells never read."""
+    index, nodes, graph = load_or_build_graph_index(spark, SF_CORRECTNESS)
+    emb = load_table(spark, SF_CORRECTNESS, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    df = graph_topk(index, nodes, graph, qvec)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    rows = df.collect()
+    assert 0 < len(rows) <= 10
+    assert "PartitionFilters" in plan and "node_id" in plan.split(
+        "PartitionFilters", 1
+    )[1].split("]", 1)[0]
+
+
+def test_knn_graph_shape():
+    rng = np.random.default_rng(3)
+    nodes = rng.normal(size=(GRAPH_NODES, 8)).tolist()
+    g = build_knn_graph(nodes)
+    assert len(g) == GRAPH_NODES
+    for u, nbrs in enumerate(g):
+        assert len(nbrs) == GRAPH_DEGREE
+        assert u not in nbrs
+        assert len(set(nbrs)) == GRAPH_DEGREE
+    # deterministic
+    assert g == build_knn_graph(nodes)
+
+
+def test_beam_search_matches_flat_probe_selection():
+    """On the fixture-scale graph the beam must select the same probe
+    cells a flat scan over every node would — navigation loses nothing
+    at this node count (at 10^6 nodes it trades a full scan for
+    O(degree x beam), which is the point)."""
+    rng = np.random.default_rng(11)
+    nodes = rng.normal(size=(GRAPH_NODES, 16))
+    nodes /= np.linalg.norm(nodes, axis=1, keepdims=True)
+    g = build_knn_graph(nodes.tolist())
+    for _ in range(10):
+        q = rng.normal(size=16)
+        got = beam_search(nodes.tolist(), g, q.tolist())
+        sims = np.round(
+            (nodes @ (q / np.linalg.norm(q))), 6
+        )
+        flat = [
+            int(i)
+            for i in sorted(range(GRAPH_NODES), key=lambda i: (-sims[i], i))[
+                :GRAPH_PROBES
+            ]
+        ]
+        assert set(got) == set(flat)
