@@ -3,15 +3,22 @@
 A 100 TB training-data pipeline carries images/audio/video as
 ``binary`` columns next to typed metadata, processed by Arrow-batched
 ``mapInPandas`` (one Python worker per partition, whole-batch numpy
-work, no per-row serde).  This module implements that plumbing for
-real; the actual media decoding is STUBBED (this container ships no
-image/audio libraries) behind an import-try plus a deterministic fake,
-so the Spark-side contract — schema, batch iteration, partition
-behavior — is fully exercised by tests and the driver.
+work, no per-row serde).  The IMAGE path here is real end to end: the
+payloads are genuine PNG files and the decode/resize operators run a
+real PNG codec (functions/png.py — pure stdlib zlib/struct per the
+public PNG spec, all five scanline filters).  Because the container
+ships no image FILES, payloads are generated synthetically — but with
+a closed-form pixel formula, so the DuckDB oracle can independently
+compute what a correct encode→decode round trip must produce, making
+the codec itself value-hash-certified.
+
+The VIDEO frame-sampling path keeps its deterministic stand-in codec
+(no video format is implementable in ~150 lines); its fan-out plumbing
+is the certified part.
 
 Sources for real payloads would be ``spark.read.format("binaryFile")``
-or ``format("image")``; here the testdata's ``documents.text`` is
-encoded to bytes as a stand-in payload.
+or ``format("image")``; the generation step below stands in for that
+read and nothing downstream depends on how the bytes were obtained.
 """
 
 from __future__ import annotations
@@ -19,58 +26,83 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.png import decode_png, encode_png, nn_resize
 from ..registry import register
 from .tables import load_table
 
-META_SCHEMA = (
-    "doc_id long, modality string, byte_len long, sha256 string, "
-    "fake_width int, fake_height int"
-)
+# Synthetic image model, shared verbatim with the SQL oracles:
+#   width  = 16 + doc_id % 17
+#   height = 16 + doc_id % 13
+#   pixel[y, x] = (doc_id*31 + x*7 + y*13) % 256   (8-bit greyscale)
+# The PNG scanline filter rotates over all five spec filter types by
+# doc_id, so every decode path is exercised by the registered queries.
 
 
-def attach_binary_payload(documents: DataFrame) -> DataFrame:
-    """Stand-in ingest: text → utf-8 bytes as the opaque payload column.
-    Real pipelines read payloads via binaryFile/image sources; from this
-    point on the engine treats the column as opaque bytes either way."""
-    return documents.select(
-        "doc_id",
-        F.encode("text", "utf-8").alias("payload"),
-        F.lit("image").alias("modality"),
+def synthetic_image(doc_id: int) -> np.ndarray:
+    w, h = 16 + doc_id % 17, 16 + doc_id % 13
+    x = (np.arange(w, dtype=np.int64) * 7)[None, :]
+    y = (np.arange(h, dtype=np.int64) * 13)[:, None]
+    return ((doc_id * 31 + x + y) % 256).astype(np.uint8)
+
+
+def attach_png_payload(documents: DataFrame) -> DataFrame:
+    """Stand-in ingest for ``binaryFile``: one real PNG per document,
+    encoded executor-side in Arrow batches."""
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_png(synthetic_image(int(d)), filter_type=int(d) % 5)
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "modality": "image",
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        encode_batches, schema="doc_id long, payload binary, modality string"
     )
 
 
-def _decode_image(payload: bytes) -> tuple[int, int]:
-    """Decode stub: deterministic fake dimensions derived from the
-    payload bytes.  The real implementation would be e.g. PIL:
+def attach_binary_payload(documents: DataFrame) -> DataFrame:
+    """Text → utf-8 bytes as an opaque payload column (the video/audio
+    stand-in where no real codec is wired)."""
+    return documents.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("video").alias("modality"),
+    )
 
-        from PIL import Image; im = Image.open(io.BytesIO(payload))
-        return im.width, im.height
 
-    The fake is the unconditional path until a real codec is wired in
-    (the stand-in payloads are utf-8 text, not decodable images, so
-    probing for PIL here would be wrong even where it IS installed);
-    it keeps tests and schema real while the codec is absent.
-    """
-    digest = hashlib.sha256(payload).digest()
-    return 16 + digest[0] % 240, 16 + digest[1] % 240
+META_SCHEMA = (
+    "doc_id long, modality string, byte_len long, sha256 string, "
+    "width int, height int, px_sum long"
+)
 
 
 def extract_metadata(with_payload: DataFrame) -> DataFrame:
-    """mapInPandas over binary payloads: per-batch metadata extraction.
+    """mapInPandas over binary payloads: REAL PNG decode per batch.
 
     The batch shape is the contract: each pandas DataFrame holds one
     Arrow batch of (doc_id, payload, modality); output rows align 1:1.
-    Feature extraction / resize / frame-sampling plug in at the same
-    spot with a different output schema.
-    """
+    width/height/px_sum come from the decoded pixel array — a payload
+    the codec cannot decode fails the job rather than fabricating
+    values (the honest behavior for a corrupt-image row; a production
+    pipeline would route failures to a quarantine sink from the same
+    slot)."""
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = [_decode_image(p) for p in pdf["payload"]]
+            arrs = [decode_png(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -79,8 +111,9 @@ def extract_metadata(with_payload: DataFrame) -> DataFrame:
                     "sha256": [
                         hashlib.sha256(p).hexdigest() for p in pdf["payload"]
                     ],
-                    "fake_width": [w for w, _ in dims],
-                    "fake_height": [h for _, h in dims],
+                    "width": [a.shape[1] for a in arrs],
+                    "height": [a.shape[0] for a in arrs],
+                    "px_sum": [int(a.sum(dtype=np.int64)) for a in arrs],
                 }
             )
 
@@ -89,24 +122,20 @@ def extract_metadata(with_payload: DataFrame) -> DataFrame:
 
 RESIZE_SCHEMA = "doc_id long, payload binary, width int, height int"
 FRAME_SCHEMA = "doc_id long, frame_idx int, frame_hash string"
-FRAME_BYTES = 500  # fake codec: one "frame" per 500 payload bytes
+FRAME_BYTES = 500  # stand-in codec: one "frame" per 500 payload bytes
 
 
 def resize_images(with_payload: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize plumbing: batch-in/batch-out 1:1 transform over binary
-    payloads.  The resample kernel is stubbed (no PIL/cv2 in this
-    container) with a deterministic re-encode; the Spark contract —
-    binary-in/binary-out schema, Arrow batching, partition preservation
-    — is the real part.
-    """
+    """Real resize: decode PNG → nearest-neighbor resample → re-encode.
+    Batch-in/batch-out 1:1 through Arrow; the output payload is again a
+    valid PNG (filter 0), so stages compose decode(resize(x))."""
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for p in pdf["payload"]:
-                # real impl: PIL Image.open(...).resize((width, height))
-                digest = hashlib.sha256(p).digest()
-                out.append(digest * (width * height // len(digest) + 1))
+            out = [
+                encode_png(nn_resize(decode_png(p), width, height))
+                for p in pdf["payload"]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -123,8 +152,8 @@ def sample_frames(with_payload: DataFrame) -> DataFrame:
     """Frame-sampling plumbing: 1:N batch fan-out (each payload row
     yields ``1 + len // FRAME_BYTES`` frame rows).  The "frame" is a
     deterministic digest of (payload, index) so the operator is fully
-    oracle-checkable even with the codec stubbed; a real video codec
-    plugs into the same mapInPandas slot emitting binary frames.
+    oracle-checkable with the video codec stubbed; a real codec plugs
+    into the same mapInPandas slot emitting binary frames.
     """
 
     def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -161,53 +190,57 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_metadata",
     oracle="""
-SELECT doc_id,
+SELECT d.doc_id,
        'image' AS modality,
-       LENGTH(text) AS byte_len,
-       sha256(text) AS sha256
-FROM documents
+       CAST(16 + d.doc_id % 17 AS INTEGER) AS width,
+       CAST(16 + d.doc_id % 13 AS INTEGER) AS height,
+       CAST(SUM((d.doc_id * 31 + t.x * 7 + u.y * 13) % 256) AS BIGINT) AS px_sum
+FROM documents d,
+     UNNEST(range(0, 16 + d.doc_id % 17)) AS t(x),
+     UNNEST(range(0, 16 + d.doc_id % 13)) AS u(y)
+GROUP BY d.doc_id
 """,
 )
 def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column metadata extraction, oracle-checked on the parts
-    DuckDB can reproduce (byte length + sha256 of the utf-8 payload);
-    the fake decode dimensions are engine-internal and excluded."""
+    """Real-codec certificate: the engine ENCODES each document's
+    synthetic image to actual PNG bytes (rotating through all five
+    scanline filters), DECODES those bytes back with the real codec,
+    and reports width/height/pixel-sum from the decoded array.  The
+    oracle computes the same quantities from the closed-form pixel
+    model — any encoder or decoder defect (filter math, zlib framing,
+    scanline layout) breaks the value hash."""
     docs = load_table(spark, sf_dir, "documents")
-    meta = extract_metadata(attach_binary_payload(docs))
-    return meta.select("doc_id", "modality", "byte_len", "sha256")
+    meta = extract_metadata(attach_png_payload(docs))
+    return meta.select("doc_id", "modality", "width", "height", "px_sum")
 
 
 RESIZE_W, RESIZE_H = 64, 64
-_RESIZE_OUT_LEN = 32 * (RESIZE_W * RESIZE_H // 32 + 1)  # digest-tiled stub
 
 
 @register(
     "multimodal_resize",
     oracle=f"""
-SELECT doc_id,
+SELECT d.doc_id,
        CAST({RESIZE_W} AS INTEGER) AS width,
        CAST({RESIZE_H} AS INTEGER) AS height,
-       CAST({_RESIZE_OUT_LEN} AS INTEGER) AS out_len,
-       substr(sha256(text), 1, 8) AS head_hex
-FROM documents
+       CAST(SUM((d.doc_id * 31
+                 + ((t.x * (16 + d.doc_id % 17)) // {RESIZE_W}) * 7
+                 + ((u.y * (16 + d.doc_id % 13)) // {RESIZE_H}) * 13) % 256)
+            AS BIGINT) AS px_sum
+FROM documents d,
+     UNNEST(range(0, {RESIZE_W})) AS t(x),
+     UNNEST(range(0, {RESIZE_H})) AS u(y)
+GROUP BY d.doc_id
 """,
 )
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The resize transform end to end through the Arrow boundary: each
-    payload row comes back as a {RESIZE_W}×{RESIZE_H} re-encoded binary
-    (stub codec: sha256 digest tiled to the target byte budget), and
-    the registered result projects VALUES DERIVED FROM THE ACTUAL
-    OUTPUT BYTES — the byte length and the leading digest hex — so the
-    oracle's independent arithmetic verifies the mapInPandas batch
-    path produced exactly the bytes the stub specifies.  A real PIL/cv2
-    kernel swaps into the same slot; the Spark contract (schema, Arrow
-    batching, 1:1 row preservation) is what this row certifies."""
+    """Resize through the REAL codec end to end: PNG decode →
+    nearest-neighbor resample → PNG re-encode → decode AGAIN for the
+    certificate values.  The oracle replays the floor-mapped resample
+    over the closed-form pixel model in SQL, so the emitted pixel sums
+    verify the full decode/resample/encode/decode chain byte-for-byte
+    — not just that rows came back."""
     docs = load_table(spark, sf_dir, "documents")
-    resized = resize_images(attach_binary_payload(docs), RESIZE_W, RESIZE_H)
-    return resized.select(
-        "doc_id",
-        "width",
-        "height",
-        F.length("payload").cast("int").alias("out_len"),
-        F.lower(F.hex(F.substring(F.col("payload"), 1, 4))).alias("head_hex"),
-    )
+    resized = resize_images(attach_png_payload(docs), RESIZE_W, RESIZE_H)
+    meta = extract_metadata(resized.withColumn("modality", F.lit("image")))
+    return meta.select("doc_id", "width", "height", "px_sum")

@@ -1,56 +1,121 @@
-"""Multimodal plumbing: batch shapes, determinism, PIL-independence."""
+"""Multimodal plumbing + the real PNG codec: round-trips over every
+scanline filter, batch shapes, and the decode-certificate pipeline."""
 
 from __future__ import annotations
 
-import sys
-import types
+import struct
+import zlib
 
+import numpy as np
+import pytest
+
+from mcp_server_vector_search_spark.functions.png import (
+    decode_png,
+    encode_png,
+    nn_resize,
+)
 from mcp_server_vector_search_spark.sources.multimodal import (
     FRAME_BYTES,
-    _decode_image,
     attach_binary_payload,
+    attach_png_payload,
     extract_metadata,
     resize_images,
     sample_frames,
+    synthetic_image,
 )
 from mcp_server_vector_search_spark.sources.tables import load_table
 
 from .conftest import SF_SMOKE
 
 
-def test_decode_stub_is_pil_independent():
-    """The fake decode must behave identically whether or not a PIL
-    module is importable (round-1 bug: an installed PIL raised
-    NotImplementedError past the ImportError guard)."""
-    payload = b"not actually an image"
-    without = _decode_image(payload)
-    fake_pil = types.ModuleType("PIL")
-    fake_pil.Image = types.ModuleType("PIL.Image")
-    sys.modules["PIL"] = fake_pil
-    sys.modules["PIL.Image"] = fake_pil.Image
-    try:
-        with_pil = _decode_image(payload)
-    finally:
-        del sys.modules["PIL"], sys.modules["PIL.Image"]
-    assert without == with_pil
-    w, h = without
-    assert 16 <= w < 256 and 16 <= h < 256
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_png_roundtrip_grey_all_filters(ftype):
+    rng = np.random.default_rng(100 + ftype)
+    arr = rng.integers(0, 256, size=(23, 31), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(arr, ftype)), arr)
 
 
-def test_metadata_rows_align_one_to_one(spark):
-    docs = load_table(spark, SF_SMOKE, "documents")
-    meta = extract_metadata(attach_binary_payload(docs))
-    assert meta.count() == docs.count()
-    row = meta.orderBy("doc_id").head()
-    assert row["modality"] == "image" and len(row["sha256"]) == 64
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_png_roundtrip_rgb_all_filters(ftype):
+    rng = np.random.default_rng(200 + ftype)
+    arr = rng.integers(0, 256, size=(17, 19, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(arr, ftype)), arr)
 
 
-def test_resize_preserves_rows_and_dims(spark):
-    docs = load_table(spark, SF_SMOKE, "documents").limit(20)
-    out = resize_images(attach_binary_payload(docs), 32, 24).collect()
-    assert len(out) == 20
-    assert all(r["width"] == 32 and r["height"] == 24 for r in out)
-    assert all(len(r["payload"]) >= 32 * 24 for r in out)
+def test_png_decode_split_idat():
+    """The spec allows the compressed stream to be split across IDAT
+    chunks arbitrarily — reassemble before inflate."""
+    arr = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    payload = encode_png(arr)
+    sig = payload[:8]
+    # reparse chunks, split the single IDAT into two
+    pos, chunks = 8, []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        chunks.append((typ, data))
+        pos += 12 + length
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    out = sig
+    for typ, data in chunks:
+        if typ == b"IDAT":
+            mid = len(data) // 2
+            out += chunk(b"IDAT", data[:mid]) + chunk(b"IDAT", data[mid:])
+        else:
+            out += chunk(typ, data)
+    assert np.array_equal(decode_png(out), arr)
+
+
+def test_png_rejects_garbage():
+    with pytest.raises(ValueError):
+        decode_png(b"not actually an image")
+
+
+def test_nn_resize_floor_mapping():
+    arr = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    out = nn_resize(arr, 2, 2)
+    # out[y, x] = in[y*3//2, x*4//2]
+    assert out.tolist() == [[arr[0, 0], arr[0, 2]], [arr[1, 0], arr[1, 2]]]
+
+
+def test_synthetic_image_model():
+    arr = synthetic_image(5)
+    assert arr.shape == (16 + 5 % 13, 16 + 5 % 17)
+    assert arr[2, 3] == (5 * 31 + 3 * 7 + 2 * 13) % 256
+
+
+def test_metadata_decodes_real_pngs(spark):
+    """The metadata operator must report dimensions/pixel sums from a
+    REAL decode of the PNG bytes, matching the closed-form model."""
+    docs = load_table(spark, SF_SMOKE, "documents").limit(25)
+    meta = extract_metadata(attach_png_payload(docs)).collect()
+    assert len(meta) == 25
+    for r in meta:
+        d = r["doc_id"]
+        img = synthetic_image(d)
+        assert (r["width"], r["height"]) == (img.shape[1], img.shape[0])
+        assert r["px_sum"] == int(img.sum(dtype=np.int64))
+        assert r["byte_len"] > 0 and len(r["sha256"]) == 64
+
+
+def test_resize_output_is_valid_png(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(10)
+    out = resize_images(attach_png_payload(docs), 32, 24).collect()
+    assert len(out) == 10
+    for r in out:
+        arr = decode_png(bytes(r["payload"]))
+        assert arr.shape == (24, 32)
+        want = nn_resize(synthetic_image(r["doc_id"]), 32, 24)
+        assert np.array_equal(arr, want)
 
 
 def test_frame_fanout_count(spark):
@@ -59,7 +124,10 @@ def test_frame_fanout_count(spark):
     frames = sample_frames(attach_binary_payload(docs))
     per_doc = {
         r["doc_id"]: r["n"]
-        for r in frames.groupBy("doc_id").count().withColumnRenamed("count", "n").collect()
+        for r in frames.groupBy("doc_id")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
     }
     for doc_id, text in payloads.items():
         assert per_doc[doc_id] == 1 + len(text.encode()) // FRAME_BYTES
