@@ -141,26 +141,51 @@ def sentence_transformer_embedder(
             ) from e
         return SentenceTransformer(model_name)
 
-    return model_embedder(loader, dim)
+    return model_embedder(loader, dim, cache_key=f"st:{model_name}:{dim}")
+
+
+# Per-PROCESS model cache for model_embedder.  It must be reached via a
+# worker-side `import` of THIS module (see embed below), not via closure
+# capture: cloudpickle serializes nested UDF functions by value, so any
+# dict captured in the closure is COPIED into every task — a per-task
+# "cache" that reloads the model once per task instead of once per
+# worker process.  The import resolves the real module in the worker
+# interpreter, giving one shared dict per Python worker; with worker
+# reuse (spark.python.worker.reuse, default on) that is one model load
+# per executor core for the lifetime of the job — the behavior the
+# 100 TB embed pass depends on (tests/test_embedders.py pins it with a
+# counting loader over more tasks than workers).
+_MODEL_CACHE: dict[str, object] = {}
 
 
 def model_embedder(
-    model_loader: Callable[[], object], dim: int, batch_encode: str = "encode"
+    model_loader: Callable[[], object],
+    dim: int,
+    batch_encode: str = "encode",
+    cache_key: str | None = None,
 ) -> Callable[[Column], Column]:
-    """Real-model embedding UDF (the production path; not exercised in
-    CI — no model weights in this environment, mirroring how the
-    reference's SentenceTransformer path is never exercised either).
+    """Real-model embedding UDF (the production path).
 
-    ``model_loader`` runs once per executor process (module-level cache),
-    e.g. ``lambda: SentenceTransformer("all-MiniLM-L6-v2")``.
+    ``model_loader`` runs once per executor PROCESS (module-level cache
+    keyed by ``cache_key``), e.g.
+    ``lambda: SentenceTransformer("all-MiniLM-L6-v2")``.  ``cache_key``
+    defaults to the loader's qualified name + dim; pass an explicit key
+    when the loader is a lambda whose identity does not name the model.
     """
-    state: dict[str, object] = {}
+    key = cache_key or (
+        f"{getattr(model_loader, '__module__', '?')}."
+        f"{getattr(model_loader, '__qualname__', '?')}:{dim}:{batch_encode}"
+    )
 
     @F.pandas_udf(T.ArrayType(T.FloatType()))
     def embed(texts: pd.Series) -> pd.Series:
-        model = state.get("m")
+        # worker-side import: reach the per-process cache, not a
+        # closure copy (see _MODEL_CACHE comment)
+        from mcp_server_vector_search_spark.functions import embedder as _mod
+
+        model = _mod._MODEL_CACHE.get(key)
         if model is None:
-            model = state["m"] = model_loader()
+            model = _mod._MODEL_CACHE[key] = model_loader()
         vecs = getattr(model, batch_encode)(texts.tolist())
         arr = np.asarray(vecs, dtype=np.float32)
         if arr.ndim != 2 or arr.shape[1] != dim:

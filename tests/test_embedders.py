@@ -175,3 +175,47 @@ def test_model_embedder_with_st_shaped_model(spark):
     rows = df.select("text", embed(F.col("text")).alias("e")).orderBy("text").collect()
     assert rows[0]["e"] == [2.0] * DIM
     assert rows[1]["e"] == [4.0] * DIM
+
+
+class _CountingModel:
+    def encode(self, texts):
+        return np.zeros((len(texts), DIM), dtype=np.float32)
+
+
+def test_model_loads_once_per_worker_process(spark, tmp_path):
+    """The 100 TB embed pass depends on ONE model load per executor
+    process, not per task: a counting loader over far more tasks than
+    python workers must record each worker pid exactly once, across
+    TWO actions (worker reuse keeps the cache warm between jobs).
+    Guards the worker-side-import cache in model_embedder — a closure
+    dict would reload per task (cloudpickle copies it into each)."""
+    marker = str(tmp_path / "loads.txt")
+
+    def loader():
+        import os
+
+        with open(marker, "a") as f:
+            f.write(f"{os.getpid()}\n")
+        return _CountingModel()
+
+    n_tasks = 48
+    df = spark.range(2000).repartition(n_tasks).selectExpr(
+        "CAST(id AS STRING) AS text"
+    )
+    embed = model_embedder(loader, DIM, cache_key=f"counting:{marker}")
+    # count() alone would let Catalyst prune the UDF column away —
+    # aggregate over the embedding so the UDF must actually run
+    out = df.select(embed(F.col("text")).alias("e")).agg(
+        F.count("e").alias("n")
+    )
+    assert out.first()["n"] == 2000
+    assert out.first()["n"] == 2000  # second job: warm workers load nothing
+    loads = open(marker).read().split()
+    assert loads, "loader never ran"
+    assert len(loads) == len(set(loads)), (
+        f"a worker process re-loaded the model: {len(loads)} loads, "
+        f"{len(set(loads))} distinct pids"
+    )
+    assert len(loads) < n_tasks, (
+        f"{len(loads)} loads for {n_tasks} tasks — per-task reload"
+    )
