@@ -37,7 +37,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 
 N_SALTS = 16
 PRICE_BIN = 5000.0
@@ -754,4 +754,98 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_bucket.groupBy("event_type").agg(
         F.sum("n").cast("long").alias("n_users")
+    )
+
+
+# AQE skew-join demonstration: the RUNTIME sibling of join_salted_skew.
+SKEW_HOT_MOD = 10  # l_orderkey % 10 > 0 -> hot key 0 (~90% of rows)
+SKEW_KEYS = 5      # matches region's 5 rows
+
+
+@register(
+    "join_aqe_skew_rewrite",
+    oracle=f"""
+WITH lk AS (
+  SELECT CASE WHEN l_orderkey % {SKEW_HOT_MOD} > 0 THEN 0
+              ELSE 1 + (l_orderkey // {SKEW_HOT_MOD}) % ({SKEW_KEYS} - 1)
+              END AS skew_key,
+         l_extendedprice
+  FROM lineitem
+)
+SELECT lk.skew_key,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(lk.l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+         AS revenue,
+       MIN(r.r_name) AS region_name
+FROM lk JOIN region r ON r.r_regionkey = lk.skew_key
+GROUP BY lk.skew_key
+""",
+)
+def join_aqe_skew_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE's runtime skew-join rewrite (``OptimizeSkewedJoin``) —
+    completing the skew story next to MANUAL salting
+    (``join_salted_skew``): a 90%-hot derived key would land one
+    straggler sort-merge partition; AQE splits it at runtime into
+    advisory-sized map-range chunks (replicating the matching build
+    rows per chunk), marking the join ``skew=true`` with an
+    ``AQEShuffleRead skewed`` child — asserted post-execution in
+    tests/test_plans.py.
+
+    The demonstration encodes three real preconditions of the rule:
+    (1) both SMJ children must be bare Sort(shuffle) stages — a dim
+    built by aggregation puts a HashAggregate between Sort and shuffle
+    and the rule cannot split through it, so the dim here is the plain
+    5-row region table with broadcast disabled; (2) skew chunks are
+    MAP-RANGE splits, so a single-mapper scan (one parquet file)
+    cannot be split — the fact scan is spread across mappers first
+    (the tables.spread discipline; a 100 TB scan has thousands of
+    mappers already); (3) a downstream agg keyed on the join key
+    requires the join's partitioning, so splitting needs
+    ``forceOptimizeSkewedJoin`` (or no such consumer).
+
+    Plan-scoped confs via a CHILD session (the bloom-filter query's
+    discipline — the shared session is never mutated): thresholds
+    lowered to fixture bytes; at 100 TB the DEFAULTS (256 MB
+    partitions, 5x median) fire on real skew untouched.  Result values
+    are AQE-invariant (splitting reorders work, not arithmetic), so
+    the certificate is a plain grouped aggregate both engines compute
+    exactly."""
+    child = spark.newSession()
+    child.conf.set("spark.sql.adaptive.enabled", "true")
+    child.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    child.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    child.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100k"
+    )
+    child.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    child.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32k")
+    # keep the post-shuffle coalescer from merging the skew splits back
+    child.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    child.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    child.conf.set(
+        "spark.sql.shuffle.partitions",
+        spark.conf.get("spark.sql.shuffle.partitions"),
+    )
+    li = spread(load_table(child, sf_dir, "lineitem"))
+    reg = load_table(child, sf_dir, "region")
+    hot = F.when(
+        F.col("l_orderkey") % SKEW_HOT_MOD > 0, F.lit(0).cast("long")
+    ).otherwise(
+        F.lit(1)
+        + (F.col("l_orderkey") / SKEW_HOT_MOD).cast("long") % (SKEW_KEYS - 1)
+    )
+    lk = li.select(hot.alias("skew_key"), "l_extendedprice")
+    dim = reg.select(
+        F.col("r_regionkey").cast("long").alias("skew_key"), "r_name"
+    )
+    return (
+        lk.join(dim, "skew_key")
+        .groupBy("skew_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.min("r_name").alias("region_name"),
+        )
     )

@@ -2,10 +2,18 @@
 queries with the scale property each plan is evidence for.
 
 Run: python scripts/gen_plans.py   (writes /root/repo/PLANS.md)
+
+Expression ids (``#123``, ``[id=#456]``) are normalized to ``#N`` —
+they depend on how many plans the session compiled before, so leaving
+them raw would make regeneration non-reproducible.  The drift test
+(tests/test_plans.py::test_plans_md_is_current) re-renders this file
+in CI and fails on any difference, so plan regressions surface as a
+failing test instead of a stale doc.
 """
 
 from __future__ import annotations
 
+import re
 import sys
 from pathlib import Path
 
@@ -262,8 +270,12 @@ properties are asserted programmatically in `tests/test_plans.py`.
 """
 
 
-def main() -> None:
-    spark = get_spark(app_name="gen_plans")
+_EXPR_ID = re.compile(r"#\d+")
+
+
+def render_plans(spark) -> str:
+    """The full PLANS.md content — shared by main() and the CI drift
+    test so the committed doc provably matches the current plans."""
     registry.load_all_operators()
     parts = [HEADER]
     evidence_keys = (
@@ -284,11 +296,15 @@ def main() -> None:
             if any(k in ln for k in evidence_keys)
         ]
         detail_block = ("\n" + "\n".join(details)) if details else ""
-        parts.append(
-            f"\n## {name}\n\n{why}\n\n```\n{tree.strip()}{detail_block}\n```\n"
-        )
+        section = f"\n## {name}\n\n{why}\n\n```\n{tree.strip()}{detail_block}\n```\n"
+        parts.append(_EXPR_ID.sub("#N", section))
+    return "".join(parts)
+
+
+def main() -> None:
+    spark = get_spark(app_name="gen_plans")
     Path(__file__).resolve().parent.parent.joinpath("PLANS.md").write_text(
-        "".join(parts)
+        render_plans(spark)
     )
     print("PLANS.md written")
     spark.stop()

@@ -378,3 +378,44 @@ def test_dpp_prunes_fact_partitions(spark):
     df = join_dpp_partitioned(spark, SF_CORRECTNESS)
     plan = df._jdf.queryExecution().executedPlan().toString().lower()
     assert "dynamicpruning" in plan
+
+
+def test_plans_md_is_current(spark):
+    """PLANS.md is generated evidence — re-render it against the live
+    plans and fail on drift, so a plan regression (or an operator edit
+    that changes a showcased plan) surfaces as a failing test, not a
+    stale document.  Run `python scripts/gen_plans.py` to refresh."""
+    import importlib.util
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    spec = importlib.util.spec_from_file_location(
+        "gen_plans", repo / "scripts" / "gen_plans.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    want = (repo / "PLANS.md").read_text()
+    got = mod.render_plans(spark)
+    assert got == want, (
+        "PLANS.md is stale — regenerate with `python scripts/gen_plans.py` "
+        "and review the plan diff"
+    )
+
+
+def test_aqe_skew_join_rewrite_fires(spark):
+    """The AQE skew demonstration must actually trigger the runtime
+    rewrite: after execution the final adaptive plan shows the
+    sort-merge join marked skew=true reading an AQEShuffleRead skewed
+    child (the split hot partition)."""
+    from mcp_server_vector_search_spark.operators.scale import (
+        join_aqe_skew_rewrite,
+    )
+
+    df = join_aqe_skew_rewrite(spark, SF_CORRECTNESS)
+    rows = df.collect()
+    assert len(rows) == 5
+    hot = {r["skew_key"]: r["n_items"] for r in rows}
+    assert hot[0] > 10 * max(v for k, v in hot.items() if k != 0)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "skew=true" in plan
+    assert "AQEShuffleRead skewed" in plan

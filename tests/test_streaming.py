@@ -9,6 +9,7 @@ watermark wiring, state, foreachBatch sink, incremental index layout.
 
 from __future__ import annotations
 
+import os
 import tempfile
 import uuid
 
@@ -510,3 +511,51 @@ def test_temperature_mix_stream_equals_batch(spark):
     )
     want = mix_temperature_sources(spark, SF_SMOKE).collect()
     assert {tuple(r) for r in got} == {tuple(r) for r in want} and got
+
+
+def test_streaming_append_serves_identically_to_rebuild(spark):
+    """Serve-path equivalence (round-6 verdict #6): a layout grown by
+    the foreachBatch streaming append must serve the engine's ANN query
+    IDENTICALLY to a from-scratch batch rebuild — same cells, same
+    scores, same order.  The streamed append uses the same assignment
+    expression as the batch build, so the layouts cannot fork."""
+    import glob
+    import shutil
+
+    from mcp_server_vector_search_spark.operators.ann import (
+        ivf_topk,
+        prompt_embedding,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    assigned, centroids = build_ivf_index(emb)
+    with tempfile.TemporaryDirectory() as tmp:
+        # base layout: batch-built from 80% of the corpus
+        write_ivf_index(assigned.where(F.col("vec_id") % 5 != 0), f"{tmp}/idx")
+        # the remaining 20% arrives as a stream micro-batch: stage it as
+        # a single parquet FILE shaped like a testdata sf_dir
+        delta = emb.where(F.col("vec_id") % 5 == 0)
+        delta.coalesce(1).write.parquet(f"{tmp}/delta_out")
+        os.makedirs(f"{tmp}/delta_sf")
+        shutil.move(
+            glob.glob(f"{tmp}/delta_out/part-*.parquet")[0],
+            f"{tmp}/delta_sf/embeddings.parquet",
+        )
+        q = ingest.incremental_index_append(
+            spark, f"{tmp}/delta_sf", centroids, f"{tmp}/idx", f"{tmp}/ckpt"
+        )
+        q.awaitTermination(120)
+        # from-scratch rebuild over the full corpus
+        write_ivf_index(assigned, f"{tmp}/full")
+        qvec = prompt_embedding()
+        streamed = ivf_topk(
+            spark.read.parquet(f"{tmp}/idx"), centroids, qvec
+        ).collect()
+        rebuilt = ivf_topk(
+            spark.read.parquet(f"{tmp}/full"), centroids, qvec
+        ).collect()
+        assert [tuple(r) for r in streamed] == [tuple(r) for r in rebuilt]
+        assert len(streamed) == 10
+        # the streamed layout holds the whole corpus, cell-partitioned
+        assert spark.read.parquet(f"{tmp}/idx").count() == emb.count()
