@@ -28,104 +28,77 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate samples a bounded prefix of this dict
 # (~50 entries in iteration order).  To maximize UNION coverage across
-# rounds, the prefix leads with queries needing a FRESH record this
-# round: agg_approx_sketches (oracle added r5 — previously rows-only),
-# any new r5 queries, then rows whose latest record is r1 (the dedup
-# family — never re-checked since round 1), then the r2-latest rows.
-# Already-recent queries keep their r3/r4 records and rotate to the back.
+# rounds, the r6 prefix leads with queries that NEED a fresh record:
+# the queries r6 added (graph ANN, AQE skew join) or materially changed
+# (real-PNG multimodal, the ADVICE determinism fixes), then every query
+# whose latest driver record is r2 (the oldest cohort — 42 rows), then
+# the r3-latest cohort.  Queries with r4/r5 records rotate to the back.
 _PRIORITY_PREFIX = [
-    "agg_approx_sketches",
-    "ann_opq_topk",
-    "sample_curriculum_bins",
-    "sample_global_shuffle",
-    "text_redact_patterns",
-    "join_bloom_runtime_filter",
-    "sink_compaction_certificate",
-    "join_lateral_topn",
-    "source_python_datasource",
-    "udf_grouped_map_zscore",
-    "recursive_year_spine",
-    "ann_matryoshka_topk",
-    "quality_constraint_certificate",
-    "join_dpp_partitioned",
-    "agg_hll_mergeable_certificate",
-    "mix_temperature_sources",
-    "sink_zorder_pruned_scan",
-    "agg_mad_outliers",
-    "events_top_paths",
-    "engine_search_ann",
-    "agg_market_basket_pairs",
-    "events_markov_transitions",
-    "agg_gini_concentration",
-    "timeseries_ewma_per_user",
-    "agg_bitmap_distinct",
+    # --- r6 new / changed ---
+    "ann_graph_topk",
+    "join_aqe_skew_rewrite",
+    "multimodal_metadata",
     "multimodal_resize",
-    "dedup_ngram_containment",
+    "multimodal_frame_sample",
+    "agg_mad_outliers",
+    "udf_grouped_map_zscore",
     "dedup_jaccard_prefix_filter",
-    "pipeline_build_corpus",
-    "pipeline_index_cells",
-    "ann_sq8_topk",
-    "text_phrase_query",
-    "sample_weighted_es",
-    "agg_freq_items_certificate",
-    "split_leakage_check",
-    "events_cohort_retention",
-    "ann_ivf_upsert_cells",
-    "ann_bq_topk",
-    "dedup_duplicate_clusters",
-    "dedup_embedding_cosine",
-    "dedup_minhash_lsh",
-    "dedup_simhash_pairs",
-    "dedup_simhash_signatures",
-    "agg_conditional_pivot",
-    "agg_cube_lineitem",
-    "agg_distinct_counts",
-    "agg_grouping_sets",
-    "agg_rollup_orders",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "dedup_bag_groups",
-    "dedup_editdistance_pairs",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "empty_result_guard",
-    "filter_scan_pushdown",
+    "join_bloom_runtime_filter",
+    # --- latest record is r2 ---
     "flagship_topk_cosine",
-    "join_anti_customers_without_orders",
-    "join_outer_order_counts",
-    "join_semi_customers_with_orders",
-    "join_star_broadcast",
-    "merge_upsert_orders",
-    "q10_returned_revenue",
-    "q18_large_orders",
+    "vector_scores_all",
+    "vector_distance_library",
+    "topk_per_query_batch",
     "q1_pricing_summary",
+    "filter_scan_pushdown",
+    "top_n_orders",
+    "join_star_broadcast",
     "q3_shipping_priority",
     "q5_regional_revenue",
-    "q6_revenue_forecast",
-    "rollup_hourly_daily",
-    "rows_as_json",
-    "sample_hash_deterministic",
-    "scalar_array_functions",
-    "scalar_date_functions",
-    "scalar_json_functions",
-    "scalar_map_functions",
-    "scalar_math_functions",
-    "scalar_string_functions",
-    "semantic_search_hash_embedder",
-    "setops_multiset_all",
+    "join_semi_customers_with_orders",
+    "join_anti_customers_without_orders",
+    "join_outer_order_counts",
     "setops_nation_presence",
-    "subquery_correlated_above_avg",
-    "top_n_orders",
-    "topk_per_query_batch",
-    "unpivot_lineitem_measures",
-    "vector_centroid_per_label",
-    "vector_distance_library",
-    "vector_scores_all",
-    "window_distribution_ranks",
-    "window_moving_frame",
-    "window_range_frame",
     "window_rank_top3_per_priority",
     "window_running_and_lag",
+    "window_moving_frame",
+    "scalar_string_functions",
+    "scalar_date_functions",
+    "scalar_math_functions",
+    "scalar_array_functions",
+    "scalar_json_functions",
+    "subquery_correlated_above_avg",
+    "unpivot_lineitem_measures",
+    "q6_revenue_forecast",
+    "q10_returned_revenue",
+    "sample_hash_deterministic",
+    "merge_upsert_orders",
+    "rollup_hourly_daily",
+    "window_distribution_ranks",
+    "vector_centroid_per_label",
+    "dedup_editdistance_pairs",
+    "q18_large_orders",
+    "scalar_map_functions",
+    "semantic_search_hash_embedder",
+    "dedup_exact",
+    "dedup_bag_groups",
+    "dedup_ngram_jaccard",
+    "rows_as_json",
+    "empty_result_guard",
+    "setops_multiset_all",
+    "window_range_frame",
+    # --- latest record is r3 ---
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q17_small_quantity_avg",
+    "q19_or_predicate_revenue",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+    "source_roundtrip_formats",
+    "sink_partitioned_pruned_scan",
+    "source_schema_evolution",
 ]
 
 

@@ -254,6 +254,14 @@ SHOWCASE = [
         "items-per-basket².",
     ),
     (
+        "ann_graph_topk",
+        "Graph-routed ANN probe: the beam-search-selected cells arrive "
+        "as a `PartitionFilters` IN-list on node_id — the navigable-"
+        "graph descent replaces the flat nearest-landmark scan for "
+        "probe selection (O(degree × beam) sims on the driver); the "
+        "pruned scan + exact top-k are the IVF family's machinery.",
+    ),
+    (
         "engine_search_ann",
         "The serving path over the index: the probe scan carries the "
         "centroid_id partition filter (only nprobe cells read) and the "

@@ -395,6 +395,10 @@ def test_plans_md_is_current(spark):
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     want = (repo / "PLANS.md").read_text()
+    # earlier tests may have left operator scratch subtrees persisted
+    # (e.g. LSH signature tables); Spark's cache manager would then
+    # substitute InMemoryRelation into matching showcased plans
+    spark.catalog.clearCache()
     got = mod.render_plans(spark)
     assert got == want, (
         "PLANS.md is stale — regenerate with `python scripts/gen_plans.py` "
