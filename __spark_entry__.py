@@ -34,6 +34,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # whose latest driver record is r2 (the oldest cohort — 42 rows), then
 # the r3-latest cohort.  Queries with r4/r5 records rotate to the back.
 _PRIORITY_PREFIX = [
+    # --- r6 new (no driver record yet) ---
+    "ann_filtered_topk",
+    "ann_delete_tombstone",
+    "topk_mmr_diverse",
+    "maxsim_multivector",
+    "semdedup_prune",
+    "dsir_importance_weights",
     # --- r6 new / changed ---
     "ann_graph_topk",
     "join_aqe_skew_rewrite",

@@ -1,0 +1,259 @@
+"""Training-data selection operators from the public literature:
+SemDeDup cluster-bounded semantic dedup and DSIR hashed-n-gram
+importance resampling weights.
+
+Both are corpus-scale selection passes a 100 TB pretraining pipeline
+runs between ingest and tokenization; neither exists in the reference
+(whose corpus fits one Neo4j instance), but they are the natural
+consumers of the same embedding/text columns the engine already serves.
+
+- **SemDeDup** (Abbas et al. 2023, arXiv:2303.09540): k-means the
+  embeddings, compare pairs ONLY within a cluster, drop all but one of
+  each semantic-duplicate group.  The cluster bound is the entire
+  scaling story: pair count falls from O(n²) to Σ|cluster|², and the
+  cluster count grows with n (FAISS discipline: the quantizer still
+  trains on a bounded sample).  We reuse the IVF coarse quantizer from
+  ``ann.py`` verbatim — index-build and semantic-dedup share one
+  clustering, which is exactly how production pipelines amortize it.
+- **DSIR** (Xie et al. 2023, arXiv:2302.03169): importance weight of a
+  raw document w.r.t. a target distribution, estimated on hashed
+  n-gram buckets: w(x) = Σ_{g∈ngrams(x)} [log p_target(bucket(g)) −
+  log p_raw(bucket(g))] with Laplace smoothing.  Two hash-agg passes
+  build the (tiny) bucket tables; a broadcast join + one per-doc sum
+  scores the corpus.  The per-bucket log-ratio is rounded to
+  MICRO-units (integer 1e-6) BEFORE the per-doc sum, so the sum is
+  exact integer arithmetic — immune to float summation-order
+  divergence between engines regardless of how many n-grams a document
+  has (the repo's round-before-compare convention, taken to integers
+  because the term count here is unbounded).
+
+Cross-engine hashing is the md5-based 60-bit scheme from
+``functions/hashing.py`` (Spark ``conv``; DuckDB positional hex sum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import duckdb_hash60_mod, md5_hash60_mod
+from ..functions.text import tokens
+from ..functions.train import ORACLE_SF_DIR, load_sorted_vectors
+from ..functions.vector import cosine_similarity
+from ..registry import register
+from ..sources.tables import load_table
+from .ann import (
+    ASSIGN_DECIMALS,
+    TRAIN_SAMPLE,
+    assignment_expr,
+    ivf_assign_sql,
+    train_centroids,
+)
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-bounded semantic near-duplicate pruning
+# ---------------------------------------------------------------------------
+
+# Synthetic embeddings are isotropic Gaussians (d=64): cosine of a
+# random pair concentrates near 0, so 0.4 marks genuinely-close pairs
+# (measured: 59 global pairs ≥0.4 at the correctness SF).  On real text
+# embeddings SemDeDup uses ~0.95+; the threshold is the tunable.
+SEMDEDUP_T = 0.4
+
+
+def semdedup_dropped(assigned: DataFrame, threshold: float = SEMDEDUP_T) -> DataFrame:
+    """Vectors pruned by SemDeDup: a vector is dropped iff some
+    LOWER-id vector in the SAME cluster has cosine ≥ threshold with it
+    (keep-the-first canonical rule — deterministic, order-free).
+
+    The self-join's equi-key is ``centroid_id``: docs in different
+    clusters never meet, which is the SemDeDup complexity bound.  At
+    100 TB both sides arrive pre-partitioned by centroid_id from the
+    IVF layout, so the join is co-located; skewed (hot) clusters are
+    the known failure mode and get AQE skew splitting, exactly like
+    hot LSH buckets in ``dedup.py``.
+    """
+    a = assigned.select(
+        F.col("vec_id").alias("keep_id"),
+        F.col("embedding").alias("keep_emb"),
+        "centroid_id",
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("drop_id"),
+        F.col("embedding").alias("drop_emb"),
+        "centroid_id",
+    )
+    sim = F.round(cosine_similarity("keep_emb", "drop_emb"), ASSIGN_DECIMALS)
+    pairs = (
+        a.join(b, "centroid_id")
+        .where(F.col("keep_id") < F.col("drop_id"))
+        .withColumn("sim", sim)
+        .where(F.col("sim") >= threshold)
+    )
+    return (
+        pairs.groupBy(F.col("drop_id").alias("vec_id"), "centroid_id")
+        .agg(
+            F.count("*").alias("n_dup_partners"),
+            F.max("sim").alias("max_sim"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _semdedup_oracle() -> str | None:
+    try:
+        _, x = load_sorted_vectors(ORACLE_SF_DIR)
+    except Exception:  # pragma: no cover - testdata absent
+        return None
+    cents = train_centroids([list(v) for v in x[:TRAIN_SAMPLE]])
+    return f"""
+WITH {ivf_assign_sql(cents)},
+pairs AS (
+  SELECT b.vec_id, b.centroid_id,
+         ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]),
+               {ASSIGN_DECIMALS}) AS sim
+  FROM assign a JOIN assign b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+)
+SELECT vec_id, centroid_id,
+       COUNT(*) AS n_dup_partners,
+       MAX(sim) AS max_sim
+FROM pairs
+WHERE sim >= {SEMDEDUP_T}
+GROUP BY vec_id, centroid_id
+ORDER BY vec_id
+"""
+
+
+@register("semdedup_prune", oracle=_semdedup_oracle())
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = train_centroids(
+        [
+            [float(v) for v in r["embedding"]]
+            for r in emb.orderBy("vec_id").limit(TRAIN_SAMPLE).select("embedding").collect()
+        ]
+    )
+    assigned = emb.withColumn("centroid_id", assignment_expr(cents))
+    return semdedup_dropped(assigned)
+
+
+# ---------------------------------------------------------------------------
+# DSIR: hashed-n-gram importance weights vs a target distribution
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 64
+DSIR_TOP = 20
+TARGET_SQL = "lang = 'en'"  # the "target distribution" demo: English docs
+MICRO = 1_000_000  # fixed-point scale for the per-bucket log-ratio
+
+
+def _bigrams(text_col) -> F.Column:
+    """Word bigrams WITH multiplicity (DSIR counts occurrences, unlike
+    the distinct shingles in dedup.py)."""
+    toks = tokens(text_col)
+    idx = F.sequence(F.lit(1), F.size(toks) - 1)
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1))
+    )
+    return F.when(F.size(toks) >= 2, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def dsir_weights(docs: DataFrame, target_pred: F.Column) -> DataFrame:
+    """Per-document DSIR importance weight in integer micro-units.
+
+    Physical shape (two scans of ``documents``, both ending in tiny or
+    broadcast-joined state — nothing corpus-sized shuffles):
+
+    1. stats pass: explode bigrams → bucket → ONE 64-row hash agg
+       counting raw and target occurrences (map-side combined);
+    2. per-bucket smoothed log-ratio, rounded to integer micro-units
+       driver-free (still a DataFrame — it is 64 rows but never
+       collected);
+    3. scoring pass: explode again → broadcast-join the 64-row ratio
+       table → per-doc integer SUM.
+
+    At 100 TB the target corpus is small (a quality reference set) and
+    pass 1 over raw data is the cost of one aggregation scan — the
+    published DSIR recipe verbatim.
+    """
+    grams = docs.select(
+        "doc_id",
+        target_pred.alias("is_target"),
+        F.explode(_bigrams(F.col("text"))).alias("gram"),
+    ).withColumn("bucket", md5_hash60_mod(F.col("gram")) % DSIR_BUCKETS)
+
+    stats = grams.groupBy("bucket").agg(
+        F.count("*").alias("cr"),
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("ct"),
+    )
+    totals = stats.agg(
+        F.sum("cr").alias("tr"), F.sum("ct").alias("tt")
+    )
+    llr = (
+        stats.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.round(
+                (
+                    F.log((F.col("ct") + 1.0) / (F.col("tt") + F.lit(DSIR_BUCKETS)))
+                    - F.log((F.col("cr") + 1.0) / (F.col("tr") + F.lit(DSIR_BUCKETS)))
+                )
+                * MICRO
+            )
+            .cast("long")
+            .alias("llr_micro"),
+        )
+    )
+    return (
+        grams.join(F.broadcast(llr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("llr_micro").alias("weight_micro"),
+        )
+        .orderBy(F.desc("weight_micro"), F.asc("doc_id"))
+        .limit(DSIR_TOP)
+    )
+
+
+_DSIR_ORACLE = f"""
+WITH grams AS (
+  SELECT doc_id, ({TARGET_SQL}) AS is_target,
+         unnest(list_transform(range(1, len(string_split(text, ' '))),
+           i -> string_split(text, ' ')[i] || ' ' ||
+                string_split(text, ' ')[i+1])) AS gram
+  FROM documents
+),
+bucketed AS (
+  SELECT doc_id, is_target, {duckdb_hash60_mod('gram')} % {DSIR_BUCKETS} AS bucket
+  FROM grams
+),
+stats AS (
+  SELECT bucket, COUNT(*) AS cr,
+         SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct
+  FROM bucketed GROUP BY bucket
+),
+totals AS (SELECT SUM(cr) AS tr, SUM(ct) AS tt FROM stats),
+llr AS (
+  SELECT bucket,
+         CAST(ROUND((ln((ct + 1.0) / (tt + {DSIR_BUCKETS}))
+                   - ln((cr + 1.0) / (tr + {DSIR_BUCKETS}))) * {MICRO}) AS BIGINT)
+           AS llr_micro
+  FROM stats CROSS JOIN totals
+)
+SELECT b.doc_id, COUNT(*) AS n_bigrams,
+       CAST(SUM(l.llr_micro) AS BIGINT) AS weight_micro
+FROM bucketed b JOIN llr l ON b.bucket = l.bucket
+GROUP BY b.doc_id
+ORDER BY weight_micro DESC, b.doc_id
+LIMIT {DSIR_TOP}
+"""
+
+
+@register("dsir_importance_weights", oracle=_DSIR_ORACLE)
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_weights(docs, F.expr(TARGET_SQL))

@@ -1,0 +1,390 @@
+"""Serve-path realism for the vector-search engine: filtered ANN,
+tombstone deletes, MMR diversification, multi-vector late interaction.
+
+The reference exposes exactly one search shape — unfiltered top-10 over
+one query vector (reference server.py:85-91).  Real deployments of the
+same stack immediately need the four variants here; each is
+re-expressed as a Spark plan over the IVF layout from ``ann.py``:
+
+- **Filtered search** (Neo4j ≥5.18 ships this as vector-index
+  pre-filtering; every vector DB has it): a metadata predicate
+  conjoined INTO the pruned cell scan — filter-during-search, not
+  post-filtering a too-short result list.  In the plan the predicate
+  sits in the same ``Filter`` as the probe IN-list, so Parquet gets
+  both as pushed filters and non-matching row groups never decompress.
+- **Tombstone delete**: deleting vectors without rewriting a 100 TB
+  index = broadcast anti-join of a (tiny) tombstone set against the
+  pruned scan; the upsert path that physically rewrites cells is
+  ``ann_ivf_upsert_cells``.  This is the standard LSM-style
+  delete-then-vacuum split (Milvus/Qdrant do exactly this).
+- **MMR diversification** (Carbonell & Goldstein 1998): re-rank a
+  bounded top-P pool so results cover distinct regions instead of P
+  near-duplicates of the best hit.  Pool selection is the distributed
+  part (TakeOrderedAndProject); the greedy λ·rel − (1−λ)·redundancy
+  selection runs on the collected P-row pool — the same
+  bounded-driver-work discipline as quantizer training, and the shape
+  every production reranker has (rerank the head, never the corpus).
+- **Multi-vector maxsim** (ColBERT late interaction, Khattab &
+  Zaharia 2020): documents are BAGS of vectors; score = Σ_q max_t
+  cos(q, t).  One map-side pass computes all per-query sims, one hash
+  agg per doc takes the maxes — no shuffle beyond the single groupBy,
+  no Python.
+
+Determinism follows the ANN family conventions: sims rounded at 6
+decimals before any comparison, ties broken by id, trained/selected
+constants folded into the oracle by re-running the same pure-python
+computation at registration time (functions/train.py).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.train import ORACLE_SF_DIR, load_sorted_vectors
+from ..functions.vector import neo4j_score, vector_lit
+from ..registry import register
+from ..sources.tables import load_table
+from .ann import (
+    NPROBE,
+    TRAIN_SAMPLE,
+    ivf_assign_sql,
+    load_or_build_ivf_index,
+    nearest_centroids,
+    train_centroids,
+)
+from .topk import QUERY_VEC_ID, SCORE_DECIMALS
+
+K = 10
+
+# ---------------------------------------------------------------------------
+# Filtered ANN search: metadata predicate inside the pruned scan
+# ---------------------------------------------------------------------------
+
+# The demo predicate: a label range (selectivity ~1/2), chosen over a
+# modulo test because range predicates PUSH DOWN to the parquet reader
+# (a `label % 2` expression does not — only its IsNotNull residue would).
+# With a fixed nprobe a highly selective filter can starve the result
+# list below k; production engines widen nprobe with 1/selectivity —
+# here the selectivity keeps nprobe=NPROBE comfortably above k candidates.
+FILTER_SQL = "label <= 4"
+
+
+def filtered_ivf_topk(
+    indexed: DataFrame,
+    centroids: list[list[float]],
+    query_vec: Sequence[float],
+    predicate: F.Column,
+    k: int = K,
+    nprobe: int = NPROBE,
+) -> DataFrame:
+    """ANN top-k with the metadata predicate conjoined into the pruned
+    scan: one ``Filter(centroid_id IN probes AND pred)`` directly over
+    the parquet scan, so BOTH conditions are pushed to the reader —
+    filter-during-search semantics, never post-filtering."""
+    probes = nearest_centroids(query_vec, centroids, nprobe)
+    qcol = vector_lit(query_vec)
+    return (
+        indexed.where(F.col("centroid_id").isin(probes) & predicate)
+        .withColumn("score", F.round(neo4j_score("embedding", qcol), SCORE_DECIMALS))
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", "centroid_id", "label", "score")
+    )
+
+
+def _filtered_oracle() -> str | None:
+    try:
+        ids, x = load_sorted_vectors(ORACLE_SF_DIR)
+    except Exception:  # pragma: no cover - testdata absent
+        return None
+    cents = train_centroids([list(v) for v in x[:TRAIN_SAMPLE]])
+    qvec = [float(v) for v in x[ids.index(QUERY_VEC_ID)]]
+    probes = nearest_centroids(qvec, cents, NPROBE)
+    return f"""
+WITH {ivf_assign_sql(cents)},
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+SELECT a.vec_id, a.centroid_id, e.label,
+       ROUND((1.0 + list_cosine_similarity(a.embedding::DOUBLE[], q.qv)) / 2.0,
+             {SCORE_DECIMALS}) AS score
+FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id CROSS JOIN q
+WHERE a.centroid_id IN ({", ".join(str(p) for p in probes)}) AND e.{FILTER_SQL}
+ORDER BY score DESC, a.vec_id
+LIMIT {K}
+"""
+
+
+@register("ann_filtered_topk", oracle=_filtered_oracle())
+def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    indexed, centroids = load_or_build_ivf_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(v)
+        for v in emb.where(F.col("vec_id") == QUERY_VEC_ID).first()["embedding"]
+    ]
+    return filtered_ivf_topk(indexed, centroids, qvec, F.expr(FILTER_SQL))
+
+
+# ---------------------------------------------------------------------------
+# Tombstone delete: anti-join deletes into the search, no index rewrite
+# ---------------------------------------------------------------------------
+
+TOMBSTONE_SQL = "vec_id % 7 = 3"  # the deleted set (demo predicate)
+
+
+def _tombstone_oracle() -> str | None:
+    try:
+        ids, x = load_sorted_vectors(ORACLE_SF_DIR)
+    except Exception:  # pragma: no cover - testdata absent
+        return None
+    cents = train_centroids([list(v) for v in x[:TRAIN_SAMPLE]])
+    qvec = [float(v) for v in x[ids.index(QUERY_VEC_ID)]]
+    probes = nearest_centroids(qvec, cents, NPROBE)
+    return f"""
+WITH {ivf_assign_sql(cents)},
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+SELECT a.vec_id, a.centroid_id,
+       ROUND((1.0 + list_cosine_similarity(a.embedding::DOUBLE[], q.qv)) / 2.0,
+             {SCORE_DECIMALS}) AS score
+FROM assign a CROSS JOIN q
+WHERE a.centroid_id IN ({", ".join(str(p) for p in probes)})
+  AND a.vec_id NOT IN (SELECT vec_id FROM embeddings WHERE {TOMBSTONE_SQL})
+ORDER BY score DESC, a.vec_id
+LIMIT {K}
+"""
+
+
+@register("ann_delete_tombstone", oracle=_tombstone_oracle())
+def q_ann_delete_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search over an index with deletions applied as tombstones.
+
+    The tombstone set is a DataFrame (in production: the delete log
+    since the last vacuum), applied as a BROADCAST ANTI join inside the
+    pruned scan — the 100 TB index files are untouched, the delete set
+    ships once per executor, and the k results are guaranteed
+    delete-free (no "fetch k, drop deleted, return 7" bug).  Physical
+    rewrite/vacuum of affected cells is ``ann_ivf_upsert_cells``'s
+    partition-replacement path.
+    """
+    indexed, centroids = load_or_build_ivf_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(v)
+        for v in emb.where(F.col("vec_id") == QUERY_VEC_ID).first()["embedding"]
+    ]
+    tombstones = emb.where(F.expr(TOMBSTONE_SQL)).select("vec_id")
+    probes = nearest_centroids(qvec, centroids, NPROBE)
+    qcol = vector_lit(qvec)
+    return (
+        indexed.where(F.col("centroid_id").isin(probes))
+        .join(F.broadcast(tombstones), "vec_id", "left_anti")
+        .withColumn("score", F.round(neo4j_score("embedding", qcol), SCORE_DECIMALS))
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(K)
+        .select("vec_id", "centroid_id", "score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversification: λ·relevance − (1−λ)·redundancy re-rank of the head
+# ---------------------------------------------------------------------------
+
+MMR_POOL = 50
+MMR_LAMBDA = 0.7
+MMR_K = K
+
+
+def _unit(x: np.ndarray) -> np.ndarray:
+    return x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+
+
+def mmr_select(
+    pool_ids: Sequence[int],
+    pool_vecs: np.ndarray,
+    query_vec: np.ndarray,
+    k: int = MMR_K,
+    lam: float = MMR_LAMBDA,
+) -> list[int]:
+    """Greedy MMR over the (bounded) pool: repeatedly take
+    argmax λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s).
+
+    Both terms are Neo4j-normalized cosines rounded at SCORE_DECIMALS,
+    the argmax ties break to the lower vec_id — the family's
+    determinism conventions, so the oracle generator reproduces the
+    selection bit-for-bit.  O(P·k) sims on ≤P=50 rows: driver work the
+    same size as one ``nearest_centroids`` call.
+    """
+    x = _unit(np.asarray(pool_vecs, dtype=np.float64))
+    q = _unit(np.asarray(query_vec, dtype=np.float64))
+    rel = np.round((1.0 + x @ q) / 2.0, SCORE_DECIMALS)
+    sim = np.round((1.0 + x @ x.T) / 2.0, SCORE_DECIMALS)
+    n = len(pool_ids)
+    selected: list[int] = []
+    chosen = np.zeros(n, dtype=bool)
+    while len(selected) < min(k, n):
+        best_i, best_score = -1, None
+        for i in range(n):
+            if chosen[i]:
+                continue
+            red = float(sim[i, [j for j in range(n) if chosen[j]]].max()) if selected else 0.0
+            s = round(lam * rel[i] - (1.0 - lam) * red, SCORE_DECIMALS)
+            key = (s, -pool_ids[i])
+            if best_score is None or key > best_score:
+                best_i, best_score = i, key
+        chosen[best_i] = True
+        selected.append(best_i)
+    return [int(pool_ids[i]) for i in selected]
+
+
+def _mmr_pool(ids: Sequence[int], x: np.ndarray, qvec: np.ndarray) -> list[int]:
+    """Pool membership: exact top-P by (rounded score DESC, vec_id ASC)
+    — numpy mirror of the TakeOrderedAndProject the Spark side runs."""
+    rel = np.round((1.0 + _unit(x) @ _unit(qvec)) / 2.0, SCORE_DECIMALS)
+    order = sorted(range(len(ids)), key=lambda i: (-rel[i], ids[i]))
+    return [int(i) for i in order[:MMR_POOL]]
+
+
+def _mmr_oracle() -> str | None:
+    """Re-run pool selection + greedy MMR at registration time and fold
+    the selected (rank, vec_id) pairs as literals; the SQL re-scores
+    them against the embeddings table, verifying the distributed
+    scoring join exactly (trained-constant oracle discipline)."""
+    try:
+        ids, x = load_sorted_vectors(ORACLE_SF_DIR)
+    except Exception:  # pragma: no cover - testdata absent
+        return None
+    qvec = x[ids.index(QUERY_VEC_ID)]
+    pool_idx = _mmr_pool(ids, x, qvec)
+    id_to_row = {v: i for i, v in enumerate(ids)}
+    pool_vecs = x[[id_to_row[v] for v in pool_idx]]
+    sel = mmr_select(pool_idx, pool_vecs, qvec)
+    values = ",\n  ".join(f"({r + 1}, {v})" for r, v in enumerate(sel))
+    return f"""
+WITH sel(mmr_rank, vec_id) AS (VALUES
+  {values}
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+SELECT CAST(s.mmr_rank AS INTEGER) AS mmr_rank, CAST(s.vec_id AS BIGINT) AS vec_id,
+       ROUND((1.0 + list_cosine_similarity(e.embedding::DOUBLE[], q.qv)) / 2.0,
+             {SCORE_DECIMALS}) AS score
+FROM sel s JOIN embeddings e ON e.vec_id = s.vec_id CROSS JOIN q
+ORDER BY s.mmr_rank
+"""
+
+
+@register("topk_mmr_diverse", oracle=_mmr_oracle())
+def q_topk_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-k: distributed exact top-P pool
+    (TakeOrderedAndProject — P rows to the driver, never the corpus),
+    greedy MMR on the pool, then a distributed broadcast join re-scores
+    and orders the selection.  tests/test_vsearch_extra.py asserts the
+    diversity property (max pairwise sim strictly below the plain
+    top-k's) on top of the oracle equality."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = np.asarray(
+        [float(v) for v in emb.where(F.col("vec_id") == QUERY_VEC_ID).first()["embedding"]],
+        dtype=np.float64,
+    )
+    qcol = vector_lit([float(v) for v in qvec])
+    pool_rows = (
+        emb.withColumn("score", F.round(neo4j_score("embedding", qcol), SCORE_DECIMALS))
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(MMR_POOL)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    pool_ids = [r["vec_id"] for r in pool_rows]
+    pool_vecs = np.asarray([list(map(float, r["embedding"])) for r in pool_rows])
+    sel = mmr_select(pool_ids, pool_vecs, qvec)
+    ranks = spark.createDataFrame(
+        [(r + 1, v) for r, v in enumerate(sel)], "mmr_rank int, vec_id bigint"
+    )
+    return (
+        emb.join(F.broadcast(ranks), "vec_id")
+        .withColumn("score", F.round(neo4j_score("embedding", qcol), SCORE_DECIMALS))
+        .select("mmr_rank", "vec_id", "score")
+        .orderBy("mmr_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-vector maxsim (ColBERT late interaction)
+# ---------------------------------------------------------------------------
+
+MAXSIM_GROUP = 5  # vectors per multi-vector "document"
+MAXSIM_QUERY_IDS = (0, 1, 2)  # the query's token vectors
+MAXSIM_K = K
+
+
+@register(
+    "maxsim_multivector",
+    oracle=f"""
+WITH per AS (
+  SELECT e.vec_id // {MAXSIM_GROUP} AS doc_group,
+         COUNT(*) AS n_vectors,
+         MAX(ROUND((1.0 + list_cosine_similarity(e.embedding::DOUBLE[],
+             (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = {MAXSIM_QUERY_IDS[0]}))) / 2.0,
+             {SCORE_DECIMALS})) AS s0,
+         MAX(ROUND((1.0 + list_cosine_similarity(e.embedding::DOUBLE[],
+             (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = {MAXSIM_QUERY_IDS[1]}))) / 2.0,
+             {SCORE_DECIMALS})) AS s1,
+         MAX(ROUND((1.0 + list_cosine_similarity(e.embedding::DOUBLE[],
+             (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = {MAXSIM_QUERY_IDS[2]}))) / 2.0,
+             {SCORE_DECIMALS})) AS s2
+  FROM embeddings e
+  GROUP BY 1
+)
+SELECT doc_group, n_vectors, ROUND(s0 + s1 + s2, {SCORE_DECIMALS}) AS maxsim_score
+FROM per
+ORDER BY maxsim_score DESC, doc_group
+LIMIT {MAXSIM_K}
+""",
+)
+def q_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction scoring: documents are bags of MAXSIM_GROUP
+    vectors (vec_id DIV group — in production the chunk/token vectors
+    of one source doc); the multi-vector query scores
+    Σ_q max_t cos(q, t).
+
+    Plan shape: ONE map-side projection computes every per-query sim
+    (JVM expressions over broadcast query-vector literals), ONE hash
+    agg per doc_group takes the maxes (map-side combined — the only
+    shuffle), then TakeOrderedAndProject for the head.  The per-query
+    maxes are rounded BEFORE the fixed-order s0+s1+s2 sum so both
+    engines add identical doubles in identical order (the repo's
+    round-before-compare convention).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = {
+        r["vec_id"]: [float(v) for v in r["embedding"]]
+        for r in emb.where(F.col("vec_id").isin(list(MAXSIM_QUERY_IDS))).collect()
+    }
+    sims = [
+        F.max(
+            F.round(
+                neo4j_score("embedding", vector_lit(qrows[qid])), SCORE_DECIMALS
+            )
+        ).alias(f"s{i}")
+        for i, qid in enumerate(MAXSIM_QUERY_IDS)
+    ]
+    per = (
+        emb.withColumn(
+            "doc_group", F.floor(F.col("vec_id") / MAXSIM_GROUP).cast("bigint")
+        )
+        .groupBy("doc_group")
+        .agg(F.count("*").alias("n_vectors"), *sims)
+    )
+    return (
+        per.select(
+            "doc_group",
+            "n_vectors",
+            F.round(F.col("s0") + F.col("s1") + F.col("s2"), SCORE_DECIMALS).alias(
+                "maxsim_score"
+            ),
+        )
+        .orderBy(F.desc("maxsim_score"), F.asc("doc_group"))
+        .limit(MAXSIM_K)
+    )

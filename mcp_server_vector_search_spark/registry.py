@@ -48,6 +48,7 @@ def load_all_operators() -> None:
         ann,
         components,
         curation,
+        data_selection,
         dedup,
         engine_queries,
         extensions,
@@ -68,6 +69,7 @@ def load_all_operators() -> None:
         timeseries,
         topk,
         tpch_extra,
+        vsearch_extra,
         tpch_wave4,
         tpch_wave5,
         windows,

@@ -267,6 +267,35 @@ SHOWCASE = [
         "centroid_id partition filter (only nprobe cells read) and the "
         "docs join probes the k result ids via broadcast.",
     ),
+    (
+        "ann_filtered_topk",
+        "Filter-DURING-search: the metadata predicate sits in the same "
+        "scan filter as the probe IN-list, so `PartitionFilters` prunes "
+        "to nprobe cells AND `PushedFilters` carries the label predicate "
+        "to the parquet reader — never post-filtering a too-short "
+        "result list.",
+    ),
+    (
+        "ann_delete_tombstone",
+        "Deletes without index rewrite: the tombstone set enters as a "
+        "`BroadcastHashJoin ... LeftAnti` against the pruned cell scan — "
+        "the 100 TB index files are untouched and the k results are "
+        "delete-free by construction.",
+    ),
+    (
+        "maxsim_multivector",
+        "Late interaction in one pass: every per-query-vector sim is a "
+        "JVM expression in a single map-side projection; the per-doc "
+        "maxes are ONE hash aggregate (map-side combined) and the head "
+        "is `TakeOrderedAndProject` — one shuffle total, no Python.",
+    ),
+    (
+        "semdedup_prune",
+        "SemDeDup's complexity bound in the plan: the pair join's equi-"
+        "key is `centroid_id`, so candidate pairs exist only within a "
+        "cluster — Σ|cluster|² work, not O(n²); the assignment pass is "
+        "a map-side JVM expression over the centroid literals.",
+    ),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the scale design

@@ -1,0 +1,152 @@
+"""Semantic properties of the serve-path extras and selection operators
+— beyond the oracle equality already enforced by test_oracle_parity.
+
+Each check validates the operator's CLAIM, not just its plumbing:
+filtered search must respect the predicate AND stay near-exact;
+tombstoned ids must never surface; MMR must actually diversify; maxsim
+must equal the brute-force late-interaction score; SemDeDup's
+drop-set must be exactly the dominance rule; DSIR must rank
+target-distribution documents above the corpus base rate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mcp_server_vector_search_spark.operators import data_selection as ds
+from mcp_server_vector_search_spark.operators import vsearch_extra as vx
+from mcp_server_vector_search_spark.operators.topk import QUERY_VEC_ID
+from mcp_server_vector_search_spark.sources.tables import load_table
+
+from .conftest import SF_CORRECTNESS
+
+
+@pytest.fixture(scope="module")
+def emb_np(spark):
+    rows = (
+        load_table(spark, SF_CORRECTNESS, "embeddings")
+        .select("vec_id", "embedding", "label")
+        .orderBy("vec_id")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    x = np.array([[float(v) for v in r["embedding"]] for r in rows])
+    labels = np.array([r["label"] for r in rows])
+    return ids, x / np.linalg.norm(x, axis=1, keepdims=True), labels
+
+
+def _exact_topk(ids, unit, mask, qvec, k=10):
+    scores = np.round((1.0 + unit @ qvec) / 2.0, 6)
+    cand = [(-scores[i], ids[i]) for i in range(len(ids)) if mask[i]]
+    return [int(v) for _, v in sorted(cand)[:k]]
+
+
+def test_filtered_respects_predicate_and_recall(spark, emb_np):
+    ids, unit, labels = emb_np
+    out = vx.q_ann_filtered_topk(spark, SF_CORRECTNESS).collect()
+    assert all(r["label"] <= 4 for r in out)
+    qvec = unit[np.where(ids == QUERY_VEC_ID)[0][0]]
+    exact = _exact_topk(ids, unit, labels <= 4, qvec)
+    got = [r["vec_id"] for r in out]
+    assert len(set(got) & set(exact)) / len(exact) >= 0.9
+
+
+def test_tombstone_excludes_deleted_and_recall(spark, emb_np):
+    ids, unit, _ = emb_np
+    out = vx.q_ann_delete_tombstone(spark, SF_CORRECTNESS).collect()
+    assert all(r["vec_id"] % 7 != 3 for r in out)
+    qvec = unit[np.where(ids == QUERY_VEC_ID)[0][0]]
+    exact = _exact_topk(ids, unit, ids % 7 != 3, qvec)
+    got = [r["vec_id"] for r in out]
+    assert len(set(got) & set(exact)) / len(exact) >= 0.9
+
+
+def test_mmr_diversifies_without_losing_the_head(spark, emb_np):
+    ids, unit, _ = emb_np
+    qvec = unit[np.where(ids == QUERY_VEC_ID)[0][0]]
+    plain = _exact_topk(ids, unit, np.ones(len(ids), bool), qvec, k=vx.MMR_K)
+    out = vx.q_topk_mmr_diverse(spark, SF_CORRECTNESS).collect()
+    sel = [r["vec_id"] for r in sorted(out, key=lambda r: r["mmr_rank"])]
+    # rank 1 is pure relevance — identical to the exact top hit
+    assert sel[0] == plain[0]
+    row = {int(v): i for i, v in enumerate(ids)}
+
+    def max_pairwise(members):
+        m = unit[[row[v] for v in members]]
+        s = m @ m.T
+        np.fill_diagonal(s, -1)
+        return float(s.max())
+
+    # never LESS spread than the plain head (the synthetic embeddings are
+    # isotropic, so the gain can be zero — the redundant-corpus case where
+    # MMR provably reorders is test_mmr_select_drops_near_duplicate)
+    assert max_pairwise(sel) <= max_pairwise(plain)
+    # and still relevant: mean score within 90% of the plain head's
+    rel = np.round((1.0 + unit @ qvec) / 2.0, 6)
+    assert rel[[row[v] for v in sel]].mean() >= 0.9 * rel[[row[v] for v in plain]].mean()
+
+
+def test_mmr_select_drops_near_duplicate():
+    """The mechanism check: a corpus of {a, a', b} where a' ≈ a (both
+    highly relevant) and b is moderately relevant but orthogonal.
+    Relevance-only top-2 returns the duplicate pair {a, a'}; MMR must
+    swap the duplicate for the diverse b."""
+    q = np.array([0.8, 0.6, 0.0])
+    a = np.array([1.0, 0.0, 0.0])
+    a2 = np.array([0.9999, -0.0141, 0.0])
+    b = np.array([0.0, 1.0, 0.0])
+    vecs = np.stack([a, a2, b])
+    # relevance order is a (0.9) > a' (0.896) > b (0.8): plain top-2 = {a, a'}
+    sel = vx.mmr_select([10, 11, 12], vecs, q, k=2)
+    assert sel == [10, 12]  # a then b — a' (id 11) displaced despite rank-2 relevance
+
+
+def test_maxsim_equals_bruteforce(spark, emb_np):
+    ids, unit, _ = emb_np
+    qs = unit[[np.where(ids == q)[0][0] for q in vx.MAXSIM_QUERY_IDS]]
+    sims = np.round((1.0 + unit @ qs.T) / 2.0, 6)  # n × |Q|
+    groups = ids // vx.MAXSIM_GROUP
+    expected = {}
+    for g in np.unique(groups):
+        m = sims[groups == g]
+        expected[int(g)] = round(float(np.sum(np.max(m, axis=0))), 6)
+    top = sorted(expected.items(), key=lambda kv: (-kv[1], kv[0]))[: vx.MAXSIM_K]
+    out = vx.q_maxsim_multivector(spark, SF_CORRECTNESS).collect()
+    got = [(r["doc_group"], r["maxsim_score"]) for r in out]
+    assert [g for g, _ in got] == [g for g, _ in top]
+    for (_, a), (_, b) in zip(got, top):
+        assert a == pytest.approx(b, abs=2e-6)
+
+
+def test_semdedup_drop_set_is_exact_dominance(spark, emb_np):
+    from mcp_server_vector_search_spark.operators.ann import (
+        ASSIGN_DECIMALS,
+        TRAIN_SAMPLE,
+        train_centroids,
+    )
+
+    ids, unit, _ = emb_np
+    cents = np.asarray(train_centroids([list(v) for v in unit[:TRAIN_SAMPLE]]))
+    assign = np.argmax(np.round(unit @ cents.T, ASSIGN_DECIMALS), axis=1)
+    sims = np.round(unit @ unit.T, ASSIGN_DECIMALS)
+    expected = set()
+    for j in range(len(ids)):
+        for i in range(j):
+            if assign[i] == assign[j] and sims[i, j] >= ds.SEMDEDUP_T:
+                expected.add(int(ids[j]))
+                break
+    out = ds.q_semdedup_prune(spark, SF_CORRECTNESS).collect()
+    assert {r["vec_id"] for r in out} == expected
+    assert expected  # non-trivial at the correctness SF
+
+
+def test_dsir_ranks_target_language_above_base_rate(spark):
+    docs = load_table(spark, SF_CORRECTNESS, "documents")
+    base = docs.where(F.expr(ds.TARGET_SQL)).count() / docs.count()
+    top = ds.q_dsir_importance_weights(spark, SF_CORRECTNESS)
+    joined = top.join(docs.select("doc_id", "lang"), "doc_id").collect()
+    frac_en = sum(1 for r in joined if r["lang"] == "en") / len(joined)
+    assert frac_en > base  # importance weighting upranks the target dist
+    assert all(r["n_bigrams"] > 0 for r in joined)
