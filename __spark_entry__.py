@@ -41,6 +41,8 @@ _PRIORITY_PREFIX = [
     "maxsim_multivector",
     "semdedup_prune",
     "dsir_importance_weights",
+    "multimodal_phash_dedup",
+    "quality_perplexity_bigram",
     # --- r6 new / changed ---
     "ann_graph_topk",
     "join_aqe_skew_rewrite",

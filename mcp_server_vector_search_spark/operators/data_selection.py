@@ -257,3 +257,121 @@ LIMIT {DSIR_TOP}
 def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dsir_weights(docs, F.expr(TARGET_SQL))
+
+
+# ---------------------------------------------------------------------------
+# Perplexity filtering: bigram-LM quality scores (CCNet-style)
+# ---------------------------------------------------------------------------
+
+LM_V = 256  # hashed-token vocabulary (bucket count)
+PPL_TOP = 20
+
+
+def _bucket(col) -> F.Column:
+    return md5_hash60_mod(col) % LM_V
+
+
+def _token_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_id, b1, b2) per adjacent token pair — token identities are
+    hashed to LM_V buckets BEFORE any aggregation, so LM state is
+    bounded at LM_V² regardless of corpus vocabulary (the same
+    hashed-feature discipline as DSIR above)."""
+    toks = tokens(F.col("text"))
+    idx = F.sequence(F.lit(1), F.size(toks) - 1)
+    prs = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("w1"),
+            F.element_at(toks, i + 1).alias("w2"),
+        ),
+    )
+    guarded = F.when(F.size(toks) >= 2, prs).otherwise(
+        F.array().cast("array<struct<w1:string,w2:string>>")
+    )
+    return docs.select("doc_id", F.explode(guarded).alias("pr")).select(
+        "doc_id",
+        _bucket(F.col("pr.w1")).alias("b1"),
+        _bucket(F.col("pr.w2")).alias("b2"),
+    )
+
+
+def perplexity_scores(docs: DataFrame) -> DataFrame:
+    """Per-document negative log-likelihood under a self-trained hashed
+    bigram LM with add-one smoothing: p(w2|w1) = (c12+1)/(c1+V).
+
+    CCNet (Wenzek et al. 2019) filters CommonCrawl by LM perplexity;
+    the batch-engine shape is: ONE aggregation pass builds the (≤V²)-row
+    count tables, the per-pair log-probs broadcast-join back onto the
+    pair stream, and a per-doc integer sum scores the corpus.  In
+    production the LM trains on a clean REFERENCE corpus and only the
+    scoring pass touches the 100 TB — swap `pairs` for the reference's
+    in step 1 and nothing else changes.  Scores are integer micro-nats
+    (per-pair log-prob rounded to 1e-6 before the doc sum) so the sum
+    is order-free across engines.
+    """
+    pairs = _token_pairs(docs)
+    c2 = pairs.groupBy("b1", "b2").agg(F.count("*").alias("c12"))
+    c1 = pairs.groupBy("b1").agg(F.count("*").alias("c1"))
+    stats = c2.join(F.broadcast(c1), "b1").select(
+        "b1",
+        "b2",
+        F.round(
+            F.log((F.col("c12") + 1.0) / (F.col("c1") + F.lit(LM_V))) * MICRO
+        )
+        .cast("long")
+        .alias("llp_micro"),
+    )
+    scored = pairs.join(F.broadcast(stats), ["b1", "b2"]).groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        (-F.sum("llp_micro")).alias("nll_micro"),
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "n_bigrams",
+            "nll_micro",
+            F.round(F.col("nll_micro") / F.col("n_bigrams"))
+            .cast("long")
+            .alias("avg_nll_micro"),
+        )
+        .orderBy(F.desc("avg_nll_micro"), F.asc("doc_id"))
+        .limit(PPL_TOP)
+    )
+
+
+_PPL_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+pairs AS (
+  SELECT doc_id,
+         {duckdb_hash60_mod("t[i]")} % {LM_V} AS b1,
+         {duckdb_hash60_mod("t[i+1]")} % {LM_V} AS b2
+  FROM toks, UNNEST(range(1, len(t))) AS r(i)
+),
+c2 AS (SELECT b1, b2, COUNT(*) AS c12 FROM pairs GROUP BY b1, b2),
+c1 AS (SELECT b1, COUNT(*) AS c1 FROM pairs GROUP BY b1),
+stats AS (
+  SELECT c2.b1, c2.b2,
+         CAST(ROUND(ln((c12 + 1.0) / (c1.c1 + {LM_V})) * {MICRO}) AS BIGINT)
+           AS llp_micro
+  FROM c2 JOIN c1 ON c2.b1 = c1.b1
+),
+scored AS (
+  SELECT p.doc_id, COUNT(*) AS n_bigrams,
+         CAST(-SUM(s.llp_micro) AS BIGINT) AS nll_micro
+  FROM pairs p JOIN stats s ON p.b1 = s.b1 AND p.b2 = s.b2
+  GROUP BY p.doc_id
+)
+SELECT doc_id, n_bigrams, nll_micro,
+       CAST(ROUND(nll_micro / n_bigrams) AS BIGINT) AS avg_nll_micro
+FROM scored
+ORDER BY avg_nll_micro DESC, doc_id
+LIMIT {PPL_TOP}
+"""
+
+
+@register("quality_perplexity_bigram", oracle=_PPL_ORACLE)
+def q_quality_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return perplexity_scores(docs)

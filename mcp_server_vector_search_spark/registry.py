@@ -69,9 +69,9 @@ def load_all_operators() -> None:
         timeseries,
         topk,
         tpch_extra,
-        vsearch_extra,
         tpch_wave4,
         tpch_wave5,
+        vsearch_extra,
         windows,
     )
     from .sources import formats, layout, multimodal, pysource  # noqa: F401

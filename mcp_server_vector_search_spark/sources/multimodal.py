@@ -244,3 +244,92 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     resized = resize_images(attach_png_payload(docs), RESIZE_W, RESIZE_H)
     meta = extract_metadata(resized.withColumn("modality", F.lit("image")))
     return meta.select("doc_id", "width", "height", "px_sum")
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash (aHash) image dedup over the real codec
+# ---------------------------------------------------------------------------
+
+PHASH_SIDE = 8  # aHash grid: 8×8 = 64 bits
+
+
+def ahash_bits(arr: np.ndarray) -> str:
+    """Average-hash of a greyscale image: nearest-neighbor downsample to
+    8×8, bit = (pixel above the 64-cell mean), emitted as a 64-char
+    '0'/'1' string in (row, col) order.
+
+    The mean comparison is INTEGER arithmetic (``pixel * 64 > sum``) so
+    the SQL oracle reproduces every bit exactly — no float mean to
+    diverge in the last ulp.  A string (not a packed BIGINT) because
+    2^63 bit weights would overflow signed 64-bit in either engine.
+    """
+    small = nn_resize(arr, PHASH_SIDE, PHASH_SIDE).astype(np.int64)
+    total = int(small.sum())
+    bits = (small * (PHASH_SIDE * PHASH_SIDE) > total).astype(np.uint8)
+    return "".join("1" if b else "0" for b in bits.ravel())
+
+
+def phash_signatures(with_payload: DataFrame) -> DataFrame:
+    """mapInPandas: decode each PNG with the real codec and emit its
+    aHash.  Batch-in/batch-out 1:1; the downstream groupBy on the
+    64-char signature is the dedup shuffle (exact-duplicate semantics;
+    near-dup Hamming banding would reuse the SimHash chunk machinery
+    from operators/dedup.py on the same signatures)."""
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phash": [ahash_bits(decode_png(p)) for p in pdf["payload"]],
+                }
+            )
+
+    return with_payload.mapInPandas(hash_batches, schema="doc_id long, phash string")
+
+
+@register(
+    "multimodal_phash_dedup",
+    oracle=f"""
+WITH px AS (
+  SELECT d.doc_id, t.x, u.y,
+         (d.doc_id * 31
+          + ((t.x * (16 + d.doc_id % 17)) // {PHASH_SIDE}) * 7
+          + ((u.y * (16 + d.doc_id % 13)) // {PHASH_SIDE}) * 13) % 256 AS p
+  FROM documents d,
+       UNNEST(range(0, {PHASH_SIDE})) AS t(x),
+       UNNEST(range(0, {PHASH_SIDE})) AS u(y)
+),
+tot AS (SELECT doc_id, SUM(p) AS s FROM px GROUP BY doc_id),
+sig AS (
+  SELECT px.doc_id,
+         string_agg(CASE WHEN px.p * {PHASH_SIDE * PHASH_SIDE} > tot.s
+                         THEN '1' ELSE '0' END, ''
+                    ORDER BY px.y, px.x) AS phash
+  FROM px JOIN tot ON px.doc_id = tot.doc_id
+  GROUP BY px.doc_id
+)
+SELECT doc_id, phash,
+       COUNT(*) OVER (PARTITION BY phash) AS n_same_hash
+FROM sig
+ORDER BY doc_id
+""",
+)
+def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image dedup certificate over the REAL codec: encode the
+    closed-form image to actual PNG bytes, decode with the real
+    decoder, aHash the decoded pixels, and count signature collisions.
+    The oracle recomputes every one of the 64 bits per document from
+    the pixel model in SQL — a single wrong scanline filter, resample
+    index, or bit order breaks the value hash.  ``n_same_hash`` is the
+    duplicate-group size (the drop decision at pipeline level is
+    "keep lowest doc_id per phash", same rule as dedup_exact)."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = phash_signatures(attach_png_payload(docs))
+    return sigs.select(
+        "doc_id",
+        "phash",
+        F.count("*").over(W.partitionBy("phash")).alias("n_same_hash"),
+    ).orderBy("doc_id")

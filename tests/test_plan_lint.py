@@ -70,6 +70,7 @@ ARROW_OK = {
     "multimodal_frame_sample",
     "multimodal_metadata",
     "multimodal_resize",  # stubbed codec over mapInPandas (by design)
+    "multimodal_phash_dedup",  # real PNG decode + aHash over mapInPandas (by design)
     "udf_grouped_map_zscore",  # grouped-map applyInPandas demo (by design)
 }
 

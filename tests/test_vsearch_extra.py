@@ -150,3 +150,60 @@ def test_dsir_ranks_target_language_above_base_rate(spark):
     frac_en = sum(1 for r in joined if r["lang"] == "en") / len(joined)
     assert frac_en > base  # importance weighting upranks the target dist
     assert all(r["n_bigrams"] > 0 for r in joined)
+
+
+def test_phash_identical_images_collide_distinct_do_not(spark):
+    """aHash must be a function of pixels alone: identical pixel arrays
+    (regardless of PNG filter type used at encode time) collide, and
+    the synthetic corpus's distinct patterns stay distinct."""
+    from mcp_server_vector_search_spark.functions.png import encode_png
+    from mcp_server_vector_search_spark.sources.multimodal import (
+        ahash_bits,
+        synthetic_image,
+    )
+    import numpy as np
+
+    img = synthetic_image(7)
+    # same pixels through two different scanline filters -> same hash
+    from mcp_server_vector_search_spark.functions.png import decode_png
+
+    h1 = ahash_bits(decode_png(encode_png(img, filter_type=0)))
+    h2 = ahash_bits(decode_png(encode_png(img, filter_type=4)))
+    assert h1 == h2 and len(h1) == 64 and set(h1) <= {"0", "1"}
+    # a genuinely different pattern hashes differently
+    assert ahash_bits(synthetic_image(8)) != h1
+    # constant image: no pixel exceeds the mean -> all-zero hash
+    assert ahash_bits(np.full((16, 16), 9, dtype=np.uint8)) == "0" * 64
+
+
+def test_perplexity_penalizes_unpredictable_text(spark):
+    """On a corpus where one document is perfectly predictable (one
+    repeated bigram) and another is all-singleton bigrams, the
+    self-trained LM must give the predictable document a strictly
+    lower average NLL."""
+    from mcp_server_vector_search_spark.operators.data_selection import (
+        perplexity_scores,
+    )
+
+    rows = [
+        (1, " ".join(["alpha", "beta"] * 12)),  # 'alpha beta' dominates
+        (2, " ".join(f"tok{i}" for i in range(24))),  # every bigram unique
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["avg_nll_micro"] for r in perplexity_scores(docs).collect()}
+    assert set(out) == {1, 2}
+    assert out[1] < out[2]
+    assert all(v > 0 for v in out.values())
+
+
+def test_perplexity_head_on_corpus(spark):
+    from mcp_server_vector_search_spark.operators.data_selection import (
+        perplexity_scores,
+    )
+
+    out = perplexity_scores(load_table(spark, SF_CORRECTNESS, "documents")).collect()
+    assert len(out) == 20
+    assert all(r["avg_nll_micro"] > 0 and r["n_bigrams"] > 0 for r in out)
+    # ordered worst-first
+    vals = [r["avg_nll_micro"] for r in out]
+    assert vals == sorted(vals, reverse=True)
