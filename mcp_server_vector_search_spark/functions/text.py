@@ -37,6 +37,22 @@ def tokens(text: Column) -> Column:
     return F.split(text, " ")
 
 
+def let1(value: Column, fn) -> Column:
+    """Bind ``value`` to a lambda variable evaluated ONCE per row:
+    ``transform(array(value), fn)[0]``.
+
+    Catalyst does not share subexpressions across higher-order-function
+    lambda bodies, so an expression like ``element_at(split(text), i)``
+    inside ``transform`` re-splits the text for EVERY element — O(L²)
+    work per document (measured 10x on the bigram explode at sf0.1:
+    5.0s → 0.5s).  Routing the array through a single-element transform
+    makes it a lambda variable, which IS evaluated once and shared by
+    the body.  Use for any n-gram/shingle builder that indexes into a
+    derived array more than once.
+    """
+    return F.element_at(F.transform(F.array(value), fn), 1)
+
+
 def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 

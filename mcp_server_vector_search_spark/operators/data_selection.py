@@ -37,11 +37,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import duckdb_hash60_mod, md5_hash60_mod
-from ..functions.text import tokens
+from ..functions.text import let1, tokens
 from ..functions.train import ORACLE_SF_DIR, load_sorted_vectors
 from ..functions.vector import cosine_similarity
 from ..registry import register
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 from .ann import (
     ASSIGN_DECIMALS,
     TRAIN_SAMPLE,
@@ -127,7 +127,7 @@ ORDER BY vec_id
 
 @register("semdedup_prune", oracle=_semdedup_oracle())
 def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     cents = train_centroids(
         [
             [float(v) for v in r["embedding"]]
@@ -151,14 +151,19 @@ MICRO = 1_000_000  # fixed-point scale for the per-bucket log-ratio
 def _bigrams(text_col) -> F.Column:
     """Word bigrams WITH multiplicity (DSIR counts occurrences, unlike
     the distinct shingles in dedup.py)."""
-    toks = tokens(text_col)
-    idx = F.sequence(F.lit(1), F.size(toks) - 1)
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1))
-    )
-    return F.when(F.size(toks) >= 2, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+    def build(toks):
+        idx = F.sequence(F.lit(1), F.size(toks) - 1)
+        grams = F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        )
+        return F.when(F.size(toks) >= 2, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return let1(tokens(text_col), build)
 
 
 def dsir_weights(docs: DataFrame, target_pred: F.Column) -> DataFrame:
@@ -179,11 +184,17 @@ def dsir_weights(docs: DataFrame, target_pred: F.Column) -> DataFrame:
     pass 1 over raw data is the cost of one aggregation scan — the
     published DSIR recipe verbatim.
     """
-    grams = docs.select(
-        "doc_id",
-        target_pred.alias("is_target"),
-        F.explode(_bigrams(F.col("text"))).alias("gram"),
-    ).withColumn("bucket", md5_hash60_mod(F.col("gram")) % DSIR_BUCKETS)
+    # referenced twice (bucket stats, scoring join) — persist so the
+    # tokenize+hash pass runs once
+    grams = (
+        docs.select(
+            "doc_id",
+            target_pred.alias("is_target"),
+            F.explode(_bigrams(F.col("text"))).alias("gram"),
+        )
+        .withColumn("bucket", md5_hash60_mod(F.col("gram")) % DSIR_BUCKETS)
+        .persist()
+    )
 
     stats = grams.groupBy("bucket").agg(
         F.count("*").alias("cr"),
@@ -255,7 +266,7 @@ LIMIT {DSIR_TOP}
 
 @register("dsir_importance_weights", oracle=_DSIR_ORACLE)
 def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return dsir_weights(docs, F.expr(TARGET_SQL))
 
 
@@ -276,18 +287,20 @@ def _token_pairs(docs: DataFrame) -> DataFrame:
     hashed to LM_V buckets BEFORE any aggregation, so LM state is
     bounded at LM_V² regardless of corpus vocabulary (the same
     hashed-feature discipline as DSIR above)."""
-    toks = tokens(F.col("text"))
-    idx = F.sequence(F.lit(1), F.size(toks) - 1)
-    prs = F.transform(
-        idx,
-        lambda i: F.struct(
-            F.element_at(toks, i).alias("w1"),
-            F.element_at(toks, i + 1).alias("w2"),
-        ),
-    )
-    guarded = F.when(F.size(toks) >= 2, prs).otherwise(
-        F.array().cast("array<struct<w1:string,w2:string>>")
-    )
+    def build(toks):
+        idx = F.sequence(F.lit(1), F.size(toks) - 1)
+        prs = F.transform(
+            idx,
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        )
+        return F.when(F.size(toks) >= 2, prs).otherwise(
+            F.array().cast("array<struct<w1:string,w2:string>>")
+        )
+
+    guarded = let1(tokens(F.col("text")), build)
     return docs.select("doc_id", F.explode(guarded).alias("pr")).select(
         "doc_id",
         _bucket(F.col("pr.w1")).alias("b1"),
@@ -309,7 +322,8 @@ def perplexity_scores(docs: DataFrame) -> DataFrame:
     (per-pair log-prob rounded to 1e-6 before the doc sum) so the sum
     is order-free across engines.
     """
-    pairs = _token_pairs(docs)
+    # referenced three times (bigram stats, history stats, scoring join)
+    pairs = _token_pairs(docs).persist()
     c2 = pairs.groupBy("b1", "b2").agg(F.count("*").alias("c12"))
     c1 = pairs.groupBy("b1").agg(F.count("*").alias("c1"))
     stats = c2.join(F.broadcast(c1), "b1").select(
@@ -373,5 +387,5 @@ LIMIT {PPL_TOP}
 
 @register("quality_perplexity_bigram", oracle=_PPL_ORACLE)
 def q_quality_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return perplexity_scores(docs)

@@ -41,7 +41,7 @@ from ..functions.hashing import (
     md5_hash60_mod,
     minhash_perm,
 )
-from ..functions.text import bag_signature, tokens
+from ..functions.text import let1, bag_signature, tokens
 from ..registry import register
 from ..sources.tables import load_table, spread
 
@@ -116,18 +116,23 @@ assert JACCARD_T == JACCARD_T_NUM / JACCARD_T_DEN
 
 def _shingles(text_col, n: int = NGRAM):
     """Distinct word n-gram shingles of a document (empty if < n tokens —
-    guarded because Spark's ``sequence(1, 0)`` would count DOWN)."""
-    toks = tokens(text_col)
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    shingled = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + off) for off in range(n)]
-        ),
-    )
-    return F.when(F.size(toks) >= n, F.array_distinct(shingled)).otherwise(
-        F.array().cast("array<string>")
-    )
+    guarded because Spark's ``sequence(1, 0)`` would count DOWN).  The
+    token array is let-bound (functions/text.let1) so the text is split
+    once per row, not once per element."""
+
+    def build(toks):
+        idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+        shingled = F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + off) for off in range(n)]
+            ),
+        )
+        return F.when(F.size(toks) >= n, F.array_distinct(shingled)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return let1(tokens(text_col), build)
 
 
 _NGRAM_ORACLE = f"""
@@ -1089,8 +1094,13 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted directly against ``dedup_ngram_jaccard`` in
     tests/test_dedup.py."""
     d = spread(load_table(spark, sf_dir, "documents"))
-    sh_arrays = d.select("doc_id", _shingles(F.col("text")).alias("sh")).where(
-        F.size("sh") > 0
+    # persisted: referenced FOUR times (document frequencies, prefix
+    # explode, both sides of the exact verify) — without it the
+    # tokenize+shingle pass re-runs per consumer
+    sh_arrays = (
+        d.select("doc_id", _shingles(F.col("text")).alias("sh"))
+        .where(F.size("sh") > 0)
+        .persist()
     )
     # document frequency of every (distinct-per-doc) shingle
     dfreq = (

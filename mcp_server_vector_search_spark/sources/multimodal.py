@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from ..functions.png import decode_png, encode_png, nn_resize
 from ..registry import register
-from .tables import load_table
+from .tables import load_table, spread
 
 # Synthetic image model, shared verbatim with the SQL oracles:
 #   width  = 16 + doc_id % 17
@@ -68,7 +68,9 @@ def attach_png_payload(documents: DataFrame) -> DataFrame:
                 }
             )
 
-    return documents.select("doc_id").mapInPandas(
+    # spread() first: the codec work is CPU-bound Python per row, and a
+    # single-file scan would otherwise run every encode on one core
+    return spread(documents.select("doc_id")).mapInPandas(
         encode_batches, schema="doc_id long, payload binary, modality string"
     )
 
@@ -76,7 +78,7 @@ def attach_png_payload(documents: DataFrame) -> DataFrame:
 def attach_binary_payload(documents: DataFrame) -> DataFrame:
     """Text → utf-8 bytes as an opaque payload column (the video/audio
     stand-in where no real codec is wired)."""
-    return documents.select(
+    return spread(documents).select(
         "doc_id",
         F.encode("text", "utf-8").alias("payload"),
         F.lit("video").alias("modality"),

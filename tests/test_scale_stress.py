@@ -250,3 +250,49 @@ def test_pipeline_build_corpus_at_scale(spark, scale):
         assert bad == 0
     finally:
         out.unpersist()
+
+
+def test_semdedup_at_scale_cluster_bound_and_planted_recall(spark, scale):
+    """SemDeDup on the 20k clustered vectors: (a) the candidate-pair
+    space actually contracts to Σ|cell|² — the operator's whole scaling
+    claim — and (b) at a tight threshold the drop set recovers the 200
+    planted near-identical pairs (cosine ≈ 0.9999; cluster-mates sit
+    near 0.6 and must NOT be dropped)."""
+    from mcp_server_vector_search_spark.operators.ann import (
+        TRAIN_SAMPLE,
+        assignment_expr,
+        train_centroids,
+    )
+    from mcp_server_vector_search_spark.operators.data_selection import (
+        semdedup_dropped,
+    )
+
+    sf_dir, meta = scale
+    # Subsample to bound test wall-clock: keep base vectors < 4000 plus
+    # every planted duplicate (their sources are vec_id = i*7 < 1400,
+    # so all 200 planted pairs survive intact).  The candidate-pair
+    # contraction and recall claims are size-invariant.
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        (F.col("vec_id") < 4000) | (F.col("vec_id") >= 19800)
+    )
+    cents = train_centroids(
+        [
+            [float(v) for v in r["embedding"]]
+            for r in emb.orderBy("vec_id").limit(TRAIN_SAMPLE).select("embedding").collect()
+        ]
+    )
+    assigned = emb.withColumn("centroid_id", assignment_expr(cents))
+
+    # (a) the cluster bound: Σ|cell|² must be far below n² (here the
+    # 16-cell quantizer caps it at ~n²/16 even in the worst skew we see)
+    sizes = [r["n"] for r in assigned.groupBy("centroid_id").agg(F.count("*").alias("n")).collect()]
+    n = sum(sizes)
+    assert sum(s * s for s in sizes) < (n * n) / 8
+
+    # (b) planted-pair recovery at a threshold above cluster-mate cosine
+    dropped = {
+        r["vec_id"] for r in semdedup_dropped(assigned, threshold=0.99).collect()
+    }
+    planted = {b for _, b in meta["vec_pairs"]}
+    assert dropped <= planted  # precision 1.0: no cluster-mate false drops
+    assert len(dropped & planted) / len(planted) >= 0.98  # recall on planted
