@@ -43,6 +43,8 @@ _PRIORITY_PREFIX = [
     "dsir_importance_weights",
     "multimodal_phash_dedup",
     "quality_perplexity_bigram",
+    "ann_batch_ivf_topk",
+    "ann_index_stats",
     # --- r6 new / changed ---
     "ann_graph_topk",
     "join_aqe_skew_rewrite",

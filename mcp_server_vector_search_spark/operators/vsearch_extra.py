@@ -388,3 +388,181 @@ def q_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("maxsim_score"), F.asc("doc_group"))
         .limit(MAXSIM_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Batched ANN: one pruned scan amortized across a query batch
+# ---------------------------------------------------------------------------
+
+BATCH_Q = 5  # query batch = vec_id < 5 (the batch-search convention)
+
+
+def _batch_oracle() -> str | None:
+    try:
+        ids, x = load_sorted_vectors(ORACLE_SF_DIR)
+    except Exception:  # pragma: no cover - testdata absent
+        return None
+    cents = train_centroids([list(v) for v in x[:TRAIN_SAMPLE]])
+    probe_rows = []
+    for qid in range(BATCH_Q):
+        qvec = [float(v) for v in x[ids.index(qid)]]
+        probe_rows += [(qid, c) for c in nearest_centroids(qvec, cents, NPROBE)]
+    values = ",\n  ".join(f"({q}, {c})" for q, c in probe_rows)
+    return f"""
+WITH {ivf_assign_sql(cents)},
+probes(query_id, cid) AS (VALUES
+  {values}
+),
+q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {BATCH_Q}
+),
+scored AS (
+  SELECT CAST(p.query_id AS BIGINT) AS query_id, a.vec_id, a.centroid_id,
+         ROUND((1.0 + list_cosine_similarity(a.embedding::DOUBLE[], q.qv)) / 2.0,
+               {SCORE_DECIMALS}) AS score
+  FROM assign a
+  JOIN probes p ON p.cid = a.centroid_id
+  JOIN q ON q.query_id = p.query_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, centroid_id, score
+FROM ranked WHERE rn <= {K}
+"""
+
+
+@register("ann_batch_ivf_topk", oracle=_batch_oracle())
+def q_ann_batch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-BATCH ANN over the IVF layout: the serving shape for bulk
+    retrieval (RAG re-indexing, nightly recommendation sweeps), where
+    per-query scans would read the same cells B times.
+
+    One pruned scan reads the UNION of every query's probe cells once;
+    a tiny broadcast (query_id, centroid_id) probe table fans each row
+    out to exactly the queries probing its cell; the per-query vector
+    arrives by indexing a broadcast query-matrix literal (no per-query
+    join); a query-partitioned window takes each top-k.  Scan cost is
+    |union of cells|, not B × nprobe — the amortization IS the
+    operator.  Ties to `topk_per_query_batch` (the exact batch shape)
+    the way `ann_ivf_topk` ties to `flagship_topk_cosine`.
+    """
+    from pyspark.sql import Window as W
+
+    from ..functions.vector import matrix_lit
+
+    indexed, centroids = load_or_build_ivf_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = sorted(
+        (r["vec_id"], [float(v) for v in r["embedding"]])
+        for r in emb.where(F.col("vec_id") < BATCH_Q).collect()
+    )
+    qmat = matrix_lit([v for _, v in qrows])
+    probe_rows = [
+        (int(qid), int(c))
+        for qid, qv in qrows
+        for c in nearest_centroids(qv, centroids, NPROBE)
+    ]
+    probes = spark.createDataFrame(probe_rows, "query_id bigint, centroid_id int")
+    union_cells = sorted({c for _, c in probe_rows})
+    qv = F.element_at(qmat, F.col("query_id").cast("int") + 1)
+    scored = (
+        indexed.where(F.col("centroid_id").isin(union_cells))
+        .join(F.broadcast(probes), "centroid_id")
+        .withColumn("score", F.round(neo4j_score("embedding", qv), SCORE_DECIMALS))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= K)
+        .select("query_id", "vec_id", "centroid_id", "score")
+        .orderBy("query_id", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Index health stats: the monitoring view an index operator watches
+# ---------------------------------------------------------------------------
+
+MICRO = 1_000_000
+
+
+def _stats_oracle() -> str | None:
+    try:
+        _, x = load_sorted_vectors(ORACLE_SF_DIR)
+    except Exception:  # pragma: no cover - testdata absent
+        return None
+    cents = train_centroids([list(v) for v in x[:TRAIN_SAMPLE]])
+    return f"""
+WITH {ivf_assign_sql(cents)},
+cell AS (
+  SELECT centroid_id,
+         COUNT(*) AS n_vectors,
+         MIN(vec_id) AS min_vec_id,
+         MAX(vec_id) AS max_vec_id,
+         CAST(SUM(CAST(ROUND(sqrt(list_dot_product(embedding::DOUBLE[],
+                                                   embedding::DOUBLE[])) * {MICRO})
+                       AS BIGINT)) AS BIGINT) AS norm_micro_sum
+  FROM assign GROUP BY centroid_id
+)
+SELECT centroid_id, n_vectors, min_vec_id, max_vec_id,
+       CAST(ROUND(norm_micro_sum / n_vectors) AS BIGINT) AS avg_norm_micro,
+       CAST(ROUND(n_vectors * 1000000.0 / SUM(n_vectors) OVER ()) AS BIGINT)
+         AS cell_frac_micro
+FROM cell
+ORDER BY centroid_id
+"""
+
+
+@register("ann_index_stats", oracle=_stats_oracle())
+def q_ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell index health report: sizes, id ranges, mean vector norm,
+    and each cell's share of the corpus — the numbers that tell an
+    operator when to re-train the quantizer (hot cells → probe skew,
+    drifted norms → stale centroids).  One map-side assignment pass and
+    ONE 16-row aggregate; norms are summed in integer micro-units so
+    the engines agree bit-for-bit regardless of summation order.  The
+    window over the 16-row aggregate is post-shuffle bookkeeping, not a
+    corpus-scale single-partition sort."""
+    from pyspark.sql import Window as W
+
+    from ..functions.vector import l2_norm
+    from .ann import assignment_expr
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = train_centroids(
+        [
+            [float(v) for v in r["embedding"]]
+            for r in emb.orderBy("vec_id").limit(TRAIN_SAMPLE).select("embedding").collect()
+        ]
+    )
+    cell = (
+        emb.withColumn("centroid_id", assignment_expr(cents))
+        .withColumn(
+            "norm_micro",
+            F.round(l2_norm("embedding") * MICRO).cast("long"),
+        )
+        .groupBy("centroid_id")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.min("vec_id").alias("min_vec_id"),
+            F.max("vec_id").alias("max_vec_id"),
+            F.sum("norm_micro").alias("norm_micro_sum"),
+        )
+    )
+    total = W.partitionBy()
+    return cell.select(
+        "centroid_id",
+        "n_vectors",
+        "min_vec_id",
+        "max_vec_id",
+        F.round(F.col("norm_micro_sum") / F.col("n_vectors"))
+        .cast("long")
+        .alias("avg_norm_micro"),
+        F.round(F.col("n_vectors") * MICRO / F.sum("n_vectors").over(total))
+        .cast("long")
+        .alias("cell_frac_micro"),
+    ).orderBy("centroid_id")

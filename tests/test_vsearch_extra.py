@@ -207,3 +207,39 @@ def test_perplexity_head_on_corpus(spark):
     # ordered worst-first
     vals = [r["avg_nll_micro"] for r in out]
     assert vals == sorted(vals, reverse=True)
+
+
+def test_batch_ann_matches_per_query_ivf(spark, emb_np):
+    """The batched scan must return exactly what B independent
+    `ivf_topk` calls would — amortization cannot change results."""
+    from mcp_server_vector_search_spark.operators.ann import (
+        ivf_topk,
+        load_or_build_ivf_index,
+    )
+
+    ids, unit, _ = emb_np
+    indexed, cents = load_or_build_ivf_index(spark, SF_CORRECTNESS)
+    out = vx.q_ann_batch_ivf_topk(spark, SF_CORRECTNESS).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["vec_id"], r["score"]))
+    assert set(by_q) == set(range(vx.BATCH_Q))
+    for qid in range(vx.BATCH_Q):
+        qvec = [float(v) for v in unit[np.where(ids == qid)[0][0]]]
+        solo = [
+            (r["vec_id"], r["score"])
+            for r in ivf_topk(indexed, cents, qvec).collect()
+        ]
+        assert by_q[qid] == solo
+
+
+def test_index_stats_cover_corpus_and_sum_to_one(spark):
+    out = vx.q_ann_index_stats(spark, SF_CORRECTNESS).collect()
+    n = sum(r["n_vectors"] for r in out)
+    from mcp_server_vector_search_spark.sources.tables import load_table as lt
+
+    assert n == lt(spark, SF_CORRECTNESS, "embeddings").count()
+    # cell fractions sum to ~1 (rounding at micro precision)
+    assert abs(sum(r["cell_frac_micro"] for r in out) - 1_000_000) <= len(out)
+    assert all(r["min_vec_id"] <= r["max_vec_id"] for r in out)
+    assert all(r["avg_norm_micro"] > 0 for r in out)
