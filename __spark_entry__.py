@@ -45,6 +45,7 @@ _PRIORITY_PREFIX = [
     "quality_perplexity_bigram",
     "ann_batch_ivf_topk",
     "ann_index_stats",
+    "events_pagerank_states",
     # --- r6 new / changed ---
     "ann_graph_topk",
     "join_aqe_skew_rewrite",

@@ -317,3 +317,113 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_transition"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative graph algorithm: weighted PageRank, statically unrolled
+# ---------------------------------------------------------------------------
+
+PR_ITERS = 5
+PR_INIT = 1_000_000  # per-state starting mass, integer micro-units
+# damping 0.85 as the exact rational 850/1000 — every update is integer
+PR_D_NUM, PR_D_DEN = 850, 1000
+PR_BASE = 150_000  # (1 - d) in the same micro scale
+
+
+def _pagerank_oracle() -> str:
+    parts = ["""
+WITH nxt AS (
+  SELECT event_type AS from_state,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_state
+  FROM events
+),
+e AS (
+  SELECT from_state, to_state, COUNT(*) AS n
+  FROM nxt WHERE to_state IS NOT NULL
+  GROUP BY from_state, to_state
+),
+ow AS (SELECT from_state, SUM(n) AS w FROM e GROUP BY from_state),
+s AS (SELECT DISTINCT event_type AS state FROM events),
+it0 AS (SELECT state, CAST({init} AS BIGINT) AS r FROM s)""".format(init=PR_INIT)]
+    for k in range(1, PR_ITERS + 1):
+        parts.append(
+            """,
+c{k} AS (
+  SELECT e.to_state AS state, SUM((p.r * e.n) // ow.w) AS c
+  FROM e
+  JOIN ow ON ow.from_state = e.from_state
+  JOIN it{prev} p ON p.state = e.from_state
+  GROUP BY e.to_state
+),
+it{k} AS (
+  SELECT s.state,
+         CAST({base} + ({dn} * COALESCE(c.c, 0)) // {dd} AS BIGINT) AS r
+  FROM s LEFT JOIN c{k} c ON c.state = s.state
+)""".format(k=k, prev=k - 1, base=PR_BASE, dn=PR_D_NUM, dd=PR_D_DEN)
+        )
+    parts.append(
+        f"\nSELECT state, r AS rank_micro FROM it{PR_ITERS} ORDER BY state"
+    )
+    return "".join(parts)
+
+
+@register("events_pagerank_states", oracle=_pagerank_oracle())
+def q_events_pagerank_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the event-type transition graph — the
+    iterative-graph-algorithm slot (the same unrolled-join shape scales
+    to Pregel-style vertex programs on a web graph; GraphX/GraphFrames
+    express exactly this loop over DataFrames).
+
+    A FIXED iteration count is unrolled statically: each of the 5
+    updates is one join of the current rank vector against the edge
+    list plus one aggregate — at corpus scale both shuffle on the
+    vertex key and the edge list is the big side; here the graph is the
+    ≤|states|² transition matrix from `events_markov_transitions`, so
+    the whole loop is post-aggregate bookkeeping.  One corpus-scale
+    pass (the LEAD window) builds the weighted edges; nothing else
+    touches the events table.
+
+    Every update is EXACT integer arithmetic in micro-units — rank
+    mass r·n/w floors through `div`, damping is the rational 850/1000 —
+    so the 5-deep chain is bit-identical across engines with no float
+    rounding convention needed.  Dangling mass (states without
+    out-edges) is dropped, the standard simplification; the fixture's
+    states all have out-edges."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = ev.select(
+        F.col("event_type").alias("from_state"),
+        F.lead("event_type").over(w).alias("to_state"),
+    ).where(F.col("to_state").isNotNull())
+    edges = (
+        nxt.groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(
+            nxt.groupBy("from_state").agg(F.count(F.lit(1)).alias("w")),
+            "from_state",
+        )
+        .persist()  # the ≤|states|² edge table feeds every iteration
+    )
+    states = ev.select(F.col("event_type").alias("state")).distinct()
+    ranks = states.withColumn("r", F.lit(PR_INIT).cast("long"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges["from_state"] == ranks["state"])
+            .select(
+                F.col("to_state").alias("state"),
+                F.expr("(r * n) div w").alias("contrib"),
+            )
+            .groupBy("state")
+            .agg(F.sum("contrib").alias("c"))
+        )
+        ranks = states.join(contrib, "state", "left").select(
+            "state",
+            (
+                F.lit(PR_BASE)
+                + F.expr(f"({PR_D_NUM} * coalesce(c, 0)) div {PR_D_DEN}")
+            )
+            .cast("long")
+            .alias("r"),
+        )
+    return ranks.select("state", F.col("r").alias("rank_micro")).orderBy("state")

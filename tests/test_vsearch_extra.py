@@ -243,3 +243,47 @@ def test_index_stats_cover_corpus_and_sum_to_one(spark):
     assert abs(sum(r["cell_frac_micro"] for r in out) - 1_000_000) <= len(out)
     assert all(r["min_vec_id"] <= r["max_vec_id"] for r in out)
     assert all(r["avg_norm_micro"] > 0 for r in out)
+
+
+def test_pagerank_matches_integer_power_iteration(spark):
+    """Mirror the unrolled integer recurrence in plain Python over the
+    transition counts and demand exact equality — the operator is
+    deterministic integer arithmetic, so there is no tolerance."""
+    from collections import Counter
+
+    from mcp_server_vector_search_spark.operators.windows import (
+        PR_BASE,
+        PR_D_DEN,
+        PR_D_NUM,
+        PR_INIT,
+        PR_ITERS,
+        q_events_pagerank_states,
+    )
+
+    rows = (
+        load_table(spark, SF_CORRECTNESS, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    edges = Counter()
+    for evs in by_user.values():
+        evs.sort(key=lambda r: (r["ts"], r["event_id"]))
+        for a, b in zip(evs, evs[1:]):
+            edges[(a["event_type"], b["event_type"])] += 1
+    states = sorted({r["event_type"] for r in rows})
+    outw = Counter()
+    for (u, _), n in edges.items():
+        outw[u] += n
+    rank = {s: PR_INIT for s in states}
+    for _ in range(PR_ITERS):
+        inflow = Counter()
+        for (u, v), n in edges.items():
+            inflow[v] += (rank[u] * n) // outw[u]
+        rank = {
+            s: PR_BASE + (PR_D_NUM * inflow.get(s, 0)) // PR_D_DEN for s in states
+        }
+    out = {r["state"]: r["rank_micro"] for r in q_events_pagerank_states(spark, SF_CORRECTNESS).collect()}
+    assert out == rank
