@@ -107,17 +107,31 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
         raise ValueError(f"unsupported array shape {arr.shape}")
     h, w = arr.shape[0], arr.shape[1]
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    raw = bytearray()
-    prev = np.zeros(w * channels, dtype=np.uint8)
-    for y in range(h):
-        row = arr[y].reshape(-1)
-        raw.append(filter_type)
-        raw.extend(_filter_row(row, prev, channels, filter_type).tobytes())
-        prev = row
+    if filter_type == 0:
+        # vectorized None-filter path: scanlines are the pixels verbatim,
+        # so the whole raw stream is one hstack — no per-row Python loop
+        # (this is the hot path: resize re-encodes always use filter 0)
+        flat = arr.reshape(h, w * channels)
+        raw_arr = np.hstack(
+            [np.zeros((h, 1), dtype=np.uint8), flat]
+        ).reshape(-1)
+        raw = raw_arr.tobytes()
+    else:
+        buf = bytearray()
+        prev = np.zeros(w * channels, dtype=np.uint8)
+        for y in range(h):
+            row = arr[y].reshape(-1)
+            buf.append(filter_type)
+            buf.extend(_filter_row(row, prev, channels, filter_type).tobytes())
+            prev = row
+        raw = bytes(buf)
+    # level 1: these payloads are certified by their decoded PIXELS
+    # (width/height/px_sum/phash), never by compressed byte identity,
+    # so the fastest valid deflate stream is the right trade
     return (
         _SIG
         + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IDAT", zlib.compress(raw, 1))
         + _chunk(b"IEND", b"")
     )
 
@@ -159,6 +173,12 @@ def decode_png(payload: bytes) -> np.ndarray:
     stride = width * channels
     if len(raw) != height * (stride + 1):
         raise ValueError("bad scanline payload size")
+    lines = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    if not lines[:, 0].any():
+        # vectorized fast path: every scanline uses filter 0 (None), so
+        # the pixel matrix is the stream minus the filter-byte column
+        out = lines[:, 1:].copy()
+        return out if channels == 1 else out.reshape(height, width, 3)
     out = np.zeros((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(height):
