@@ -46,6 +46,7 @@ _PRIORITY_PREFIX = [
     "ann_batch_ivf_topk",
     "ann_index_stats",
     "events_pagerank_states",
+    "dedup_incremental_minhash",
     # --- r6 new / changed ---
     "ann_graph_topk",
     "join_aqe_skew_rewrite",
@@ -55,6 +56,7 @@ _PRIORITY_PREFIX = [
     "agg_mad_outliers",
     "udf_grouped_map_zscore",
     "dedup_jaccard_prefix_filter",
+    "dedup_ngram_containment",
     "join_bloom_runtime_filter",
     # --- latest record is r2 ---
     "flagship_topk_cosine",

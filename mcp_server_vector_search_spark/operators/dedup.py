@@ -361,6 +361,26 @@ def minhash_signatures(documents: DataFrame) -> DataFrame:
     return doc.select("doc_id", sigs.alias("sigs"))
 
 
+def band_keys(sigs: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """One row per (doc, band): the band's r signatures concatenated as
+    the LSH bucket key, with the full signature array riding along (so
+    downstream joins can compute the agreement estimate inline)."""
+    bands = None
+    for bi in range(N_BANDS):
+        key = F.array_join(
+            F.transform(
+                F.slice("sigs", bi * BAND_ROWS + 1, BAND_ROWS),
+                lambda s: s.cast("string"),
+            ),
+            ",",
+        )
+        band = sigs.select(
+            "doc_id", F.lit(bi).alias("band"), key.alias("key"), "sigs", *extra_cols
+        )
+        bands = band if bands is None else bands.unionAll(band)
+    return bands
+
+
 def lsh_candidate_pairs(sigs: DataFrame, distinct: bool = True) -> DataFrame:
     """(a_id, b_id, est) candidate pairs sharing ≥1 full band, with the
     signature-agreement Jaccard estimate computed INLINE.
@@ -384,19 +404,7 @@ def lsh_candidate_pairs(sigs: DataFrame, distinct: bool = True) -> DataFrame:
     (or meeting in both orders within a salt cell) yields identical
     rows, deduped by the final distinct on the already-small candidate
     set."""
-    bands = None
-    for bi in range(N_BANDS):
-        key = F.array_join(
-            F.transform(
-                F.slice("sigs", bi * BAND_ROWS + 1, BAND_ROWS),
-                lambda s: s.cast("string"),
-            ),
-            ",",
-        )
-        band = sigs.select(
-            "doc_id", F.lit(bi).alias("band"), key.alias("key"), "sigs"
-        )
-        bands = band if bands is None else bands.unionAll(band)
+    bands = band_keys(sigs)
     est = (
         F.aggregate(
             F.zip_with(
@@ -1161,3 +1169,127 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("jaccard") >= JACCARD_T)
     )
     return verified.select("a_id", "b_id", "jaccard")
+
+
+def _inc_minhash_oracle() -> str:
+    sig_exprs = ",\n         ".join(
+        f"MIN(({MINHASH_A[i]} * hm + {MINHASH_B[i]}) % {MERSENNE31}) AS s{i}"
+        for i in range(N_MINHASH)
+    )
+    band_conds = " OR ".join(
+        "("
+        + " AND ".join(
+            f"a.s{i} = b.s{i}"
+            for i in range(bi * BAND_ROWS, (bi + 1) * BAND_ROWS)
+        )
+        + ")"
+        for bi in range(N_BANDS)
+    )
+    est = " + ".join(
+        f"CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END" for i in range(N_MINHASH)
+    )
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+hm AS (SELECT doc_id, {duckdb_hash60_mod('tok')} AS hm FROM toks),
+sigs AS (
+  SELECT doc_id,
+         {sig_exprs}
+  FROM hm GROUP BY doc_id
+),
+cut AS (SELECT CAST(FLOOR(0.8 * MAX(doc_id)) AS BIGINT) AS c FROM documents),
+cand AS (
+  SELECT DISTINCT a.doc_id AS corpus_doc, b.doc_id AS new_doc,
+         ({est}) / {float(N_MINHASH)} AS est
+  FROM sigs a, sigs b, cut
+  WHERE a.doc_id < c AND b.doc_id >= c AND ({band_conds})
+),
+tc AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT cd.corpus_doc, cd.new_doc, COUNT(*) AS i
+  FROM cand cd
+  JOIN toks x ON x.doc_id = cd.corpus_doc
+  JOIN toks y ON y.doc_id = cd.new_doc AND y.tok = x.tok
+  GROUP BY cd.corpus_doc, cd.new_doc
+)
+SELECT cd.new_doc, cd.corpus_doc,
+       ROUND(cd.est, {R}) AS est_jaccard,
+       ROUND(i.i::DOUBLE / (ca.n + cb.n - i.i), {R}) AS jaccard
+FROM cand cd
+JOIN inter i ON i.corpus_doc = cd.corpus_doc AND i.new_doc = cd.new_doc
+JOIN tc ca ON cd.corpus_doc = ca.doc_id
+JOIN tc cb ON cd.new_doc = cb.doc_id
+WHERE ROUND(i.i::DOUBLE / (ca.n + cb.n - i.i), {R}) >= {MINHASH_VERIFY_T}
+"""
+
+
+@register("dedup_incremental_minhash", oracle=_inc_minhash_oracle())
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dedup: today's batch against the accumulated
+    corpus signature store, without re-comparing the corpus to itself —
+    `dedup_incremental_exact`'s sibling for the MinHash-LSH family (a
+    rolling crawl dedups each increment against the store, then appends
+    the survivors' signatures).
+
+    The corpus side reduces to its banded signature table — in
+    production that table IS the store, persisted once per increment
+    and only APPENDED to (the signature build never re-runs for old
+    docs; here it is derived in-query the way `dedup_incremental_exact`
+    derives the corpus fingerprints).  The batch side is small by
+    construction, so AQE broadcasts its banded keys and THE CORPUS IS
+    NEVER SHUFFLED — candidate generation is a map-side bucket probe of
+    the store, verification touches only matched (corpus, new) pairs.
+    A hot store bucket fans out at most |batch ∩ bucket| ways, bounded
+    by the increment size; the self-join salting machinery
+    (`salted_bucket_pairs`) is not needed on a store-vs-batch probe.
+
+    Same split convention as the exact sibling: corpus = doc_id below
+    floor(0.8·max), batch = the rest.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    cut = d.agg(F.floor(0.8 * F.max("doc_id")).cast("long").alias("c"))
+    tok_arrays = d.select(
+        "doc_id", F.array_distinct(tokens(F.col("text"))).alias("toks")
+    ).persist()  # verify reads both sides by doc_id
+    bands = band_keys(minhash_signatures(d)).crossJoin(F.broadcast(cut))
+    store = bands.where(F.col("doc_id") < F.col("c"))
+    batch = bands.where(F.col("doc_id") >= F.col("c"))
+    est = F.aggregate(
+        F.zip_with(
+            F.col("a.sigs"),
+            F.col("b.sigs"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / float(N_MINHASH)
+    cand = (
+        store.alias("a")
+        .join(
+            batch.alias("b"),
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")),
+        )
+        .select(
+            F.col("a.doc_id").alias("corpus_doc"),
+            F.col("b.doc_id").alias("new_doc"),
+            est.alias("est"),
+        )
+        .distinct()
+    )
+    A = tok_arrays.select(F.col("doc_id").alias("corpus_doc"), F.col("toks").alias("ta"))
+    B = tok_arrays.select(F.col("doc_id").alias("new_doc"), F.col("toks").alias("tb"))
+    i_ = F.size(F.array_intersect("ta", "tb"))
+    jac = F.round(i_.cast("double") / (F.size("ta") + F.size("tb") - i_), R)
+    return (
+        cand.join(A, "corpus_doc")
+        .join(B, "new_doc")
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= MINHASH_VERIFY_T)
+        .select(
+            "new_doc",
+            "corpus_doc",
+            F.round(F.col("est"), R).alias("est_jaccard"),
+            "jaccard",
+        )
+    )

@@ -191,3 +191,32 @@ def test_prefix_filter_equals_full_join(spark):
         for r in dedup_jaccard_prefix_filter(spark, SF_CORRECTNESS).collect()
     }
     assert fast == full and full
+
+
+def test_incremental_minhash_equals_full_restricted(spark):
+    """The batch-vs-store probe must find exactly the full self-join's
+    pairs that cross the corpus/batch cut — incrementality cannot
+    change which near-duplicates exist."""
+    from pyspark.sql import functions as F
+
+    from mcp_server_vector_search_spark.operators.dedup import (
+        dedup_incremental_minhash,
+        dedup_minhash_lsh,
+    )
+    from mcp_server_vector_search_spark.sources.tables import load_table
+
+    sf = SF_CORRECTNESS
+    cut = load_table(spark, sf, "documents").agg(
+        F.floor(0.8 * F.max("doc_id")).cast("long")
+    ).first()[0]
+    full = {
+        (r["a_id"], r["b_id"], r["est_jaccard"], r["jaccard"])
+        for r in dedup_minhash_lsh(spark, sf).collect()
+        if r["a_id"] < cut <= r["b_id"]
+    }
+    inc = {
+        (r["corpus_doc"], r["new_doc"], r["est_jaccard"], r["jaccard"])
+        for r in dedup_incremental_minhash(spark, sf).collect()
+    }
+    assert inc == full
+    assert inc  # non-trivial at the correctness SF
