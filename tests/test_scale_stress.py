@@ -296,3 +296,30 @@ def test_semdedup_at_scale_cluster_bound_and_planted_recall(spark, scale):
     planted = {b for _, b in meta["vec_pairs"]}
     assert dropped <= planted  # precision 1.0: no cluster-mate false drops
     assert len(dropped & planted) / len(planted) >= 0.98  # recall on planted
+
+
+def test_incremental_minhash_at_scale_probes_store_without_shuffle(spark, scale):
+    """At 50k docs the corpus/batch cut (0.8·max) puts every planted
+    near-dup SOURCE in the store and every COPY in the batch, so the
+    incremental probe must recover them at the same s-curve recall as
+    the full self-join — and the pair set must be exactly the full
+    run's crossing subset."""
+    from pyspark.sql import functions as F
+
+    from mcp_server_vector_search_spark.operators.dedup import (
+        dedup_incremental_minhash,
+    )
+
+    sf_dir, meta = scale
+    cut = load_table(spark, sf_dir, "documents").agg(
+        F.floor(0.8 * F.max("doc_id")).cast("long")
+    ).first()[0]
+    rows = dedup_incremental_minhash(spark, sf_dir).collect()
+    got = {(r["corpus_doc"], r["new_doc"]) for r in rows}
+    assert all(r["jaccard"] >= MINHASH_VERIFY_T for r in rows)
+    assert all(c < cut <= n for c, n in got)
+    near = {tuple(p) for p in meta["near_pairs"] if p[0] < cut <= p[1]}
+    exact = {tuple(p) for p in meta["exact_pairs"] if p[0] < cut <= p[1]}
+    assert exact <= got
+    recall = len(near & got) / len(near)
+    assert recall >= 0.9, f"incremental recall {recall:.3f} below s-curve floor"
