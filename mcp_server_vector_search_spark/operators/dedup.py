@@ -338,17 +338,24 @@ def minhash_signatures(documents: DataFrame) -> DataFrame:
     rewrite.)  The explode+groupBy formulation moves |tokens| rows
     through an exchange to compute the same minima; this moves nothing
     (the signature build at 100 TB is scan-bound, not shuffle-bound)."""
-    hms = F.transform(
-        F.array_distinct(tokens(F.col("text"))), lambda t: md5_hash60_mod(t)
+    return documents.select(
+        "doc_id", minhash_sig_expr(F.col("text")).alias("sigs")
     )
-    doc = documents.select("doc_id", hms.alias("hms"))
+
+
+def minhash_sig_expr(text_col) -> F.Column:
+    """The 16-signature array as ONE row-level expression (no shuffle,
+    no state) — shared by the batch signature builder and the streaming
+    ingest probe (streaming/ingest.py), so batch≡stream equivalence
+    holds by construction."""
+    hms = F.transform(F.array_distinct(tokens(text_col)), lambda t: md5_hash60_mod(t))
     a_lit = F.expr("array(" + ",".join(f"{a}L" for a in MINHASH_A) + ")")
     b_lit = F.expr("array(" + ",".join(f"{b}L" for b in MINHASH_B) + ")")
     idx = F.sequence(F.lit(0), F.lit(N_MINHASH - 1))
     # perm values live in [0, M); init at M so the fold's minimum over a
     # non-empty hash array equals the true minimum
-    sigs = F.aggregate(
-        "hms",
+    return F.aggregate(
+        hms,
         F.array_repeat(F.lit(MERSENNE31).cast("long"), N_MINHASH),
         lambda acc, h: F.zip_with(
             acc,
@@ -358,7 +365,6 @@ def minhash_signatures(documents: DataFrame) -> DataFrame:
             ),
         ),
     )
-    return doc.select("doc_id", sigs.alias("sigs"))
 
 
 def band_keys(sigs: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:

@@ -236,3 +236,70 @@ def temperature_mix_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(_as_stream_dir(f"{sf_dir}/documents.parquet"))
     )
     return temperature_replicate(stream, plan)
+
+
+def incremental_minhash_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    store_bands: DataFrame,
+    min_doc_id: int,
+) -> DataFrame:
+    """The incremental MinHash probe as a STREAM: arriving documents
+    compute their signatures and banded keys with the IDENTICAL batch
+    expressions (operators/dedup.minhash_sig_expr / band_keys — pure
+    row-level projections), probe the STATIC corpus signature store via
+    a stream-static join, and exact-verify with the same Jaccard
+    arithmetic.  Everything is append-safe: no aggregation, no state,
+    no watermark — the store is the only memory, exactly as in the
+    batch operator.  Equivalence vs `dedup_incremental_minhash` is
+    asserted in tests/test_streaming.py."""
+    from ..functions.text import tokens
+    from ..operators.dedup import (
+        MINHASH_VERIFY_T,
+        N_MINHASH,
+        R,
+        band_keys,
+        minhash_sig_expr,
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_as_stream_dir(f"{sf_dir}/documents.parquet"))
+    )
+    arriving = stream.where(F.col("doc_id") >= min_doc_id).select(
+        "doc_id",
+        minhash_sig_expr(F.col("text")).alias("sigs"),
+        F.array_distinct(tokens(F.col("text"))).alias("toks"),
+    )
+    batch_bands = band_keys(arriving, extra_cols=("toks",))
+    est = F.aggregate(
+        F.zip_with(
+            F.col("a.sigs"),
+            F.col("b.sigs"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / float(N_MINHASH)
+    i_ = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    jac = F.round(
+        i_.cast("double")
+        / (F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - i_),
+        R,
+    )
+    return (
+        store_bands.alias("a")
+        .join(
+            batch_bands.alias("b"),
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")),
+        )
+        .select(
+            F.col("b.doc_id").alias("new_doc"),
+            F.col("a.doc_id").alias("corpus_doc"),
+            F.round(est, R).alias("est_jaccard"),
+            jac.alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= MINHASH_VERIFY_T)
+    )

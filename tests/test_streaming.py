@@ -559,3 +559,44 @@ def test_streaming_append_serves_identically_to_rebuild(spark):
         assert len(streamed) == 10
         # the streamed layout holds the whole corpus, cell-partitioned
         assert spark.read.parquet(f"{tmp}/idx").count() == emb.count()
+
+
+def test_incremental_minhash_stream_equals_batch(spark):
+    """Batch≡stream equivalence for the incremental MinHash probe: the
+    static corpus signature store is built once with the batch
+    expressions; the stream's arriving docs band-probe it with the SAME
+    shared expressions.  The union of micro-batch outputs must equal
+    the batch operator's pair set (set compare absorbs the multi-band
+    duplicates the batch path distincts away)."""
+    from mcp_server_vector_search_spark.operators.dedup import (
+        band_keys,
+        dedup_incremental_minhash,
+        minhash_sig_expr,
+    )
+    from mcp_server_vector_search_spark.functions.text import tokens as tok_fn
+    from mcp_server_vector_search_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    cut = docs.agg(F.floor(0.8 * F.max("doc_id")).cast("long")).first()[0]
+    store = band_keys(
+        docs.where(F.col("doc_id") < cut).select(
+            "doc_id",
+            minhash_sig_expr(F.col("text")).alias("sigs"),
+            F.array_distinct(tok_fn(F.col("text"))).alias("toks"),
+        ),
+        extra_cols=("toks",),
+    ).localCheckpoint(eager=True)
+
+    q = (
+        ingest.incremental_minhash_stream(spark, SF_SMOKE, store, min_doc_id=cut)
+        .writeStream.format("memory")
+        .queryName("inc_minhash_stream_eq")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {tuple(r) for r in spark.sql("SELECT * FROM inc_minhash_stream_eq").collect()}
+    want = {tuple(r) for r in dedup_incremental_minhash(spark, SF_SMOKE).collect()}
+    assert got == want and got
