@@ -47,6 +47,7 @@ _PRIORITY_PREFIX = [
     "ann_index_stats",
     "events_pagerank_states",
     "dedup_incremental_minhash",
+    "ann_recall_certificate",
     # --- r6 new / changed ---
     "ann_graph_topk",
     "join_aqe_skew_rewrite",

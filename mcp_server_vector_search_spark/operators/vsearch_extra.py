@@ -566,3 +566,85 @@ def q_ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cell_frac_micro"),
     ).orderBy("centroid_id")
+
+
+# ---------------------------------------------------------------------------
+# Recall certificate: the index-quality claim as a driver-verified query
+# ---------------------------------------------------------------------------
+
+
+def _recall_oracle() -> str | None:
+    try:
+        ids, x = load_sorted_vectors(ORACLE_SF_DIR)
+    except Exception:  # pragma: no cover - testdata absent
+        return None
+    cents = train_centroids([list(v) for v in x[:TRAIN_SAMPLE]])
+    qvec = [float(v) for v in x[ids.index(QUERY_VEC_ID)]]
+    probes = nearest_centroids(qvec, cents, NPROBE)
+    return f"""
+WITH {ivf_assign_sql(cents)},
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+exact AS (
+  SELECT e.vec_id
+  FROM embeddings e CROSS JOIN q
+  ORDER BY ROUND((1.0 + list_cosine_similarity(e.embedding::DOUBLE[], q.qv)) / 2.0,
+                 {SCORE_DECIMALS}) DESC, e.vec_id
+  LIMIT {K}
+),
+approx AS (
+  SELECT a.vec_id
+  FROM assign a CROSS JOIN q
+  WHERE a.centroid_id IN ({", ".join(str(p) for p in probes)})
+  ORDER BY ROUND((1.0 + list_cosine_similarity(a.embedding::DOUBLE[], q.qv)) / 2.0,
+                 {SCORE_DECIMALS}) DESC, a.vec_id
+  LIMIT {K}
+)
+SELECT CAST({K} AS INTEGER) AS k,
+       CAST((SELECT COUNT(*) FROM exact JOIN approx USING (vec_id)) AS BIGINT)
+         AS hits,
+       CAST((SELECT COUNT(*) FROM exact JOIN approx USING (vec_id)) * 1000000
+            // {K} AS BIGINT) AS recall_micro
+"""
+
+
+@register("ann_recall_certificate", oracle=_recall_oracle())
+def q_ann_recall_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF index vs the exact scan, AS A QUERY — the
+    index-quality number an operator monitors, computed by the engine
+    itself and value-hash-checked by the driver (the pytest suite
+    asserts recall ≥ 0.9 separately; this makes the measurement
+    protocol itself part of the verified surface).
+
+    Both arms are engine plans: the exact arm is the flagship
+    TakeOrderedAndProject full scan, the approx arm the partition-pruned
+    IVF probe; the certificate row is their k-row intersection — at
+    100 TB this runs as one corpus scan plus one pruned scan, which is
+    exactly the cost of auditing a production index in place.
+    """
+    indexed, centroids = load_or_build_ivf_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(v)
+        for v in emb.where(F.col("vec_id") == QUERY_VEC_ID).first()["embedding"]
+    ]
+    qcol = vector_lit(qvec)
+    probes = nearest_centroids(qvec, centroids, NPROBE)
+    exact = (
+        emb.withColumn("score", F.round(neo4j_score("embedding", qcol), SCORE_DECIMALS))
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(K)
+        .select("vec_id")
+    )
+    approx = (
+        indexed.where(F.col("centroid_id").isin(probes))
+        .withColumn("score", F.round(neo4j_score("embedding", qcol), SCORE_DECIMALS))
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(K)
+        .select("vec_id")
+    )
+    hits = exact.join(approx, "vec_id").agg(F.count("*").alias("hits"))
+    return hits.select(
+        F.lit(K).cast("int").alias("k"),
+        F.col("hits").cast("long").alias("hits"),
+        F.expr(f"(hits * 1000000) div {K}").cast("long").alias("recall_micro"),
+    )
