@@ -53,6 +53,25 @@ def let1(value: Column, fn) -> Column:
     return F.element_at(F.transform(F.array(value), fn), 1)
 
 
+def adjacent_grams(text_col: Column, n: int, make, empty_type: str) -> Column:
+    """Word n-grams as one let-bound expression: ``make(toks, i)`` builds
+    the i-th gram (1-based start index), guarded to an empty array for
+    documents shorter than n tokens (Spark's ``sequence(1, 0)`` would
+    count DOWN).  The single definition carries the two subtle
+    invariants every gram builder needs — the short-doc guard and the
+    :func:`let1` binding that stops Catalyst re-splitting the text per
+    element — so shingles, bigrams, and pair-structs cannot drift."""
+
+    def build(toks: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+        grams = F.transform(idx, lambda i: make(toks, i))
+        return F.when(F.size(toks) >= n, grams).otherwise(
+            F.array().cast(empty_type)
+        )
+
+    return let1(tokens(text_col), build)
+
+
 def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 

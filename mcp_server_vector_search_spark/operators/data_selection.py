@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import duckdb_hash60_mod, md5_hash60_mod
-from ..functions.text import let1, tokens
+from ..functions.text import adjacent_grams, tokens
 from ..functions.train import ORACLE_SF_DIR, load_sorted_vectors
 from ..functions.vector import cosine_similarity
 from ..registry import register
@@ -45,7 +45,7 @@ from ..sources.tables import load_table, spread
 from .ann import (
     ASSIGN_DECIMALS,
     TRAIN_SAMPLE,
-    assignment_expr,
+    build_ivf_index,
     ivf_assign_sql,
     train_centroids,
 )
@@ -128,13 +128,9 @@ ORDER BY vec_id
 @register("semdedup_prune", oracle=_semdedup_oracle())
 def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load_table(spark, sf_dir, "embeddings"))
-    cents = train_centroids(
-        [
-            [float(v) for v in r["embedding"]]
-            for r in emb.orderBy("vec_id").limit(TRAIN_SAMPLE).select("embedding").collect()
-        ]
-    )
-    assigned = emb.withColumn("centroid_id", assignment_expr(cents))
+    # the IVF build IS the clustering — one quantizer shared between
+    # index and semantic dedup, by calling the one builder (ann.py)
+    assigned, _ = build_ivf_index(emb)
     return semdedup_dropped(assigned)
 
 
@@ -150,20 +146,15 @@ MICRO = 1_000_000  # fixed-point scale for the per-bucket log-ratio
 
 def _bigrams(text_col) -> F.Column:
     """Word bigrams WITH multiplicity (DSIR counts occurrences, unlike
-    the distinct shingles in dedup.py)."""
-    def build(toks):
-        idx = F.sequence(F.lit(1), F.size(toks) - 1)
-        grams = F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        )
-        return F.when(F.size(toks) >= 2, grams).otherwise(
-            F.array().cast("array<string>")
-        )
-
-    return let1(tokens(text_col), build)
+    the distinct shingles in dedup.py) — shared guarded gram builder."""
+    return adjacent_grams(
+        text_col,
+        2,
+        lambda toks, i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+        "array<string>",
+    )
 
 
 def dsir_weights(docs: DataFrame, target_pred: F.Column) -> DataFrame:
@@ -287,20 +278,15 @@ def _token_pairs(docs: DataFrame) -> DataFrame:
     hashed to LM_V buckets BEFORE any aggregation, so LM state is
     bounded at LM_V² regardless of corpus vocabulary (the same
     hashed-feature discipline as DSIR above)."""
-    def build(toks):
-        idx = F.sequence(F.lit(1), F.size(toks) - 1)
-        prs = F.transform(
-            idx,
-            lambda i: F.struct(
-                F.element_at(toks, i).alias("w1"),
-                F.element_at(toks, i + 1).alias("w2"),
-            ),
-        )
-        return F.when(F.size(toks) >= 2, prs).otherwise(
-            F.array().cast("array<struct<w1:string,w2:string>>")
-        )
-
-    guarded = let1(tokens(F.col("text")), build)
+    guarded = adjacent_grams(
+        F.col("text"),
+        2,
+        lambda toks, i: F.struct(
+            F.element_at(toks, i).alias("w1"),
+            F.element_at(toks, i + 1).alias("w2"),
+        ),
+        "array<struct<w1:string,w2:string>>",
+    )
     return docs.select("doc_id", F.explode(guarded).alias("pr")).select(
         "doc_id",
         _bucket(F.col("pr.w1")).alias("b1"),

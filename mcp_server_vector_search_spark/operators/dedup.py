@@ -41,7 +41,7 @@ from ..functions.hashing import (
     md5_hash60_mod,
     minhash_perm,
 )
-from ..functions.text import let1, bag_signature, tokens
+from ..functions.text import adjacent_grams, bag_signature, let1, tokens
 from ..registry import register
 from ..sources.tables import load_table, spread
 
@@ -115,24 +115,18 @@ assert JACCARD_T == JACCARD_T_NUM / JACCARD_T_DEN
 
 
 def _shingles(text_col, n: int = NGRAM):
-    """Distinct word n-gram shingles of a document (empty if < n tokens —
-    guarded because Spark's ``sequence(1, 0)`` would count DOWN).  The
-    token array is let-bound (functions/text.let1) so the text is split
-    once per row, not once per element."""
-
-    def build(toks):
-        idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-        shingled = F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + off) for off in range(n)]
-            ),
-        )
-        return F.when(F.size(toks) >= n, F.array_distinct(shingled)).otherwise(
-            F.array().cast("array<string>")
-        )
-
-    return let1(tokens(text_col), build)
+    """DISTINCT word n-gram shingles of a document (set semantics for
+    the Jaccard family), via the shared guarded/let-bound gram builder
+    (functions/text.adjacent_grams)."""
+    grams = adjacent_grams(
+        text_col,
+        n,
+        lambda toks, i: F.concat_ws(
+            " ", *[F.element_at(toks, i + off) for off in range(n)]
+        ),
+        "array<string>",
+    )
+    return F.array_distinct(grams)
 
 
 _NGRAM_ORACLE = f"""
@@ -387,6 +381,41 @@ def band_keys(sigs: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
     return bands
 
 
+def sig_agreement_expr(a: str = "a.sigs", b: str = "b.sigs") -> F.Column:
+    """Signature-agreement Jaccard estimate between two joined signature
+    arrays — ONE definition shared by the LSH self-join, the incremental
+    batch probe, and the streaming probe (a fix to this expression must
+    propagate to all three or batch≡stream equivalence silently breaks)."""
+    return (
+        F.aggregate(
+            F.zip_with(
+                F.col(a), F.col(b), lambda x, y: F.when(x == y, 1).otherwise(0)
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        / float(N_MINHASH)
+    )
+
+
+def first_matching_band_expr(a: str = "a.sigs", b: str = "b.sigs") -> F.Column:
+    """0-based index of the FIRST band whose signature slices agree.
+
+    Filtering a banded bucket join to ``band == first_matching_band``
+    emits each candidate pair exactly ONCE even when it collides in
+    several bands — a stateless row-level dedupe, so the streaming
+    probe needs no dropDuplicates state and the batch probe no distinct
+    shuffle."""
+    band_eq = F.array(
+        *[
+            F.slice(F.col(a), bi * BAND_ROWS + 1, BAND_ROWS)
+            == F.slice(F.col(b), bi * BAND_ROWS + 1, BAND_ROWS)
+            for bi in range(N_BANDS)
+        ]
+    )
+    return (F.array_position(band_eq, F.lit(True)) - 1).cast("int")
+
+
 def lsh_candidate_pairs(sigs: DataFrame, distinct: bool = True) -> DataFrame:
     """(a_id, b_id, est) candidate pairs sharing ≥1 full band, with the
     signature-agreement Jaccard estimate computed INLINE.
@@ -411,18 +440,7 @@ def lsh_candidate_pairs(sigs: DataFrame, distinct: bool = True) -> DataFrame:
     rows, deduped by the final distinct on the already-small candidate
     set."""
     bands = band_keys(sigs)
-    est = (
-        F.aggregate(
-            F.zip_with(
-                F.col("a.sigs"),
-                F.col("b.sigs"),
-                lambda x, y: F.when(x == y, 1).otherwise(0),
-            ),
-            F.lit(0),
-            lambda acc, v: acc + v,
-        )
-        / float(N_MINHASH)
-    )
+    est = sig_agreement_expr()
     cand = salted_bucket_pairs(bands, ["band", "key"]).select(
         F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("a_id"),
         F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("b_id"),
@@ -1258,30 +1276,27 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok_arrays = d.select(
         "doc_id", F.array_distinct(tokens(F.col("text"))).alias("toks")
     ).persist()  # verify reads both sides by doc_id
-    bands = band_keys(minhash_signatures(d)).crossJoin(F.broadcast(cut))
+    # persisted: the signature build feeds BOTH split branches — without
+    # it the tokenize + md5 + 16-permutation fold scans the corpus twice
+    bands = (
+        band_keys(minhash_signatures(d)).crossJoin(F.broadcast(cut)).persist()
+    )
     store = bands.where(F.col("doc_id") < F.col("c"))
     batch = bands.where(F.col("doc_id") >= F.col("c"))
-    est = F.aggregate(
-        F.zip_with(
-            F.col("a.sigs"),
-            F.col("b.sigs"),
-            lambda x, y: F.when(x == y, 1).otherwise(0),
-        ),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    ) / float(N_MINHASH)
     cand = (
         store.alias("a")
         .join(
             batch.alias("b"),
             (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")),
         )
+        # first-match early exit replaces a distinct(): one row per pair,
+        # stateless — the same filter the streaming probe uses
+        .where(F.col("a.band") == first_matching_band_expr())
         .select(
             F.col("a.doc_id").alias("corpus_doc"),
             F.col("b.doc_id").alias("new_doc"),
-            est.alias("est"),
+            sig_agreement_expr().alias("est"),
         )
-        .distinct()
     )
     A = tok_arrays.select(F.col("doc_id").alias("corpus_doc"), F.col("toks").alias("ta"))
     B = tok_arrays.select(F.col("doc_id").alias("new_doc"), F.col("toks").alias("tb"))

@@ -201,6 +201,23 @@ def _unit(x: np.ndarray) -> np.ndarray:
     return x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
 
 
+def _round6(v: float) -> float:
+    """Decimal-exact HALF_UP at SCORE_DECIMALS — Spark's ``F.round``
+    semantics.  ``np.round`` scales by 1e6 and rounds half-to-even on
+    the SCALED double, which can disagree with decimal HALF_UP exactly
+    at pool-boundary ties; since pool membership is decided by Spark's
+    rounding on the query path and by this function in the oracle
+    generator, the two must share one rounding definition."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-SCORE_DECIMALS)
+    return float(Decimal(repr(float(v))).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def _round6_arr(a: np.ndarray) -> np.ndarray:
+    return np.vectorize(_round6, otypes=[np.float64])(a)
+
+
 def mmr_select(
     pool_ids: Sequence[int],
     pool_vecs: np.ndarray,
@@ -219,8 +236,8 @@ def mmr_select(
     """
     x = _unit(np.asarray(pool_vecs, dtype=np.float64))
     q = _unit(np.asarray(query_vec, dtype=np.float64))
-    rel = np.round((1.0 + x @ q) / 2.0, SCORE_DECIMALS)
-    sim = np.round((1.0 + x @ x.T) / 2.0, SCORE_DECIMALS)
+    rel = _round6_arr((1.0 + x @ q) / 2.0)
+    sim = _round6_arr((1.0 + x @ x.T) / 2.0)
     n = len(pool_ids)
     selected: list[int] = []
     chosen = np.zeros(n, dtype=bool)
@@ -230,7 +247,7 @@ def mmr_select(
             if chosen[i]:
                 continue
             red = float(sim[i, [j for j in range(n) if chosen[j]]].max()) if selected else 0.0
-            s = round(lam * rel[i] - (1.0 - lam) * red, SCORE_DECIMALS)
+            s = _round6(lam * rel[i] - (1.0 - lam) * red)
             key = (s, -pool_ids[i])
             if best_score is None or key > best_score:
                 best_i, best_score = i, key
@@ -240,11 +257,12 @@ def mmr_select(
 
 
 def _mmr_pool(ids: Sequence[int], x: np.ndarray, qvec: np.ndarray) -> list[int]:
-    """Pool membership: exact top-P by (rounded score DESC, vec_id ASC)
-    — numpy mirror of the TakeOrderedAndProject the Spark side runs."""
-    rel = np.round((1.0 + _unit(x) @ _unit(qvec)) / 2.0, SCORE_DECIMALS)
+    """Pool membership (as VEC_IDS): exact top-P by (rounded score DESC,
+    vec_id ASC) — mirror of the TakeOrderedAndProject the Spark side
+    runs, sharing its HALF_UP rounding via :func:`_round6`."""
+    rel = _round6_arr((1.0 + _unit(x) @ _unit(qvec)) / 2.0)
     order = sorted(range(len(ids)), key=lambda i: (-rel[i], ids[i]))
-    return [int(i) for i in order[:MMR_POOL]]
+    return [int(ids[i]) for i in order[:MMR_POOL]]
 
 
 def _mmr_oracle() -> str | None:
@@ -254,13 +272,13 @@ def _mmr_oracle() -> str | None:
     scoring join exactly (trained-constant oracle discipline)."""
     try:
         ids, x = load_sorted_vectors(ORACLE_SF_DIR)
-    except Exception:  # pragma: no cover - testdata absent
+        qvec = x[ids.index(QUERY_VEC_ID)]
+        pool_ids = _mmr_pool(ids, x, qvec)
+        id_to_row = {v: i for i, v in enumerate(ids)}
+        pool_vecs = x[[id_to_row[v] for v in pool_ids]]
+        sel = mmr_select(pool_ids, pool_vecs, qvec)
+    except Exception:  # pragma: no cover - testdata absent/reshaped
         return None
-    qvec = x[ids.index(QUERY_VEC_ID)]
-    pool_idx = _mmr_pool(ids, x, qvec)
-    id_to_row = {v: i for i, v in enumerate(ids)}
-    pool_vecs = x[[id_to_row[v] for v in pool_idx]]
-    sel = mmr_select(pool_idx, pool_vecs, qvec)
     values = ",\n  ".join(f"({r + 1}, {v})" for r, v in enumerate(sel))
     return f"""
 WITH sel(mmr_rank, vec_id) AS (VALUES
@@ -461,14 +479,20 @@ def q_ann_batch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in emb.where(F.col("vec_id") < BATCH_Q).collect()
     )
     qmat = matrix_lit([v for _, v in qrows])
+    # the probe table carries each query's POSITION in the broadcast
+    # matrix explicitly — never derived from the id value, so missing or
+    # non-contiguous query ids (post-delete corpora) cannot misalign a
+    # query with another query's vector
     probe_rows = [
-        (int(qid), int(c))
-        for qid, qv in qrows
+        (int(qid), pos, int(c))
+        for pos, (qid, qv) in enumerate(qrows)
         for c in nearest_centroids(qv, centroids, NPROBE)
     ]
-    probes = spark.createDataFrame(probe_rows, "query_id bigint, centroid_id int")
-    union_cells = sorted({c for _, c in probe_rows})
-    qv = F.element_at(qmat, F.col("query_id").cast("int") + 1)
+    probes = spark.createDataFrame(
+        probe_rows, "query_id bigint, qpos int, centroid_id int"
+    )
+    union_cells = sorted({c for _, _, c in probe_rows})
+    qv = F.element_at(qmat, F.col("qpos") + 1)
     scored = (
         indexed.where(F.col("centroid_id").isin(union_cells))
         .join(F.broadcast(probes), "centroid_id")
@@ -530,17 +554,12 @@ def q_ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     from ..functions.vector import l2_norm
-    from .ann import assignment_expr
+    from .ann import build_ivf_index
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = train_centroids(
-        [
-            [float(v) for v in r["embedding"]]
-            for r in emb.orderBy("vec_id").limit(TRAIN_SAMPLE).select("embedding").collect()
-        ]
-    )
+    assigned, _ = build_ivf_index(emb)
     cell = (
-        emb.withColumn("centroid_id", assignment_expr(cents))
+        assigned
         .withColumn(
             "norm_micro",
             F.round(l2_norm("embedding") * MICRO).cast("long"),

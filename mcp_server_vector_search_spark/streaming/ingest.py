@@ -256,10 +256,11 @@ def incremental_minhash_stream(
     from ..functions.text import tokens
     from ..operators.dedup import (
         MINHASH_VERIFY_T,
-        N_MINHASH,
         R,
         band_keys,
+        first_matching_band_expr,
         minhash_sig_expr,
+        sig_agreement_expr,
     )
 
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
@@ -274,15 +275,7 @@ def incremental_minhash_stream(
         F.array_distinct(tokens(F.col("text"))).alias("toks"),
     )
     batch_bands = band_keys(arriving, extra_cols=("toks",))
-    est = F.aggregate(
-        F.zip_with(
-            F.col("a.sigs"),
-            F.col("b.sigs"),
-            lambda x, y: F.when(x == y, 1).otherwise(0),
-        ),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    ) / float(N_MINHASH)
+    est = sig_agreement_expr()
     i_ = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
     jac = F.round(
         i_.cast("double")
@@ -295,6 +288,9 @@ def incremental_minhash_stream(
             batch_bands.alias("b"),
             (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")),
         )
+        # first-match early exit: one row per pair even on two-band hits,
+        # with no dropDuplicates state — row-level batch equivalence
+        .where(F.col("a.band") == first_matching_band_expr())
         .select(
             F.col("b.doc_id").alias("new_doc"),
             F.col("a.doc_id").alias("corpus_doc"),

@@ -566,8 +566,8 @@ def test_incremental_minhash_stream_equals_batch(spark):
     static corpus signature store is built once with the batch
     expressions; the stream's arriving docs band-probe it with the SAME
     shared expressions.  The union of micro-batch outputs must equal
-    the batch operator's pair set (set compare absorbs the multi-band
-    duplicates the batch path distincts away)."""
+    the batch operator's pair set (compared row-for-row: the shared
+    first-match filter guarantees one row per pair in both paths)."""
     from mcp_server_vector_search_spark.operators.dedup import (
         band_keys,
         dedup_incremental_minhash,
@@ -597,6 +597,8 @@ def test_incremental_minhash_stream_equals_batch(spark):
     )
     q.processAllAvailable()
     q.stop()
-    got = {tuple(r) for r in spark.sql("SELECT * FROM inc_minhash_stream_eq").collect()}
-    want = {tuple(r) for r in dedup_incremental_minhash(spark, SF_SMOKE).collect()}
-    assert got == want and got
+    got = sorted(
+        tuple(r) for r in spark.sql("SELECT * FROM inc_minhash_stream_eq").collect()
+    )
+    want = sorted(tuple(r) for r in dedup_incremental_minhash(spark, SF_SMOKE).collect())
+    assert got == want and got  # row-level: the first-match filter dedupes
