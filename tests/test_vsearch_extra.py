@@ -287,3 +287,26 @@ def test_pagerank_matches_integer_power_iteration(spark):
         }
     out = {r["state"]: r["rank_micro"] for r in q_events_pagerank_states(spark, SF_CORRECTNESS).collect()}
     assert out == rank
+
+
+def test_filtered_search_starves_gracefully(spark):
+    """A highly selective predicate can leave fewer than k matches in
+    the probed cells; the operator must return the short list (every
+    row satisfying the predicate) rather than erroring or padding —
+    the documented fixed-nprobe semantics."""
+    from mcp_server_vector_search_spark.operators.ann import (
+        load_or_build_ivf_index,
+    )
+    from mcp_server_vector_search_spark.operators.topk import QUERY_VEC_ID
+
+    indexed, cents = load_or_build_ivf_index(spark, SF_CORRECTNESS)
+    emb = load_table(spark, SF_CORRECTNESS, "embeddings")
+    qvec = [
+        float(v)
+        for v in emb.where(F.col("vec_id") == QUERY_VEC_ID).first()["embedding"]
+    ]
+    out = vx.filtered_ivf_topk(
+        indexed, cents, qvec, F.col("vec_id") % 97 == 0
+    ).collect()
+    assert 0 < len(out) <= vx.K
+    assert all(r["vec_id"] % 97 == 0 for r in out)
