@@ -18,6 +18,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from mcp_server_vector_search_spark import registry  # noqa: E402
+from mcp_server_vector_search_spark.cache import release_scratch  # noqa: E402
 from mcp_server_vector_search_spark.session import get_spark  # noqa: E402
 
 
@@ -52,21 +53,25 @@ def main() -> None:
             # Operators may persist() scratch subtrees (signature tables,
             # exploded shingles); drop them so queries are timed
             # independently instead of competing for storage memory.
+            release_scratch()
             spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "errors": errors,
-                "sf": float(sf),
-            }
-        )
-    )
+    payload = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "errors": errors,
+        "sf": float(sf),
+    }
+    # Lossless record: the driver archives only a truncated tail of stdout,
+    # which has repeatedly lost 100+ per-query timings (VERDICT r6 task 1).
+    # Persist the full payload to a committed repo file so every round's
+    # per-query numbers stay auditable regardless of stdout truncation.
+    full_path = Path(__file__).resolve().parent / "BENCH_FULL.json"
+    full_path.write_text(json.dumps(payload, indent=1, sort_keys=True) + "\n")
+    print(json.dumps(payload))
     spark.stop()
 
 

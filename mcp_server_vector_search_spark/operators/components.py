@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from .dedup import _NGRAM_ORACLE, dedup_ngram_jaccard
+from ..cache import scratch_persist
 
 MAX_ITER = 50
 # Below this edge count the pair table fits trivially on the driver and
@@ -60,7 +61,7 @@ def connected_components(
     """
     # Persisted: the count that picks the strategy and the strategy
     # itself both read the (possibly expensive) upstream pair pipeline.
-    edges = edges.persist()
+    edges = edges.transform(scratch_persist)
     n_edges = edges.count()
     if n_edges <= driver_max_edges:
         try:

@@ -42,6 +42,7 @@ from ..functions.train import ORACLE_SF_DIR, load_sorted_vectors
 from ..functions.vector import cosine_similarity
 from ..registry import register
 from ..sources.tables import load_table, spread
+from ..cache import scratch_persist
 from .ann import (
     ASSIGN_DECIMALS,
     TRAIN_SAMPLE,
@@ -184,7 +185,7 @@ def dsir_weights(docs: DataFrame, target_pred: F.Column) -> DataFrame:
             F.explode(_bigrams(F.col("text"))).alias("gram"),
         )
         .withColumn("bucket", md5_hash60_mod(F.col("gram")) % DSIR_BUCKETS)
-        .persist()
+        .transform(scratch_persist)
     )
 
     stats = grams.groupBy("bucket").agg(
@@ -309,7 +310,7 @@ def perplexity_scores(docs: DataFrame) -> DataFrame:
     is order-free across engines.
     """
     # referenced three times (bigram stats, history stats, scoring join)
-    pairs = _token_pairs(docs).persist()
+    pairs = _token_pairs(docs).transform(scratch_persist)
     c2 = pairs.groupBy("b1", "b2").agg(F.count("*").alias("c12"))
     c1 = pairs.groupBy("b1").agg(F.count("*").alias("c1"))
     stats = c2.join(F.broadcast(c1), "b1").select(

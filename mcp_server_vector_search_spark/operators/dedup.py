@@ -44,6 +44,7 @@ from ..functions.hashing import (
 from ..functions.text import adjacent_grams, bag_signature, let1, tokens
 from ..registry import register
 from ..sources.tables import load_table, spread
+from ..cache import scratch_persist
 
 R = 6
 
@@ -173,7 +174,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     than the explode it saves (measured 2×); both self-join sides
     explode lazily from the cached arrays."""
     d = spread(load_table(spark, sf_dir, "documents"))
-    sh_arrays = d.select("doc_id", _shingles(F.col("text")).alias("sh")).persist()
+    sh_arrays = d.select("doc_id", _shingles(F.col("text")).alias("sh")).transform(scratch_persist)
     sh = sh_arrays.select(
         "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s")
     )
@@ -527,8 +528,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents"))
     tok_arrays = d.select(
         "doc_id", F.array_distinct(tokens(F.col("text"))).alias("toks")
-    ).persist()  # read twice (a-side and b-side of the verify)
-    sigs = minhash_signatures(d).persist()
+    ).transform(scratch_persist)  # read twice (a-side and b-side of the verify)
+    sigs = minhash_signatures(d).transform(scratch_persist)
     # distinct=False: dedupe AFTER the verify filter (smallest row set)
     # instead of shuffling the full multi-band candidate stream first.
     cand_est = lsh_candidate_pairs(sigs, distinct=False)
@@ -714,7 +715,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the smallest set in the pipeline."""
     # Persisted: both sides of the chunk self-join read the signature
     # table — unpersisted it is computed twice.
-    sim = simhash_signatures(load_table(spark, sf_dir, "documents")).persist()
+    sim = simhash_signatures(load_table(spark, sf_dir, "documents")).transform(scratch_persist)
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return (
         simhash_candidate_pairs(sim)
@@ -840,7 +841,7 @@ def _embedding_lsh_lazy(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Da
     from .ann import load_or_build_srp_index
     from ..functions.vector import dot, l2_norm
 
-    emb = load_or_build_srp_index(spark, sf_dir).persist()
+    emb = load_or_build_srp_index(spark, sf_dir).transform(scratch_persist)
     # distinct BEFORE verify here (unlike the band joins): with L=20
     # tables a near-dup pair collides in most of them, so the raw
     # stream carries ~10-20× multiplicity — deduping the id-only pairs
@@ -910,7 +911,7 @@ def _embedding_cosine_lazy(
     from .ann import load_or_build_srp_index
     from .similarity_join import pairwise_cosine_verify
 
-    emb = load_or_build_srp_index(spark, sf_dir).persist()
+    emb = load_or_build_srp_index(spark, sf_dir).transform(scratch_persist)
     cand = _srp_candidate_pairs(emb)
     lazy = pairwise_cosine_verify(
         cand,
@@ -1117,6 +1118,16 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     index; at the t=0.8-0.9 a production near-dup pass uses, it drops
     to ~a tenth — the standard set-similarity-join scale lever.
 
+    FIXTURE-SCALE CAVEAT: at bench SF this query costs ~3x the plain
+    n-gram join, because the persisted shingle table is consumed four
+    times (document frequencies, prefix explode, both verify sides)
+    and that fixed cost dominates while the corpus is tiny.  The
+    asymptotic win — prefix candidates growing like the RARE-shingle
+    collision count instead of the full posting-list fan-out — only
+    overtakes above fixture scale and at production thresholds
+    (t ≥ 0.8), which is exactly when the full join stops being
+    runnable at all.
+
     Stages: one vocab aggregate (document frequencies), one per-doc
     re-sort by (df, shingle), the PREFIX equi-join for candidates,
     then exact verification on the full shingle arrays (array_intersect
@@ -1132,7 +1143,7 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_arrays = (
         d.select("doc_id", _shingles(F.col("text")).alias("sh"))
         .where(F.size("sh") > 0)
-        .persist()
+        .transform(scratch_persist)
     )
     # document frequency of every (distinct-per-doc) shingle
     dfreq = (
@@ -1275,11 +1286,11 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut = d.agg(F.floor(0.8 * F.max("doc_id")).cast("long").alias("c"))
     tok_arrays = d.select(
         "doc_id", F.array_distinct(tokens(F.col("text"))).alias("toks")
-    ).persist()  # verify reads both sides by doc_id
+    ).transform(scratch_persist)  # verify reads both sides by doc_id
     # persisted: the signature build feeds BOTH split branches — without
     # it the tokenize + md5 + 16-permutation fold scans the corpus twice
     bands = (
-        band_keys(minhash_signatures(d)).crossJoin(F.broadcast(cut)).persist()
+        band_keys(minhash_signatures(d)).crossJoin(F.broadcast(cut)).transform(scratch_persist)
     )
     store = bands.where(F.col("doc_id") < F.col("c"))
     batch = bands.where(F.col("doc_id") >= F.col("c"))

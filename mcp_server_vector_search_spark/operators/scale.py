@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources.tables import load_table, spread
+from ..cache import scratch_persist
 
 N_SALTS = 16
 PRICE_BIN = 5000.0
@@ -407,7 +408,7 @@ def sort_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("mid", F.monotonically_increasing_id())
         .withColumn("pid", F.shiftright("mid", 33))
         .withColumn("local_rn", F.col("mid").bitwiseAND(F.lit(mask)) + 1)
-        .persist()
+        .transform(scratch_persist)
     )
     counts = keyed.groupBy("pid").agg(F.count(F.lit(1)).alias("n"))
     earlier = counts.select(F.col("pid").alias("b_pid"), F.col("n").alias("b_n"))

@@ -36,6 +36,7 @@ from pyspark.storagelevel import StorageLevel
 from ..functions.vector import dot, l2_norm
 from ..registry import register
 from ..sources.tables import load_table
+from ..cache import scratch_persist
 
 SIM_THRESHOLD = 0.5
 SCORE_DECIMALS = 6
@@ -103,7 +104,7 @@ def gemm_cosine_pairs(
     if n_slices > 1:
         # The probe side is rescanned once per slice — keep the 2-column
         # projection hot instead of re-reading the source each pass.
-        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+        base = base.transform(lambda _d: scratch_persist(_d, StorageLevel.MEMORY_AND_DISK))
         sliced = base.withColumn(
             "__slice", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_slices))
         )

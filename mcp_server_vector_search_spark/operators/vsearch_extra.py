@@ -111,7 +111,7 @@ SELECT a.vec_id, a.centroid_id, e.label,
        ROUND((1.0 + list_cosine_similarity(a.embedding::DOUBLE[], q.qv)) / 2.0,
              {SCORE_DECIMALS}) AS score
 FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id CROSS JOIN q
-WHERE a.centroid_id IN ({", ".join(str(p) for p in probes)}) AND e.{FILTER_SQL}
+WHERE a.centroid_id IN ({", ".join(str(p) for p in probes)}) AND ({FILTER_SQL})
 ORDER BY score DESC, a.vec_id
 LIMIT {K}
 """
@@ -502,8 +502,10 @@ def q_ann_batch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= K)
-        .select("query_id", "vec_id", "centroid_id", "score")
+        # sort while rn is still in scope (relying on Catalyst's
+        # missing-reference resolution against the child is fragile)
         .orderBy("query_id", "rn")
+        .select("query_id", "vec_id", "centroid_id", "score")
     )
 
 

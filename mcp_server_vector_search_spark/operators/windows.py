@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources.tables import load_table
+from ..cache import scratch_persist
 
 TUMBLE_SEC = 3600
 SLIDE_SEC = 1800
@@ -403,7 +404,7 @@ def q_events_pagerank_states(spark: SparkSession, sf_dir: str) -> DataFrame:
             nxt.groupBy("from_state").agg(F.count(F.lit(1)).alias("w")),
             "from_state",
         )
-        .persist()  # the ≤|states|² edge table feeds every iteration
+        .transform(scratch_persist)  # the ≤|states|² edge table feeds every iteration
     )
     states = ev.select(F.col("event_type").alias("state")).distinct()
     ranks = states.withColumn("r", F.lit(PR_INIT).cast("long"))

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources.tables import load_table
+from ..cache import scratch_persist
 
 _AGG_SQL = """
 SELECT '{fmt}' AS fmt, l_returnflag,
@@ -77,7 +78,7 @@ def source_roundtrip_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from concurrent.futures import ThreadPoolExecutor
 
     cols = ["l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice"]
-    li = load_table(spark, sf_dir, "lineitem").select(*cols).persist()
+    li = load_table(spark, sf_dir, "lineitem").select(*cols).transform(scratch_persist)
     li.count()  # materialize once before the concurrent writers fork
     tmp = tempfile.mkdtemp(prefix="fmt_roundtrip_")
     with ThreadPoolExecutor(max_workers=len(FORMATS)) as pool:

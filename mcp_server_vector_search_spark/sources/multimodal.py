@@ -265,6 +265,11 @@ def ahash_bits(arr: np.ndarray) -> str:
     diverge in the last ulp.  A string (not a packed BIGINT) because
     2^63 bit weights would overflow signed 64-bit in either engine.
     """
+    if arr.ndim != 2:  # an (h, w, 3) RGB array would silently broadcast
+        raise ValueError(
+            f"ahash_bits expects a 2-D greyscale array, got shape {arr.shape}; "
+            "collapse channels (e.g. mean or luma) before hashing"
+        )
     small = nn_resize(arr, PHASH_SIDE, PHASH_SIDE).astype(np.int64)
     total = int(small.sum())
     bits = (small * (PHASH_SIDE * PHASH_SIDE) > total).astype(np.uint8)
