@@ -38,6 +38,7 @@ from __future__ import annotations
 import hashlib
 import heapq
 import json
+import math
 from pathlib import Path
 from typing import Sequence
 
@@ -94,25 +95,20 @@ def build_knn_graph(
     return graph
 
 
-def beam_search(
-    node_vectors: Sequence[Sequence[float]],
-    graph: list[list[int]],
-    query_vec: Sequence[float],
-    n_probes: int = GRAPH_PROBES,
-    beam: int = GRAPH_BEAM,
-) -> list[int]:
-    """NSW greedy best-first descent (the HNSW search-layer loop):
+def _beam_from(
+    sims: np.ndarray,
+    adj,
+    entry: int,
+    n_probes: int,
+    beam: int,
+) -> tuple[list[int], set[int]]:
+    """The NSW/HNSW search-layer loop from an arbitrary entry point:
     expand the nearest unexpanded candidate, keep a result beam of the
     ``beam`` best visited nodes, stop when the nearest candidate is
-    worse than the beam's worst.  Deterministic: rounded sims, id
-    tie-breaks, medoid entry point.  Returns the ``n_probes`` best
-    visited node ids — the cells the pruned scan reads."""
-    x = _unit_rows(node_vectors)
-    q = np.asarray(query_vec, dtype=np.float64)
-    q = q / max(float(np.linalg.norm(q)), 1e-12)
-    sims = np.round(x @ q, ASSIGN_DECIMALS)
-    entry = int(np.argmax(np.round(x @ x.T, ASSIGN_DECIMALS).sum(axis=1)))
-
+    worse than the beam's worst.  ``adj`` is indexable by node id (flat
+    list for the single-layer graph, dict for a hierarchy layer).
+    Returns (probe ids, visited set) — the visited set is what the
+    sub-linearity stress test measures."""
     visited = {entry}
     cand: list[tuple[float, int]] = [(-sims[entry], entry)]  # min-heap on -sim
     result: list[tuple[float, int]] = [(sims[entry], -entry)]  # min-heap on sim
@@ -120,7 +116,7 @@ def beam_search(
         neg_s, u = heapq.heappop(cand)
         if len(result) >= beam and -neg_s < result[0][0]:
             break  # nearest candidate is worse than the beam's worst
-        for v in graph[u]:
+        for v in adj[u]:
             if v in visited:
                 continue
             visited.add(v)
@@ -129,7 +125,47 @@ def beam_search(
             if len(result) > beam:
                 heapq.heappop(result)
     found = sorted(((s, -ni) for s, ni in result), key=lambda t: (-t[0], t[1]))
-    return [i for _, i in found[:n_probes]]
+    return [i for _, i in found[:n_probes]], visited
+
+
+def _query_sims(
+    node_vectors: Sequence[Sequence[float]], query_vec: Sequence[float]
+) -> np.ndarray:
+    x = _unit_rows(node_vectors)
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / max(float(np.linalg.norm(q)), 1e-12)
+    return np.round(x @ q, ASSIGN_DECIMALS)
+
+
+def beam_search_stats(
+    node_vectors: Sequence[Sequence[float]],
+    graph: list[list[int]],
+    query_vec: Sequence[float],
+    n_probes: int = GRAPH_PROBES,
+    beam: int = GRAPH_BEAM,
+) -> tuple[list[int], int]:
+    """Flat-NSW search with instrumentation: (probe ids, visited-node
+    count).  Deterministic: rounded sims, id tie-breaks, medoid entry
+    point."""
+    sims = _query_sims(node_vectors, query_vec)
+    x = _unit_rows(node_vectors)
+    entry = int(np.argmax(np.round(x @ x.T, ASSIGN_DECIMALS).sum(axis=1)))
+    probes, visited = _beam_from(sims, graph, entry, n_probes, beam)
+    return probes, len(visited)
+
+
+def beam_search(
+    node_vectors: Sequence[Sequence[float]],
+    graph: list[list[int]],
+    query_vec: Sequence[float],
+    n_probes: int = GRAPH_PROBES,
+    beam: int = GRAPH_BEAM,
+) -> list[int]:
+    """NSW greedy best-first descent (the HNSW search-layer loop):
+    returns the ``n_probes`` best visited node ids — the cells the
+    pruned scan reads.  See ``beam_search_stats`` for the instrumented
+    form; this is the oracle-load-bearing entry point."""
+    return beam_search_stats(node_vectors, graph, query_vec, n_probes, beam)[0]
 
 
 def _train_graph(
@@ -190,6 +226,15 @@ def graph_topk(
     the scan to them, exact-score and top-k inside (fused to
     ``TakeOrderedAndProject`` like every top-k in the repo)."""
     probes = beam_search(nodes, graph, query_vec, n_probes)
+    return _pruned_node_topk(index, probes, query_vec, k)
+
+
+def _pruned_node_topk(
+    index: DataFrame, probes: list[int], query_vec: Sequence[float], k: int = K
+) -> DataFrame:
+    """Shared scan half of the graph-ANN family: prune to the probe
+    cells, exact-score, top-k.  Identical for flat NSW and layered HNSW
+    — the families differ only in how the probe list is navigated."""
     qcol = vector_lit(query_vec)
     return (
         index.where(F.col("node_id").isin(probes))
@@ -200,18 +245,11 @@ def graph_topk(
     )
 
 
-def _graph_oracle() -> str | None:
-    """Exact DuckDB mirror: the same sample -> same graph -> same beam
-    -> same probe list; assignment reuses the IVF family's shared
-    rounded-argmax fragment with the node literals."""
-    try:
-        ids, x = load_sorted_vectors(ORACLE_SF_DIR)
-    except Exception:  # pragma: no cover - testdata absent
-        return None
-    nodes = train_centroids([list(v) for v in x[:TRAIN_SAMPLE]], GRAPH_NODES)
-    graph = build_knn_graph(nodes)
-    qvec = [float(v) for v in x[ids.index(QUERY_VEC_ID)]]
-    probes = beam_search(nodes, graph, qvec)
+def _probe_oracle_sql(nodes: list[list[float]], probes: list[int]) -> str:
+    """Shared DuckDB mirror of ``_pruned_node_topk``: node literals via
+    the IVF family's rounded-argmax fragment, probed-cell filter, exact
+    Neo4j-normalized scoring.  Both graph families (flat NSW, layered
+    HNSW) interpolate their own navigated probe list."""
     return f"""
 WITH {ivf_assign_sql(nodes)},
 q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
@@ -225,6 +263,30 @@ LIMIT {K}
 """
 
 
+def _oracle_nodes_and_query() -> tuple[list[list[float]], list[float]] | None:
+    """(trained routing nodes, fixture query vector) at the driver's
+    correctness SF — None when testdata is absent."""
+    try:
+        ids, x = load_sorted_vectors(ORACLE_SF_DIR)
+    except Exception:  # pragma: no cover - testdata absent
+        return None
+    nodes = train_centroids([list(v) for v in x[:TRAIN_SAMPLE]], GRAPH_NODES)
+    qvec = [float(v) for v in x[ids.index(QUERY_VEC_ID)]]
+    return nodes, qvec
+
+
+def _graph_oracle() -> str | None:
+    """Exact DuckDB mirror: the same sample -> same graph -> same beam
+    -> same probe list; assignment reuses the IVF family's shared
+    rounded-argmax fragment with the node literals."""
+    trained = _oracle_nodes_and_query()
+    if trained is None:
+        return None
+    nodes, qvec = trained
+    probes = beam_search(nodes, build_knn_graph(nodes), qvec)
+    return _probe_oracle_sql(nodes, probes)
+
+
 @register("ann_graph_topk", oracle=_graph_oracle())
 def q_ann_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HNSW-equivalent query path (reference server.py:87): navigable
@@ -236,3 +298,149 @@ def q_ann_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for v in emb.where(F.col("vec_id") == QUERY_VEC_ID).first()["embedding"]
     ]
     return graph_topk(index, nodes, graph, qvec)
+
+
+# ---------------------------------------------------------------------------
+# Layered HNSW: the reference index's actual structure (multi-layer
+# navigable graph — Malkov & Yashunin 2016; reference server.py:87 is
+# Lucene HNSW behind Neo4j's queryNodes)
+# ---------------------------------------------------------------------------
+
+# Level scale m_L = 1/ln(M): the paper's optimum, giving a geometric
+# level distribution with expected layer shrink factor M.  Levels are
+# DETERMINISTIC — drawn from an md5 hash of the node index instead of
+# an RNG — so index build, query, oracle generation, and tests all see
+# the identical hierarchy (the family's reproducibility convention).
+HNSW_ML = 1.0 / math.log(GRAPH_DEGREE)
+HNSW_MAX_LEVEL = 8  # safety clamp; P(level > 8) < M^-8
+
+
+def node_level(i: int) -> int:
+    """Geometric level for node ``i``: floor(-ln(u) * m_L) with u a
+    deterministic uniform in (0, 1) hashed from the node index."""
+    h = int(hashlib.md5(f"hnsw-level:{i}".encode()).hexdigest(), 16)
+    u = (h % (10**12) + 1) / (10**12 + 2)
+    return min(int(-math.log(u) * HNSW_ML), HNSW_MAX_LEVEL)
+
+
+def build_hnsw(
+    node_vectors: Sequence[Sequence[float]], degree: int = GRAPH_DEGREE
+) -> dict:
+    """Layer hierarchy over the routing nodes: layer l contains every
+    node with level >= l; each layer is a k-NN graph (same rounded-sim
+    + lower-id determinism as ``build_knn_graph``) restricted to its
+    members.  Layer 0 therefore equals the flat NSW graph; upper layers
+    are geometrically sparser expressways.
+
+    Batch build is O(|nodes|^2) sims, the same budget the flat family
+    already spends on its medoid — fine at the bounded routing-node
+    count (10^4-10^6 upper-layer nodes are exactly what HNSW keeps
+    memory-resident).  A production *incremental* build inserts by
+    descending search (the paper's algorithm 1); batch rebuild is the
+    deterministic equivalent used here because the node set is trained
+    once per corpus, not streamed.
+
+    Returns {"levels": per-node level, "graphs": per-layer adjacency
+    dicts, "entry": lowest-id node of the top layer}.
+    """
+    n = len(node_vectors)
+    levels = [node_level(i) for i in range(n)]
+    top = max(levels)
+    x = _unit_rows(node_vectors)
+    sims = np.round(x @ x.T, ASSIGN_DECIMALS)
+    graphs: list[dict[int, list[int]]] = []
+    for lvl in range(top + 1):
+        members = [i for i in range(n) if levels[i] >= lvl]
+        adj: dict[int, list[int]] = {}
+        for u in members:
+            order = sorted(
+                (i for i in members if i != u), key=lambda i: (-sims[u, i], i)
+            )
+            adj[u] = order[:degree]
+        graphs.append(adj)
+    entry = min(i for i in range(n) if levels[i] == top)
+    return {"levels": levels, "graphs": graphs, "entry": entry}
+
+
+def hnsw_search_stats(
+    node_vectors: Sequence[Sequence[float]],
+    hnsw: dict,
+    query_vec: Sequence[float],
+    n_probes: int = GRAPH_PROBES,
+    beam: int = GRAPH_BEAM,
+) -> tuple[list[int], int]:
+    """The HNSW query descent: greedy ef=1 walk through the upper
+    layers (each layer: move to the best neighbor while one improves),
+    then the full beam search on layer 0 seeded at the node reached —
+    the paper's algorithm 5 with the repo's determinism (rounded sims,
+    lower-id tie-breaks).  Returns (probe ids, visited-node count);
+    the visited count is what the hierarchy buys — logarithmic descent
+    where a flat graph walks a polynomial path from its fixed entry."""
+    sims = _query_sims(node_vectors, query_vec)
+    cur = int(hnsw["entry"])
+    visited = {cur}
+    for lvl in range(len(hnsw["graphs"]) - 1, 0, -1):
+        adj = hnsw["graphs"][lvl]
+        improved = True
+        while improved:
+            improved = False
+            for v in adj.get(cur, ()):
+                visited.add(v)
+                if (sims[v], -v) > (sims[cur], -cur):
+                    cur, improved = v, True
+    probes, vis0 = _beam_from(sims, hnsw["graphs"][0], cur, n_probes, beam)
+    return probes, len(visited | vis0)
+
+
+def hnsw_search(
+    node_vectors: Sequence[Sequence[float]],
+    hnsw: dict,
+    query_vec: Sequence[float],
+    n_probes: int = GRAPH_PROBES,
+    beam: int = GRAPH_BEAM,
+) -> list[int]:
+    return hnsw_search_stats(node_vectors, hnsw, query_vec, n_probes, beam)[0]
+
+
+def hnsw_topk(
+    index: DataFrame,
+    nodes: list[list[float]],
+    hnsw: dict,
+    query_vec: Sequence[float],
+    k: int = K,
+    n_probes: int = GRAPH_PROBES,
+) -> DataFrame:
+    """Layered descent picks the cells; the engine reads only those —
+    the scan half is byte-identical to the flat family
+    (``_pruned_node_topk``), because the layout is SHARED: one
+    node_id-partitioned parquet serves both navigation structures."""
+    probes = hnsw_search(nodes, hnsw, query_vec, n_probes)
+    return _pruned_node_topk(index, probes, query_vec, k)
+
+
+def _hnsw_oracle() -> str | None:
+    """Same trained-constant discipline as ``_graph_oracle``: re-run
+    the node training + hierarchy build + layered descent at
+    registration time, fold the probe list into the shared SQL."""
+    trained = _oracle_nodes_and_query()
+    if trained is None:
+        return None
+    nodes, qvec = trained
+    probes = hnsw_search(nodes, build_hnsw(nodes), qvec)
+    return _probe_oracle_sql(nodes, probes)
+
+
+@register("ann_hnsw_topk", oracle=_hnsw_oracle())
+def q_ann_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structure-parity query for the reference's Lucene-HNSW index
+    (reference server.py:87, README.md:72-79): geometric level
+    hierarchy, greedy upper-layer descent, layer-0 beam — over the same
+    node_id-partitioned layout as ``ann_graph_topk``."""
+    index, nodes, _ = load_or_build_graph_index(spark, sf_dir)
+    hnsw = build_hnsw(nodes)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(v)
+        for v in emb.where(F.col("vec_id") == QUERY_VEC_ID).first()["embedding"]
+    ]
+    return hnsw_topk(index, nodes, hnsw, qvec)

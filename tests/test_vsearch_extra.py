@@ -310,3 +310,80 @@ def test_filtered_search_starves_gracefully(spark):
     ).collect()
     assert 0 < len(out) <= vx.K
     assert all(r["vec_id"] % 97 == 0 for r in out)
+
+
+def test_adaptive_filtered_recovers_from_starvation(spark):
+    """The registered predicate leaves < k rows in the default probe
+    set; escalation must widen nprobe and return EXACTLY k rows — the
+    recovery the fixed-nprobe operator documents as out of scope."""
+    from mcp_server_vector_search_spark.operators.ann import (
+        NPROBE,
+        load_or_build_ivf_index,
+    )
+    from mcp_server_vector_search_spark.operators.topk import QUERY_VEC_ID
+
+    indexed, cents = load_or_build_ivf_index(spark, SF_CORRECTNESS)
+    emb = load_table(spark, SF_CORRECTNESS, "embeddings")
+    qvec = [
+        float(v)
+        for v in emb.where(F.col("vec_id") == QUERY_VEC_ID).first()["embedding"]
+    ]
+    # precondition: the default probe budget really starves
+    starved = vx.filtered_ivf_topk(
+        indexed, cents, qvec, F.expr(vx.ADAPTIVE_FILTER_SQL)
+    ).collect()
+    assert len(starved) < vx.K
+    out, final_np = vx.adaptive_filtered_topk(
+        indexed, cents, qvec, F.expr(vx.ADAPTIVE_FILTER_SQL)
+    )
+    rows = out.collect()
+    assert len(rows) == vx.K
+    assert final_np > NPROBE
+    assert all(r["vec_id"] % 43 == 0 for r in rows)
+
+
+def test_adaptive_filtered_no_escalation_when_satisfied(spark):
+    """An unselective predicate must return in one rung at the default
+    nprobe — escalation is the exception path, not a constant tax."""
+    from mcp_server_vector_search_spark.operators.ann import (
+        NPROBE,
+        load_or_build_ivf_index,
+    )
+    from mcp_server_vector_search_spark.operators.topk import QUERY_VEC_ID
+
+    indexed, cents = load_or_build_ivf_index(spark, SF_CORRECTNESS)
+    emb = load_table(spark, SF_CORRECTNESS, "embeddings")
+    qvec = [
+        float(v)
+        for v in emb.where(F.col("vec_id") == QUERY_VEC_ID).first()["embedding"]
+    ]
+    out, final_np = vx.adaptive_filtered_topk(
+        indexed, cents, qvec, F.expr(vx.FILTER_SQL)
+    )
+    assert final_np == NPROBE
+    assert len(out.collect()) == vx.K
+
+
+def test_adaptive_filtered_short_when_corpus_starved(spark):
+    """When the whole corpus holds fewer than k matches, the ladder
+    must end at the full filtered scan and return every match — short,
+    never erroring, never padding."""
+    from mcp_server_vector_search_spark.operators.ann import (
+        load_or_build_ivf_index,
+    )
+    from mcp_server_vector_search_spark.operators.topk import QUERY_VEC_ID
+
+    indexed, cents = load_or_build_ivf_index(spark, SF_CORRECTNESS)
+    emb = load_table(spark, SF_CORRECTNESS, "embeddings")
+    total = emb.where(F.col("vec_id") % 97 == 0).count()
+    assert total < vx.K  # fixture precondition
+    qvec = [
+        float(v)
+        for v in emb.where(F.col("vec_id") == QUERY_VEC_ID).first()["embedding"]
+    ]
+    out, final_np = vx.adaptive_filtered_topk(
+        indexed, cents, qvec, F.col("vec_id") % 97 == 0
+    )
+    rows = out.collect()
+    assert len(rows) == total
+    assert final_np == len(cents)
