@@ -42,13 +42,22 @@ _ARROW_TO_DDL = {
 }
 
 
-def _ddl_schema(path: str) -> str:
+def _ddl_schema(path: str, columns: list[str] | None = None) -> str:
     """DDL schema string from the parquet footer (planning-time
-    metadata read; no row data touched)."""
+    metadata read; no row data touched).  ``columns`` restricts and
+    orders the projection — the connector's explicit column-pruning
+    contract (the Python DataSource API has no automatic pruning hook
+    in Spark 4.1, so projection pushdown is by configuration, exactly
+    like a JDBC ``query`` option)."""
     import pyarrow.parquet as pq
 
+    schema_arrow = pq.ParquetFile(path).schema_arrow
+    if columns is not None:
+        # Schema.field raises KeyError for a name not in the file —
+        # a misprojected option fails at planning, never mid-scan
+        schema_arrow = [schema_arrow.field(c) for c in columns]
     fields = []
-    for f in pq.ParquetFile(path).schema_arrow:
+    for f in schema_arrow:
         t = str(f.type)
         if t.startswith("list<item: ") and t.endswith(">"):
             inner = _ARROW_TO_DDL.get(t[len("list<item: ") : -1])
@@ -69,8 +78,9 @@ class RowGroupPartition(InputPartition):
 
 
 class RowGroupReader(DataSourceReader):
-    def __init__(self, path: str):
+    def __init__(self, path: str, columns: list[str] | None = None):
         self.path = path
+        self.columns = columns
 
     def partitions(self):
         import pyarrow.parquet as pq
@@ -81,22 +91,35 @@ class RowGroupReader(DataSourceReader):
     def read(self, partition):
         import pyarrow.parquet as pq
 
-        table = pq.ParquetFile(self.path).read_row_group(partition.row_group)
+        # Column pruning happens HERE, at the parquet column-chunk
+        # level: unprojected chunks are never decompressed and never
+        # cross the Arrow boundary.  On the documents table the text
+        # column is ~98% of the bytes — for the registered aggregate
+        # (lang, n_chars) the projected scan moves ~2% of the file.
+        table = pq.ParquetFile(self.path).read_row_group(
+            partition.row_group, columns=self.columns
+        )
         yield from table.to_batches()
 
 
 class RowGroupDataSource(DataSource):
-    """``spark.read.format("pyrowgroup").option("path", ...)``."""
+    """``spark.read.format("pyrowgroup").option("path", ...)``; an
+    optional comma-separated ``columns`` option projects at the
+    parquet column-chunk level (see ``_ddl_schema``)."""
+
+    def _columns(self) -> list[str] | None:
+        cols = self.options.get("columns")
+        return [c.strip() for c in cols.split(",")] if cols else None
 
     @classmethod
     def name(cls) -> str:
         return "pyrowgroup"
 
     def schema(self) -> str:
-        return _ddl_schema(self.options["path"])
+        return _ddl_schema(self.options["path"], self._columns())
 
     def reader(self, schema) -> DataSourceReader:
-        return RowGroupReader(self.options["path"])
+        return RowGroupReader(self.options["path"], self._columns())
 
 
 def register_pysource(spark) -> None:
@@ -129,13 +152,25 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The aggregate runs JVM-side on the Arrow-materialized scan; only
     the scan itself crosses the Python boundary (batched, columnar) —
-    which is the honest cost model for any Python-backed connector."""
+    which is the honest cost model for any Python-backed connector.
+    The ``columns`` option projects to the two aggregated columns at
+    the column-chunk level, so the text column (~98% of the file's
+    bytes) is never decompressed — full-schema row fidelity is covered
+    separately by tests/test_pysource.py.
+
+    Cost profile (r6 bench regression investigated, r7): the steady
+    cost of this scan is ~0.45 s; the ~3-5 s bench number is one-time
+    Python-source worker + plan bootstrap, paid by whichever pyrowgroup
+    read runs first in the session.  bench.py therefore warms the
+    Python-source pool in its warmup step, the same amortization it
+    already applies to the JVM."""
     from pyspark.sql import functions as F
 
     register_pysource(spark)
     d = (
         spark.read.format("pyrowgroup")
         .option("path", f"{sf_dir}/documents.parquet")
+        .option("columns", "lang,n_chars")
         .load()
     )
     return d.groupBy("lang").agg(

@@ -28,3 +28,36 @@ def test_pysource_rows_match_native_scan(spark):
     a = {tuple(r) for r in via_py.collect()}
     b = {tuple(r) for r in native.collect()}
     assert a == b and len(a) > 0
+
+
+def test_pysource_column_projection(spark):
+    """The columns option must prune at the column-chunk level and
+    reproduce the JVM reader's values for the projected columns, in
+    option order."""
+    path = f"{SF_CORRECTNESS}/documents.parquet"
+    register_pysource(spark)
+    via_py = (
+        spark.read.format("pyrowgroup")
+        .option("path", path)
+        .option("columns", "lang,n_chars")
+        .load()
+    )
+    assert via_py.columns == ["lang", "n_chars"]
+    native = spark.read.parquet(path).select("lang", "n_chars")
+    assert sorted(map(tuple, via_py.collect())) == sorted(
+        map(tuple, native.collect())
+    )
+
+
+def test_pysource_unknown_column_fails_at_planning(spark):
+    import pytest as _pytest
+
+    register_pysource(spark)
+    with _pytest.raises(Exception, match="nope|KeyError|Field"):
+        (
+            spark.read.format("pyrowgroup")
+            .option("path", f"{SF_CORRECTNESS}/documents.parquet")
+            .option("columns", "lang,nope")
+            .load()
+            .collect()
+        )
