@@ -19,7 +19,7 @@ from mcp_server_vector_search_spark.operators.ann import build_ivf_index
 from mcp_server_vector_search_spark.sources.tables import load_table
 from mcp_server_vector_search_spark.streaming import ingest
 
-from .conftest import SF_SMOKE
+from .conftest import SF_CORRECTNESS, SF_SMOKE
 
 
 def _run_to_memory(df, name):
@@ -602,3 +602,24 @@ def test_incremental_minhash_stream_equals_batch(spark):
     )
     want = sorted(tuple(r) for r in dedup_incremental_minhash(spark, SF_SMOKE).collect())
     assert got == want and got  # row-level: the first-match filter dedupes
+
+
+def test_registered_streaming_query_equals_batch(spark):
+    """The driver-checked streaming row (a real availableNow
+    StreamExecution into a complete-mode memory sink) must reproduce
+    the batch tumbling aggregate row-for-row."""
+    from mcp_server_vector_search_spark.operators.windows import tumbling_agg
+    from mcp_server_vector_search_spark.sources.tables import load_table
+    from mcp_server_vector_search_spark.streaming.ingest import (
+        q_streaming_tumbling_counts,
+    )
+
+    streamed = {
+        tuple(r)
+        for r in q_streaming_tumbling_counts(spark, SF_CORRECTNESS).collect()
+    }
+    batch = {
+        tuple(r)
+        for r in tumbling_agg(load_table(spark, SF_CORRECTNESS, "events")).collect()
+    }
+    assert streamed == batch and len(streamed) > 0
