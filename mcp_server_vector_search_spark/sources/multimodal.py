@@ -340,3 +340,172 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "phash",
         F.count("*").over(W.partitionBy("phash")).alias("n_same_hash"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# DCT pHash (the production perceptual hash; aHash above is the cheap
+# sibling).  8x8 low-frequency block of a 16x16 integer DCT-II over an
+# AREA-AVERAGED resample, bit = coeff above the AC median — markedly
+# more robust to resize/re-encode than aHash on natural-image-like
+# content, because anti-aliased low-frequency structure survives
+# resampling that scrambles per-cell point samples.
+# ---------------------------------------------------------------------------
+
+DCT_N = 16  # resample side (every corpus dim is >= 16, so the forward
+#             box map (sx*N)//w leaves no empty cell; 32 would need an
+#             upsampling branch the SQL mirror can't share cleanly)
+DCT_K = 8  # retained low-frequency block (64 bits)
+DCT_SCALE = 1 << 14
+DCT_AVG_SCALE = 1 << 10  # fixed-point scale for the box average
+
+# Integer cosine table: round(cos(pi*(2x+1)*u/(2N)) * 2^14), computed
+# ONCE here and folded into both engines — Spark uses the numpy copy,
+# the oracle interpolates the same integers as literals.  The whole
+# transform is then exact int64 arithmetic (max |coeff| ~ 2e16), so
+# there is no cross-engine float summation order to diverge.
+import math as _math  # noqa: E402
+
+ICOS = [
+    [
+        round(_math.cos(_math.pi * (2 * x + 1) * u / (2 * DCT_N)) * DCT_SCALE)
+        for x in range(DCT_N)
+    ]
+    for u in range(DCT_K)
+]
+_ICOS_NP = np.asarray(ICOS, dtype=np.int64)
+
+
+def box_resize_scaled(arr: np.ndarray) -> np.ndarray:
+    """Anti-aliased fixed-point downsample: source pixel (sx, sy) maps
+    forward to cell ((sx*N)//w, (sy*N)//h); each cell's value is
+    ``(sum * 2^10) // count`` — pure integer arithmetic the SQL oracle
+    reproduces as a GROUP BY + floor division.  Requires both dims
+    >= N (guaranteed by the corpus model; asserted for anything else).
+
+    Area averaging is what buys resize robustness: aHash's
+    nearest-neighbor point sampling aliases textured content, flipping
+    bits under rescale; the box filter integrates the same region of
+    the image regardless of the source resolution."""
+    if arr.ndim != 2:
+        raise ValueError(
+            f"box_resize_scaled expects a 2-D greyscale array, got {arr.shape}"
+        )
+    h, w = arr.shape
+    if h < DCT_N or w < DCT_N:
+        raise ValueError(f"image {w}x{h} smaller than the {DCT_N} resample grid")
+    tx = (np.arange(w) * DCT_N) // w
+    ty = (np.arange(h) * DCT_N) // h
+    iy = ty[:, None].repeat(w, 1)
+    ix = tx[None, :].repeat(h, 0)
+    sums = np.zeros((DCT_N, DCT_N), dtype=np.int64)
+    cnt = np.zeros((DCT_N, DCT_N), dtype=np.int64)
+    np.add.at(sums, (iy, ix), arr.astype(np.int64))
+    np.add.at(cnt, (iy, ix), 1)
+    return (sums * DCT_AVG_SCALE) // cnt
+
+
+def phash_dct_bits(arr: np.ndarray) -> str:
+    """DCT perceptual hash of a greyscale image: box-average resample
+    to 16x16 fixed-point, integer 2D DCT-II (the ICOS table both
+    ways), keep the top-left 8x8 coefficient block, bit = coefficient
+    above the median of the 63 AC coefficients (lower median — index
+    (n-1)//2 of the sorted list, DuckDB ``quantile_disc`` semantics).
+    The DC bit compares against the same median (it is effectively
+    always 1; kept so the signature stays a clean 64-bit block in
+    (u, v) row-major order)."""
+    p = box_resize_scaled(arr)
+    coef = _ICOS_NP @ p.T @ _ICOS_NP.T  # coef[u, v], exact int64
+    ac = np.delete(coef.ravel(), 0)
+    med = int(np.sort(ac)[(ac.size - 1) // 2])
+    return "".join("1" if c > med else "0" for c in coef.ravel())
+
+
+def phash_dct_signatures(with_payload: DataFrame) -> DataFrame:
+    """mapInPandas twin of ``phash_signatures`` emitting the DCT hash."""
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phash": [
+                        phash_dct_bits(decode_png(p)) for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return with_payload.mapInPandas(hash_batches, schema="doc_id long, phash string")
+
+
+def _icos_values_sql() -> str:
+    return ",\n  ".join(
+        f"({u}, {x}, {c})" for u, row in enumerate(ICOS) for x, c in enumerate(row)
+    )
+
+
+@register(
+    "multimodal_phash_dct",
+    oracle=f"""
+WITH icos(u, x, c) AS (VALUES
+  {{ICOS_VALUES}}
+),
+px AS (
+  SELECT d.doc_id,
+         (16 + d.doc_id % 17) AS w, (16 + d.doc_id % 13) AS h,
+         t.x, u_.y,
+         (d.doc_id * 31 + t.x * 7 + u_.y * 13) % 256 AS p
+  FROM documents d,
+       UNNEST(range(0, 16 + d.doc_id % 17)) AS t(x),
+       UNNEST(range(0, 16 + d.doc_id % 13)) AS u_(y)
+),
+cell AS (
+  SELECT doc_id, (x * {DCT_N}) // w AS cx, (y * {DCT_N}) // h AS cy,
+         (SUM(p) * {DCT_AVG_SCALE}) // COUNT(*) AS pv
+  FROM px GROUP BY 1, 2, 3
+),
+coef AS (
+  SELECT cell.doc_id, cu.u AS u, cv.u AS v,
+         SUM(cell.pv * cu.c * cv.c) AS c
+  FROM cell
+  JOIN icos cu ON cu.x = cell.cx
+  JOIN icos cv ON cv.x = cell.cy
+  GROUP BY 1, 2, 3
+),
+med AS (
+  SELECT doc_id, quantile_disc(c, 0.5) AS m
+  FROM coef WHERE NOT (u = 0 AND v = 0) GROUP BY doc_id
+),
+sig AS (
+  SELECT coef.doc_id,
+         string_agg(CASE WHEN coef.c > med.m THEN '1' ELSE '0' END, ''
+                    ORDER BY coef.u, coef.v) AS phash
+  FROM coef JOIN med USING (doc_id)
+  GROUP BY coef.doc_id
+)
+SELECT doc_id, phash,
+       COUNT(*) OVER (PARTITION BY phash) AS n_same_hash
+FROM sig
+ORDER BY doc_id
+""".replace("{ICOS_VALUES}", _icos_values_sql()),
+)
+def q_multimodal_phash_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DCT-pHash certificate over the REAL codec: encode the
+    closed-form image to PNG bytes, decode with the real decoder,
+    integer-DCT-hash the pixels, count signature collisions.  The
+    oracle recomputes all 64 bits per document from the pixel model +
+    the shared integer cosine table in SQL — every stage (scanline
+    unfilter, box resample, transform, median, bit order) is
+    value-hash-checked.  Near-duplicate robustness (resized images
+    landing within small Hamming distance while distinct images stay
+    far) is asserted in tests/test_multimodal.py; re-encoded images
+    (any scanline filter) hash IDENTICALLY because decode is
+    pixel-exact."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = phash_dct_signatures(attach_png_payload(docs))
+    return sigs.select(
+        "doc_id",
+        "phash",
+        F.count("*").over(W.partitionBy("phash")).alias("n_same_hash"),
+    ).orderBy("doc_id")

@@ -131,3 +131,73 @@ def test_frame_fanout_count(spark):
     }
     for doc_id, text in payloads.items():
         assert per_doc[doc_id] == 1 + len(text.encode()) // FRAME_BYTES
+
+
+def _smooth_image(seed: int, w: int = 48, h: int = 40) -> np.ndarray:
+    """Deterministic natural-image-like content: a few low/mid
+    frequency cosine components with decaying amplitude.  The corpus's
+    mod-256 sawtooth model is deliberately adversarial for perceptual
+    hashing (aliasing noise), so robustness is asserted on content the
+    hash is designed for."""
+    rng = np.random.default_rng(seed)
+    comps = rng.uniform(0.5, 4.0, (6, 2))
+    phs = rng.uniform(0, 2 * np.pi, (6, 2))
+    amps = 50 / (1 + np.arange(6))
+    x = np.linspace(0, 2 * np.pi, w)[None, :]
+    y = np.linspace(0, 2 * np.pi, h)[:, None]
+    img = 128 + sum(
+        a * (np.cos(f[0] * x + p[0]) * np.cos(f[1] * y + p[1]))
+        for a, f, p in zip(amps, comps, phs)
+    )
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def _hamming(a: str, b: str) -> int:
+    return sum(x != y for x, y in zip(a, b))
+
+
+def test_phash_dct_reencode_is_exact():
+    """Re-encoding with any scanline filter must hash IDENTICALLY —
+    decode is pixel-exact, so re-encoded duplicates group with their
+    originals at Hamming distance zero."""
+    from mcp_server_vector_search_spark.sources.multimodal import (
+        phash_dct_bits,
+    )
+
+    for d in range(0, 25, 5):
+        img = synthetic_image(d)
+        base = phash_dct_bits(img)
+        for flt in range(5):
+            rt = decode_png(encode_png(img, filter_type=flt))
+            assert phash_dct_bits(rt) == base
+
+
+def test_phash_dct_resize_robustness():
+    """Planted near-duplicates (same image at 3/4 scale) stay within
+    small Hamming distance of their originals, while distinct images
+    stay far — the grouping property that makes the DCT hash a NEAR-dup
+    tool where aHash point sampling is an exact-dup tool."""
+    import itertools
+
+    from mcp_server_vector_search_spark.sources.multimodal import (
+        phash_dct_bits,
+    )
+
+    seeds = list(range(12))
+    sigs = {s: phash_dct_bits(_smooth_image(s)) for s in seeds}
+    for s in seeds:
+        resized = nn_resize(_smooth_image(s), 36, 30)
+        assert _hamming(sigs[s], phash_dct_bits(resized)) <= 12
+    for a, b in itertools.combinations(seeds, 2):
+        assert _hamming(sigs[a], sigs[b]) >= 16
+
+
+def test_phash_dct_rejects_undersized_and_rgb():
+    from mcp_server_vector_search_spark.sources.multimodal import (
+        box_resize_scaled,
+    )
+
+    with pytest.raises(ValueError):
+        box_resize_scaled(np.zeros((8, 20), dtype=np.uint8))
+    with pytest.raises(ValueError):
+        box_resize_scaled(np.zeros((20, 20, 3), dtype=np.uint8))
