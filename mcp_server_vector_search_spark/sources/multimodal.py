@@ -509,3 +509,285 @@ def q_multimodal_phash_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "phash",
         F.count("*").over(W.partitionBy("phash")).alias("n_same_hash"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Mixed-format corpus (VERDICT r6 task 5): PNG + PGM + baseline JPEG.
+# PNG/PGM are lossless (pixels = the closed-form model); JPEG is lossy
+# but its integer transform makes the decoded pixels a CLOSED-FORM
+# function of the model, so every format stays value-hash-certified.
+# decode_any is the format-dispatch seam a PIL/libvips deployment
+# replaces wholesale (same mapInPandas slot, same magic-byte sniff).
+# ---------------------------------------------------------------------------
+
+from ..functions.jpeg import (  # noqa: E402
+    FDCT_DEN,
+    JCOS,
+    QTABLE,
+    decode_jpeg,
+    encode_jpeg,
+)
+from ..functions.pgm import decode_pgm, encode_pgm  # noqa: E402
+
+_JPEG_HALF = FDCT_DEN // 2
+
+
+def doc_format(doc_id: int) -> str:
+    return ("png", "pgm", "jpeg")[doc_id % 3]
+
+
+def encode_any(arr: np.ndarray, fmt: str, doc_id: int) -> bytes:
+    if fmt == "png":
+        return encode_png(arr, filter_type=doc_id % 5)
+    if fmt == "pgm":
+        return encode_pgm(arr)
+    return encode_jpeg(arr)
+
+
+def decode_any(payload: bytes) -> np.ndarray:
+    """Magic-byte dispatch over the three real codecs — the seam where
+    a production pipeline drops in PIL/libvips."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(payload)
+    if payload[:2] == b"P5":
+        return decode_pgm(payload)
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload)
+    raise ValueError(f"unknown image container (head {payload[:4]!r})")
+
+
+def attach_mixed_payload(documents: DataFrame) -> DataFrame:
+    """One real image file per document, container by doc_id % 3."""
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                fmt = doc_format(d)
+                fmts.append(fmt)
+                payloads.append(encode_any(synthetic_image(d), fmt, d))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "fmt": fmts, "payload": payloads}
+            )
+
+    return spread(documents.select("doc_id")).mapInPandas(
+        encode_batches, schema="doc_id long, fmt string, payload binary"
+    )
+
+
+def attach_jpeg_payload(documents: DataFrame) -> DataFrame:
+    """Every document as a real baseline JPEG (for the roundtrip
+    certificate, which wants the lossy path on every row)."""
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        encode_jpeg(synthetic_image(int(d))) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return spread(documents.select("doc_id")).mapInPandas(
+        encode_batches, schema="doc_id long, payload binary"
+    )
+
+
+def _jcos_values_sql() -> str:
+    return ",\n  ".join(
+        f"({u}, {x}, {c})" for u, row in enumerate(JCOS) for x, c in enumerate(row)
+    )
+
+
+def _qt_values_sql() -> str:
+    return ",\n  ".join(
+        f"({i // 8}, {i % 8}, CAST({q} AS BIGINT))" for i, q in enumerate(QTABLE)
+    )
+
+
+def _jpeg_pixels_ctes(doc_filter: str = "TRUE") -> str:
+    """The shared oracle fragment predicting every JPEG-decoded pixel:
+    pad(edge-replicate) → integer FDCT → quantize(round half away from
+    zero, on absolute values so DuckDB trunc-div and Python floor-div
+    agree) → dequantize → integer IDCT → clamp.  The entropy layer
+    (zigzag, DC prediction, Huffman, byte stuffing) is lossless and
+    cancels — which is exactly why a Spark/oracle hash match certifies
+    the REAL bitstream decode on the Spark side."""
+    return f"""jcos(u, x, c) AS (VALUES
+  {_jcos_values_sql()}
+),
+qt(u, v, q) AS (VALUES
+  {_qt_values_sql()}
+),
+jdims AS (
+  SELECT doc_id, 16 + doc_id % 17 AS w, 16 + doc_id % 13 AS h
+  FROM documents WHERE {doc_filter}
+),
+jpx AS (
+  SELECT d.doc_id, d.w, d.h, t.x, u_.y,
+         (d.doc_id * 31 + LEAST(t.x, d.w - 1) * 7 + LEAST(u_.y, d.h - 1) * 13)
+           % 256 - 128 AS b
+  FROM jdims d,
+       UNNEST(range(0, ((d.w + 7) // 8) * 8)) AS t(x),
+       UNNEST(range(0, ((d.h + 7) // 8) * 8)) AS u_(y)
+),
+fdct AS (
+  SELECT jpx.doc_id, jpx.x // 8 AS bx, jpx.y // 8 AS by, cu.u AS u, cv.u AS v,
+         CAST(SUM(jpx.b * cu.c * cv.c) AS BIGINT) AS f
+  FROM jpx
+  JOIN jcos cu ON cu.x = jpx.x % 8
+  JOIN jcos cv ON cv.x = jpx.y % 8
+  GROUP BY 1, 2, 3, 4, 5
+),
+quant AS (
+  SELECT f.doc_id, f.bx, f.by, f.u, f.v,
+         (CASE WHEN f.f >= 0
+               THEN  ( f.f + (qt.q * {FDCT_DEN}) // 2) // (qt.q * {FDCT_DEN})
+               ELSE -((-f.f + (qt.q * {FDCT_DEN}) // 2) // (qt.q * {FDCT_DEN}))
+          END) * qt.q AS cdeq
+  FROM fdct f JOIN qt ON qt.u = f.u AND qt.v = f.v
+),
+idct AS (
+  SELECT q.doc_id, q.bx, q.by, cx.x AS lx, cy.x AS ly,
+         CAST(SUM(q.cdeq * cx.c * cy.c) AS BIGINT) AS s
+  FROM quant q
+  JOIN jcos cx ON cx.u = q.u
+  JOIN jcos cy ON cy.u = q.v
+  GROUP BY 1, 2, 3, 4, 5
+),
+jpixels AS (
+  SELECT i.doc_id, d.w, d.h,
+         i.bx * 8 + i.lx AS x, i.by * 8 + i.ly AS y,
+         GREATEST(0, LEAST(255,
+           (CASE WHEN i.s >= 0
+                 THEN  ( i.s + {_JPEG_HALF}) // {FDCT_DEN}
+                 ELSE -((-i.s + {_JPEG_HALF}) // {FDCT_DEN})
+            END) + 128)) AS p
+  FROM idct i JOIN jdims d USING (doc_id)
+)"""
+
+
+@register(
+    "multimodal_jpeg_roundtrip",
+    oracle=f"""
+WITH {_jpeg_pixels_ctes()}
+SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(SUM(p) AS BIGINT) AS px_sum
+FROM jpixels WHERE x < w AND y < h
+GROUP BY doc_id, w, h
+ORDER BY doc_id
+""",
+)
+def q_multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG certificate: encode every document's model image to a REAL
+    baseline-JPEG bitstream (markers, zigzag, DC prediction, standard
+    Annex-K Huffman tables, byte stuffing), decode it with the real
+    decoder, and emit the decoded dimensions and pixel sum.  The
+    oracle predicts the decoded pixels purely from the model + the
+    shared integer transform constants — it never sees the bitstream,
+    so a hash match proves the whole entropy layer is lossless and the
+    transform arithmetic agrees bit-for-bit."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            arrs = [decode_jpeg(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [a.shape[1] for a in arrs],
+                    "height": [a.shape[0] for a in arrs],
+                    "px_sum": [int(a.sum(dtype=np.int64)) for a in arrs],
+                }
+            )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return attach_jpeg_payload(docs).mapInPandas(
+        decode_batches, schema="doc_id long, width int, height int, px_sum long"
+    ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_phash_mixed",
+    oracle=f"""
+WITH {_jpeg_pixels_ctes("doc_id % 3 = 2")},
+icos(u, x, c) AS (VALUES
+  {_icos_values_sql()}
+),
+dims AS (SELECT doc_id, 16 + doc_id % 17 AS w, 16 + doc_id % 13 AS h FROM documents),
+pixels_all AS (
+  SELECT doc_id, w, h, x, y, p FROM jpixels WHERE x < w AND y < h
+  UNION ALL
+  SELECT d.doc_id, d.w, d.h, t.x, u_.y,
+         (d.doc_id * 31 + t.x * 7 + u_.y * 13) % 256 AS p
+  FROM dims d,
+       UNNEST(range(0, 16 + d.doc_id % 17)) AS t(x),
+       UNNEST(range(0, 16 + d.doc_id % 13)) AS u_(y)
+  WHERE d.doc_id % 3 <> 2
+),
+cell AS (
+  SELECT doc_id, (x * {DCT_N}) // w AS cx, (y * {DCT_N}) // h AS cy,
+         (SUM(p) * {DCT_AVG_SCALE}) // COUNT(*) AS pv
+  FROM pixels_all GROUP BY 1, 2, 3
+),
+coef AS (
+  SELECT cell.doc_id, cu.u AS u, cv.u AS v,
+         SUM(cell.pv * cu.c * cv.c) AS c
+  FROM cell
+  JOIN icos cu ON cu.x = cell.cx
+  JOIN icos cv ON cv.x = cell.cy
+  GROUP BY 1, 2, 3
+),
+med AS (
+  SELECT doc_id, quantile_disc(c, 0.5) AS m
+  FROM coef WHERE NOT (u = 0 AND v = 0) GROUP BY doc_id
+),
+sig AS (
+  SELECT coef.doc_id,
+         string_agg(CASE WHEN coef.c > med.m THEN '1' ELSE '0' END, ''
+                    ORDER BY coef.u, coef.v) AS phash
+  FROM coef JOIN med USING (doc_id)
+  GROUP BY coef.doc_id
+)
+SELECT doc_id,
+       CASE (doc_id % 3) WHEN 0 THEN 'png' WHEN 1 THEN 'pgm' ELSE 'jpeg' END AS fmt,
+       phash,
+       COUNT(*) OVER (PARTITION BY phash) AS n_same_hash
+FROM sig
+ORDER BY doc_id
+""",
+)
+def q_multimodal_phash_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pHash certificate over a MIXED-format corpus: PNG, PGM and
+    baseline-JPEG payloads side by side, decoded through the
+    magic-byte dispatch (``decode_any``) and DCT-hashed identically.
+    PNG/PGM docs hash the exact model pixels; JPEG docs hash the
+    lossy-roundtrip pixels the oracle independently predicts through
+    the integer transform chain.  One wrong branch in the dispatch, a
+    codec, or the JPEG arithmetic breaks the value hash."""
+    from pyspark.sql import Window as W
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fmt": pdf["fmt"],
+                    "phash": [
+                        phash_dct_bits(decode_any(p)) for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = attach_mixed_payload(docs).mapInPandas(
+        hash_batches, schema="doc_id long, fmt string, phash string"
+    )
+    return sigs.select(
+        "doc_id",
+        "fmt",
+        "phash",
+        F.count("*").over(W.partitionBy("phash")).alias("n_same_hash"),
+    ).orderBy("doc_id")

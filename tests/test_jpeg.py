@@ -1,0 +1,96 @@
+"""Baseline JPEG codec: bitstream structure, roundtrip-vs-prediction
+exactness (which certifies the entropy layer), lossy error bounds, and
+the mixed-format dispatch."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from mcp_server_vector_search_spark.functions.jpeg import (
+    AC_BITS,
+    AC_VALS,
+    DC_BITS,
+    decode_jpeg,
+    encode_jpeg,
+    predict_decoded,
+)
+from mcp_server_vector_search_spark.functions.pgm import decode_pgm, encode_pgm
+from mcp_server_vector_search_spark.sources.multimodal import (
+    decode_any,
+    doc_format,
+    synthetic_image,
+)
+
+
+def test_jpeg_marker_structure():
+    """SOI, DQT, SOF0, two DHTs, SOS, EOI — a spec-shaped baseline
+    file any standard decoder would accept."""
+    payload = encode_jpeg(synthetic_image(7))
+    assert payload[:2] == b"\xff\xd8" and payload[-2:] == b"\xff\xd9"
+    for marker in (b"\xff\xdb", b"\xff\xc0", b"\xff\xc4", b"\xff\xda"):
+        assert marker in payload
+    # SOF0 carries the true dimensions
+    i = payload.index(b"\xff\xc0")
+    h = int.from_bytes(payload[i + 5 : i + 7], "big")
+    w = int.from_bytes(payload[i + 7 : i + 9], "big")
+    img = synthetic_image(7)
+    assert (h, w) == img.shape
+    # standard Annex K Huffman tables are emitted verbatim
+    assert bytes(DC_BITS) in payload and bytes(AC_BITS) in payload
+    assert bytes(AC_VALS) in payload
+
+
+@pytest.mark.parametrize("doc_id", [0, 1, 5, 13, 17, 38, 221])
+def test_jpeg_roundtrip_equals_prediction(doc_id):
+    """decode(encode(x)) must equal the closed-form transform
+    prediction EXACTLY — the bitstream (zigzag, DC prediction, Huffman,
+    byte stuffing) is lossless, so any discrepancy is an entropy-layer
+    bug."""
+    img = synthetic_image(doc_id)
+    dec = decode_jpeg(encode_jpeg(img))
+    assert dec.shape == img.shape
+    assert np.array_equal(dec, predict_decoded(img))
+
+
+def test_jpeg_is_lossy_but_bounded_on_smooth_content():
+    x = np.linspace(0, 6, 40)[None, :]
+    y = np.linspace(0, 5, 32)[:, None]
+    img = np.clip(128 + 60 * np.cos(x) * np.cos(y), 0, 255).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(img))
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert 0 < err.max() <= 12  # lossy, but within quantization scale
+
+
+def test_jpeg_byte_stuffing_roundtrips():
+    """A flat 255 image maximizes 0xFF-prone entropy bytes; the decode
+    must unstuff them transparently."""
+    img = np.full((24, 24), 255, dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(img))
+    assert np.array_equal(dec, predict_decoded(img))
+
+
+def test_pgm_roundtrip_exact():
+    img = synthetic_image(4)
+    assert np.array_equal(decode_pgm(encode_pgm(img)), img)
+
+
+def test_decode_any_dispatch():
+    for d in range(6):
+        img = synthetic_image(d)
+        fmt = doc_format(d)
+        from mcp_server_vector_search_spark.sources.multimodal import encode_any
+
+        payload = encode_any(img, fmt, d)
+        dec = decode_any(payload)
+        if fmt == "jpeg":
+            assert np.array_equal(dec, predict_decoded(img))
+        else:
+            assert np.array_equal(dec, img)
+    with pytest.raises(ValueError):
+        decode_any(b"\x00\x01\x02\x03garbage")
+
+
+def test_jpeg_rejects_rgb():
+    with pytest.raises(ValueError):
+        encode_jpeg(np.zeros((16, 16, 3), dtype=np.uint8))

@@ -72,6 +72,9 @@ ARROW_OK = {
     "multimodal_metadata",
     "multimodal_resize",  # stubbed codec over mapInPandas (by design)
     "multimodal_phash_dedup",  # real PNG decode + aHash over mapInPandas (by design)
+    "multimodal_phash_dct",  # real PNG decode + integer-DCT hash (by design)
+    "multimodal_phash_mixed",  # PNG/PGM/JPEG dispatch + DCT hash (by design)
+    "multimodal_jpeg_roundtrip",  # real baseline-JPEG encode+decode (by design)
     "udf_grouped_map_zscore",  # grouped-map applyInPandas demo (by design)
 }
 
