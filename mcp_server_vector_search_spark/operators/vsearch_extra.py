@@ -44,13 +44,16 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.train import ORACLE_SF_DIR, load_sorted_vectors
+from ..functions.train import ORACLE_SF_DIR, load_sorted_vectors, sql_floats
 from ..functions.vector import neo4j_score, vector_lit
 from ..registry import register
 from ..sources.tables import load_table
 from .ann import (
+    ASSIGN_DECIMALS,
+    N_CENTROIDS,
     NPROBE,
     TRAIN_SAMPLE,
+    UPSERT_FRACTION,
     ivf_assign_sql,
     load_or_build_ivf_index,
     nearest_centroids,
@@ -706,6 +709,194 @@ def q_ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cell_frac_micro"),
     ).orderBy("centroid_id")
+
+
+# ---------------------------------------------------------------------------
+# Index-maintenance trigger (VERDICT r6 task 8): stats → decision →
+# work list.  ann_index_stats is the monitoring view; THIS operator is
+# the decision it feeds — flag cells breaching balance bounds after an
+# upsert batch, and emit the rewrite work list ann_ivf_upsert_cells
+# consumes (old cells of updated ids ∪ their new cells ∪ flagged).
+# ---------------------------------------------------------------------------
+
+# Integer balance rules (no float thresholds to diverge):
+#   overfull : n_vectors * n_centroids * OVER_DEN > total * OVER_NUM
+#              (cell share > OVER_NUM/OVER_DEN of the fair 1/n share)
+#   underfull: n_vectors * n_centroids * UNDER_DEN < total
+#              (cell share < 1/(n * UNDER_DEN) — merge candidate)
+BAL_OVER_NUM, BAL_OVER_DEN = 3, 2  # flag above 1.5x fair share
+BAL_UNDER_DEN = 2  # flag below half the fair share
+
+
+def _balance_flag(n_col, total_col, n_centroids: int):
+    over = n_col * n_centroids * BAL_OVER_DEN > total_col * BAL_OVER_NUM
+    under = n_col * n_centroids * BAL_UNDER_DEN < total_col
+    return F.when(over, F.lit("overfull")).when(under, F.lit("underfull")).otherwise(
+        F.lit("ok")
+    )
+
+
+def maintenance_plan(assigned_old: DataFrame, assigned_new: DataFrame) -> DataFrame:
+    """Per-cell decision row from the pre-/post-upsert assignments:
+    counts, updated counts, balance flag on the POST state, and the
+    work-list bit (``needs_rewrite``) = cell gained or lost updated
+    rows OR breached a balance bound.  Both inputs carry
+    (vec_id, centroid_id, upd); the plan is two 16-row aggregates and a
+    16-row outer join — decision cost is O(n_centroids), never
+    O(corpus)."""
+    from pyspark.sql import Window as W
+
+    post = assigned_new.groupBy("centroid_id").agg(
+        F.count("*").alias("n_vectors"),
+        F.sum("upd").cast("long").alias("n_updated"),
+    )
+    lost = (
+        assigned_old.where(F.col("upd") == 1)
+        .groupBy("centroid_id")
+        .agg(F.count("*").alias("n_lost"))
+    )
+    total = W.partitionBy()
+    n_centroids_lit = F.lit(N_CENTROIDS)
+    joined = (
+        post.join(lost, "centroid_id", "full")
+        .select(
+            "centroid_id",
+            F.coalesce("n_vectors", F.lit(0)).alias("n_vectors"),
+            F.coalesce("n_updated", F.lit(0)).alias("n_updated"),
+            F.coalesce("n_lost", F.lit(0)).alias("n_lost"),
+        )
+        .withColumn("total", F.sum("n_vectors").over(total))
+    )
+    flag = _balance_flag(F.col("n_vectors"), F.col("total"), N_CENTROIDS)
+    return joined.select(
+        "centroid_id",
+        "n_vectors",
+        "n_updated",
+        "n_lost",
+        F.round(F.col("n_vectors") * MICRO / F.col("total"))
+        .cast("long")
+        .alias("cell_frac_micro"),
+        flag.alias("flag"),
+        (
+            (F.col("n_updated") > 0)
+            | (F.col("n_lost") > 0)
+            | (flag != F.lit("ok"))
+        ).alias("needs_rewrite"),
+    ).orderBy("centroid_id")
+
+
+def _maintenance_oracle() -> str | None:
+    try:
+        _, x = load_sorted_vectors(ORACLE_SF_DIR)
+    except Exception:  # pragma: no cover - testdata absent
+        return None
+    cents = train_centroids([list(v) for v in x[:TRAIN_SAMPLE]])
+    n = len(cents)
+    values = ",\n  ".join(
+        f"({i}, {sql_floats(c)}::DOUBLE[])" for i, c in enumerate(cents)
+    )
+    return f"""
+WITH cut AS (
+  SELECT CAST(FLOOR({UPSERT_FRACTION} * MAX(vec_id)) AS BIGINT) AS c
+  FROM embeddings
+),
+cents(cid, cv) AS (VALUES
+  {values}
+),
+eff AS (
+  SELECT vec_id,
+         CASE WHEN vec_id >= cut.c THEN list_reverse(embedding::DOUBLE[])
+              ELSE embedding::DOUBLE[] END AS v,
+         embedding::DOUBLE[] AS v_old,
+         CASE WHEN vec_id >= cut.c THEN 1 ELSE 0 END AS upd
+  FROM embeddings, cut
+),
+assign_new AS (
+  SELECT vec_id, upd, cid AS centroid_id FROM (
+    SELECT e.vec_id, e.upd, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             ROUND(list_dot_product(e.v, c.cv)
+                   / sqrt(list_dot_product(e.v, e.v)), {ASSIGN_DECIMALS}) DESC,
+             c.cid) AS rn
+    FROM eff e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+assign_old AS (
+  SELECT vec_id, upd, cid AS centroid_id FROM (
+    SELECT e.vec_id, e.upd, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             ROUND(list_dot_product(e.v_old, c.cv)
+                   / sqrt(list_dot_product(e.v_old, e.v_old)), {ASSIGN_DECIMALS}) DESC,
+             c.cid) AS rn
+    FROM eff e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+post AS (
+  SELECT centroid_id, COUNT(*) AS n_vectors,
+         CAST(SUM(upd) AS BIGINT) AS n_updated
+  FROM assign_new GROUP BY centroid_id
+),
+lost AS (
+  SELECT centroid_id, COUNT(*) AS n_lost
+  FROM assign_old WHERE upd = 1 GROUP BY centroid_id
+),
+joined AS (
+  SELECT COALESCE(p.centroid_id, l.centroid_id) AS centroid_id,
+         COALESCE(p.n_vectors, 0) AS n_vectors,
+         COALESCE(p.n_updated, 0) AS n_updated,
+         COALESCE(l.n_lost, 0) AS n_lost,
+         SUM(COALESCE(p.n_vectors, 0)) OVER () AS total
+  FROM post p FULL OUTER JOIN lost l ON p.centroid_id = l.centroid_id
+)
+SELECT CAST(centroid_id AS INTEGER) AS centroid_id,
+       n_vectors, n_updated, CAST(n_lost AS BIGINT) AS n_lost,
+       CAST(ROUND(n_vectors * {MICRO} / total) AS BIGINT) AS cell_frac_micro,
+       CASE WHEN n_vectors * {n} * {BAL_OVER_DEN} > total * {BAL_OVER_NUM}
+              THEN 'overfull'
+            WHEN n_vectors * {n} * {BAL_UNDER_DEN} < total THEN 'underfull'
+            ELSE 'ok' END AS flag,
+       (n_updated > 0 OR n_lost > 0
+        OR n_vectors * {n} * {BAL_OVER_DEN} > total * {BAL_OVER_NUM}
+        OR n_vectors * {n} * {BAL_UNDER_DEN} < total) AS needs_rewrite
+FROM joined
+ORDER BY centroid_id
+"""
+
+
+@register("ann_index_maintenance_plan", oracle=_maintenance_oracle())
+def q_ann_index_maintenance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index-maintenance DECISION operator: after the standard
+    upsert batch (ids >= the UPSERT_FRACTION cut re-embedded as their
+    reversed vector — the same model as ``ann_ivf_upsert_cells``),
+    compute per-cell counts pre and post, flag cells breaching the
+    integer balance bounds, and emit ``needs_rewrite`` — the exact
+    partition list the upsert's delete-and-append must touch.  The
+    oracle recomputes both assignments and every flag from scratch."""
+    from .ann import N_CENTROIDS as _N  # noqa: F401  (documented above)
+    from .ann import UPSERT_FRACTION, assignment_expr, build_ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, cents = build_ivf_index(emb)
+    cut = emb.agg(
+        F.floor(F.lit(UPSERT_FRACTION) * F.max("vec_id")).cast("long").alias("c")
+    )
+    eff = emb.crossJoin(F.broadcast(cut)).select(
+        "vec_id",
+        F.when(F.col("vec_id") >= F.col("c"), F.reverse("embedding"))
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+        F.col("embedding").alias("embedding_old"),
+        (F.col("vec_id") >= F.col("c")).cast("int").alias("upd"),
+    )
+    assigned_new = eff.select(
+        "vec_id", assignment_expr(cents).alias("centroid_id"), "upd"
+    )
+    assigned_old = eff.select(
+        "vec_id",
+        F.col("embedding_old").alias("embedding"),
+        "upd",
+    ).select("vec_id", assignment_expr(cents).alias("centroid_id"), "upd")
+    return maintenance_plan(assigned_old, assigned_new)
 
 
 # ---------------------------------------------------------------------------

@@ -387,3 +387,28 @@ def test_adaptive_filtered_short_when_corpus_starved(spark):
     rows = out.collect()
     assert len(rows) == total
     assert final_np == len(cents)
+
+
+def test_maintenance_skewed_append_triggers_exact_cells(spark):
+    """A skewed upsert (40 re-embedded rows all moving from cell 7 to
+    cell 3 in a balanced 16-cell index) must flag exactly cell 3
+    overfull and put exactly {3, 7} on the rewrite work list — the
+    gaining cell AND the losing cell, nothing else."""
+    base_old = [(i * 100 + c, c, 0) for c in range(16) for i in range(12)]
+    moved_old = [(9000 + i, 7, 1) for i in range(40)]
+    moved_new = [(9000 + i, 3, 1) for i in range(40)]
+    schema = "vec_id long, centroid_id int, upd int"
+    assigned_old = spark.createDataFrame(base_old + moved_old, schema)
+    assigned_new = spark.createDataFrame(base_old + moved_new, schema)
+    plan = {
+        r["centroid_id"]: r
+        for r in vx.maintenance_plan(assigned_old, assigned_new).collect()
+    }
+    assert len(plan) == 16
+    assert plan[3]["flag"] == "overfull" and plan[3]["n_updated"] == 40
+    assert plan[7]["n_lost"] == 40 and plan[7]["flag"] == "ok"
+    rewrite = {c for c, r in plan.items() if r["needs_rewrite"]}
+    assert rewrite == {3, 7}
+    for c, r in plan.items():
+        if c not in (3, 7):
+            assert r["flag"] == "ok" and not r["needs_rewrite"]
