@@ -48,64 +48,90 @@ N_CLUSTERS = 32
 CLUSTER_NOISE = 0.1
 PAIR_NOISE = 0.002
 
+# 100x tier (VERDICT r6 task 9): one more order of magnitude, opt-in
+# (tests/test_scale_100x.py).  Cluster count scales with n — the
+# SemDeDup/IVF posture at 100 TB is vectors-per-cell ~constant, cells
+# ∝ corpus — so the planted structure keeps the same local density.
+SCALE100_DIR = Path("/tmp/spark_graft_scale100x_v1")
+N_BASE_100 = 489_000
+N_NEAR_PAIRS_100 = 10_000
+N_EXACT_DUPS_100 = 1_000
+N_VECS_BASE_100 = 198_000
+N_VEC_PAIRS_100 = 2_000
+N_CLUSTERS_100 = 320
+
 STOPWORDS = ["the", "a", "of", "and", "to", "in"]
 LANGS = ["en", "de", "fr", "es", "zh"]
 
 
-def _build_documents(rng: np.random.Generator) -> dict:
+def _build_documents(
+    rng: np.random.Generator,
+    out_dir: Path,
+    n_base: int = N_BASE,
+    n_near: int = N_NEAR_PAIRS,
+    n_exact: int = N_EXACT_DUPS,
+) -> dict:
     vocab = np.array([f"w{i}" for i in range(2500)] + STOPWORDS * 60)
     texts: list[str] = []
-    lengths = rng.integers(30, 81, size=N_BASE)
+    lengths = rng.integers(30, 81, size=n_base)
     for n in lengths:
         texts.append(" ".join(rng.choice(vocab, size=int(n))))
     near_pairs: list[tuple[int, int]] = []
-    # near-dup: source doc + ONE appended token (ids N_BASE..)
-    for i in range(N_NEAR_PAIRS):
-        src = i  # base ids 0..999
+    # near-dup: source doc + ONE appended token (ids n_base..)
+    for i in range(n_near):
+        src = i  # base ids 0..n_near-1
         texts.append(texts[src] + " " + str(rng.choice(vocab)))
-        near_pairs.append((src, N_BASE + i))
+        near_pairs.append((src, n_base + i))
     exact_pairs: list[tuple[int, int]] = []
-    for i in range(N_EXACT_DUPS):
+    for i in range(n_exact):
         src = 2000 + i
         texts.append(texts[src])
-        exact_pairs.append((src, N_BASE + N_NEAR_PAIRS + i))
-    doc_ids = np.arange(N_DOCS, dtype=np.int64)
+        exact_pairs.append((src, n_base + n_near + i))
+    n_docs = n_base + n_near + n_exact
+    doc_ids = np.arange(n_docs, dtype=np.int64)
     tbl = pa.table(
         {
             "doc_id": doc_ids,
             "text": texts,
-            "lang": [LANGS[i % len(LANGS)] for i in range(N_DOCS)],
-            "source": [f"src{i % 20}" for i in range(N_DOCS)],
+            "lang": [LANGS[i % len(LANGS)] for i in range(n_docs)],
+            "source": [f"src{i % 20}" for i in range(n_docs)],
             "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
         }
     )
-    pq.write_table(tbl, SCALE_DIR / "documents.parquet")
+    pq.write_table(tbl, out_dir / "documents.parquet")
     return {"near_pairs": near_pairs, "exact_pairs": exact_pairs}
 
 
-def _build_embeddings(rng: np.random.Generator) -> dict:
-    centers = rng.normal(size=(N_CLUSTERS, DIM))
+def _build_embeddings(
+    rng: np.random.Generator,
+    out_dir: Path,
+    n_vecs_base: int = N_VECS_BASE,
+    n_vec_pairs: int = N_VEC_PAIRS,
+    n_clusters: int = N_CLUSTERS,
+) -> dict:
+    centers = rng.normal(size=(n_clusters, DIM))
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
-    labels = rng.integers(0, N_CLUSTERS, size=N_VECS_BASE)
-    vecs = centers[labels] + rng.normal(scale=CLUSTER_NOISE, size=(N_VECS_BASE, DIM))
+    labels = rng.integers(0, n_clusters, size=n_vecs_base)
+    vecs = centers[labels] + rng.normal(scale=CLUSTER_NOISE, size=(n_vecs_base, DIM))
     vec_pairs: list[tuple[int, int]] = []
-    extra = np.empty((N_VEC_PAIRS, DIM))
-    extra_labels = np.empty(N_VEC_PAIRS, dtype=np.int64)
-    for i in range(N_VEC_PAIRS):
+    extra = np.empty((n_vec_pairs, DIM))
+    extra_labels = np.empty(n_vec_pairs, dtype=np.int64)
+    for i in range(n_vec_pairs):
         src = i * 7  # spread sources across clusters
         extra[i] = vecs[src] + rng.normal(scale=PAIR_NOISE, size=DIM)
         extra_labels[i] = labels[src]
-        vec_pairs.append((src, N_VECS_BASE + i))
+        vec_pairs.append((src, n_vecs_base + i))
     allv = np.vstack([vecs, extra]).astype(np.float32)
     all_labels = np.concatenate([labels, extra_labels]).astype(np.int32)
+    n_vecs = n_vecs_base + n_vec_pairs
     tbl = pa.table(
         {
-            "vec_id": np.arange(N_VECS, dtype=np.int64),
+            "vec_id": np.arange(n_vecs, dtype=np.int64),
             "embedding": pa.array(list(allv), type=pa.list_(pa.float32())),
             "label": all_labels,
         }
     )
-    pq.write_table(tbl, SCALE_DIR / "embeddings.parquet")
+    pq.write_table(tbl, out_dir / "embeddings.parquet")
     return {"vec_pairs": vec_pairs}
 
 
@@ -116,7 +142,27 @@ def build_scale_corpus() -> dict:
         return json.loads(meta_path.read_text())
     SCALE_DIR.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(SEED)
-    meta = _build_documents(rng)
-    meta.update(_build_embeddings(rng))
+    meta = _build_documents(rng, SCALE_DIR)
+    meta.update(_build_embeddings(rng, SCALE_DIR))
+    meta_path.write_text(json.dumps(meta))
+    return json.loads(meta_path.read_text())
+
+
+def build_scale100_corpus() -> dict:
+    """The opt-in 100x corpus (500k docs / 200k vectors, cluster count
+    scaled 10x so vectors-per-cluster stays constant)."""
+    meta_path = SCALE100_DIR / "planted.json"
+    if meta_path.exists():
+        return json.loads(meta_path.read_text())
+    SCALE100_DIR.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(SEED + 1)
+    meta = _build_documents(
+        rng, SCALE100_DIR, N_BASE_100, N_NEAR_PAIRS_100, N_EXACT_DUPS_100
+    )
+    meta.update(
+        _build_embeddings(
+            rng, SCALE100_DIR, N_VECS_BASE_100, N_VEC_PAIRS_100, N_CLUSTERS_100
+        )
+    )
     meta_path.write_text(json.dumps(meta))
     return json.loads(meta_path.read_text())

@@ -1,0 +1,191 @@
+"""Opt-in 100x stress tier (VERDICT r6 task 9): 500k docs / 200k
+vectors — one order of magnitude past the 10x suite, for the three
+scale-critical families.  Each test asserts BOTH that quality holds
+(planted-pair recall) and that runtime grows ~linearly from the 10x
+tier (ratio well under the 10x data growth squared; a quadratic
+candidate explosion fails the bound immediately).
+
+Opt in with::
+
+    SPARK_GRAFT_SCALE100=1 python -m pytest tests/test_scale_100x.py -m scale100 -q
+
+The recorded green run lives in STRESS_100X.md.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mcp_server_vector_search_spark.sources.tables import load_table
+
+from .scale_corpus import (
+    SCALE100_DIR,
+    SCALE_DIR,
+    build_scale100_corpus,
+    build_scale_corpus,
+)
+
+pytestmark = [
+    pytest.mark.scale100,
+    pytest.mark.skipif(
+        not os.environ.get("SPARK_GRAFT_SCALE100"),
+        reason="100x tier is opt-in: set SPARK_GRAFT_SCALE100=1",
+    ),
+]
+
+# 10x more data; allow 2.5x constant-factor slack (JVM warmup, shuffle
+# rounding, planted-pair growth).  A quadratic stage would come in
+# around 100x and fail by a wide margin.
+LINEAR_SLACK = 25.0
+
+
+@pytest.fixture(scope="module")
+def tiers():
+    meta10 = build_scale_corpus()
+    meta100 = build_scale100_corpus()
+    return (str(SCALE_DIR), meta10), (str(SCALE100_DIR), meta100)
+
+
+def test_incremental_minhash_100x(spark, tiers):
+    """The store-probe incremental MinHash at 500k docs: planted
+    crossing pairs recovered at s-curve recall, exact crossers all
+    found, runtime within the linear bound of the 10x run."""
+    from mcp_server_vector_search_spark.operators.dedup import (
+        MINHASH_VERIFY_T,
+        dedup_incremental_minhash,
+    )
+
+    (d10, _), (d100, meta100) = tiers
+    t0 = time.perf_counter()
+    dedup_incremental_minhash(spark, d10).count()
+    t10 = time.perf_counter() - t0
+    spark.catalog.clearCache()
+
+    cut = (
+        load_table(spark, d100, "documents")
+        .agg(F.floor(0.8 * F.max("doc_id")).cast("long"))
+        .first()[0]
+    )
+    t0 = time.perf_counter()
+    rows = dedup_incremental_minhash(spark, d100).collect()
+    t100 = time.perf_counter() - t0
+    spark.catalog.clearCache()
+
+    got = {(r["corpus_doc"], r["new_doc"]) for r in rows}
+    assert all(r["jaccard"] >= MINHASH_VERIFY_T for r in rows)
+    near = {tuple(p) for p in meta100["near_pairs"] if p[0] < cut <= p[1]}
+    exact = {tuple(p) for p in meta100["exact_pairs"] if p[0] < cut <= p[1]}
+    assert exact <= got
+    recall = len(near & got) / len(near)
+    assert recall >= 0.9, f"100x incremental recall {recall:.3f}"
+    assert t100 <= LINEAR_SLACK * t10, (
+        f"incremental MinHash runtime grew {t100 / t10:.1f}x on 10x data "
+        f"({t10:.1f}s -> {t100:.1f}s) — super-linear"
+    )
+
+
+def test_semdedup_100x(spark, tiers):
+    """SemDeDup with cells scaled ∝ n (the 100 TB posture: vectors per
+    cell ~constant): candidate space stays Σ|cell|² ~linear, planted
+    near-identical pairs dropped with precision 1.0, runtime within the
+    linear bound."""
+    from mcp_server_vector_search_spark.operators.ann import (
+        TRAIN_SAMPLE,
+        assignment_expr,
+        train_centroids,
+    )
+    from mcp_server_vector_search_spark.operators.data_selection import (
+        semdedup_dropped,
+    )
+
+    def run(sf_dir: str, n_cells: int):
+        emb = load_table(spark, sf_dir, "embeddings")
+        sample = [
+            [float(v) for v in r["embedding"]]
+            for r in emb.orderBy("vec_id")
+            .limit(TRAIN_SAMPLE)
+            .select("embedding")
+            .collect()
+        ]
+        cents = train_centroids(sample, n_cells)
+        assigned = emb.withColumn("centroid_id", assignment_expr(cents))
+        t0 = time.perf_counter()
+        dropped = {
+            r["vec_id"]
+            for r in semdedup_dropped(assigned, threshold=0.99).collect()
+        }
+        dt = time.perf_counter() - t0
+        spark.catalog.clearCache()
+        return dropped, dt
+
+    (d10, meta10), (d100, meta100) = tiers
+    _, t10 = run(d10, 100)
+    dropped, t100 = run(d100, 1000)
+    planted = {b for _, b in meta100["vec_pairs"]}
+    assert dropped <= planted, "cluster-mate false drops at 100x"
+    assert len(dropped & planted) / len(planted) >= 0.98
+    assert t100 <= LINEAR_SLACK * t10, (
+        f"SemDeDup runtime grew {t100 / t10:.1f}x on 10x data "
+        f"({t10:.1f}s -> {t100:.1f}s) — the cell-scaling bound failed"
+    )
+
+
+def test_ivfpq_100x(spark, tiers):
+    """IVF-PQ at 200k vectors: recall@10 >= 0.9 vs exact brute force
+    with the rerank pool scaled to ~8% of probed rows, and the
+    query-path runtime (pruned ADC scan + re-rank) within the linear
+    bound of the 10x tier."""
+    from mcp_server_vector_search_spark.operators.ivfpq import (
+        ivfpq_topk,
+        load_or_build_ivfpq_index,
+    )
+
+    def load_vectors(sf_dir):
+        rows = (
+            load_table(spark, sf_dir, "embeddings")
+            .orderBy("vec_id")
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        ids = np.asarray([r[0] for r in rows], dtype=np.int64)
+        V = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
+        return ids, V
+
+    (d10, _), (d100, _) = tiers
+    rng = np.random.default_rng(99)
+
+    def run(sf_dir, rerank, n_queries=3):
+        index, cents, books = load_or_build_ivfpq_index(spark, sf_dir)
+        emb = load_table(spark, sf_dir, "embeddings")
+        ids, V = load_vectors(sf_dir)
+        norms = np.linalg.norm(V, axis=1)
+        recalls, total = [], 0.0
+        for _ in range(n_queries):
+            j = int(rng.integers(0, len(ids)))
+            q = V[j] + rng.normal(scale=0.01, size=V.shape[1])
+            sims = (V @ q) / (norms * np.linalg.norm(q))
+            true_top = set(ids[np.lexsort((ids, -sims))[:10]].tolist())
+            t0 = time.perf_counter()
+            got = {
+                r["vec_id"]
+                for r in ivfpq_topk(
+                    index, emb, cents, books, [float(x) for x in q],
+                    k=10, rerank=rerank,
+                ).collect()
+            }
+            total += time.perf_counter() - t0
+            recalls.append(len(true_top & got) / 10.0)
+        return float(np.mean(recalls)), total / n_queries
+
+    _, q10 = run(d10, rerank=1024)
+    recall, q100 = run(d100, rerank=10_000)
+    assert recall >= 0.9, f"100x IVF-PQ recall@10 {recall:.2f}"
+    assert q100 <= LINEAR_SLACK * q10, (
+        f"IVF-PQ query runtime grew {q100 / q10:.1f}x on 10x data "
+        f"({q10:.1f}s -> {q100:.1f}s) — super-linear"
+    )
