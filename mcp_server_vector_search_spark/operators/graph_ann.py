@@ -444,3 +444,119 @@ def q_ann_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for v in emb.where(F.col("vec_id") == QUERY_VEC_ID).first()["embedding"]
     ]
     return hnsw_topk(index, nodes, hnsw, qvec)
+
+
+# ---------------------------------------------------------------------------
+# Incremental HNSW construction (Malkov & Yashunin 2016, algorithm 1):
+# insert by descending search instead of the O(n^2) batch rebuild.
+# The batch builder above stays the ORACLE-load-bearing path (its
+# determinism contract is simpler); this is the construction that
+# scales to the 10^5-10^6 routing nodes HNSW is built for — cost
+# O(n log n * degree * ef), and the n x n sims matrix is never formed.
+# ---------------------------------------------------------------------------
+
+HNSW_EF_CONSTRUCTION = 32
+
+
+def build_hnsw_incremental(
+    node_vectors: Sequence[Sequence[float]],
+    degree: int = GRAPH_DEGREE,
+    ef_construction: int = HNSW_EF_CONSTRUCTION,
+) -> dict:
+    """Insert nodes one at a time (id order — deterministic): greedy
+    descent through layers above the new node's level, then at each
+    layer it joins, an ef-bounded beam search collects candidates and
+    the ``degree`` best become its out-edges; reverse edges are added
+    and pruned back to ``degree`` (the paper's simple neighbor
+    selection).  Per-insert work touches O(ef * degree * levels)
+    vectors — numpy dot products against candidate sets only, never a
+    full pairwise matrix.
+
+    Same deterministic level assignment (``node_level``) and tie-break
+    conventions (rounded sims, lower id) as the batch builder, so the
+    two structures are directly comparable; the GRAPHS differ (batch
+    sees global k-NN, incremental sees insertion-order approximations
+    — the standard HNSW trade), so this builder is certified by search
+    RECALL parity in tests, not by graph equality."""
+    x = _unit_rows(node_vectors)
+    n = len(x)
+    levels = [node_level(i) for i in range(n)]
+    top_possible = max(levels)
+    graphs: list[dict[int, list[int]]] = [dict() for _ in range(top_possible + 1)]
+
+    def sims_to(i: int, ids: list[int]) -> np.ndarray:
+        return np.round(x[ids] @ x[i], ASSIGN_DECIMALS)
+
+    def layer_beam(i: int, entry: int, lvl: int, ef: int) -> list[int]:
+        """ef-bounded best-first search for node i's neighbors at lvl."""
+        adj = graphs[lvl]
+        visited = {entry}
+        s0 = float(sims_to(i, [entry])[0])
+        cand = [(-s0, entry)]
+        result = [(s0, -entry)]
+        while cand:
+            neg_s, u = heapq.heappop(cand)
+            if len(result) >= ef and -neg_s < result[0][0]:
+                break
+            nbrs = [v for v in adj.get(u, ()) if v not in visited]
+            if not nbrs:
+                continue
+            svals = sims_to(i, nbrs)
+            for v, sv in zip(nbrs, svals):
+                visited.add(v)
+                heapq.heappush(cand, (-float(sv), v))
+                heapq.heappush(result, (float(sv), -v))
+                if len(result) > ef:
+                    heapq.heappop(result)
+        found = sorted(((s, -ni) for s, ni in result), key=lambda t: (-t[0], t[1]))
+        return [v for _, v in found]
+
+    entry: int | None = None
+    entry_level = -1
+    for i in range(n):
+        lvl_i = levels[i]
+        if entry is None:  # first node seeds every layer it reaches
+            for lv in range(lvl_i + 1):
+                graphs[lv][i] = []
+            entry, entry_level = i, lvl_i
+            continue
+        cur = entry
+        # greedy descent above the insertion level
+        for lv in range(entry_level, lvl_i, -1):
+            improved = True
+            while improved:
+                improved = False
+                nbrs = graphs[lv].get(cur, [])
+                if not nbrs:
+                    break
+                svals = sims_to(i, nbrs)
+                s_cur = float(sims_to(i, [cur])[0])
+                best, best_s = cur, s_cur
+                for v, sv in zip(nbrs, svals):
+                    if (sv, -v) > (best_s, -best):
+                        best, best_s = v, float(sv)
+                if best != cur:
+                    cur, improved = best, True
+        # join layers min(entry_level, lvl_i) .. 0
+        for lv in range(min(entry_level, lvl_i), -1, -1):
+            cands = layer_beam(i, cur, lv, ef_construction)
+            nbrs = cands[:degree]
+            graphs[lv][i] = list(nbrs)
+            for v in nbrs:
+                edges = graphs[lv].setdefault(v, [])
+                if i not in edges:
+                    edges.append(i)
+                    if len(edges) > degree:  # prune back to the best
+                        svals = sims_to(v, edges)
+                        order = sorted(
+                            range(len(edges)),
+                            key=lambda j: (-float(svals[j]), edges[j]),
+                        )
+                        graphs[lv][v] = [edges[j] for j in order[:degree]]
+            cur = cands[0] if cands else cur
+        if lvl_i > entry_level:
+            entry, entry_level = i, lvl_i
+    # trim unused upper layers (possible when the max-level node came late)
+    while len(graphs) > 1 and not graphs[-1]:
+        graphs.pop()
+    return {"levels": levels, "graphs": graphs, "entry": entry}

@@ -791,3 +791,120 @@ def q_multimodal_phash_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "phash",
         F.count("*").over(W.partitionBy("phash")).alias("n_same_hash"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Audio modality: real WAV (RIFF PCM16) payloads + frame features.
+# Waveform model (integer, shared verbatim with the SQL oracle):
+#   n_samples = 800 + doc_id % 400         (0.1-0.15 s at 8 kHz)
+#   sample[i] = ((doc_id * 37 + i * 17) % 4001) - 2000   (int16 range)
+# Features are EXACT integers — frame energy is a sum of squares,
+# zero crossings a sign-change count — so no float summation order
+# can diverge between the engines.
+# ---------------------------------------------------------------------------
+
+from ..functions.wav import decode_wav, encode_wav  # noqa: E402
+
+AUDIO_RATE = 8000
+AUDIO_FRAME = 200  # 25 ms frames at 8 kHz — the standard speech hop
+
+
+def synthetic_audio(doc_id: int) -> np.ndarray:
+    n = 800 + doc_id % 400
+    i = np.arange(n, dtype=np.int64)
+    return (((doc_id * 37 + i * 17) % 4001) - 2000).astype(np.int16)
+
+
+def attach_wav_payload(documents: DataFrame) -> DataFrame:
+    """One real mono PCM16 WAV per document."""
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        encode_wav(synthetic_audio(int(d)), AUDIO_RATE)
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return spread(documents.select("doc_id")).mapInPandas(
+        encode_batches, schema="doc_id long, payload binary"
+    )
+
+
+def audio_frame_features(with_payload: DataFrame) -> DataFrame:
+    """mapInPandas 1:N fan-out: decode the WAV, split into
+    ``AUDIO_FRAME``-sample frames (tail partial frame kept), and emit
+    per-frame integer features: energy = Σ s², zero crossings =
+    #(i>frame start: sign(s[i]) != sign(s[i-1])) with sign(0) counted
+    as non-negative.  The batch shape (decode once, window with numpy,
+    emit frames columnar) is the standard speech-pipeline front end —
+    a real featurizer (FBANK/MFCC) drops into the same slot."""
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, energies, zcs, rates = [], [], [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                s, rate = decode_wav(p)
+                s64 = s.astype(np.int64)
+                nonneg = s64 >= 0
+                n_frames = (len(s64) + AUDIO_FRAME - 1) // AUDIO_FRAME
+                for k in range(n_frames):
+                    f = s64[k * AUDIO_FRAME : (k + 1) * AUDIO_FRAME]
+                    fn = nonneg[k * AUDIO_FRAME : (k + 1) * AUDIO_FRAME]
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    energies.append(int((f * f).sum()))
+                    zcs.append(int((fn[1:] != fn[:-1]).sum()))
+                    rates.append(rate)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "energy": energies,
+                    "zero_crossings": zcs,
+                    "rate": rates,
+                }
+            )
+
+    return with_payload.mapInPandas(
+        frame_batches,
+        schema="doc_id long, frame_idx int, energy long, zero_crossings int, rate int",
+    )
+
+
+@register(
+    "multimodal_audio_features",
+    oracle=f"""
+WITH samples AS (
+  SELECT d.doc_id, t.i,
+         ((d.doc_id * 37 + t.i * 17) % 4001) - 2000 AS s
+  FROM documents d,
+       UNNEST(range(0, 800 + d.doc_id % 400)) AS t(i)
+)
+SELECT doc_id,
+       CAST(i // {AUDIO_FRAME} AS INTEGER) AS frame_idx,
+       CAST(SUM(s * s) AS BIGINT) AS energy,
+       CAST(SUM(CASE WHEN i % {AUDIO_FRAME} > 0
+                      AND (s >= 0) <> ((((doc_id * 37 + (i - 1) * 17) % 4001) - 2000) >= 0)
+                     THEN 1 ELSE 0 END) AS INTEGER) AS zero_crossings,
+       {AUDIO_RATE} AS rate
+FROM samples
+GROUP BY doc_id, i // {AUDIO_FRAME}
+ORDER BY doc_id, frame_idx
+""",
+)
+def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio front end over REAL WAV files: encode the integer waveform
+    model to RIFF PCM16 bytes, decode with the real chunk-walking
+    parser, frame, and emit exact-integer energy + zero-crossing
+    features.  The oracle recomputes every frame straight from the
+    waveform model — a wrong header field, byte order, or frame
+    boundary breaks the value hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_frame_features(attach_wav_payload(docs)).orderBy(
+        "doc_id", "frame_idx"
+    )

@@ -153,3 +153,51 @@ def test_hnsw_matches_flat_probes_at_fixture_scale():
         flat = beam_search(nodes.tolist(), g, q.tolist())
         layered = graph_ann.hnsw_search(nodes.tolist(), h, q.tolist())
         assert set(layered) == set(flat)
+
+
+def test_hnsw_incremental_build_recall_parity_and_subquadratic():
+    """The insertion-based builder (paper algorithm 1) must match the
+    batch builder's search recall while its build cost grows
+    SUB-quadratically — the batch rebuild's n^2 sims are exactly what
+    it exists to avoid (at 10^6 routing nodes the pairwise matrix is
+    unbuildable)."""
+    import time
+
+    rng = np.random.default_rng(7)
+    hits = {}
+    times = {"batch": {}, "incr": {}}
+    for n in [512, 2048]:
+        X = rng.normal(size=(n, 16))
+        X /= np.linalg.norm(X, axis=1, keepdims=True)
+        Xl = X.tolist()
+        t0 = time.perf_counter()
+        hb = graph_ann.build_hnsw(Xl, degree=8)
+        times["batch"][n] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        hi = graph_ann.build_hnsw_incremental(Xl, degree=8)
+        times["incr"][n] = time.perf_counter() - t0
+        bh = ih = 0
+        for _ in range(20):
+            q = rng.normal(size=16)
+            q /= np.linalg.norm(q)
+            best = int(np.argmax(np.round(X @ q, 6)))
+            bp, _ = graph_ann.hnsw_search_stats(Xl, hb, q.tolist(), 10, 16)
+            ip, _ = graph_ann.hnsw_search_stats(Xl, hi, q.tolist(), 10, 16)
+            bh += best in bp
+            ih += best in ip
+        hits[n] = (bh, ih)
+    # recall parity: the incremental graph navigates no worse than
+    # batch minus small noise
+    for n, (bh, ih) in hits.items():
+        assert ih >= bh - 3, (n, hits)
+    # sub-quadratic growth: batch cost ratio over 4x nodes should be
+    # ~16x; incremental must grow strictly slower
+    batch_ratio = times["batch"][2048] / max(times["batch"][512], 1e-6)
+    incr_ratio = times["incr"][2048] / max(times["incr"][512], 1e-6)
+    assert incr_ratio < 0.75 * batch_ratio, (times, batch_ratio, incr_ratio)
+    # structural invariants: bounded degree, nested membership
+    for lvl, adj in enumerate(hi["graphs"]):
+        for u, nbrs in adj.items():
+            assert len(nbrs) <= 8 and u not in nbrs
+        if lvl > 0:
+            assert set(adj) <= set(hi["graphs"][lvl - 1])

@@ -94,3 +94,51 @@ def test_decode_any_dispatch():
 def test_jpeg_rejects_rgb():
     with pytest.raises(ValueError):
         encode_jpeg(np.zeros((16, 16, 3), dtype=np.uint8))
+
+
+def test_wav_header_fields():
+    import struct
+
+    from mcp_server_vector_search_spark.functions.wav import encode_wav
+
+    payload = encode_wav(synthetic_audio_ref(3), 8000)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    fmt_at = payload.index(b"fmt ")
+    _, fmt, ch, rate = struct.unpack("<IHHI", payload[fmt_at + 4 : fmt_at + 16])
+    assert (fmt, ch, rate) == (1, 1, 8000)
+
+
+def synthetic_audio_ref(d):
+    from mcp_server_vector_search_spark.sources.multimodal import synthetic_audio
+
+    return synthetic_audio(d)
+
+
+def test_wav_decode_skips_extra_chunks():
+    """Real-world WAVs carry LIST/INFO chunks between fmt and data;
+    the chunk walker must skip them (word-aligned) instead of assuming
+    the canonical 44-byte layout."""
+    import struct
+
+    import numpy as np
+
+    from mcp_server_vector_search_spark.functions.wav import (
+        decode_wav,
+        encode_wav,
+    )
+
+    s = synthetic_audio_ref(5)
+    canonical = encode_wav(s, 8000)
+    fmt_chunk = canonical[12:36]
+    data_chunk = canonical[36:]
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd len, padded
+    patched = (
+        b"RIFF"
+        + struct.pack("<I", 4 + len(fmt_chunk) + len(extra) + len(data_chunk))
+        + b"WAVE"
+        + fmt_chunk
+        + extra
+        + data_chunk
+    )
+    s2, rate = decode_wav(patched)
+    assert rate == 8000 and np.array_equal(s, s2)

@@ -55,6 +55,7 @@ BNLJ_OK = {
     "dedup_incremental_minhash",  # same 1-row corpus-cut scalar broadcast
     "agg_hll_mergeable_certificate",  # 1-row exact × 1-row union-estimate
     "dsir_importance_weights",  # 1-row corpus-total scalar over the 64-row bucket table
+    "ann_index_maintenance_plan",  # 1-row upsert-cut scalar broadcast
 }
 
 # Arrow-batched Python (ArrowEvalPython / MapInPandas /
@@ -75,6 +76,7 @@ ARROW_OK = {
     "multimodal_phash_dct",  # real PNG decode + integer-DCT hash (by design)
     "multimodal_phash_mixed",  # PNG/PGM/JPEG dispatch + DCT hash (by design)
     "multimodal_jpeg_roundtrip",  # real baseline-JPEG encode+decode (by design)
+    "multimodal_audio_features",  # real WAV decode + frame features (by design)
     "udf_grouped_map_zscore",  # grouped-map applyInPandas demo (by design)
 }
 
