@@ -608,14 +608,20 @@ def _qt_values_sql() -> str:
     )
 
 
-def _jpeg_pixels_ctes(doc_filter: str = "TRUE") -> str:
+def _jpeg_pixels_ctes(doc_filter: str = "TRUE", frames_expr: str = "1") -> str:
     """The shared oracle fragment predicting every JPEG-decoded pixel:
     pad(edge-replicate) → integer FDCT → quantize(round half away from
     zero, on absolute values so DuckDB trunc-div and Python floor-div
     agree) → dequantize → integer IDCT → clamp.  The entropy layer
     (zigzag, DC prediction, Huffman, byte stuffing) is lossless and
     cancels — which is exactly why a Spark/oracle hash match certifies
-    the REAL bitstream decode on the Spark side."""
+    the REAL bitstream decode on the Spark side.
+
+    ``frames_expr`` is the per-document frame count (in terms of the
+    ``documents`` row ``d``): images pass the default 1 (k pinned to
+    0, the +k*97 model term vanishing), the MJPEG video path passes
+    its frame-count expression and every stage carries the frame key.
+    """
     return f"""jcos(u, x, c) AS (VALUES
   {_jcos_values_sql()}
 ),
@@ -623,27 +629,30 @@ qt(u, v, q) AS (VALUES
   {_qt_values_sql()}
 ),
 jdims AS (
-  SELECT doc_id, 16 + doc_id % 17 AS w, 16 + doc_id % 13 AS h
-  FROM documents WHERE {doc_filter}
+  SELECT d.doc_id, fr.k, 16 + d.doc_id % 17 AS w, 16 + d.doc_id % 13 AS h
+  FROM documents d, UNNEST(range(0, {frames_expr})) AS fr(k)
+  WHERE {doc_filter}
 ),
 jpx AS (
-  SELECT d.doc_id, d.w, d.h, t.x, u_.y,
-         (d.doc_id * 31 + LEAST(t.x, d.w - 1) * 7 + LEAST(u_.y, d.h - 1) * 13)
+  SELECT d.doc_id, d.k, d.w, d.h, t.x, u_.y,
+         (d.doc_id * 31 + d.k * 97
+          + LEAST(t.x, d.w - 1) * 7 + LEAST(u_.y, d.h - 1) * 13)
            % 256 - 128 AS b
   FROM jdims d,
        UNNEST(range(0, ((d.w + 7) // 8) * 8)) AS t(x),
        UNNEST(range(0, ((d.h + 7) // 8) * 8)) AS u_(y)
 ),
 fdct AS (
-  SELECT jpx.doc_id, jpx.x // 8 AS bx, jpx.y // 8 AS by, cu.u AS u, cv.u AS v,
+  SELECT jpx.doc_id, jpx.k, jpx.x // 8 AS bx, jpx.y // 8 AS by,
+         cu.u AS u, cv.u AS v,
          CAST(SUM(jpx.b * cu.c * cv.c) AS BIGINT) AS f
   FROM jpx
   JOIN jcos cu ON cu.x = jpx.x % 8
   JOIN jcos cv ON cv.x = jpx.y % 8
-  GROUP BY 1, 2, 3, 4, 5
+  GROUP BY 1, 2, 3, 4, 5, 6
 ),
 quant AS (
-  SELECT f.doc_id, f.bx, f.by, f.u, f.v,
+  SELECT f.doc_id, f.k, f.bx, f.by, f.u, f.v,
          (CASE WHEN f.f >= 0
                THEN  ( f.f + (qt.q * {FDCT_DEN}) // 2) // (qt.q * {FDCT_DEN})
                ELSE -((-f.f + (qt.q * {FDCT_DEN}) // 2) // (qt.q * {FDCT_DEN}))
@@ -651,22 +660,22 @@ quant AS (
   FROM fdct f JOIN qt ON qt.u = f.u AND qt.v = f.v
 ),
 idct AS (
-  SELECT q.doc_id, q.bx, q.by, cx.x AS lx, cy.x AS ly,
+  SELECT q.doc_id, q.k, q.bx, q.by, cx.x AS lx, cy.x AS ly,
          CAST(SUM(q.cdeq * cx.c * cy.c) AS BIGINT) AS s
   FROM quant q
   JOIN jcos cx ON cx.u = q.u
   JOIN jcos cy ON cy.u = q.v
-  GROUP BY 1, 2, 3, 4, 5
+  GROUP BY 1, 2, 3, 4, 5, 6
 ),
 jpixels AS (
-  SELECT i.doc_id, d.w, d.h,
+  SELECT i.doc_id, i.k, d.w, d.h,
          i.bx * 8 + i.lx AS x, i.by * 8 + i.ly AS y,
          GREATEST(0, LEAST(255,
            (CASE WHEN i.s >= 0
                  THEN  ( i.s + {_JPEG_HALF}) // {FDCT_DEN}
                  ELSE -((-i.s + {_JPEG_HALF}) // {FDCT_DEN})
             END) + 128)) AS p
-  FROM idct i JOIN jdims d USING (doc_id)
+  FROM idct i JOIN jdims d ON d.doc_id = i.doc_id AND d.k = i.k
 )"""
 
 
@@ -908,3 +917,105 @@ def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_frame_features(attach_wav_payload(docs)).orderBy(
         "doc_id", "frame_idx"
     )
+
+
+# ---------------------------------------------------------------------------
+# Real VIDEO path: MJPEG frames in an AVI container (functions/avi.py).
+# Frame model extends the image model with a per-frame term:
+#   frame k pixel[y, x] = (doc_id*31 + k*97 + x*7 + y*13) % 256
+#   n_frames = 2 + doc_id % 3
+# Frames are REAL baseline JPEGs, so the frame pixels are predictable
+# through the same integer transform chain as the still-image path —
+# the video certificate composes container walk + JPEG entropy decode
+# + transform arithmetic into one value hash.
+# ---------------------------------------------------------------------------
+
+from ..functions.avi import decode_mjpeg_avi, encode_mjpeg_avi  # noqa: E402
+
+VIDEO_FPS = 10
+
+
+def synthetic_frame(doc_id: int, k: int) -> np.ndarray:
+    w, h = 16 + doc_id % 17, 16 + doc_id % 13
+    x = (np.arange(w, dtype=np.int64) * 7)[None, :]
+    y = (np.arange(h, dtype=np.int64) * 13)[:, None]
+    return ((doc_id * 31 + k * 97 + x + y) % 256).astype(np.uint8)
+
+
+def video_frame_count(doc_id: int) -> int:
+    return 2 + doc_id % 3
+
+
+def attach_avi_payload(documents: DataFrame) -> DataFrame:
+    """One real MJPEG-AVI clip per document (2-4 JPEG frames)."""
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                frames = [
+                    encode_jpeg(synthetic_frame(d, k))
+                    for k in range(video_frame_count(d))
+                ]
+                img = synthetic_frame(d, 0)
+                payloads.append(
+                    encode_mjpeg_avi(
+                        frames, img.shape[1], img.shape[0], VIDEO_FPS
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return spread(documents.select("doc_id")).mapInPandas(
+        encode_batches, schema="doc_id long, payload binary"
+    )
+
+
+@register(
+    "multimodal_video_frames",
+    oracle=f"""
+WITH {_jpeg_pixels_ctes(frames_expr="2 + d.doc_id % 3")}
+SELECT doc_id, CAST(k AS INTEGER) AS frame_idx,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(SUM(p) AS BIGINT) AS px_sum
+FROM jpixels WHERE x < w AND y < h
+GROUP BY doc_id, k, w, h
+ORDER BY doc_id, frame_idx
+""",
+)
+def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL video path (upgrading the digest stand-in of
+    ``multimodal_frame_sample``): encode each document's frames as
+    baseline JPEGs inside a structurally correct MJPEG AVI, then walk
+    the RIFF movi list, entropy-decode every frame, and emit per-frame
+    decoded dimensions + pixel sums.  The oracle predicts each frame's
+    pixels through the shared integer transform chain keyed by
+    (doc_id, frame) — a wrong chunk offset, frame order, or any JPEG
+    stage breaks the value hash."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ws, hs, sums = [], [], [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                for k, fbytes in enumerate(decode_mjpeg_avi(p)):
+                    arr = decode_jpeg(fbytes)
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    ws.append(arr.shape[1])
+                    hs.append(arr.shape[0])
+                    sums.append(int(arr.sum(dtype=np.int64)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "width": ws,
+                    "height": hs,
+                    "px_sum": sums,
+                }
+            )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return attach_avi_payload(docs).mapInPandas(
+        decode_batches,
+        schema="doc_id long, frame_idx int, width int, height int, px_sum long",
+    ).orderBy("doc_id", "frame_idx")

@@ -142,3 +142,31 @@ def test_wav_decode_skips_extra_chunks():
     )
     s2, rate = decode_wav(patched)
     assert rate == 8000 and np.array_equal(s, s2)
+
+
+def test_mjpeg_avi_container_roundtrip():
+    from mcp_server_vector_search_spark.functions.avi import (
+        decode_mjpeg_avi,
+        encode_mjpeg_avi,
+    )
+    from mcp_server_vector_search_spark.sources.multimodal import (
+        synthetic_frame,
+        video_frame_count,
+    )
+
+    d = 11
+    frames = [
+        encode_jpeg(synthetic_frame(d, k)) for k in range(video_frame_count(d))
+    ]
+    img = synthetic_frame(d, 0)
+    avi = encode_mjpeg_avi(frames, img.shape[1], img.shape[0])
+    assert avi[:4] == b"RIFF" and avi[8:12] == b"AVI "
+    for tag in (b"LIST", b"hdrl", b"movi", b"idx1", b"MJPG", b"00dc"):
+        assert tag in avi
+    out = decode_mjpeg_avi(avi)
+    assert out == frames  # byte-exact frame payloads, in order
+    # and each frame decodes to the predicted pixels
+    for k, fb in enumerate(out):
+        assert np.array_equal(
+            decode_jpeg(fb), predict_decoded(synthetic_frame(d, k))
+        )

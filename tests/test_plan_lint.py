@@ -77,6 +77,7 @@ ARROW_OK = {
     "multimodal_phash_mixed",  # PNG/PGM/JPEG dispatch + DCT hash (by design)
     "multimodal_jpeg_roundtrip",  # real baseline-JPEG encode+decode (by design)
     "multimodal_audio_features",  # real WAV decode + frame features (by design)
+    "multimodal_video_frames",  # real MJPEG-AVI walk + JPEG decode (by design)
     "udf_grouped_map_zscore",  # grouped-map applyInPandas demo (by design)
 }
 
