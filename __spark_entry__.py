@@ -28,60 +28,38 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate samples a bounded prefix of this dict
 # (~50 entries in iteration order).  To maximize UNION coverage across
-# rounds, the r6 prefix leads with queries that NEED a fresh record:
-# the queries r6 added (graph ANN, AQE skew join) or materially changed
-# (real-PNG multimodal, the ADVICE determinism fixes), then every query
-# whose latest driver record is r2 (the oldest cohort — 42 rows), then
-# the r3-latest cohort.  Queries with r4/r5 records rotate to the back.
+# rounds, the r8 prefix leads with the queries that NEED a fresh driver
+# record: the 9 queries r7 added (never driver-checked — VERDICT r7
+# task 1), then the r8-new queries, then the queries whose latest
+# driver record is oldest (r2/r3 cohorts that r7 did not resample).
+# Rotating this prefix is the LAST step of every round.
 _PRIORITY_PREFIX = [
-    # --- r6 new (no driver record yet) ---
-    "ann_filtered_topk",
-    "ann_delete_tombstone",
-    "topk_mmr_diverse",
-    "maxsim_multivector",
-    "semdedup_prune",
-    "dsir_importance_weights",
-    "multimodal_phash_dedup",
-    "quality_perplexity_bigram",
-    "ann_batch_ivf_topk",
-    "ann_index_stats",
-    "events_pagerank_states",
-    "dedup_incremental_minhash",
-    "ann_recall_certificate",
-    # --- r6 new / changed ---
-    "ann_graph_topk",
-    "join_aqe_skew_rewrite",
-    "multimodal_metadata",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "agg_mad_outliers",
-    "udf_grouped_map_zscore",
-    "dedup_jaccard_prefix_filter",
-    "dedup_ngram_containment",
-    "join_bloom_runtime_filter",
-    # --- latest record is r2 ---
-    "flagship_topk_cosine",
-    "vector_scores_all",
-    "vector_distance_library",
-    "topk_per_query_batch",
-    "q1_pricing_summary",
-    "filter_scan_pushdown",
-    "top_n_orders",
-    "join_star_broadcast",
-    "q3_shipping_priority",
-    "q5_regional_revenue",
-    "join_semi_customers_with_orders",
-    "join_anti_customers_without_orders",
-    "join_outer_order_counts",
-    "setops_nation_presence",
-    "window_rank_top3_per_priority",
-    "window_running_and_lag",
-    "window_moving_frame",
-    "scalar_string_functions",
-    "scalar_date_functions",
-    "scalar_math_functions",
-    "scalar_array_functions",
-    "scalar_json_functions",
+    # --- r7 new (no driver record yet — VERDICT r7 task 1) ---
+    "ann_hnsw_topk",
+    "ann_filtered_adaptive",
+    "ann_index_maintenance_plan",
+    "multimodal_phash_dct",
+    "multimodal_jpeg_roundtrip",
+    "multimodal_phash_mixed",
+    "multimodal_audio_features",
+    "multimodal_video_frames",
+    "streaming_tumbling_counts",
+    # --- r8 new (registered this round) ---
+    "multimodal_binaryfile_scan",
+    "ann_hnsw_upsert",
+    "ann_filtered_planned",
+    # --- latest record is r2/r3 and r7 did not resample ---
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q17_small_quantity_avg",
+    "q19_or_predicate_revenue",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+    "source_roundtrip_formats",
+    "sink_partitioned_pruned_scan",
+    "source_schema_evolution",
     "subquery_correlated_above_avg",
     "unpivot_lineitem_measures",
     "q6_revenue_forecast",
@@ -102,18 +80,24 @@ _PRIORITY_PREFIX = [
     "empty_result_guard",
     "setops_multiset_all",
     "window_range_frame",
-    # --- latest record is r3 ---
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_count",
-    "q17_small_quantity_avg",
-    "q19_or_predicate_revenue",
-    "q20_excess_suppliers",
-    "q21_waiting_suppliers",
-    "q22_idle_customers",
-    "source_roundtrip_formats",
-    "sink_partitioned_pruned_scan",
-    "source_schema_evolution",
+    "q1_pricing_summary",
+    "filter_scan_pushdown",
+    "top_n_orders",
+    "join_star_broadcast",
+    "q3_shipping_priority",
+    "q5_regional_revenue",
+    "join_semi_customers_with_orders",
+    "join_anti_customers_without_orders",
+    "join_outer_order_counts",
+    "setops_nation_presence",
+    "window_rank_top3_per_priority",
+    "window_running_and_lag",
+    "window_moving_frame",
+    "scalar_string_functions",
+    "scalar_date_functions",
+    "scalar_math_functions",
+    "scalar_array_functions",
+    "scalar_json_functions",
 ]
 
 

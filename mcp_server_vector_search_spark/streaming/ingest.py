@@ -337,6 +337,16 @@ def q_streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark tests in tests/test_streaming.py).  The stateful-agg
     state and the memory sink hold one row per (window, event_type) —
     bounded by the time span, not the corpus."""
+    _q, name = run_tumbling_stream(spark, sf_dir)
+    return spark.table(name)
+
+
+def run_tumbling_stream(spark: SparkSession, sf_dir: str):
+    """Run the tumbling-count stream to completion; return the finished
+    StreamingQuery handle and the memory-sink table name.  Shared by the
+    gate query above and ``scripts/gen_plans.py``, which renders the
+    executed micro-batch physical plan (StateStoreRestore/Save pair)
+    from the handle via ``explainInternal``."""
     import uuid
 
     stream = read_event_stream(spark, sf_dir)
@@ -352,4 +362,4 @@ def q_streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    return q, name

@@ -296,7 +296,74 @@ SHOWCASE = [
         "cluster — Σ|cluster|² work, not O(n²); the assignment pass is "
         "a map-side JVM expression over the centroid literals.",
     ),
+    (
+        "ann_hnsw_topk",
+        "Layered-HNSW-routed probe: the greedy upper-layer descent + "
+        "layer-0 beam select the cells driver-side (O(degree × layers + "
+        "degree × beam) sims), and the scan half is IDENTICAL to the "
+        "flat NSW family — the probe list arrives as a "
+        "`PartitionFilters` IN-list on the shared node_id-partitioned "
+        "layout.  The hierarchy changes the navigation cost curve "
+        "(logarithmic-ish descent vs the flat walk — measured in "
+        "tests/test_scale_stress.py), never the plan.",
+    ),
+    (
+        "ann_filtered_adaptive",
+        "Starvation recovery: each escalation rung is a pruned COUNT "
+        "over the widened probe set; the final plan is the same filter-"
+        "during-search shape as `ann_filtered_topk` — the predicate "
+        "evaluates in the codegen Filter directly over the columnar "
+        "batch (its `IsNotNull` residue is pushed), probe list as "
+        "`PartitionFilters`.  At the fixture SF the registered "
+        "predicate starves nprobe=10 and one doubling clamps to all 16 "
+        "cells, returning exactly k.",
+    ),
+    (
+        "ann_index_maintenance_plan",
+        "Decision cost is O(n_centroids), never O(corpus): two map-side "
+        "assignment passes (the literal-matrix transform, no Python), "
+        "two 16-row hash aggregates, a 16-row full outer join, and a "
+        "window over 16 rows.  The corpus-scale work — both assignment "
+        "scans — is whole-stage codegen with map-side partial "
+        "aggregation; everything after the first exchange operates on "
+        "n_centroids rows.",
+    ),
+    (
+        "multimodal_jpeg_roundtrip",
+        "Real-JPEG certificate: payload encode and decode are Arrow-"
+        "batched `MapInPandas` stages over a `spread()` scan (CPU-bound "
+        "codec work parallelized across cores); everything after the "
+        "pixel-hash emission is JVM-side.  The oracle predicts every "
+        "decoded pixel through the integer transform chain WITHOUT "
+        "seeing the bitstream, so the hash match certifies the "
+        "marker/Huffman/stuffing entropy layer.",
+    ),
+    (
+        "multimodal_phash_mixed",
+        "Mixed-format image path: one `MapInPandas` slot encodes "
+        "PNG/PGM/JPEG by doc_id%3, a second decodes via magic-byte "
+        "dispatch and emits the DCT pHash; the duplicate count is a "
+        "JVM window over the hash.  At 100 TB the same two slots hold "
+        "PIL/libvips + a `binaryFile` corpus read with identical "
+        "partitioning.",
+    ),
+    (
+        "streaming_tumbling_counts",
+        "A genuine MicroBatchExecution inside the correctness gate: "
+        "file-stream source → stateful hash aggregate (complete mode) → "
+        "memory sink.  The executed micro-batch plan below shows the "
+        "`StateStoreRestore`/`StateStoreSave` pair around the partial/"
+        "merge aggregates and the single REQUIRED_BY_STATEFUL_OPERATOR "
+        "exchange; state is one row per (window, event_type) — bounded "
+        "by the time span, not the corpus.  The aggregation expression "
+        "is byte-identical to the batch `window_tumbling_events` plan.",
+    ),
 ]
+
+# Queries whose evidence is the EXECUTED streaming micro-batch plan,
+# not a batch DataFrame explain (a memory-sink table explains as a
+# bare LocalTableScan).  Rendered via StreamingQuery.explainInternal.
+STREAMING_PLAN = {"streaming_tumbling_counts"}
 
 HEADER = """# PLANS — physical-plan evidence for the scale design
 
@@ -308,6 +375,38 @@ properties are asserted programmatically in `tests/test_plans.py`.
 
 
 _EXPR_ID = re.compile(r"#\d+")
+
+# Run-specific tokens in executed streaming plans (checkpoint tmpdirs,
+# runIds, JVM object hashes, plan ids) — normalized so two renders of
+# the same plan compare equal in the drift test.
+_STREAM_NOISE = [
+    (re.compile(r"file:/[^\s\],]*"), "file:/..."),
+    (re.compile(r"runId = [0-9a-f-]+"), "runId = N"),
+    (re.compile(r"@[0-9a-f]+"), "@N"),
+    (re.compile(r"plan_id=\d+"), "plan_id=N"),
+    # partition counts follow spark.sql.shuffle.partitions, which
+    # differs between the pytest session (8) and gen_plans (32)
+    (re.compile(r"numPartitions = \d+"), "numPartitions = N"),
+    (
+        re.compile(r", \d+\), REQUIRED_BY_STATEFUL_OPERATOR"),
+        ", N), REQUIRED_BY_STATEFUL_OPERATOR",
+    ),
+]
+
+
+def streaming_plan(spark, name: str) -> str:
+    """Executed micro-batch physical plan for a streaming showcase
+    query, with run-specific noise normalized."""
+    from mcp_server_vector_search_spark.streaming.ingest import (
+        run_tumbling_stream,
+    )
+
+    assert name == "streaming_tumbling_counts"
+    q, _table = run_tumbling_stream(spark, SF)
+    plan = q._jsq.explainInternal(False)
+    for pat, repl in _STREAM_NOISE:
+        plan = pat.sub(repl, plan)
+    return plan
 
 
 def render_plans(spark) -> str:
@@ -323,6 +422,11 @@ def render_plans(spark) -> str:
         "might_contain",
     )
     for name, why in SHOWCASE:
+        if name in STREAMING_PLAN:
+            plan = streaming_plan(spark, name)
+            section = f"\n## {name}\n\n{why}\n\n```\n{plan.strip()}\n```\n"
+            parts.append(_EXPR_ID.sub("#N", section))
+            continue
         df = registry.QUERIES[name](spark, SF)
         plan = formatted_plan(df)
         tree = plan.split("\n\n")[0]
