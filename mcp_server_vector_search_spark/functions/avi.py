@@ -56,7 +56,7 @@ def encode_mjpeg_avi(
         b"vids"
         + b"MJPG"
         + struct.pack(
-            "<IHHIIIIIIIII",
+            "<IHHIIIIIIII4h",
             0, 0, 0,  # flags, priority, language, initial frames (packed)
             0,  # initial frames
             1,  # scale
@@ -66,7 +66,7 @@ def encode_mjpeg_avi(
             max(len(f) for f in frames),
             0xFFFFFFFF,  # quality (default)
             0,  # sample size (varies)
-            0,  # rcFrame (packed zeros)
+            0, 0, width, height,  # rcFrame: RECT of four int16s
         ),
     )
     strf = _chunk(

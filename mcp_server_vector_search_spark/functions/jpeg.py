@@ -35,8 +35,12 @@ import numpy as np
 
 JCOS_SCALE = 1 << 13
 # JCOS[u][x] = round( (c(u)/2) * cos(pi*(2x+1)*u/16) * 2^13 ), c(0)=1/sqrt(2):
-# the orthonormal-DCT basis with the 1/4 block normalization folded in,
-# so F_scaled[u,v] = sum_b JCOS[u][x]*JCOS[v][y]*b[y,x] ~= F[u,v] * 2^26.
+# the orthonormal-DCT basis with the 1/4 block normalization folded in.
+# With b[y, x] (row = y vertical, col = x horizontal),
+#   (J @ b @ J.T)[v, u] = sum_{x,y} JCOS[v][y] * JCOS[u][x] * b[y, x]
+#                       ~= S[v][u] * 2^26,
+# the T.81 coefficient layout (first index vertical frequency v, second
+# horizontal u) that ZIGZAG and the Annex K quant table assume.
 JCOS = [
     [
         round(
@@ -66,7 +70,9 @@ QTABLE = [
 ]
 _Q_NP = np.asarray(QTABLE, dtype=np.int64).reshape(8, 8)
 
-# Zigzag scan order: ZIGZAG[i] = (u, v) index pair of the i-th coefficient.
+# Zigzag scan order: ZIGZAG[i] = (row, col) index pair of the i-th
+# coefficient in the S[v][u] layout — index 1 is (0, 1), the first
+# HORIZONTAL frequency, per T.81 Figure 5.
 def _zigzag_order() -> list[tuple[int, int]]:
     order = []
     for s in range(15):
@@ -161,12 +167,11 @@ def quantize(f_scaled: np.ndarray) -> np.ndarray:
 
 def dequant_idct(q: np.ndarray) -> np.ndarray:
     """Dequantize and integer IDCT back to clamped uint8 pixels."""
-    c = q * _Q_NP  # dequantized coefficients (integer)
-    s = _JCOS_NP.T @ c @ _JCOS_NP  # s[x, y]... see orientation note below
-    # orientation: forward used F = J @ b.T @ J.T with b[y, x], so
-    # b.T[x, y] reconstructs as J.T @ F @ J indexed [x, y]; transpose
-    # back to [y, x].
-    p = round_div(s.T, FDCT_DEN) + 128
+    c = q * _Q_NP  # dequantized coefficients, S[v][u] layout (integer)
+    # (J.T @ c @ J)[y, x] = sum_{u,v} JCOS[v][y] * JCOS[u][x] * c[v, u]
+    # — spatial [y, x] directly, the inverse of J @ b @ J.T.
+    s = _JCOS_NP.T @ c @ _JCOS_NP
+    p = round_div(s, FDCT_DEN) + 128
     return np.clip(p, 0, 255).astype(np.uint8)
 
 
@@ -187,10 +192,21 @@ class _BitWriter:
             self.nbits -= 8
         self.acc &= (1 << self.nbits) - 1
 
-    def flush(self) -> bytes:
+    def align(self) -> None:
+        """Pad to a byte boundary with 1-bits (B.1.1.5) — required
+        before emitting a restart marker."""
         if self.nbits:
             pad = 8 - self.nbits
-            self.write((1 << pad) - 1, pad)  # 1-fill per spec
+            self.write((1 << pad) - 1, pad)
+
+    def emit_marker(self, marker: int) -> None:
+        """Append a standalone marker (e.g. RSTn) to the byte-aligned
+        stream — marker bytes are never stuffed."""
+        self.align()
+        self.out += bytes([0xFF, marker & 0xFF])
+
+    def flush(self) -> bytes:
+        self.align()
         return bytes(self.out)
 
 
@@ -203,21 +219,33 @@ def _amplitude_bits(v: int, cat: int) -> int:
     return v if v >= 0 else v + (1 << cat) - 1
 
 
-def encode_jpeg(arr: np.ndarray) -> bytes:
-    """Baseline greyscale JPEG bytes for a uint8 (h, w) array."""
+def encode_jpeg(arr: np.ndarray, restart_interval: int = 0) -> bytes:
+    """Baseline greyscale JPEG bytes for a uint8 (h, w) array.
+
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker
+    every N MCUs (byte-aligned, DC predictor reset) — the structure
+    real encoders produce for error resilience, and the decode path's
+    restart handling is tested against it."""
     if arr.ndim != 2:
         raise ValueError(f"encode_jpeg expects 2-D greyscale, got {arr.shape}")
     h, w = arr.shape
     padded = pad_replicate(arr)
     bw = _BitWriter()
     prev_dc = 0
+    mcu = 0
+    rst = 0
     for by in range(0, padded.shape[0], 8):
         for bx in range(0, padded.shape[1], 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.emit_marker(0xD0 + rst)  # RSTn, modulo-8 counter
+                rst = (rst + 1) % 8
+                prev_dc = 0
+            mcu += 1
             block = padded[by : by + 8, bx : bx + 8]
             b = block.astype(np.int64) - 128
-            f_scaled = _JCOS_NP @ b.T @ _JCOS_NP.T
+            f_scaled = _JCOS_NP @ b @ _JCOS_NP.T  # S[v][u] layout
             q = quantize(f_scaled)
-            zz = [int(q[u, v]) for (u, v) in ZIGZAG]
+            zz = [int(q[r, c]) for (r, c) in ZIGZAG]
             # DC difference
             diff = zz[0] - prev_dc
             prev_dc = zz[0]
@@ -250,7 +278,7 @@ def encode_jpeg(arr: np.ndarray) -> bytes:
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
 
-    qt_zz = bytes(int(_Q_NP[u, v]) for (u, v) in ZIGZAG)
+    qt_zz = bytes(int(_Q_NP[r, c]) for (r, c) in ZIGZAG)
     out = b"\xff\xd8"  # SOI
     out += seg(0xFFDB, b"\x00" + qt_zz)  # DQT, table 0, 8-bit
     out += seg(
@@ -258,6 +286,8 @@ def encode_jpeg(arr: np.ndarray) -> bytes:
     )  # SOF0: precision 8, dims, 1 component, 1x1 sampling, qtable 0
     out += seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))  # DHT DC 0
     out += seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))  # DHT AC 0
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))  # DRI
     out += seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")  # SOS
     out += scan
     out += b"\xff\xd9"  # EOI
@@ -309,11 +339,41 @@ def _extend(v: int, cat: int) -> int:
     return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
 
 
+def _split_restart_segments(data: bytes) -> list[bytes]:
+    """Split entropy-coded data at RSTn markers (B.2.1.2): 0xFF00 is
+    stuffing and stays inside its segment; 0xFFD0–0xFFD7 terminate a
+    segment (the DC predictor resets at each boundary)."""
+    segments: list[bytes] = []
+    start = i = 0
+    n = len(data)
+    while i < n - 1:
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        nxt = data[i + 1]
+        if nxt == 0x00:
+            i += 2
+        elif 0xD0 <= nxt <= 0xD7:
+            segments.append(data[start:i])
+            start = i = i + 2
+        else:
+            raise ValueError(f"unexpected marker 0xFF{nxt:02x} in scan")
+    segments.append(data[start:])
+    return segments
+
+
+# Standalone markers (no length field): TEM + RSTn; SOI/EOI handled
+# explicitly in the walk.
+_STANDALONE = {0xFF01} | {0xFFD0 + i for i in range(8)}
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Decode a baseline greyscale JPEG produced by any encoder using
     8-bit single-component scans with the tables present in the file.
-    Markers parsed: DQT, SOF0, DHT, SOS; quant + Huffman tables are
-    read FROM THE FILE, never assumed."""
+    Markers parsed: DQT, SOF0, DHT, DRI, SOS; quant + Huffman tables
+    are read FROM THE FILE, never assumed.  Restart markers (DRI/RSTn)
+    reset the DC predictor per B.2.1.2; standalone markers (TEM, RSTn)
+    and 0xFF fill bytes are skipped in the header walk."""
     assert payload[:2] == b"\xff\xd8", "not a JPEG (missing SOI)"
     pos = 2
     qtables: dict[int, np.ndarray] = {}
@@ -321,12 +381,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     ac_tables: dict[int, dict] = {}
     h = w = None
     comp_q = comp_dc = comp_ac = 0
+    restart_interval = 0
     while pos < len(payload):
         assert payload[pos] == 0xFF, "marker sync lost"
+        while payload[pos + 1] == 0xFF:  # fill bytes (B.1.1.2)
+            pos += 1
         marker = struct.unpack(">H", payload[pos : pos + 2])[0]
         pos += 2
         if marker == 0xFFD9:  # EOI
             break
+        if marker in _STANDALONE:
+            continue
         (ln,) = struct.unpack(">H", payload[pos : pos + 2])
         body = payload[pos + 2 : pos + ln]
         if marker == 0xFFDB:  # DQT (possibly several tables)
@@ -336,8 +401,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 assert pq_tq >> 4 == 0, "only 8-bit quant tables"
                 vals, b = b[:64], b[64:]
                 qt = np.zeros((8, 8), dtype=np.int64)
-                for i, (u, v) in enumerate(ZIGZAG):
-                    qt[u, v] = vals[i]
+                for i, (r, c) in enumerate(ZIGZAG):
+                    qt[r, c] = vals[i]
                 qtables[pq_tq & 0xF] = qt
         elif marker == 0xFFC0:  # SOF0
             precision, h, w, ncomp = struct.unpack(">BHHB", body[:6])
@@ -355,6 +420,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     dc_tables[tc_th & 0xF] = tbl
                 else:
                     ac_tables[tc_th & 0xF] = tbl
+        elif marker == 0xFFDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xFFDA:  # SOS — entropy data follows the header
             comp_dc = body[2] >> 4
             comp_ac = body[2] & 0xF
@@ -364,14 +431,27 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     assert h is not None, "missing SOF0"
     # locate end of scan (the EOI marker); 0xFF00 stuffing is internal
     end = payload.rindex(b"\xff\xd9")
-    br = _BitReader(payload[pos:end])
+    segments = _split_restart_segments(payload[pos:end])
+    seg_idx = 0
+    br = _BitReader(segments[0])
     qt = qtables[comp_q]
     dct, act = dc_tables[comp_dc], ac_tables[comp_ac]
     H, W = (h + 7) // 8 * 8, (w + 7) // 8 * 8
     out = np.zeros((H, W), dtype=np.uint8)
     prev_dc = 0
+    mcu = 0
     for by in range(0, H, 8):
         for bx in range(0, W, 8):
+            if (
+                restart_interval
+                and mcu
+                and mcu % restart_interval == 0
+                and seg_idx + 1 < len(segments)
+            ):
+                seg_idx += 1
+                br = _BitReader(segments[seg_idx])
+                prev_dc = 0
+            mcu += 1
             zz = [0] * 64
             cat = _read_huffman(br, dct)
             diff = _extend(br.read_bits(cat), cat) if cat else 0
@@ -390,11 +470,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 zz[i] = _extend(br.read_bits(cat), cat)
                 i += 1
             q = np.zeros((8, 8), dtype=np.int64)
-            for i, (u, v) in enumerate(ZIGZAG):
-                q[u, v] = zz[i]
+            for i, (r, c_) in enumerate(ZIGZAG):
+                q[r, c_] = zz[i]
             c = q * qt
-            s = _JCOS_NP.T @ c @ _JCOS_NP
-            p = round_div(s.T, FDCT_DEN) + 128
+            s = _JCOS_NP.T @ c @ _JCOS_NP  # spatial [y, x] directly
+            p = round_div(s, FDCT_DEN) + 128
             out[by : by + 8, bx : bx + 8] = np.clip(p, 0, 255).astype(np.uint8)
     return out[:h, :w]
 
@@ -411,7 +491,7 @@ def predict_decoded(arr: np.ndarray) -> np.ndarray:
     for by in range(0, padded.shape[0], 8):
         for bx in range(0, padded.shape[1], 8):
             b = padded[by : by + 8, bx : bx + 8].astype(np.int64) - 128
-            f_scaled = _JCOS_NP @ b.T @ _JCOS_NP.T
+            f_scaled = _JCOS_NP @ b @ _JCOS_NP.T  # S[v][u] layout
             q = quantize(f_scaled)
             out[by : by + 8, bx : bx + 8] = dequant_idct(q)
     return out[:h, :w]

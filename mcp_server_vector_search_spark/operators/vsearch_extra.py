@@ -167,12 +167,21 @@ def adaptive_filtered_topk(
     decision needs one integer per rung, not data movement."""
     n_cells = len(centroids)
     cur = min(nprobe, n_cells)
-    for _ in range(ADAPTIVE_MAX_ROUNDS + 1):
+    rounds = 0
+    while True:
         probes = nearest_centroids(query_vec, centroids, cur)
         matched = indexed.where(F.col("centroid_id").isin(probes) & predicate)
-        if cur >= n_cells or matched.count() >= k:
+        # `cur` only advances when another probe/count iteration WILL
+        # run, so the returned final-nprobe always matches the probe
+        # set actually scanned — including on round exhaustion.
+        if (
+            cur >= n_cells
+            or rounds >= ADAPTIVE_MAX_ROUNDS
+            or matched.count() >= k
+        ):
             break
         cur = min(2 * cur, n_cells)
+        rounds += 1
     qcol = vector_lit(query_vec)
     out = (
         matched.withColumn(
@@ -206,9 +215,10 @@ def _adaptive_oracle() -> str | None:
     )
     n_cells = len(cents)
     cur = min(NPROBE, n_cells)
-    for _ in range(ADAPTIVE_MAX_ROUNDS + 1):
+    rounds = 0
+    while True:
         probes = nearest_centroids(qvec, cents, cur)
-        if cur >= n_cells:
+        if cur >= n_cells or rounds >= ADAPTIVE_MAX_ROUNDS:
             break
         cnt = con.execute(
             f"WITH {ivf_assign_sql(cents)} SELECT count(*) FROM assign a "
@@ -217,7 +227,11 @@ def _adaptive_oracle() -> str | None:
         ).fetchone()[0]
         if cnt >= K:
             break
+        # advance only when another rung will actually run, so the
+        # final probe list always matches the final `cur` (mirrors
+        # adaptive_filtered_topk above)
         cur = min(2 * cur, n_cells)
+        rounds += 1
     return f"""
 WITH {ivf_assign_sql(cents)},
 q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID})

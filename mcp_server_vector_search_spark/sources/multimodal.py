@@ -625,7 +625,7 @@ def _jpeg_pixels_ctes(doc_filter: str = "TRUE", frames_expr: str = "1") -> str:
     return f"""jcos(u, x, c) AS (VALUES
   {_jcos_values_sql()}
 ),
-qt(u, v, q) AS (VALUES
+qt(r, c, q) AS (VALUES
   {_qt_values_sql()}
 ),
 jdims AS (
@@ -652,12 +652,14 @@ fdct AS (
   GROUP BY 1, 2, 3, 4, 5, 6
 ),
 quant AS (
+  -- Annex K table row index = VERTICAL frequency v, col = horizontal u
+  -- (T.81 S[v][u] layout — the same orientation encode_jpeg quantizes in)
   SELECT f.doc_id, f.k, f.bx, f.by, f.u, f.v,
          (CASE WHEN f.f >= 0
                THEN  ( f.f + (qt.q * {FDCT_DEN}) // 2) // (qt.q * {FDCT_DEN})
                ELSE -((-f.f + (qt.q * {FDCT_DEN}) // 2) // (qt.q * {FDCT_DEN}))
           END) * qt.q AS cdeq
-  FROM fdct f JOIN qt ON qt.u = f.u AND qt.v = f.v
+  FROM fdct f JOIN qt ON qt.r = f.v AND qt.c = f.u
 ),
 idct AS (
   SELECT q.doc_id, q.k, q.bx, q.by, cx.x AS lx, cy.x AS ly,

@@ -96,6 +96,85 @@ def test_jpeg_rejects_rgb():
         encode_jpeg(np.zeros((16, 16, 3), dtype=np.uint8))
 
 
+def test_fdct_layout_matches_spec():
+    """T.81 orientation known-answer (ADVICE r7): a block varying only
+    HORIZONTALLY as cos((2x+1)·1·π/16) concentrates all AC energy in
+    S[v=0][u=1], which serializes at ZIGZAG INDEX 1 — the bug class
+    this guards produced a spatially transposed image for every
+    standard decoder while all same-convention roundtrips stayed
+    green."""
+    import math
+
+    from mcp_server_vector_search_spark.functions.jpeg import (
+        FDCT_DEN,
+        ZIGZAG,
+        _JCOS_NP,
+        quantize,
+    )
+
+    x = np.arange(8)
+    horiz = np.round(128 + 100 * np.cos(np.pi * (2 * x + 1) / 16)).astype(
+        np.int64
+    )
+    block = np.tile(horiz, (8, 1))  # varies along columns, constant down rows
+    q = quantize(_JCOS_NP @ (block - 128) @ _JCOS_NP.T)
+    zz = [int(q[r, c]) for (r, c) in ZIGZAG]
+    assert zz[1] != 0, "horizontal frequency must land at zigzag index 1"
+    assert all(v == 0 for i, v in enumerate(zz) if i not in (0, 1)), zz[:6]
+    # full-layout cross-check against the spec's float FDCT formula
+    rng = np.random.default_rng(7)
+    b = rng.integers(-128, 128, (8, 8)).astype(np.int64)
+    fi = (_JCOS_NP @ b @ _JCOS_NP.T) / FDCT_DEN
+
+    def spec_S(v, u):
+        c = lambda k: 1 / math.sqrt(2) if k == 0 else 1.0  # noqa: E731
+        return (
+            0.25
+            * c(u)
+            * c(v)
+            * sum(
+                b[y][x]
+                * math.cos((2 * x + 1) * u * math.pi / 16)
+                * math.cos((2 * y + 1) * v * math.pi / 16)
+                for x in range(8)
+                for y in range(8)
+            )
+        )
+
+    err = max(abs(fi[v, u] - spec_S(v, u)) for v in range(8) for u in range(8))
+    assert err < 0.5  # integer-table rounding only
+
+
+@pytest.mark.parametrize("interval", [1, 2, 3, 5])
+def test_jpeg_restart_markers_roundtrip(interval):
+    """DRI + RSTn streams (the structure real encoders emit for error
+    resilience): byte-aligned restarts, modulo-8 marker counter, DC
+    predictor reset per segment — decode must recover the exact
+    no-restart prediction."""
+    img = synthetic_image(38)  # multiple MCU rows and columns
+    payload = encode_jpeg(img, restart_interval=interval)
+    assert b"\xff\xdd" in payload  # DRI present
+    assert b"\xff\xd0" in payload  # at least one RST0
+    assert np.array_equal(decode_jpeg(payload), predict_decoded(img))
+
+
+def test_jpeg_pil_interop():
+    """When PIL is available, a real libjpeg decoder must read our
+    bitstream and agree with decode_jpeg within the T.81 Annex A
+    IDCT tolerance (±1 per pixel after the shared dequantized
+    coefficients); skipped where PIL is absent."""
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    img = synthetic_image(17)
+    payload = encode_jpeg(img, restart_interval=3)
+    pil_dec = np.asarray(PIL.open(io.BytesIO(payload)).convert("L"))
+    ours = decode_jpeg(payload)
+    assert pil_dec.shape == ours.shape
+    err = np.abs(pil_dec.astype(int) - ours.astype(int))
+    assert err.max() <= 2, f"IDCT variance beyond spec tolerance: {err.max()}"
+
+
 def test_wav_header_fields():
     import struct
 
