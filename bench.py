@@ -79,8 +79,20 @@ def main() -> None:
     # which has repeatedly lost 100+ per-query timings (VERDICT r6 task 1).
     # Persist the full payload to a committed repo file so every round's
     # per-query numbers stay auditable regardless of stdout truncation.
-    full_path = Path(__file__).resolve().parent / "BENCH_FULL.json"
-    full_path.write_text(json.dumps(payload, indent=1, sort_keys=True) + "\n")
+    repo = Path(__file__).resolve().parent
+    text = json.dumps(payload, indent=1, sort_keys=True) + "\n"
+    (repo / "BENCH_FULL.json").write_text(text)
+    # ...and a per-round copy (BENCH_FULL.json is overwritten each run,
+    # so round N+1's verdict could only diff the truncated stdout tail;
+    # VERDICT r7 task 4).  The round number comes from the highest
+    # CORRECTNESS_r{N}.json present, +1 — the bench for round N runs
+    # before its correctness file lands.
+    rounds = [
+        int(p.stem.split("_r")[1])
+        for p in repo.glob("CORRECTNESS_r*.json")
+        if p.stem.split("_r")[1].isdigit()
+    ]
+    (repo / f"BENCH_FULL_r{max(rounds, default=0) + 1:02d}.json").write_text(text)
     print(json.dumps(payload))
     spark.stop()
 

@@ -201,3 +201,36 @@ def test_phash_dct_rejects_undersized_and_rgb():
         box_resize_scaled(np.zeros((8, 20), dtype=np.uint8))
     with pytest.raises(ValueError):
         box_resize_scaled(np.zeros((20, 20, 3), dtype=np.uint8))
+
+
+def test_binaryfile_scan_reads_real_files(spark):
+    """The production read seam: the plan must contain an actual
+    binaryFile FileScan (not an in-query synthesized payload), the
+    corpus directory must hold one image + one wav per document, and
+    re-running must reuse the build-once cache."""
+    from pathlib import Path
+
+    from mcp_server_vector_search_spark.plans.explain import formatted_plan
+    from mcp_server_vector_search_spark.sources.multimodal import (
+        binary_corpus_dir,
+        q_multimodal_binaryfile_scan,
+    )
+    from mcp_server_vector_search_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    root = Path(binary_corpus_dir(spark, sf))
+    n_docs = load_table(spark, sf, "documents").count()
+    files = sorted(p.name for p in root.iterdir())
+    assert len(files) == 2 * n_docs
+    assert any(f.endswith(".wav") for f in files)
+    assert any(f.endswith((".png", ".pgm", ".jpg")) for f in files)
+
+    df = q_multimodal_binaryfile_scan(spark, sf)
+    plan = formatted_plan(df)
+    assert "binaryfile" in plan.lower()
+    assert df.count() == 2 * n_docs
+    # build-once: second call must not rewrite (marker mtime unchanged)
+    marker = root.parent / "_done"
+    before = marker.stat().st_mtime_ns
+    binary_corpus_dir(spark, sf)
+    assert marker.stat().st_mtime_ns == before
