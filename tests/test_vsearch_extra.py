@@ -412,3 +412,46 @@ def test_maintenance_skewed_append_triggers_exact_cells(spark):
     for c, r in plan.items():
         if c not in (3, 7):
             assert r["flag"] == "ok" and not r["needs_rewrite"]
+
+
+def test_planned_filtered_jumps_in_one_rung(spark):
+    """The selectivity estimate must pick the escalated probe set in
+    ONE rung for the starving 1-in-43 predicate — the whole point over
+    the reactive doubling ladder — and still return exactly k rows
+    matching the predicate."""
+    from mcp_server_vector_search_spark.operators.ann import (
+        NPROBE,
+        load_or_build_ivf_index,
+    )
+    from mcp_server_vector_search_spark.operators.topk import QUERY_VEC_ID
+
+    indexed, cents = load_or_build_ivf_index(spark, SF_CORRECTNESS)
+    emb = load_table(spark, SF_CORRECTNESS, "embeddings")
+    qvec = [
+        float(v)
+        for v in emb.where(F.col("vec_id") == QUERY_VEC_ID).first()["embedding"]
+    ]
+    out, final_np, rungs = vx.planned_filtered_topk(
+        indexed, cents, qvec, F.expr(vx.ADAPTIVE_FILTER_SQL)
+    )
+    rows = out.collect()
+    assert rungs == 1, "estimate should land without reactive retries"
+    assert final_np > NPROBE
+    assert len(rows) == vx.K
+    assert all(r["vec_id"] % 43 == 0 for r in rows)
+    # planned and adaptive must agree on the answer set
+    adaptive, _ = vx.adaptive_filtered_topk(
+        indexed, cents, qvec, F.expr(vx.ADAPTIVE_FILTER_SQL)
+    )
+    assert sorted(r["vec_id"] for r in rows) == sorted(
+        r["vec_id"] for r in adaptive.collect()
+    )
+
+
+def test_planned_nprobe_arithmetic():
+    """Pure-arithmetic contract pins: m=0 -> full scan; plentiful
+    matches -> default nprobe; sparse matches -> 2x-safety ceil."""
+    assert vx._planned_nprobe(t=40, m=0, k=10, nprobe=10, n_cells=16) == 16
+    assert vx._planned_nprobe(t=40, m=30, k=10, nprobe=10, n_cells=16) == 10
+    assert vx._planned_nprobe(t=40, m=1, k=10, nprobe=10, n_cells=16) == 16
+    assert vx._planned_nprobe(t=40, m=4, k=10, nprobe=2, n_cells=64) == 6
