@@ -614,9 +614,12 @@ FROM assign GROUP BY centroid_id
 """
 
 
-def replace_partitions(layout: str, affected: list, replacement: DataFrame) -> None:
+def replace_partitions(
+    layout: str, affected: list, replacement: DataFrame, key: str = "centroid_id"
+) -> None:
     """EXPLICIT delete-and-append of a partitioned layout's affected
-    ``centroid_id`` cells.
+    ``key`` cells (``centroid_id`` for the IVF family, ``node_id`` for
+    the graph family).
 
     Dynamic partition overwrite only replaces partitions PRESENT in the
     written data, so an affected cell whose rows all moved away (and
@@ -629,9 +632,9 @@ def replace_partitions(layout: str, affected: list, replacement: DataFrame) -> N
 
     replacement = replacement.localCheckpoint(eager=True)
     for c in affected:
-        shutil.rmtree(f"{layout}/centroid_id={c}", ignore_errors=True)
-    replacement.repartition("centroid_id").write.mode("append").partitionBy(
-        "centroid_id"
+        shutil.rmtree(f"{layout}/{key}={c}", ignore_errors=True)
+    replacement.repartition(key).write.mode("append").partitionBy(
+        key
     ).parquet(layout)
 
 

@@ -478,11 +478,34 @@ def build_hnsw_incremental(
     sees global k-NN, incremental sees insertion-order approximations
     — the standard HNSW trade), so this builder is certified by search
     RECALL parity in tests, not by graph equality."""
+    empty = {"levels": [], "graphs": [dict()], "entry": None}
+    return hnsw_insert_nodes(empty, node_vectors, 0, degree, ef_construction)
+
+
+def hnsw_insert_nodes(
+    hnsw: dict,
+    node_vectors: Sequence[Sequence[float]],
+    start: int,
+    degree: int = GRAPH_DEGREE,
+    ef_construction: int = HNSW_EF_CONSTRUCTION,
+) -> dict:
+    """Insert ``node_vectors[start:]`` into an EXISTING incremental
+    structure (whose nodes are ``node_vectors[:start]``) and return the
+    updated structure — the input dict is not mutated.  This is the
+    insert-without-rebuild serve path: ``build_hnsw_incremental`` is
+    just an insertion from the empty structure, and an index upsert is
+    the same call with ``start = |existing nodes|`` — per-insert cost
+    stays O(ef × degree × levels) regardless of how the base structure
+    was built."""
     x = _unit_rows(node_vectors)
     n = len(x)
-    levels = [node_level(i) for i in range(n)]
-    top_possible = max(levels)
-    graphs: list[dict[int, list[int]]] = [dict() for _ in range(top_possible + 1)]
+    levels = list(hnsw["levels"]) + [node_level(i) for i in range(start, n)]
+    assert len(hnsw["levels"]) == start, "start must equal existing node count"
+    top_possible = max(levels) if levels else 0
+    # copy adjacency (values too — reverse-edge insertion mutates them)
+    graphs: list[dict[int, list[int]]] = [
+        {u: list(vs) for u, vs in g.items()} for g in hnsw["graphs"]
+    ] + [dict() for _ in range(top_possible + 1 - len(hnsw["graphs"]))]
 
     def sims_to(i: int, ids: list[int]) -> np.ndarray:
         return np.round(x[ids] @ x[i], ASSIGN_DECIMALS)
@@ -511,9 +534,9 @@ def build_hnsw_incremental(
         found = sorted(((s, -ni) for s, ni in result), key=lambda t: (-t[0], t[1]))
         return [v for _, v in found]
 
-    entry: int | None = None
-    entry_level = -1
-    for i in range(n):
+    entry: int | None = hnsw["entry"]
+    entry_level = levels[entry] if entry is not None else -1
+    for i in range(start, n):
         lvl_i = levels[i]
         if entry is None:  # first node seeds every layer it reaches
             for lv in range(lvl_i + 1):
@@ -560,3 +583,143 @@ def build_hnsw_incremental(
     while len(graphs) > 1 and not graphs[-1]:
         graphs.pop()
     return {"levels": levels, "graphs": graphs, "entry": entry}
+
+
+# ---------------------------------------------------------------------------
+# HNSW index UPSERT (VERDICT r7 task 6): insert a batch of routing
+# nodes WITHOUT rebuilding the structure, move only the corpus vectors
+# the new nodes win, rewrite only the affected cells — the
+# ``ann_ivf_upsert_cells`` maintenance discipline lifted to the graph
+# index.  The serve path that matters at 100 TB is exactly this:
+# per-insert navigation cost O(ef × degree × levels), per-upsert write
+# cost proportional to the touched cells, never the index.
+# ---------------------------------------------------------------------------
+
+# Fixture vec_ids whose vectors flavor the inserted nodes; the blend
+# hugs the query direction so the layered descent routes INTO the new
+# cells and the returned top-k exercises the upserted partitions.
+HNSW_UPSERT_SRC_IDS = (11, 23, 35, 47)
+HNSW_UPSERT_BLEND = 0.9  # weight of the query direction in a new node
+
+
+def blend_upsert_nodes(
+    query_vec: Sequence[float], src_vecs: Sequence[Sequence[float]]
+) -> list[list[float]]:
+    """Deterministic new-node vectors: unit(0.9·unit(q) + 0.1·unit(s))
+    per source vector — pure float64 numpy from identical inputs, so
+    the Spark side and the registration-time oracle replay produce
+    bit-identical node literals."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    out = []
+    for s in src_vecs:
+        u = np.asarray(s, dtype=np.float64)
+        u = u / np.linalg.norm(u)
+        m = HNSW_UPSERT_BLEND * q + (1.0 - HNSW_UPSERT_BLEND) * u
+        out.append([float(v) for v in m / np.linalg.norm(m)])
+    return out
+
+
+def _hnsw_upsert_oracle() -> str | None:
+    """Trained-constant re-run of the SAME insertion: base nodes from
+    the shared trainer, new nodes from the shared blend, the layered
+    search over the post-insert structure — the probe list and the
+    post-upsert node literals fold into the shared probe SQL, so the
+    value hash certifies the delete-and-append write path end to end
+    (a lost, stale, or duplicated row in any touched cell changes the
+    top-k)."""
+    trained = _oracle_nodes_and_query()
+    if trained is None:
+        return None
+    nodes, qvec = trained
+    ids, x = load_sorted_vectors(ORACLE_SF_DIR)
+    src = [[float(v) for v in x[ids.index(i)]] for i in HNSW_UPSERT_SRC_IDS]
+    all_nodes = nodes + blend_upsert_nodes(qvec, src)
+    hnsw = hnsw_insert_nodes(
+        build_hnsw_incremental(nodes), all_nodes, len(nodes)
+    )
+    probes = hnsw_search(all_nodes, hnsw, qvec)
+    return _probe_oracle_sql(all_nodes, probes)
+
+
+@register("ann_hnsw_upsert", oracle=_hnsw_upsert_oracle())
+def q_ann_hnsw_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HNSW upsert end to end through real files: build the node_id-
+    partitioned layout for the BASE structure, insert a batch of new
+    routing nodes by descending search (``hnsw_insert_nodes`` — no
+    rebuild), move only the corpus vectors the new nodes win
+    (delete-and-append over the affected cells, reusing the IVF
+    family's ``replace_partitions``), then answer the query through
+    the POST-insert layered descent over the upserted layout.
+
+    The new nodes are blended toward the query direction, so the
+    descent's probe list includes new cells and the top-k rows carry
+    post-upsert node ids — the oracle recomputes the assignment from
+    scratch over the full node set, so any write-path defect (stale
+    files in a donor cell, lost movers, duplicated rows) breaks the
+    value hash."""
+    import shutil
+    import tempfile
+
+    from .ann import replace_partitions
+
+    _, nodes, _ = load_or_build_graph_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    fixed = {
+        r["vec_id"]: [float(v) for v in r["embedding"]]
+        for r in emb.where(
+            F.col("vec_id").isin([QUERY_VEC_ID, *HNSW_UPSERT_SRC_IDS])
+        ).collect()
+    }  # bounded: 5 rows
+    qvec = fixed[QUERY_VEC_ID]
+    all_nodes = nodes + blend_upsert_nodes(
+        qvec, [fixed[i] for i in HNSW_UPSERT_SRC_IDS]
+    )
+    hnsw = hnsw_insert_nodes(
+        build_hnsw_incremental(nodes), all_nodes, len(nodes)
+    )
+
+    # base layout: assignment over the OLD nodes (scratch copy — the
+    # shared cached index must not be mutated by a query run)
+    layout = tempfile.mkdtemp(prefix="hnsw_upsert_")
+    emb.select(
+        "vec_id", "embedding", assignment_expr(nodes).alias("node_id")
+    ).repartition("node_id").write.mode("overwrite").partitionBy(
+        "node_id"
+    ).parquet(layout)
+
+    stored = spark.read.parquet(layout)
+    # movers: vectors a NEW node wins (assignment over the superset
+    # differs from the stored cell only when a new node is nearest)
+    reassigned = stored.withColumn(
+        "new_node", assignment_expr(all_nodes)
+    ).where(F.col("new_node") != F.col("node_id"))
+    affected = sorted(
+        {
+            r["c"]
+            for r in reassigned.select(
+                F.col("node_id").alias("c")
+            ).distinct().unionAll(
+                reassigned.select(F.col("new_node").alias("c")).distinct()
+            ).collect()
+        }
+    )  # bounded: <= |nodes| + |new nodes|
+    if affected:
+        replacement = (
+            stored.withColumn("new_node", assignment_expr(all_nodes))
+            .where(
+                F.col("new_node").isin(affected)
+                | F.col("node_id").isin(affected)
+            )
+            .select(
+                "vec_id", "embedding", F.col("new_node").alias("node_id")
+            )
+        )
+        replace_partitions(layout, affected, replacement, key="node_id")
+
+    probes = hnsw_search(all_nodes, hnsw, qvec)
+    out = _pruned_node_topk(spark.read.parquet(layout), probes, qvec).localCheckpoint(
+        eager=True
+    )
+    shutil.rmtree(layout, ignore_errors=True)
+    return out

@@ -201,3 +201,33 @@ def test_hnsw_incremental_build_recall_parity_and_subquadratic():
             assert len(nbrs) <= 8 and u not in nbrs
         if lvl > 0:
             assert set(adj) <= set(hi["graphs"][lvl - 1])
+
+
+def test_hnsw_insert_nodes_continuation_equals_scratch_build():
+    """Insert-without-rebuild exactness: building incrementally over
+    all n nodes must equal building over a prefix and then inserting
+    the suffix — the insertion loop's state is identical at every
+    step, so the structures (levels, every layer's adjacency, entry)
+    must be EQUAL, not merely recall-equivalent.  The input structure
+    must also be left unmutated."""
+    import copy
+
+    rng = np.random.default_rng(11)
+    X = [list(v) for v in rng.normal(size=(60, 8))]
+    full = graph_ann.build_hnsw_incremental(X)
+    prefix = graph_ann.build_hnsw_incremental(X[:40])
+    snapshot = copy.deepcopy(prefix)
+    resumed = graph_ann.hnsw_insert_nodes(prefix, X, 40)
+    assert resumed == full
+    assert prefix == snapshot, "hnsw_insert_nodes must not mutate its input"
+
+
+def test_hnsw_upsert_topk_reaches_new_cells(spark):
+    """The upsert query's top-k must include rows assigned to the
+    INSERTED nodes (ids >= GRAPH_NODES) — otherwise the rewritten
+    partitions would never be read and the certificate would be
+    vacuous."""
+    rows = graph_ann.q_ann_hnsw_upsert(spark, SF_CORRECTNESS).collect()
+    assert len(rows) == graph_ann.K
+    assert any(r["node_id"] >= graph_ann.GRAPH_NODES for r in rows)
+    assert any(r["node_id"] < graph_ann.GRAPH_NODES for r in rows)
