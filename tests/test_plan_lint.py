@@ -78,6 +78,7 @@ ARROW_OK = {
     "multimodal_jpeg_roundtrip",  # real baseline-JPEG encode+decode (by design)
     "multimodal_audio_features",  # real WAV decode + frame features (by design)
     "multimodal_video_frames",  # real MJPEG-AVI walk + JPEG decode (by design)
+    "multimodal_binaryfile_scan",  # real-file corpus decode over mapInPandas (by design)
     "udf_grouped_map_zscore",  # grouped-map applyInPandas demo (by design)
 }
 
