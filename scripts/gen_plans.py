@@ -348,6 +348,31 @@ SHOWCASE = [
         "partitioning.",
     ),
     (
+        "multimodal_binaryfile_scan",
+        "The production read seam: a REAL corpus directory scanned via "
+        "`Scan binaryFile` (path + content), doc ids parsed JVM-side, "
+        "and ONE Arrow-batched `MapInPandas` slot doing the magic-byte "
+        "dispatch + codec work — at 100 TB the scan parallelizes by "
+        "file and the decode slot holds PIL/libvips unchanged.",
+    ),
+    (
+        "ann_hnsw_upsert",
+        "Insert-without-rebuild: new routing nodes join the layered "
+        "structure by descending search (never a rebuild), only the "
+        "cells the new nodes win are rewritten (delete-and-append), "
+        "and the query's pruned scan reads the POST-upsert probe set — "
+        "`PartitionFilters` carries new node ids, proving the top-k "
+        "touches the rewritten cells.",
+    ),
+    (
+        "ann_filtered_planned",
+        "Selectivity-planned filtered search: ONE single-cell aggregate "
+        "prices the predicate, integer arithmetic jumps straight to the "
+        "escalated probe set (one rung, asserted in tests), and the "
+        "final plan is the same filter-during-search shape — predicate "
+        "in the codegen Filter over the pruned scan.",
+    ),
+    (
         "streaming_tumbling_counts",
         "A genuine MicroBatchExecution inside the correctness gate: "
         "file-stream source → stateful hash aggregate (complete mode) → "
