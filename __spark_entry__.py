@@ -48,6 +48,7 @@ _PRIORITY_PREFIX = [
     "multimodal_binaryfile_scan",
     "ann_hnsw_upsert",
     "ann_filtered_planned",
+    "streaming_index_append",
     # --- latest record is r2/r3 and r7 did not resample ---
     "q14_promo_revenue",
     "q15_top_supplier",

@@ -363,3 +363,70 @@ def run_tumbling_stream(spark: SparkSession, sf_dir: str):
     )
     q.awaitTermination()
     return q, name
+
+
+# ---------------------------------------------------------------------------
+# Second driver-gated streaming row: the foreachBatch ingest mechanism
+# (the first, streaming_tumbling_counts, gates the STATEFUL-AGG
+# mechanism).  The stream builds a real partitioned IVF layout from
+# micro-batch appends; the read-back per-cell aggregate must equal the
+# oracle's from-scratch assignment — lost, duplicated, or misassigned
+# rows in ANY micro-batch shift a count or a vec_id sum.
+# ---------------------------------------------------------------------------
+
+
+def _index_append_oracle() -> str | None:
+    from ..functions.train import ORACLE_SF_DIR, load_sorted_vectors
+    from ..operators.ann import TRAIN_SAMPLE, ivf_assign_sql, train_centroids
+
+    try:
+        _ids, x = load_sorted_vectors(ORACLE_SF_DIR)
+    except Exception:  # pragma: no cover - testdata absent
+        return None
+    cents = train_centroids([list(v) for v in x[:TRAIN_SAMPLE]])
+    return f"""
+WITH {ivf_assign_sql(cents)}
+SELECT CAST(centroid_id AS INTEGER) AS centroid_id,
+       COUNT(*) AS n_vectors,
+       CAST(SUM(vec_id) AS BIGINT) AS id_sum
+FROM assign
+GROUP BY centroid_id
+ORDER BY centroid_id
+"""
+
+
+@register("streaming_index_append", oracle=_index_append_oracle())
+def q_streaming_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming IVF ingest through the gate: replay the embeddings
+    table as a file stream, assign each micro-batch with the SAME
+    codegen assignment expression as the batch index build, append
+    into a centroid_id-partitioned layout via ``foreachBatch``, then
+    read the finished layout back and aggregate per cell.  The oracle
+    recomputes the assignment from scratch — the value hash certifies
+    that micro-batch ingestion converges to the exact batch layout
+    (no forked cells, no lost or duplicated vectors).  ``id_sum``
+    makes identity preservation visible: a duplicated or dropped
+    vec_id shifts it even when counts collide."""
+    import shutil
+
+    from ..operators.ann import TRAIN_SAMPLE, _sample_vectors, train_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = train_centroids(_sample_vectors(emb, TRAIN_SAMPLE))
+    index_path = tempfile.mkdtemp(prefix="stream_ivf_")
+    ckpt = tempfile.mkdtemp(prefix="stream_ivf_ckpt_")
+    q = incremental_index_append(spark, sf_dir, cents, index_path, ckpt)
+    q.awaitTermination()
+    out = (
+        spark.read.parquet(index_path)
+        .groupBy(F.col("centroid_id").cast("int").alias("centroid_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("vec_id").alias("id_sum"),
+        )
+        .orderBy("centroid_id")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(index_path, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out
