@@ -234,3 +234,31 @@ def test_binaryfile_scan_reads_real_files(spark):
     before = marker.stat().st_mtime_ns
     binary_corpus_dir(spark, sf)
     assert marker.stat().st_mtime_ns == before
+
+
+def test_mixed_corpus_pil_parity():
+    """The documented PIL/libvips seam, exercised when PIL is present
+    (skipped otherwise): PNG and PGM are lossless containers, so PIL's
+    decode must be ARRAY-IDENTICAL to the stdlib codecs; JPEG decodes
+    may differ per pixel only within the T.81 Annex A IDCT tolerance."""
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    from mcp_server_vector_search_spark.sources.multimodal import (
+        decode_any,
+        doc_format,
+        encode_any,
+        synthetic_image,
+    )
+
+    for d in range(12):
+        fmt = doc_format(d)
+        payload = encode_any(synthetic_image(d), fmt, d)
+        ours = decode_any(payload)
+        theirs = np.asarray(PIL.open(io.BytesIO(payload)).convert("L"))
+        assert theirs.shape == ours.shape, (d, fmt)
+        if fmt == "jpeg":
+            err = np.abs(theirs.astype(int) - ours.astype(int))
+            assert err.max() <= 2, (d, fmt, int(err.max()))
+        else:
+            assert np.array_equal(theirs, ours), (d, fmt)
