@@ -38,6 +38,7 @@ from pathlib import Path
 from typing import Sequence
 
 import numpy as np
+import pandas as pd
 from pyspark.ml.feature import BucketedRandomProjectionLSH
 from pyspark.ml.functions import array_to_vector
 from pyspark.sql import DataFrame, SparkSession
@@ -117,6 +118,50 @@ def assignment_expr(centroids: list[list[float]]) -> F.Column:
         lambda cv: F.round(dot("embedding", cv) / nrm, ASSIGN_DECIMALS),
     )
     return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+
+
+GEMM_ASSIGN_MIN_CELLS = 64
+
+
+def assignment_gemm(centroids: list[list[float]]) -> F.Column:
+    """Nearest-centroid id for LARGE cell counts, as an Arrow-batched
+    numpy GEMM (``V @ C.T`` argmax) instead of the literal-matrix JVM
+    expression.
+
+    Catalyst evaluates higher-order-function lambdas INTERPRETED, per
+    array element — ``assignment_expr`` over k cells costs k × dim
+    interpreted ops per row, which is fine at the oracle fixture's 16
+    cells but pathological at production cell counts (measured: 1000
+    cells × 200k rows did not finish in 30 min; the GEMM path does the
+    same assignment in seconds).  This is FAISS's own shape: coarse
+    assignment is a BLAS matmul.  Semantics match ``assignment_expr``
+    — unit centroids, sims rounded at ASSIGN_DECIMALS, first maximum
+    (= lowest cell id) on ties — up to float summation order, which
+    the rounding absorbs away from exact ties; the scale tests assert
+    agreement on the fixtures.  Dispatch via ``assignment_col``."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @pandas_udf("int")
+    def nearest(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype="int32")
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+        nrm = np.maximum(np.linalg.norm(V, axis=1), 1e-12)
+        sims = np.round((V @ C.T) / nrm[:, None], ASSIGN_DECIMALS)
+        return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
+
+    return nearest("embedding")
+
+
+def assignment_col(centroids: list[list[float]]) -> F.Column:
+    """The assignment dispatcher: the pure-JVM literal expression below
+    the GEMM threshold (no Python in the plan, bitwise oracle parity),
+    the Arrow GEMM at production cell counts."""
+    if len(centroids) >= GEMM_ASSIGN_MIN_CELLS:
+        return assignment_gemm(centroids)
+    return assignment_expr(centroids)
 
 
 def _sample_vectors(embeddings: DataFrame, n: int = TRAIN_SAMPLE) -> list[list[float]]:

@@ -33,6 +33,7 @@ Cross-engine hashing is the md5-based 60-bit scheme from
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -96,6 +97,77 @@ def semdedup_dropped(assigned: DataFrame, threshold: float = SEMDEDUP_T) -> Data
         .agg(
             F.count("*").alias("n_dup_partners"),
             F.max("sim").alias("max_sim"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def semdedup_dropped_gemm(
+    assigned: DataFrame, threshold: float = SEMDEDUP_T
+) -> DataFrame:
+    """The SCALE path of ``semdedup_dropped``: identical semantics
+    (same equi-key cluster bound, same rounded sims, same
+    keep-the-first rule), but the within-cell pairwise scoring runs as
+    ONE numpy GEMM per cluster via ``applyInPandas`` instead of
+    per-pair higher-order-function lambdas (which Catalyst evaluates
+    interpreted, per element — measured pathological at production
+    cell counts; see ``assignment_gemm``).  Cells stay ~constant-sized
+    because the cluster count scales with n, so the per-group
+    |cell|² GEMM is bounded; the scale tier asserts agreement with
+    the HOF operator on the 10× corpus and planted recall at 100×."""
+    import pandas as pd
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        empty = pd.DataFrame(
+            {
+                "vec_id": pd.Series([], dtype="int64"),
+                "centroid_id": pd.Series([], dtype="int32"),
+                "n_dup_partners": pd.Series([], dtype="int64"),
+                "max_sim": pd.Series([], dtype="float64"),
+            }
+        )
+        if n < 2:
+            return empty
+        order = np.argsort(pdf["vec_id"].to_numpy())
+        ids = pdf["vec_id"].to_numpy()[order]
+        V = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+        )[order]
+        U = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        S = np.round(U @ U.T, ASSIGN_DECIMALS)
+        iu, ju = np.triu_indices(n, k=1)
+        keep = S[iu, ju] >= threshold
+        if not keep.any():
+            return empty
+        drop_idx = ju[keep]
+        sims = S[iu, ju][keep]
+        out = (
+            pd.DataFrame({"drop": drop_idx, "sim": sims})
+            .groupby("drop")
+            .agg(n_dup_partners=("sim", "size"), max_sim=("sim", "max"))
+            .reset_index()
+        )
+        return pd.DataFrame(
+            {
+                "vec_id": ids[out["drop"].to_numpy()],
+                "centroid_id": np.full(
+                    len(out), int(pdf["centroid_id"].iloc[0]), dtype=np.int32
+                ),
+                "n_dup_partners": out["n_dup_partners"].astype("int64"),
+                "max_sim": out["max_sim"].astype("float64"),
+            }
+        )
+
+    return (
+        assigned.select("vec_id", "embedding", "centroid_id")
+        .groupBy("centroid_id")
+        .applyInPandas(
+            score,
+            schema=(
+                "vec_id long, centroid_id int, "
+                "n_dup_partners long, max_sim double"
+            ),
         )
         .orderBy("vec_id")
     )

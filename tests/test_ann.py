@@ -311,3 +311,57 @@ def test_upsert_replace_partitions_clears_emptied_cell(spark):
     import shutil
 
     shutil.rmtree(layout, ignore_errors=True)
+
+
+def test_assignment_gemm_matches_jvm_expr(spark):
+    """The Arrow GEMM assignment (production cell counts) must agree
+    with the literal-matrix JVM expression (fixture/oracle path) on
+    every vector — same rounding, same first-max tie rule."""
+    from mcp_server_vector_search_spark.operators.ann import (
+        TRAIN_SAMPLE,
+        _sample_vectors,
+        assignment_expr,
+        assignment_gemm,
+        train_centroids,
+    )
+
+    emb = load_table(spark, SF_CORRECTNESS, "embeddings")
+    cents = train_centroids(_sample_vectors(emb, TRAIN_SAMPLE))
+    both = emb.select(
+        "vec_id",
+        assignment_expr(cents).alias("jvm"),
+        assignment_gemm(cents).alias("gemm"),
+    ).collect()
+    assert len(both) > 0
+    disagree = [r for r in both if r["jvm"] != r["gemm"]]
+    assert not disagree, f"{len(disagree)} assignment mismatches"
+
+
+def test_semdedup_gemm_matches_hof(spark):
+    """The per-cell GEMM SemDeDup must reproduce the HOF operator's
+    exact output rows on the correctness fixture."""
+    from mcp_server_vector_search_spark.operators.ann import (
+        TRAIN_SAMPLE,
+        _sample_vectors,
+        assignment_expr,
+        train_centroids,
+    )
+    from mcp_server_vector_search_spark.operators.data_selection import (
+        SEMDEDUP_T,
+        semdedup_dropped,
+        semdedup_dropped_gemm,
+    )
+
+    emb = load_table(spark, SF_CORRECTNESS, "embeddings")
+    cents = train_centroids(_sample_vectors(emb, TRAIN_SAMPLE))
+    assigned = emb.withColumn("centroid_id", assignment_expr(cents))
+    hof = [
+        (r["vec_id"], r["centroid_id"], r["n_dup_partners"], r["max_sim"])
+        for r in semdedup_dropped(assigned, SEMDEDUP_T).collect()
+    ]
+    gemm = [
+        (r["vec_id"], r["centroid_id"], r["n_dup_partners"], r["max_sim"])
+        for r in semdedup_dropped_gemm(assigned, SEMDEDUP_T).collect()
+    ]
+    assert len(hof) > 0
+    assert gemm == hof

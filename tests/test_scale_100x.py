@@ -96,11 +96,12 @@ def test_semdedup_100x(spark, tiers):
     linear bound."""
     from mcp_server_vector_search_spark.operators.ann import (
         TRAIN_SAMPLE,
-        assignment_expr,
+        assignment_col,
         train_centroids,
     )
     from mcp_server_vector_search_spark.operators.data_selection import (
         semdedup_dropped,
+        semdedup_dropped_gemm,
     )
 
     def run(sf_dir: str, n_cells: int):
@@ -113,19 +114,30 @@ def test_semdedup_100x(spark, tiers):
             .collect()
         ]
         cents = train_centroids(sample, n_cells)
-        assigned = emb.withColumn("centroid_id", assignment_expr(cents))
+        # production cell counts dispatch to the Arrow GEMM paths —
+        # the interpreted-HOF expressions are the fixture/oracle path
+        # and are measured pathological beyond ~100 cells
+        assigned = emb.withColumn("centroid_id", assignment_col(cents))
         t0 = time.perf_counter()
         dropped = {
             r["vec_id"]
-            for r in semdedup_dropped(assigned, threshold=0.99).collect()
+            for r in semdedup_dropped_gemm(assigned, threshold=0.99).collect()
         }
         dt = time.perf_counter() - t0
         spark.catalog.clearCache()
-        return dropped, dt
+        return dropped, dt, assigned
 
     (d10, meta10), (d100, meta100) = tiers
-    _, t10 = run(d10, 100)
-    dropped, t100 = run(d100, 1000)
+    drop10, t10, assigned10 = run(d10, 100)
+    # GEMM/HOF agreement at the 10x tier: the scale path must select
+    # the IDENTICAL drop set the oracle-checked operator selects
+    hof10 = {
+        r["vec_id"]
+        for r in semdedup_dropped(assigned10, threshold=0.99).collect()
+    }
+    assert drop10 == hof10, "GEMM and HOF SemDeDup disagree at 10x"
+    spark.catalog.clearCache()
+    dropped, t100, _ = run(d100, 1000)
     planted = {b for _, b in meta100["vec_pairs"]}
     assert dropped <= planted, "cluster-mate false drops at 100x"
     assert len(dropped & planted) / len(planted) >= 0.98
