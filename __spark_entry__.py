@@ -49,6 +49,7 @@ _PRIORITY_PREFIX = [
     "ann_hnsw_upsert",
     "ann_filtered_planned",
     "streaming_index_append",
+    "ann_assign_gemm_cells",
     # --- latest record is r2/r3 and r7 did not resample ---
     "q14_promo_revenue",
     "q15_top_supplier",

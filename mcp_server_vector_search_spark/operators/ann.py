@@ -756,3 +756,55 @@ def q_ann_ivf_upsert_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shutil.rmtree(layout, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Driver certification of the GEMM scale path: the fixture queries all
+# sit below GEMM_ASSIGN_MIN_CELLS (pure-JVM plans), so this row pins
+# the Arrow GEMM assignment itself against the DuckDB oracle at a
+# production-side cell count.
+# ---------------------------------------------------------------------------
+
+GEMM_CERT_CELLS = 64
+
+
+def _gemm_assign_oracle() -> str | None:
+    from ..functions.train import ORACLE_SF_DIR, load_sorted_vectors
+
+    try:
+        _ids, x = load_sorted_vectors(ORACLE_SF_DIR)
+    except Exception:  # pragma: no cover - testdata absent
+        return None
+    cents = train_centroids([list(v) for v in x[:TRAIN_SAMPLE]], GEMM_CERT_CELLS)
+    return f"""
+WITH {ivf_assign_sql(cents)}
+SELECT CAST(centroid_id AS INTEGER) AS centroid_id,
+       COUNT(*) AS n_vectors,
+       CAST(SUM(vec_id) AS BIGINT) AS id_sum
+FROM assign
+GROUP BY centroid_id
+ORDER BY centroid_id
+"""
+
+
+@register("ann_assign_gemm_cells", oracle=_gemm_assign_oracle())
+def q_ann_assign_gemm_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell census of the ARROW-GEMM assignment at a 64-cell
+    quantizer (above the dispatch threshold, so this exercises the
+    scale path the 16-cell fixture queries never touch).  The oracle
+    recomputes every assignment through DuckDB's sequential-sum dot
+    products — the hash match certifies that the batched ``V @ C.T``
+    argmax (different float summation order) lands every vector in
+    the identical cell after the shared rounding, and ``id_sum``
+    catches any compensating double-move."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = train_centroids(_sample_vectors(emb, TRAIN_SAMPLE), GEMM_CERT_CELLS)
+    return (
+        emb.withColumn("centroid_id", assignment_gemm(cents))
+        .groupBy(F.col("centroid_id").cast("int").alias("centroid_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("vec_id").alias("id_sum"),
+        )
+        .orderBy("centroid_id")
+    )
