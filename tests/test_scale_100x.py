@@ -83,6 +83,10 @@ def test_incremental_minhash_100x(spark, tiers):
     assert exact <= got
     recall = len(near & got) / len(near)
     assert recall >= 0.9, f"100x incremental recall {recall:.3f}"
+    print(
+        f"SCALE100 minhash t10={t10:.1f}s t100={t100:.1f}s "
+        f"ratio={t100 / t10:.2f} recall={recall:.3f}"
+    )
     assert t100 <= LINEAR_SLACK * t10, (
         f"incremental MinHash runtime grew {t100 / t10:.1f}x on 10x data "
         f"({t10:.1f}s -> {t100:.1f}s) — super-linear"
@@ -141,6 +145,10 @@ def test_semdedup_100x(spark, tiers):
     planted = {b for _, b in meta100["vec_pairs"]}
     assert dropped <= planted, "cluster-mate false drops at 100x"
     assert len(dropped & planted) / len(planted) >= 0.98
+    print(
+        f"SCALE100 semdedup t10={t10:.1f}s t100={t100:.1f}s "
+        f"ratio={t100 / t10:.2f} recall={len(dropped & planted) / len(planted):.3f}"
+    )
     assert t100 <= LINEAR_SLACK * t10, (
         f"SemDeDup runtime grew {t100 / t10:.1f}x on 10x data "
         f"({t10:.1f}s -> {t100:.1f}s) — the cell-scaling bound failed"
@@ -197,6 +205,10 @@ def test_ivfpq_100x(spark, tiers):
     _, q10 = run(d10, rerank=1024)
     recall, q100 = run(d100, rerank=10_000)
     assert recall >= 0.9, f"100x IVF-PQ recall@10 {recall:.2f}"
+    print(
+        f"SCALE100 ivfpq q10={q10:.2f}s q100={q100:.2f}s "
+        f"ratio={q100 / q10:.2f} recall={recall:.2f}"
+    )
     assert q100 <= LINEAR_SLACK * q10, (
         f"IVF-PQ query runtime grew {q100 / q10:.1f}x on 10x data "
         f"({q10:.1f}s -> {q100:.1f}s) — super-linear"
