@@ -373,6 +373,16 @@ SHOWCASE = [
         "in the codegen Filter over the pruned scan.",
     ),
     (
+        "ann_assign_gemm_cells",
+        "The Arrow-GEMM assignment scale path: ONE `ArrowEvalPython` "
+        "stage (batched `V @ C.T` argmax — FAISS's coarse-assignment "
+        "shape) replaces k × dim interpreted HOF lambda ops per row, "
+        "followed by a map-side partial/final hash aggregate over "
+        "n_cells rows.  This is the path that assigns at production "
+        "cell counts; the 16-cell fixture queries keep the pure-JVM "
+        "literal expression.",
+    ),
+    (
         "streaming_tumbling_counts",
         "A genuine MicroBatchExecution inside the correctness gate: "
         "file-stream source → stateful hash aggregate (complete mode) → "
