@@ -50,6 +50,7 @@ _PRIORITY_PREFIX = [
     "ann_filtered_planned",
     "streaming_index_append",
     "ann_assign_gemm_cells",
+    "ann_hnsw_batch_topk",
     # --- latest record is r2/r3 and r7 did not resample ---
     "q14_promo_revenue",
     "q15_top_supplier",

@@ -723,3 +723,104 @@ def q_ann_hnsw_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(layout, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Query-batch HNSW: B layered descents drive ONE pruned scan — the
+# graph-family sibling of ann_batch_ivf_topk (bulk retrieval shape).
+# ---------------------------------------------------------------------------
+
+HNSW_BATCH_Q = 5  # query batch = vec_id < 5 (the batch-search convention)
+
+
+def _hnsw_batch_oracle() -> str | None:
+    trained = _oracle_nodes_and_query()
+    if trained is None:
+        return None
+    nodes, _ = trained
+    ids, x = load_sorted_vectors(ORACLE_SF_DIR)
+    hnsw = build_hnsw(nodes)
+    probe_rows = []
+    for qid in range(HNSW_BATCH_Q):
+        qvec = [float(v) for v in x[ids.index(qid)]]
+        probe_rows += [(qid, c) for c in hnsw_search(nodes, hnsw, qvec)]
+    values = ",\n  ".join(f"({q}, {c})" for q, c in probe_rows)
+    return f"""
+WITH {ivf_assign_sql(nodes)},
+probes(query_id, cid) AS (VALUES
+  {values}
+),
+q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {HNSW_BATCH_Q}
+),
+scored AS (
+  SELECT CAST(p.query_id AS BIGINT) AS query_id, a.vec_id,
+         CAST(a.centroid_id AS INTEGER) AS node_id,
+         ROUND((1.0 + list_cosine_similarity(a.embedding::DOUBLE[], q.qv)) / 2.0,
+               {SCORE_DECIMALS}) AS score
+  FROM assign a
+  JOIN probes p ON p.cid = a.centroid_id
+  JOIN q ON q.query_id = p.query_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, node_id, score
+FROM ranked WHERE rn <= {K}
+"""
+
+
+@register("ann_hnsw_batch_topk", oracle=_hnsw_batch_oracle())
+def q_ann_hnsw_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk retrieval through the LAYERED index: each query's probe
+    cells come from its own greedy-descent + layer-0 beam (driver-side,
+    O(B × degree × beam) sims), but the engine reads the UNION of all
+    probe cells ONCE — a tiny broadcast (query_id, qpos, node_id)
+    table fans rows out to exactly the queries that probed their cell,
+    each query's vector arrives by position-indexing a broadcast query
+    matrix, and a query-partitioned window takes each top-k.  Scan
+    cost is |union of cells|, not B × n_probes — the same
+    amortization as ``ann_batch_ivf_topk``, navigated by the
+    hierarchy instead of the flat centroid scan."""
+    from pyspark.sql import Window as W
+
+    from ..functions.vector import matrix_lit
+
+    index, nodes, _ = load_or_build_graph_index(spark, sf_dir)
+    hnsw = build_hnsw(nodes)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = sorted(
+        (r["vec_id"], [float(v) for v in r["embedding"]])
+        for r in emb.where(F.col("vec_id") < HNSW_BATCH_Q).collect()
+    )
+    qmat = matrix_lit([v for _, v in qrows])
+    probe_rows = [
+        (int(qid), pos, int(c))
+        for pos, (qid, qv) in enumerate(qrows)
+        for c in hnsw_search(nodes, hnsw, qv)
+    ]
+    probes = spark.createDataFrame(
+        probe_rows, "query_id bigint, qpos int, node_id int"
+    )
+    union_cells = sorted({c for _, _, c in probe_rows})
+    qv = F.element_at(qmat, F.col("qpos") + 1)
+    scored = (
+        index.where(F.col("node_id").isin(union_cells))
+        .join(F.broadcast(probes), "node_id")
+        .withColumn("score", F.round(neo4j_score("embedding", qv), SCORE_DECIMALS))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= K)
+        .orderBy("query_id", "rn")
+        .select(
+            "query_id",
+            "vec_id",
+            F.col("node_id").cast("int").alias("node_id"),
+            "score",
+        )
+    )
