@@ -51,6 +51,7 @@ _PRIORITY_PREFIX = [
     "streaming_index_append",
     "ann_assign_gemm_cells",
     "ann_hnsw_batch_topk",
+    "streaming_stateful_user_totals",
     # --- latest record is r2/r3 and r7 did not resample ---
     "q14_promo_revenue",
     "q15_top_supplier",

@@ -75,4 +75,4 @@ def load_all_operators() -> None:
         windows,
     )
     from .sources import formats, layout, multimodal, pysource  # noqa: F401
-    from .streaming import ingest  # noqa: F401
+    from .streaming import ingest, stateful  # noqa: F401
