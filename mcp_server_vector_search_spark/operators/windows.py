@@ -428,3 +428,58 @@ def q_events_pagerank_states(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("r"),
         )
     return ranks.select("state", F.col("r").alias("rank_micro")).orderBy("state")
+
+
+# ---------------------------------------------------------------------------
+# Window VALUE functions: first/last/nth over explicit frames, plus the
+# IGNORE NULLS form (sparse forward-fill's primitive).  Completes the
+# window family next to the rank/offset/frame/distribution queries.
+# ---------------------------------------------------------------------------
+
+WVF_BIG = 50_000  # "big order" floor for the IGNORE NULLS column
+
+
+@register(
+    "window_value_functions",
+    oracle=f"""
+SELECT o_orderkey,
+       CAST(first_value(o_totalprice) OVER w AS DOUBLE) AS first_price,
+       CAST(last_value(o_totalprice) OVER w AS DOUBLE) AS last_price,
+       CAST(nth_value(o_totalprice, 3) OVER w AS DOUBLE) AS third_price,
+       CAST(first_value(
+              CASE WHEN o_totalprice < {WVF_BIG} THEN NULL ELSE o_totalprice END
+              IGNORE NULLS) OVER w AS DOUBLE) AS first_big
+FROM orders
+WHERE o_orderkey % 97 = 0
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY o_orderkey
+""",
+)
+def q_window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over an explicit unbounded
+    frame, with deterministic total ordering (date, key) inside each
+    priority partition, plus ``first(..., ignorenulls=True)`` — the
+    primitive behind sparse forward-fill.  One window spec → ONE sort
+    per partition serves all four expressions; the scan reads only the
+    four touched columns (ReadSchema-pruned)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_orderpriority")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    big = F.when(
+        F.col("o_totalprice") < WVF_BIG, F.lit(None)
+    ).otherwise(F.col("o_totalprice"))
+    return (
+        orders.where(F.col("o_orderkey") % 97 == 0)
+        .select(
+            "o_orderkey",
+            F.first("o_totalprice").over(w).cast("double").alias("first_price"),
+            F.last("o_totalprice").over(w).cast("double").alias("last_price"),
+            F.nth_value("o_totalprice", 3).over(w).cast("double").alias("third_price"),
+            F.first(big, ignorenulls=True).over(w).cast("double").alias("first_big"),
+        )
+        .orderBy("o_orderkey")
+    )
