@@ -53,6 +53,7 @@ _PRIORITY_PREFIX = [
     "ann_hnsw_batch_topk",
     "streaming_stateful_user_totals",
     "window_value_functions",
+    "agg_statistical_moments",
     # --- latest record is r2/r3 and r7 did not resample ---
     "q14_promo_revenue",
     "q15_top_supplier",

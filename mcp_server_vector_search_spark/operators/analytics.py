@@ -671,3 +671,84 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical moments the hash-exact way: ONE pass of integer power
+# sums (map-side combinable bigints), moments derived in the projection
+# with explicit identical arithmetic on both engines.  The builtin
+# stddev/corr aggregates compute the same values but accumulate doubles
+# in partition order, which no cross-engine hash can pin; power sums
+# are the scale-correct AND exact formulation (quantity <= 50 and
+# discount-hundredths <= 10 keep every sum in bigint range at any SF).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_statistical_moments",
+    oracle="""
+WITH sums AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM(CAST(l_quantity AS BIGINT)) AS sx,
+         SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sx2,
+         SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS sy,
+         SUM(CAST(ROUND(l_discount * 100) AS BIGINT)
+             * CAST(ROUND(l_discount * 100) AS BIGINT)) AS sy2,
+         SUM(CAST(l_quantity AS BIGINT)
+             * CAST(ROUND(l_discount * 100) AS BIGINT)) AS sxy
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_qty,
+       SQRT(CAST(n * sx2 - sx * sx AS DOUBLE)
+            / CAST(n * (n - 1) AS DOUBLE)) AS stddev_qty,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * (n - 1) AS DOUBLE) AS covar_qty_disc,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / SQRT(CAST(n * sx2 - sx * sx AS DOUBLE)
+                * CAST(n * sy2 - sy * sy AS DOUBLE)) AS corr_qty_disc
+FROM sums
+ORDER BY l_returnflag
+""",
+)
+def q_agg_statistical_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-flag mean/stddev/covariance/correlation of quantity vs
+    discount, via exact bigint power sums (Σx, Σx², Σy, Σy², Σxy) in a
+    single partial+final hash aggregate; the moment formulas then run
+    on identical integers in identical order on both engines, so the
+    doubles match bitwise.  At 100 TB this is one map-side-combined
+    pass — the same shuffle profile as any SUM."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("bigint")
+    disc = F.round(F.col("l_discount") * 100).cast("bigint")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qty).alias("sx"),
+        F.sum(qty * qty).alias("sx2"),
+        F.sum(disc).alias("sy"),
+        F.sum(disc * disc).alias("sy2"),
+        F.sum(qty * disc).alias("sxy"),
+    )
+    n, sx, sx2 = F.col("n"), F.col("sx"), F.col("sx2")
+    sy, sy2, sxy = F.col("sy"), F.col("sy2"), F.col("sxy")
+    return sums.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n"),
+        (sx.cast("double") / n.cast("double")).alias("mean_qty"),
+        F.sqrt(
+            (n * sx2 - sx * sx).cast("double") / (n * (n - 1)).cast("double")
+        ).alias("stddev_qty"),
+        (
+            (n * sxy - sx * sy).cast("double") / (n * (n - 1)).cast("double")
+        ).alias("covar_qty_disc"),
+        (
+            (n * sxy - sx * sy).cast("double")
+            / F.sqrt(
+                (n * sx2 - sx * sx).cast("double")
+                * (n * sy2 - sy * sy).cast("double")
+            )
+        ).alias("corr_qty_disc"),
+    ).orderBy("l_returnflag")
