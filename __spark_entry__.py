@@ -54,6 +54,7 @@ _PRIORITY_PREFIX = [
     "streaming_stateful_user_totals",
     "window_value_functions",
     "agg_statistical_moments",
+    "scalar_lambda_functions",
     # --- latest record is r2/r3 and r7 did not resample ---
     "q14_promo_revenue",
     "q15_top_supplier",

@@ -879,3 +879,36 @@ def recursive_year_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     reached nodes."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_RECURSIVE_SPINE_SQL)
+
+
+@register(
+    "scalar_lambda_functions",
+    oracle="""
+SELECT doc_id,
+       CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> strlen(x) > 3))
+            AS INTEGER) AS n_long,
+       CAST(LIST_SUM(LIST_TRANSFORM(STRING_SPLIT(text, ' '), x -> strlen(x)))
+            AS BIGINT) AS total_chars,
+       LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x = 'the')) > 0 AS has_the,
+       CAST(LIST_MAX(LIST_TRANSFORM(STRING_SPLIT(text, ' '), x -> strlen(x)))
+            AS INTEGER) AS max_tok_len
+FROM documents
+""",
+)
+def scalar_lambda_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-facing lambda higher-order functions — transform / filter /
+    exists / aggregate over array columns, the API surface behind the
+    engine's own vector math (functions/vector.py).  All four evaluate
+    JVM-side inside one projection; no shuffle, no Python."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    lengths = F.transform(toks, F.length)
+    return d.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda x: F.length(x) > 3)).alias("n_long"),
+        F.aggregate(
+            lengths, F.lit(0), lambda acc, x: acc + x
+        ).cast("bigint").alias("total_chars"),
+        F.exists(toks, lambda x: x == "the").alias("has_the"),
+        F.array_max(lengths).alias("max_tok_len"),
+    )
