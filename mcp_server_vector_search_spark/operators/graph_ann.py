@@ -188,6 +188,13 @@ def _train_graph(
 _GRAPH_CACHE_ROOT = Path(__file__).resolve().parents[2] / ".cache" / "graphann"
 
 
+def _graph_cache_dir(sf_dir: str) -> Path:
+    tag = hashlib.md5(
+        f"{sf_dir}:{GRAPH_NODES}:{GRAPH_DEGREE}:{TRAIN_SAMPLE}:v2".encode()
+    ).hexdigest()[:12]
+    return _GRAPH_CACHE_ROOT / tag
+
+
 def load_or_build_graph_index(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, list[list[float]], list[list[int]]]:
@@ -195,10 +202,7 @@ def load_or_build_graph_index(
     The layout is ``node_id``-partitioned parquet — the same
     partition-pruning contract as the IVF family; metadata is written
     LAST so a half-built cache is never read."""
-    tag = hashlib.md5(
-        f"{sf_dir}:{GRAPH_NODES}:{GRAPH_DEGREE}:{TRAIN_SAMPLE}:v2".encode()
-    ).hexdigest()[:12]
-    root = _GRAPH_CACHE_ROOT / tag
+    root = _graph_cache_dir(sf_dir)
     meta, data = root / "meta.json", root / "data"
     if meta.exists():
         m = json.loads(meta.read_text())
@@ -679,14 +683,13 @@ def q_ann_hnsw_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_hnsw_incremental(nodes), all_nodes, len(nodes)
     )
 
-    # base layout: assignment over the OLD nodes (scratch copy — the
-    # shared cached index must not be mutated by a query run)
+    # base layout: a FILESYSTEM clone of the build-once cached index
+    # (same nodes, same assignment) — the shared cache must not be
+    # mutated by a query run, and cloning files costs IO proportional
+    # to the index, never a recompute of the assignment pass
     layout = tempfile.mkdtemp(prefix="hnsw_upsert_")
-    emb.select(
-        "vec_id", "embedding", assignment_expr(nodes).alias("node_id")
-    ).repartition("node_id").write.mode("overwrite").partitionBy(
-        "node_id"
-    ).parquet(layout)
+    shutil.rmtree(layout)
+    shutil.copytree(_graph_cache_dir(sf_dir) / "data", layout)
 
     stored = spark.read.parquet(layout)
     # movers: vectors a NEW node wins (assignment over the superset
