@@ -231,3 +231,13 @@ def test_hnsw_upsert_topk_reaches_new_cells(spark):
     assert len(rows) == graph_ann.K
     assert any(r["node_id"] >= graph_ann.GRAPH_NODES for r in rows)
     assert any(r["node_id"] < graph_ann.GRAPH_NODES for r in rows)
+
+
+def test_hnsw_insert_nodes_rejects_bad_start():
+    rng = np.random.default_rng(3)
+    X = [list(v) for v in rng.normal(size=(20, 8))]
+    base = graph_ann.build_hnsw_incremental(X[:10])
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError):
+        graph_ann.hnsw_insert_nodes(base, X, 12)  # start != |existing|

@@ -249,3 +249,27 @@ def test_mjpeg_avi_container_roundtrip():
         assert np.array_equal(
             decode_jpeg(fb), predict_decoded(synthetic_frame(d, k))
         )
+
+
+def test_jpeg_fill_bytes_before_marker():
+    """B.1.1.2 allows any number of 0xFF fill bytes before a marker;
+    the header walk must skip them without losing sync."""
+    img = synthetic_image(5)
+    payload = encode_jpeg(img)
+    i = payload.index(b"\xff\xdb")  # first DQT
+    stuffed = payload[:i] + b"\xff\xff\xff" + payload[i:]
+    assert np.array_equal(decode_jpeg(stuffed), predict_decoded(img))
+
+
+def test_scan_segment_split_rejects_stray_marker():
+    from mcp_server_vector_search_spark.functions.jpeg import (
+        _split_restart_segments,
+    )
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _split_restart_segments(b"\x12\xff\xc4\x00")  # DHT inside scan
+    # stuffing stays inside, RSTs split
+    segs = _split_restart_segments(b"\x01\xff\x00\x02\xff\xd0\x03\x04")
+    assert segs == [b"\x01\xff\x00\x02", b"\x03\x04"]
