@@ -1040,7 +1040,8 @@ from pathlib import Path as _Path  # noqa: E402
 _BINARY_CORPUS_ROOT = (
     _Path(__file__).resolve().parents[2] / ".cache" / "binary_corpus"
 )
-_BINARY_EXT = {"png": "png", "pgm": "pgm", "jpeg": "jpg", "wav": "wav"}
+_BINARY_EXT = {"png": "png", "pgm": "pgm", "jpeg": "jpg", "wav": "wav", "avi": "avi"}
+AVI_EVERY = 5  # every 5th document also gets an MJPEG-AVI clip
 
 
 def _corpus_writer(root: str):
@@ -1055,7 +1056,7 @@ def _corpus_writer(root: str):
             for d, fmt, payload in zip(
                 pdf["doc_id"], pdf["fmt"], pdf["payload"]
             ):
-                kind = "aud" if fmt == "wav" else "img"
+                kind = {"wav": "aud", "avi": "vid"}.get(fmt, "img")
                 name = f"doc_{int(d):08d}_{kind}.{_BINARY_EXT[fmt]}"
                 (_Path(root) / name).write_bytes(bytes(payload))
                 n += 1
@@ -1066,8 +1067,10 @@ def _corpus_writer(root: str):
 
 def binary_corpus_dir(spark: SparkSession, sf_dir: str) -> str:
     """Build-once real-file corpus for ``sf_dir``: one image per
-    document (PNG/PGM/JPEG by doc_id % 3) plus one WAV per document."""
-    tag = hashlib.md5(f"{sf_dir}:binary_corpus:v1".encode()).hexdigest()[:12]
+    document (PNG/PGM/JPEG by doc_id % 3), one WAV per document, and
+    one MJPEG-AVI clip per AVI_EVERY-th document — all four modalities
+    on the real-file read path."""
+    tag = hashlib.md5(f"{sf_dir}:binary_corpus:v2".encode()).hexdigest()[:12]
     root = _BINARY_CORPUS_ROOT / tag
     data, marker = root / "data", root / "_done"
     if not marker.exists():
@@ -1077,8 +1080,11 @@ def binary_corpus_dir(spark: SparkSession, sf_dir: str) -> str:
         wavs = attach_wav_payload(docs).select(
             "doc_id", F.lit("wav").alias("fmt"), "payload"
         )
+        avis = attach_avi_payload(
+            docs.where(F.col("doc_id") % AVI_EVERY == 0)
+        ).select("doc_id", F.lit("avi").alias("fmt"), "payload")
         written = (
-            imgs.unionByName(wavs)
+            imgs.unionByName(wavs).unionByName(avis)
             .mapInPandas(_corpus_writer(str(data)), schema="n_written long")
             .agg(F.sum("n_written").alias("n"))
             .first()["n"]
@@ -1090,7 +1096,9 @@ def binary_corpus_dir(spark: SparkSession, sf_dir: str) -> str:
 @register(
     "multimodal_binaryfile_scan",
     oracle=f"""
-WITH {_jpeg_pixels_ctes("doc_id % 3 = 2")},
+WITH {_jpeg_pixels_ctes(
+        "(doc_id % 3 = 2) OR (doc_id % 5 = 0)", "2 + d.doc_id % 3"
+    )},
 bdims AS (
   SELECT doc_id, 16 + doc_id % 17 AS w, 16 + doc_id % 13 AS h FROM documents
 ),
@@ -1107,9 +1115,17 @@ exact_img AS (
   GROUP BY 1, 2, d.w, d.h
 ),
 jpeg_img AS (
+  -- a still JPEG's pixels equal frame k=0 of the shared model
   SELECT doc_id, 'jpeg' AS fmt, CAST(w * h AS BIGINT) AS n_values,
          CAST(SUM(p) AS BIGINT) AS val_sum
-  FROM jpixels WHERE x < w AND y < h
+  FROM jpixels WHERE x < w AND y < h AND k = 0 AND doc_id % 3 = 2
+  GROUP BY doc_id, w, h
+),
+avi_vid AS (
+  SELECT doc_id, 'avi' AS fmt,
+         CAST((2 + doc_id % 3) * w * h AS BIGINT) AS n_values,
+         CAST(SUM(p) AS BIGINT) AS val_sum
+  FROM jpixels WHERE x < w AND y < h AND doc_id % 5 = 0
   GROUP BY doc_id, w, h
 ),
 wav_samples AS (
@@ -1124,6 +1140,7 @@ wav_feats AS (
 SELECT doc_id, fmt, n_values, val_sum FROM (
   SELECT * FROM exact_img
   UNION ALL SELECT * FROM jpeg_img
+  UNION ALL SELECT * FROM avi_vid
   UNION ALL SELECT * FROM wav_feats
 )
 ORDER BY doc_id, fmt
@@ -1132,10 +1149,11 @@ ORDER BY doc_id, fmt
 def q_multimodal_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production read seam end to end: scan a directory of REAL
     files with ``spark.read.format("binaryFile")``, dispatch on magic
-    bytes (PNG/PGM/JPEG images, RIFF WAV audio), decode with the real
-    codecs, and emit per-file integer features (pixel count + sum for
-    images — JPEG through the lossy-roundtrip prediction — sample
-    count + energy for audio).  The oracle predicts every feature from
+    bytes (PNG/PGM/JPEG images, RIFF WAVE audio, RIFF AVI video — all
+    four modalities), decode with the real codecs, and emit per-file
+    integer features (pixel count + sum for images and video frames —
+    JPEG through the lossy-roundtrip prediction — sample count +
+    energy for audio).  The oracle predicts every feature from
     the synthetic models alone; a wrong file body, a mis-parsed path,
     a dropped file, or any codec bug breaks the value hash.  At 100 TB
     the binaryFile scan parallelizes by file across executors and the
@@ -1157,7 +1175,14 @@ def q_multimodal_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ids, fmts, nvals, sums = [], [], [], []
             for d, content in zip(pdf["doc_id"], pdf["content"]):
                 b = bytes(content)
-                if b[:4] == b"RIFF":
+                if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                    frames = [decode_jpeg(fb) for fb in decode_mjpeg_avi(b)]
+                    fmts.append("avi")
+                    nvals.append(sum(a.size for a in frames))
+                    sums.append(
+                        sum(int(a.sum(dtype=np.int64)) for a in frames)
+                    )
+                elif b[:4] == b"RIFF":
                     s, _rate = decode_wav(b)
                     s64 = s.astype(np.int64)
                     fmts.append("wav")

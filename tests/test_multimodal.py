@@ -220,15 +220,17 @@ def test_binaryfile_scan_reads_real_files(spark):
     sf = "/root/testdata/sf0.001"
     root = Path(binary_corpus_dir(spark, sf))
     n_docs = load_table(spark, sf, "documents").count()
+    n_avi = (n_docs + 4) // 5  # doc_ids 0..n-1 divisible by 5
     files = sorted(p.name for p in root.iterdir())
-    assert len(files) == 2 * n_docs
+    assert len(files) == 2 * n_docs + n_avi
     assert any(f.endswith(".wav") for f in files)
+    assert any(f.endswith(".avi") for f in files)
     assert any(f.endswith((".png", ".pgm", ".jpg")) for f in files)
 
     df = q_multimodal_binaryfile_scan(spark, sf)
     plan = formatted_plan(df)
     assert "binaryfile" in plan.lower()
-    assert df.count() == 2 * n_docs
+    assert df.count() == 2 * n_docs + n_avi
     # build-once: second call must not rewrite (marker mtime unchanged)
     marker = root.parent / "_done"
     before = marker.stat().st_mtime_ns
