@@ -55,6 +55,7 @@ _PRIORITY_PREFIX = [
     "window_value_functions",
     "agg_statistical_moments",
     "scalar_lambda_functions",
+    "ann_lsh_multiprobe",
     # --- latest record is r2/r3 and r7 did not resample ---
     "q14_promo_revenue",
     "q15_top_supplier",

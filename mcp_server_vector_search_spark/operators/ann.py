@@ -492,6 +492,118 @@ LIMIT {K}
 """
 
 
+# ---------------------------------------------------------------------------
+# Multi-probe SRP-LSH (Lv et al. 2007, public): probe the neighboring
+# buckets whose flipped bits have the SMALLEST margins instead of
+# adding more tables — the same recall from a fraction of the index.
+# ---------------------------------------------------------------------------
+
+MP_TABLES = 5  # a quarter of the single-probe table count...
+MP_PROBES = 4  # ...compensated by probing 4 of the 16 buckets per table
+
+
+def probe_sequence(
+    vec: Sequence[float],
+    planes: np.ndarray,
+    table: int,
+    n_probes: int = MP_PROBES,
+    bits: int = SRP_BITS,
+) -> list[int]:
+    """The query-directed probe order for one table: every perturbation
+    mask of the base bucket, ranked by the summed |margin| of its
+    flipped bits (flipping a near-zero-margin bit is cheap — the point
+    of multi-probe), deterministic tie-break on the mask.  mask 0 (the
+    base bucket, cost 0) always ranks first.  Sequential-sum dots so
+    the oracle generator reproduces identical margins."""
+    margins = []
+    base = 0
+    for j in range(bits):
+        p = planes[table * bits + j]
+        d = sum(float(a) * float(b) for a, b in zip(vec, p))
+        if d >= 0:
+            base += 2**j
+        margins.append(abs(d))
+    ranked = sorted(
+        range(1 << bits),
+        key=lambda m: (
+            sum(margins[j] for j in range(bits) if (m >> j) & 1),
+            m,
+        ),
+    )
+    return [base ^ m for m in ranked[:n_probes]]
+
+
+def srp_multiprobe_topk(
+    indexed: DataFrame, query_vec: Sequence[float], k: int = K
+) -> DataFrame:
+    """Multi-probe ANN over the FIRST MP_TABLES tables of the shared
+    SRP index: candidates = rows whose stored bucket falls in the
+    query's probe set for any probed table (int IN-lists — codegen,
+    map-side), exact-scored and top-k'd.  Uses a quarter of the
+    tables single-probe needs: at 100 TB that is a quarter of the
+    bucket-column storage and build cost for the same recall
+    (asserted in tests/test_ann.py)."""
+    planes = srp_planes()
+    cond = None
+    for t in range(MP_TABLES):
+        this = F.col(f"b{t}").isin(probe_sequence(query_vec, planes, t))
+        cond = this if cond is None else cond | this
+    qcol = vector_lit(query_vec)
+    return (
+        indexed.where(cond)
+        .withColumn("score", F.round(neo4j_score("embedding", qcol), SCORE_DECIMALS))
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", "score")
+    )
+
+
+def _srp_multiprobe_oracle() -> str | None:
+    """Same seeded planes, same driver-computed probe sets, recomputed
+    stored buckets via the shared CASE fragment — `IN` per table."""
+    try:
+        ids, x = load_sorted_vectors(ORACLE_SF_DIR)
+    except Exception:  # pragma: no cover - testdata absent
+        return None
+    planes = srp_planes()
+    qvec = [float(v) for v in x[ids.index(QUERY_VEC_ID)]]
+
+    def table_expr(t: int) -> str:
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+            f"{sql_floats(planes[t * SRP_BITS + j])}::DOUBLE[]) >= 0 "
+            f"THEN {2**j} ELSE 0 END)"
+            for j in range(SRP_BITS)
+        )
+        probes = ", ".join(str(b) for b in probe_sequence(qvec, planes, t))
+        return f"({bits}) IN ({probes})"
+
+    cand = "\n   OR ".join(table_expr(t) for t in range(MP_TABLES))
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+SELECT e.vec_id,
+       ROUND((1.0 + list_cosine_similarity(e.embedding::DOUBLE[], q.qv)) / 2.0,
+             {SCORE_DECIMALS}) AS score
+FROM embeddings e CROSS JOIN q
+WHERE {cand}
+ORDER BY score DESC, e.vec_id
+LIMIT {K}
+"""
+
+
+@register("ann_lsh_multiprobe", oracle=_srp_multiprobe_oracle())
+def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-directed multi-probe over the shared SRP index — the
+    recall of many tables from a quarter of them."""
+    indexed = load_or_build_srp_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == QUERY_VEC_ID).first()["embedding"]
+    ]
+    return srp_multiprobe_topk(indexed, qvec)
+
+
 @register("ann_lsh_topk", oracle=_srp_oracle())
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     indexed = load_or_build_srp_index(spark, sf_dir)

@@ -365,3 +365,60 @@ def test_semdedup_gemm_matches_hof(spark):
     ]
     assert len(hof) > 0
     assert gemm == hof
+
+
+def test_multiprobe_beats_single_probe_at_equal_tables(spark):
+    """The multi-probe claim (Lv et al. 2007): with the SAME table
+    budget (MP_TABLES of the shared index), probing the low-margin
+    neighbor buckets must recover at least as much of the exact top-k
+    as single-probing those tables, and must reach the recall floor."""
+    from pyspark.sql import functions as F
+
+    truth = set(exact_topk_ids(spark, SF_CORRECTNESS))
+    indexed = ann.load_or_build_srp_index(spark, SF_CORRECTNESS)
+    emb = load_table(spark, SF_CORRECTNESS, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == QUERY_VEC_ID).first()["embedding"]
+    ]
+    multi = {
+        r.vec_id for r in ann.srp_multiprobe_topk(indexed, qvec).collect()
+    }
+    # single-probe restricted to the SAME tables
+    planes = ann.srp_planes()
+    cond = None
+    for t in range(ann.MP_TABLES):
+        this = F.col(f"b{t}") == F.lit(ann._py_bucket(qvec, planes, t))
+        cond = this if cond is None else cond | this
+    from mcp_server_vector_search_spark.functions.vector import (
+        neo4j_score,
+        vector_lit,
+    )
+
+    single = {
+        r.vec_id
+        for r in indexed.where(cond)
+        .withColumn("score", neo4j_score("embedding", vector_lit(qvec)))
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(10)
+        .collect()
+    }
+    r_multi = len(truth & multi) / len(truth)
+    r_single = len(truth & single) / len(truth)
+    assert r_multi >= r_single
+    assert r_multi >= 0.9, f"multi-probe recall {r_multi:.2f}"
+
+
+def test_probe_sequence_properties():
+    """Base bucket ranks first (zero flip cost); probes are distinct;
+    the sequence is a permutation prefix of the 2^bits bucket ids."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    planes = ann.srp_planes()
+    vec = [float(v) for v in rng.normal(size=planes.shape[1])]
+    for t in range(ann.MP_TABLES):
+        seq = ann.probe_sequence(vec, planes, t)
+        assert seq[0] == ann._py_bucket(vec, planes, t)
+        assert len(seq) == len(set(seq)) == ann.MP_PROBES
+        assert all(0 <= b < (1 << ann.SRP_BITS) for b in seq)
