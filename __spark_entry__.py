@@ -56,6 +56,7 @@ _PRIORITY_PREFIX = [
     "agg_statistical_moments",
     "scalar_lambda_functions",
     "ann_lsh_multiprobe",
+    "scd2_customer_update",
     # --- latest record is r2/r3 and r7 did not resample ---
     "q14_promo_revenue",
     "q15_top_supplier",

@@ -912,3 +912,81 @@ def scalar_lambda_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.exists(toks, lambda x: x == "the").alias("has_the"),
         F.array_max(lengths).alias("max_tok_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Slowly-changing dimension (Type 2): the warehouse-maintenance sibling
+# of merge_upsert_orders — history rows are CLOSED (valid_to set), new
+# versions OPENED, untouched rows carried forward.
+# ---------------------------------------------------------------------------
+
+SCD2_OPEN = "1995-01-01"  # initial load effective date
+SCD2_CHANGE = "1996-06-01"  # the change batch's effective date
+SCD2_EVERY = 13  # customers with c_custkey % 13 == 0 change balance
+
+
+@register(
+    "scd2_customer_update",
+    oracle=f"""
+WITH changed AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % {SCD2_EVERY} = 0
+)
+SELECT c.c_custkey,
+       CAST(c.c_acctbal AS DOUBLE) AS c_acctbal,
+       DATE '{SCD2_OPEN}' AS valid_from,
+       CAST(DATE '{SCD2_CHANGE}' AS DATE) AS valid_to,
+       FALSE AS is_current
+FROM customer c JOIN changed USING (c_custkey)
+UNION ALL
+SELECT c.c_custkey,
+       CAST(-c.c_acctbal AS DOUBLE) AS c_acctbal,
+       DATE '{SCD2_CHANGE}' AS valid_from,
+       CAST(NULL AS DATE) AS valid_to,
+       TRUE AS is_current
+FROM customer c JOIN changed USING (c_custkey)
+UNION ALL
+SELECT c.c_custkey,
+       CAST(c.c_acctbal AS DOUBLE) AS c_acctbal,
+       DATE '{SCD2_OPEN}' AS valid_from,
+       CAST(NULL AS DATE) AS valid_to,
+       TRUE AS is_current
+FROM customer c WHERE c.c_custkey % {SCD2_EVERY} <> 0
+ORDER BY c_custkey, valid_from
+""",
+)
+def q_scd2_customer_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD apply: a deterministic change batch (every
+    {SCD2_EVERY}th customer re-states its balance) closes the current
+    version (``valid_to`` stamped, ``is_current`` false) and opens a
+    new one; untouched customers carry forward.  One broadcast-able
+    changed-keys semi/anti split — the dimension is never shuffled on
+    a non-key column, and at 100 TB the write side pairs with the
+    partition-targeted ``replace_partitions`` maintenance the ANN
+    family uses."""
+    c = load_table(spark, sf_dir, "customer")
+    changed = F.col("c_custkey") % SCD2_EVERY == 0
+    bal = F.col("c_acctbal").cast("double")
+    closed = c.where(changed).select(
+        "c_custkey",
+        bal.alias("c_acctbal"),
+        F.lit(SCD2_OPEN).cast("date").alias("valid_from"),
+        F.lit(SCD2_CHANGE).cast("date").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    opened = c.where(changed).select(
+        "c_custkey",
+        (-bal).alias("c_acctbal"),
+        F.lit(SCD2_CHANGE).cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    carried = c.where(~changed).select(
+        "c_custkey",
+        bal.alias("c_acctbal"),
+        F.lit(SCD2_OPEN).cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return closed.unionByName(opened).unionByName(carried).orderBy(
+        "c_custkey", "valid_from"
+    )
