@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -428,5 +429,83 @@ def q_streaming_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     shutil.rmtree(index_path, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Streaming dedup through the gate: duplicates arriving in DIFFERENT
+# micro-batches must be dropped by dedup state, not batch-local
+# distinct.  The replay writes the events file twice (two files → two
+# micro-batches), so every event_id arrives exactly twice, once per
+# batch — a batch-local distinct would double every count.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_dedup_events",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(event_id) AS BIGINT) AS id_sum
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def q_streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication with cross-batch state: the corpus is
+    replayed TWICE (one copy per micro-batch), ``dropDuplicates`` on
+    event_id must suppress the second arrival of every event through
+    the state store, and the downstream complete-mode aggregate must
+    equal the single-copy batch oracle — a batch-local distinct
+    doubles every count and id_sum.  State here is one row per
+    event_id (the bounded test corpus); the unbounded-corpus form is
+    ``dropDuplicatesWithinWatermark``, which evicts ids older than
+    the watermark — same plan, bounded state."""
+    import shutil
+    import uuid
+
+    events = load_table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="dedup_src_")
+    one = events.coalesce(1)
+    for copy in ("a", "b"):
+        one.write.mode("overwrite").parquet(f"{src}/{copy}")
+    merged = tempfile.mkdtemp(prefix="dedup_merged_")
+    n = 0
+    for copy in ("a", "b"):
+        for f in sorted(Path(f"{src}/{copy}").glob("*.parquet")):
+            os.link(f, f"{merged}/part_{copy}_{n}.parquet")
+            n += 1
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(merged)
+    )
+    name = f"dedup_stream_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="dedup_ckpt_")
+    q = (
+        stream.dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("event_id").alias("id_sum"),
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(q.recentProgress) >= 2, "duplicates must span micro-batches"
+    out = (
+        spark.table(name)
+        .orderBy("event_type")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(merged, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     return out
