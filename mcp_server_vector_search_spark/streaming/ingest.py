@@ -468,15 +468,13 @@ def q_streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     src = tempfile.mkdtemp(prefix="dedup_src_")
-    one = events.coalesce(1)
-    for copy in ("a", "b"):
-        one.write.mode("overwrite").parquet(f"{src}/{copy}")
+    events.coalesce(1).write.mode("overwrite").parquet(f"{src}/a")
+    # ONE write pass; the duplicate arrival is two hard links to the
+    # same file, which the file-stream source treats as two inputs
     merged = tempfile.mkdtemp(prefix="dedup_merged_")
-    n = 0
-    for copy in ("a", "b"):
-        for f in sorted(Path(f"{src}/{copy}").glob("*.parquet")):
-            os.link(f, f"{merged}/part_{copy}_{n}.parquet")
-            n += 1
+    for n, f in enumerate(sorted(Path(f"{src}/a").glob("*.parquet"))):
+        os.link(f, f"{merged}/part_a_{n}.parquet")
+        os.link(f, f"{merged}/part_b_{n}.parquet")
     stream = (
         spark.readStream.schema(events.schema)
         .option("maxFilesPerTrigger", 1)
