@@ -58,6 +58,7 @@ _PRIORITY_PREFIX = [
     "ann_lsh_multiprobe",
     "scd2_customer_update",
     "streaming_dedup_events",
+    "join_shuffle_hash_hint",
     # --- latest record is r2/r3 and r7 did not resample ---
     "q14_promo_revenue",
     "q15_top_supplier",

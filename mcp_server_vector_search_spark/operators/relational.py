@@ -990,3 +990,39 @@ def q_scd2_customer_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     return closed.unionByName(opened).unionByName(carried).orderBy(
         "c_custkey", "valid_from"
     )
+
+
+@register(
+    "join_shuffle_hash_hint",
+    oracle="""
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+""",
+)
+def q_join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy CONTROL: the SHUFFLE_HASH hint forces a
+    ShuffledHashJoin where the planner would default to sort-merge —
+    the right call when one side is modest-but-above-broadcast and
+    sorting the big side would dominate (hash build beats sort when
+    the build side fits the per-task budget).  Plan-asserted in
+    tests/test_plans.py; at 100 TB this is the fact-to-mid-dimension
+    join shape AQE cannot always pick on its own."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    return (
+        li.join(o.hint("SHUFFLE_HASH"), li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -423,3 +423,16 @@ def test_aqe_skew_join_rewrite_fires(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "skew=true" in plan
     assert "AQEShuffleRead skewed" in plan
+
+
+def test_shuffle_hash_hint_is_honored(spark):
+    """The SHUFFLE_HASH hint must produce a ShuffledHashJoin (not the
+    default sort-merge) with the hinted side as the build side."""
+    from mcp_server_vector_search_spark.operators.relational import (
+        q_join_shuffle_hash_hint,
+    )
+    from mcp_server_vector_search_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(q_join_shuffle_hash_hint(spark, SF_CORRECTNESS))
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
