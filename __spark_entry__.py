@@ -59,6 +59,7 @@ _PRIORITY_PREFIX = [
     "scd2_customer_update",
     "streaming_dedup_events",
     "join_shuffle_hash_hint",
+    "source_csv_quoted_roundtrip",
     # --- latest record is r2/r3 and r7 did not resample ---
     "q14_promo_revenue",
     "q15_top_supplier",

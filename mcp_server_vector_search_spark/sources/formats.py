@@ -167,3 +167,56 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").isNull().cast("bigint")
         ).alias("n_missing_priority"),
     )
+
+
+@register(
+    "source_csv_quoted_roundtrip",
+    oracle="""
+SELECT doc_id,
+       CAST(LENGTH(SUBSTR(text, 1, 20) || '",' || CHR(10) || SUBSTR(text, 21, 20))
+            AS INTEGER) AS n_chars,
+       md5(SUBSTR(text, 1, 20) || '",' || CHR(10) || SUBSTR(text, 21, 20))
+         AS content_md5
+FROM documents
+ORDER BY doc_id
+""",
+)
+def source_csv_quoted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV EDGE semantics: every row's text is rebuilt to contain an
+    embedded double quote, a comma, and a NEWLINE — the three things
+    naive CSV handling corrupts — then written through the CSV sink and
+    read back with ``multiLine`` + schema pinning.  The oracle computes
+    length + md5 of the constructed string directly from the source
+    table, so any quoting/escaping/line-splitting defect in the
+    write→read pair breaks the value hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    tricky = F.concat(
+        F.substring("text", 1, 20),
+        F.lit('",\n'),
+        F.substring("text", 21, 20),
+    ).alias("tricky")
+    df = docs.select("doc_id", tricky)
+    tmp = tempfile.mkdtemp(prefix="csv_quoted_")
+    # the CSV WRITER trims leading/trailing whitespace by default
+    # (ignore*WhiteSpace default true on write, false on read) — a
+    # trailing-space field would silently shrink through the roundtrip
+    (
+        df.write.format("csv")
+        .mode("overwrite")
+        .option("header", "false")
+        .option("quoteAll", "true")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .save(tmp)
+    )
+    back = (
+        spark.read.format("csv")
+        .schema("doc_id long, tricky string")
+        .option("multiLine", "true")
+        .load(tmp)
+    )
+    return back.select(
+        "doc_id",
+        F.length("tricky").alias("n_chars"),
+        F.md5(F.encode("tricky", "utf-8")).alias("content_md5"),
+    ).orderBy("doc_id")
