@@ -60,6 +60,8 @@ _PRIORITY_PREFIX = [
     "streaming_dedup_events",
     "join_shuffle_hash_hint",
     "source_csv_quoted_roundtrip",
+    "udf_map_in_arrow",
+    "observe_metrics_certificate",
     # --- latest record is r2/r3 and r7 did not resample ---
     "q14_promo_revenue",
     "q15_top_supplier",

@@ -191,3 +191,104 @@ def udf_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").applyInPandas(
         _zscore_extremes, schema=_ZSCORE_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# mapInArrow: the RecordBatch-level Python eval path — no pandas
+# conversion at all, the lowest-overhead Arrow slot (what a columnar
+# native extension would target).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "udf_map_in_arrow",
+    oracle="""
+SELECT l_orderkey,
+       CAST(l_quantity * 2 AS DOUBLE) AS double_qty,
+       CAST(LEN(CAST(l_orderkey AS VARCHAR)) AS INTEGER) AS key_digits
+FROM lineitem
+WHERE l_orderkey % 101 = 0
+ORDER BY l_orderkey, double_qty
+""",
+)
+def q_udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow``: the transform receives raw ``pyarrow.RecordBatch``es
+    and answers with RecordBatches — zero pandas materialization, the
+    cheapest Python slot Spark offers (the target for columnar native
+    extensions).  The batch math runs in ``pyarrow.compute`` kernels
+    (C++, SIMD), so even the Python stage does no per-row Python."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def double_qty(batches):
+        for batch in batches:
+            qty = pc.multiply(
+                pc.cast(batch.column("l_quantity"), pa.float64()),
+                pa.scalar(2.0),
+            )
+            digits = pc.utf8_length(
+                pc.cast(batch.column("l_orderkey"), pa.string())
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("l_orderkey"),
+                    qty,
+                    pc.cast(digits, pa.int32()),
+                ],
+                ["l_orderkey", "double_qty", "key_digits"],
+            )
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 101 == 0)
+        .select("l_orderkey", "l_quantity")
+    )
+    return li.mapInArrow(
+        double_qty, schema="l_orderkey long, double_qty double, key_digits int"
+    ).orderBy("l_orderkey", "double_qty")
+
+
+# ---------------------------------------------------------------------------
+# Observation API: in-flight metrics collected DURING execution — the
+# engine's data-quality/monitoring hook (no second scan to audit a
+# write: the metrics ride the job that does the work).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "observe_metrics_certificate",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(MIN(l_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(l_orderkey) AS BIGINT) AS max_key
+FROM lineitem
+""",
+)
+def q_observe_metrics_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.observe``: named aggregate metrics accumulated BY THE
+    RUNNING JOB (here a full-scan count) and read off the Observation
+    handle afterwards — the mechanism that lets a 100 TB ingest write
+    emit row counts / quality stats without a second audit scan.  The
+    observed values are returned as the result row; the oracle
+    recomputes them independently, so a metrics bug (lost partition,
+    double count) breaks the value hash."""
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("ingest_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+        F.min("l_orderkey").alias("min_key"),
+        F.max("l_orderkey").alias("max_key"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # the "ingest" job
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["sum_qty"], m["min_key"], m["max_key"])],
+        "n_rows long, sum_qty double, min_key bigint, max_key bigint",
+    )

@@ -81,6 +81,7 @@ ARROW_OK = {
     "multimodal_binaryfile_scan",  # real-file corpus decode over mapInPandas (by design)
     "ann_assign_gemm_cells",  # Arrow GEMM assignment IS the certified subject (by design)
     "streaming_stateful_user_totals",  # applyInPandasWithState custom operator (by design)
+    "udf_map_in_arrow",  # RecordBatch-level Arrow slot IS the subject (by design)
     "udf_grouped_map_zscore",  # grouped-map applyInPandas demo (by design)
 }
 
@@ -97,7 +98,12 @@ def test_plan_scale_lint(spark, name):
         )
     # row-at-a-time Python is never acceptable
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
-    if "ArrowEvalPython" in plan or "MapInPandas" in plan or "FlatMapGroupsInPandas" in plan:
+    if (
+        "ArrowEvalPython" in plan
+        or "MapInPandas" in plan
+        or "MapInArrow" in plan
+        or "FlatMapGroupsInPandas" in plan
+    ):
         assert name in ARROW_OK, (
             f"{name}: unexpected Python stage — whitelist it with a "
             "reason if the Python is intentional"
