@@ -850,3 +850,60 @@ def join_aqe_skew_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("r_name").alias("region_name"),
         )
     )
+
+
+# AQE runtime SMJ→broadcast conversion: the planner's STATIC size
+# estimate cannot see how selective the dim filter is; the runtime
+# shuffle statistics can.
+AQE_BCAST_MOD = 1009  # o_orderkey % 1009 = 0 -> a few hundred orders
+
+
+@register(
+    "join_aqe_broadcast_conversion",
+    oracle=f"""
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+FROM lineitem l
+JOIN (SELECT * FROM orders WHERE o_orderkey % {AQE_BCAST_MOD} = 0) o
+  ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+""",
+)
+def q_join_aqe_broadcast_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE's runtime join-strategy demotion of a shuffle: with STATIC
+    broadcast disabled (the planner's pre-filter size estimate cannot
+    prove the dim side small) the initial plan is sort-merge; after the
+    dim side's shuffle stage materializes, its ACTUAL bytes sit far
+    under the runtime broadcast threshold and
+    ``OptimizeShuffleWithLocalRead``/``AQEOptimizer`` replans the join
+    as BroadcastHashJoin — asserted post-execution (isFinalPlan=true)
+    in tests/test_plans.py.  At 100 TB this is the filter-heavy
+    fact-to-dim join AQE wins without any manual hint; values are
+    strategy-invariant so the certificate is a plain aggregate."""
+    child = spark.newSession()
+    child.conf.set("spark.sql.adaptive.enabled", "true")
+    child.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    child.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10m")
+    child.conf.set(
+        "spark.sql.shuffle.partitions",
+        spark.conf.get("spark.sql.shuffle.partitions"),
+    )
+    li = load_table(child, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = (
+        load_table(child, sf_dir, "orders")
+        .where(F.col("o_orderkey") % AQE_BCAST_MOD == 0)
+        .select("o_orderkey", "o_orderpriority")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -436,3 +436,26 @@ def test_shuffle_hash_hint_is_honored(spark):
     plan = formatted_plan(q_join_shuffle_hash_hint(spark, SF_CORRECTNESS))
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_aqe_converts_smj_to_broadcast_at_runtime(spark):
+    """With static broadcast disabled, the initial plan must be
+    sort-merge; after execution AQE's final plan must have replanned
+    the join as BroadcastHashJoin from the runtime shuffle stats."""
+    from mcp_server_vector_search_spark.operators.scale import (
+        q_join_aqe_broadcast_conversion,
+    )
+    from mcp_server_vector_search_spark.plans.explain import formatted_plan
+
+    df = q_join_aqe_broadcast_conversion(spark, SF_CORRECTNESS)
+    before = formatted_plan(df)
+    assert "SortMergeJoin" in before and "isFinalPlan=false" in before
+    df.collect()
+    after = formatted_plan(df)
+    assert "isFinalPlan=true" in after
+    # scope to the FINAL plan section (the Initial Plan section keeps
+    # the sort-merge plan AQE started from — which is the point)
+    final = after.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final
+    assert "SortMergeJoin" not in final
+    assert "SortMergeJoin" in after  # the initial plan really was SMJ
