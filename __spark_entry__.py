@@ -63,6 +63,7 @@ _PRIORITY_PREFIX = [
     "udf_map_in_arrow",
     "observe_metrics_certificate",
     "join_aqe_broadcast_conversion",
+    "window_session_native",
     # --- latest record is r2/r3 and r7 did not resample ---
     "q14_promo_revenue",
     "q15_top_supplier",

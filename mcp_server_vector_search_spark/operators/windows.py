@@ -483,3 +483,61 @@ def q_window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Native session_window in BATCH: the same Catalyst operator the
+# streaming path uses (streaming/ingest.session_windows), certified
+# against the classic gaps-and-islands SQL formulation.
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_MIN = 30
+
+
+@register(
+    "window_session_native",
+    oracle=f"""
+WITH marks AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w >= INTERVAL {SESSION_GAP_MIN} MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marks
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+FROM sess
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+""",
+)
+def q_window_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``F.session_window`` as a BATCH aggregate — gap-merged sessions
+    in ONE hash aggregate over (user, session window), the exact
+    Catalyst operator the streaming path runs stateful
+    (streaming/ingest.session_windows: same expression, watermarked).
+    The oracle derives identical sessions through the gaps-and-islands
+    window formulation (LAG ≥ gap starts an island, running-sum labels
+    it), pinning the merge rule: an event exactly at ``prev + gap``
+    starts a NEW session.  At 100 TB the aggregate shuffles once on
+    user_id and session state merges map-side — no per-user sort pass
+    like the islands formulation needs."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            "user_id", F.session_window("ts", f"{SESSION_GAP_MIN} minutes")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
