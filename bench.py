@@ -45,26 +45,47 @@ def main() -> None:
     # round its whole perf record (round 3 lost all timings to a single
     # AnalysisException).  Failures are recorded as {"err": ...} entries
     # alongside the successful timings.
+    #
+    # Each query is timed TWICE and the official number is the MIN
+    # (VERDICT r8 task 2: the r8 driver record was uniformly ~1.8x
+    # inflated by machine contention; min-of-2 rejects transient
+    # contention while scratch release + clearCache between runs keeps
+    # each run a cold plan).  Both raw runs plus start/end loadavg are
+    # kept in the payload so a contaminated record is self-labeling.
+    runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    loadavg_start = os.getloadavg()
+    ts_start = time.time()
     timings: dict[str, float] = {}
+    raw_runs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for name in sorted(registry.QUERIES):
         fn = registry.QUERIES[name]
-        t0 = time.perf_counter()
-        try:
-            df = fn(spark, sf_dir)
-            n = df.count()
-        except Exception as exc:  # noqa: BLE001 — survive any one query
-            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-            print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
-        else:
-            timings[name] = round(time.perf_counter() - t0, 4)
-            print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
-        finally:
-            # Operators may persist() scratch subtrees (signature tables,
-            # exploded shingles); drop them so queries are timed
-            # independently instead of competing for storage memory.
-            release_scratch()
-            spark.catalog.clearCache()
+        samples: list[float] = []
+        for _ in range(runs_per_query):
+            t0 = time.perf_counter()
+            try:
+                df = fn(spark, sf_dir)
+                n = df.count()
+            except Exception as exc:  # noqa: BLE001 — survive any one query
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
+                samples = []
+                break
+            else:
+                samples.append(round(time.perf_counter() - t0, 4))
+            finally:
+                # Operators may persist() scratch subtrees (signature
+                # tables, exploded shingles); drop them so runs are timed
+                # independently instead of competing for storage memory.
+                release_scratch()
+                spark.catalog.clearCache()
+        if samples:
+            raw_runs[name] = samples
+            timings[name] = min(samples)
+            print(
+                f"# {name}: {timings[name]:.3f}s min of {samples} ({n} rows)",
+                file=sys.stderr,
+            )
 
     total = round(sum(timings.values()), 4)
     payload = {
@@ -72,6 +93,10 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "runs": raw_runs,
+        "runs_per_query": runs_per_query,
+        "loadavg": {"start": loadavg_start, "end": os.getloadavg()},
+        "wallclock": {"start": ts_start, "end": time.time()},
         "errors": errors,
         "sf": float(sf),
     }
@@ -81,18 +106,21 @@ def main() -> None:
     # per-query numbers stay auditable regardless of stdout truncation.
     repo = Path(__file__).resolve().parent
     text = json.dumps(payload, indent=1, sort_keys=True) + "\n"
-    (repo / "BENCH_FULL.json").write_text(text)
-    # ...and a per-round copy (BENCH_FULL.json is overwritten each run,
-    # so round N+1's verdict could only diff the truncated stdout tail;
-    # VERDICT r7 task 4).  The round number comes from the highest
-    # CORRECTNESS_r{N}.json present, +1 — the bench for round N runs
-    # before its correctness file lands.
-    rounds = [
-        int(p.stem.split("_r")[1])
-        for p in repo.glob("CORRECTNESS_r*.json")
-        if p.stem.split("_r")[1].isdigit()
-    ]
-    (repo / f"BENCH_FULL_r{max(rounds, default=0) + 1:02d}.json").write_text(text)
+    # Only official-SF runs (the driver's sf0.1) overwrite the committed
+    # records; iterating locally at sf0.001/0.01 must not clobber them.
+    if float(sf) >= 0.1:
+        (repo / "BENCH_FULL.json").write_text(text)
+        # ...and a per-round copy (BENCH_FULL.json is overwritten each run,
+        # so round N+1's verdict could only diff the truncated stdout tail;
+        # VERDICT r7 task 4).  The round number comes from the highest
+        # CORRECTNESS_r{N}.json present, +1 — the bench for round N runs
+        # before its correctness file lands.
+        rounds = [
+            int(p.stem.split("_r")[1])
+            for p in repo.glob("CORRECTNESS_r*.json")
+            if p.stem.split("_r")[1].isdigit()
+        ]
+        (repo / f"BENCH_FULL_r{max(rounds, default=0) + 1:02d}.json").write_text(text)
     print(json.dumps(payload))
     spark.stop()
 
