@@ -1,0 +1,346 @@
+"""Reference-dimension parity and composed index-lifecycle churn.
+
+Two certificates VERDICT r8 asked for (tasks 5 and 6):
+
+- ``semantic_search_dim1536``: the whole vector path — distributed
+  Arrow-UDF embedding, dimension hard-check, Neo4j-normalized scoring,
+  pushed-down top-k — executed at the REFERENCE's actual dimension.
+  The reference hard-codes 1536 everywhere (server.py:55-56, 80-84;
+  README.md:76 ``vector.dimensions: 1536``); every other registered
+  query runs at the fixture's dim 64, so nothing previously pinned
+  that no stage silently assumes the small dimension.
+- ``ann_lifecycle_churn``: deletes, upserts and a maintenance-
+  triggered compaction applied IN SEQUENCE to one physical IVF layout
+  (the reference analog is dropping + re-creating ``embeddableIndex``,
+  README.md:176-182 — a full rebuild; ours rewrites only affected
+  cells at each step).  The post-churn top-k is asserted equal to a
+  from-scratch build over the effective corpus, and the oracle
+  recomputes that effective state declaratively.
+
+Oracle discipline: trained constants and driver-side embeddings are
+re-computed at registration time and folded into the SQL as literals
+(functions/train.py); all doubles follow the family's sequential-
+summation + HALF_UP-at-6 conventions so both engines hash identically.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.embedder import OPENAI_EMBED_DIM, _token_vector, hash_embedder
+from ..functions.train import ORACLE_SF_DIR, load_sorted_vectors, sql_float, sql_floats
+from ..functions.vector import dim_check, neo4j_score, vector_lit
+from ..registry import register
+from ..sources.tables import load_table
+from .ann import (
+    ASSIGN_DECIMALS,
+    NPROBE,
+    TRAIN_SAMPLE,
+    _sample_vectors,
+    assignment_expr,
+    nearest_centroids,
+    replace_partitions,
+    train_centroids,
+)
+from .topk import QUERY_VEC_ID, SCORE_DECIMALS
+
+K = 10
+
+# ---------------------------------------------------------------------------
+# semantic_search_dim1536 — the reference's dimension, end to end
+# ---------------------------------------------------------------------------
+
+PROMPT_1536 = "spark window query join"  # == ann.PROMPT_TEXT (shared prompt)
+
+_TOKEN_CACHE: dict[str, np.ndarray] = {}
+
+
+def _embed_1536(text: str) -> np.ndarray:
+    """Driver-side mirror of ``hash_embedder(1536)``'s per-row math
+    (bag of md5-seeded token vectors summed in float64, L2-normalized,
+    cast float32) — the oracle generator runs THIS, the query runs the
+    distributed Arrow UDF, and the fold certifies they agree."""
+    acc = np.zeros(OPENAI_EMBED_DIM)
+    for tok in (text or "").split(" "):
+        vec = _TOKEN_CACHE.get(tok)
+        if vec is None:
+            vec = _TOKEN_CACHE[tok] = _token_vector(tok, OPENAI_EMBED_DIM)
+        acc += vec
+    nrm = np.linalg.norm(acc)
+    if nrm > 0:
+        acc = acc / nrm
+    return acc.astype(np.float32)
+
+
+def _seq_dot(a, b) -> float:
+    """Left-to-right sequential double summation — the evaluation order
+    of ``functions.vector.dot``'s ``F.aggregate`` fold, so the folded
+    scores are bit-identical to the JVM's."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def _score_round6(doc_vec, query_vec) -> float:
+    na = math.sqrt(_seq_dot(doc_vec, doc_vec))
+    nb = math.sqrt(_seq_dot(query_vec, query_vec))
+    cos = _seq_dot(doc_vec, query_vec) / (na * nb)
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-SCORE_DECIMALS)
+    return float(
+        Decimal(repr((1.0 + cos) / 2.0)).quantize(q, rounding=ROUND_HALF_UP)
+    )
+
+
+def _dim1536_expected() -> list[tuple[int, float]] | None:
+    """Embed every sf0.01 document at dim 1536 driver-side, score
+    against the prompt embedding, return the exact top-K —
+    registration-time fold, same discipline as quantizer training."""
+    try:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            f"{ORACLE_SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+        )
+    except Exception:  # pragma: no cover - testdata absent
+        return None
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    qvec = _embed_1536(PROMPT_1536)
+    scored = sorted(
+        ((-_score_round6(_embed_1536(tx), qvec), i) for i, tx in zip(ids, texts)),
+    )[:K]
+    return [(int(i), -s) for s, i in scored]
+
+
+def _dim1536_oracle() -> str | None:
+    expected = _dim1536_expected()
+    if expected is None:  # pragma: no cover - testdata absent
+        return None
+    values = ",\n  ".join(
+        f"({i}, {sql_float(s)}, TRUE)" for i, s in expected
+    )
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, score, dim_ok FROM (VALUES
+  {values}
+) AS t(doc_id, score, dim_ok)
+"""
+
+
+@register("semantic_search_dim1536", oracle=_dim1536_oracle())
+def q_semantic_search_dim1536(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship pipeline at the reference's hard-coded dimension
+    (server.py:55-56 ``len(embedding) != 1536`` hard-fail;
+    README.md:76): embed the corpus at 1536 with the DISTRIBUTED Arrow
+    UDF, dim-check every vector (surfaced as a per-row ``dim_ok``
+    column, all TRUE or the hash breaks), score with the same JVM
+    sequential-fold cosine as dim 64, take the top-k.  The oracle is
+    the registration-time driver-side replication of the identical
+    math — a mismatch at any stage (UDF batching, float32 cast, fold
+    order, rounding) shifts a score or an id."""
+    docs = load_table(spark, sf_dir, "documents")
+    embed = hash_embedder(OPENAI_EMBED_DIM)
+    qcol = vector_lit([float(v) for v in _embed_1536(PROMPT_1536)])
+    emb = docs.select("doc_id", embed(F.col("text")).alias("embedding"))
+    return (
+        emb.select(
+            "doc_id",
+            F.round(neo4j_score("embedding", qcol), SCORE_DECIMALS).alias("score"),
+            dim_check("embedding", OPENAI_EMBED_DIM).alias("dim_ok"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# ann_lifecycle_churn — delete → upsert → maintenance compaction on ONE
+# physical layout, certified against the declarative effective state
+# ---------------------------------------------------------------------------
+
+DELETE_SQL = "vec_id % 7 = 3"  # never touches QUERY_VEC_ID (0 % 7 = 0)
+CHURN_UPSERT_FRACTION = 0.9  # ids >= floor(frac·max) get re-embedded (reversed)
+
+
+def _churn_oracle() -> str | None:
+    try:
+        ids, x = load_sorted_vectors(ORACLE_SF_DIR)
+    except Exception:  # pragma: no cover - testdata absent
+        return None
+    cents = train_centroids([list(v) for v in x[:TRAIN_SAMPLE]])
+    qvec = [float(v) for v in x[ids.index(QUERY_VEC_ID)]]
+    probes = nearest_centroids(qvec, cents, NPROBE)
+    values = ",\n  ".join(
+        f"({i}, {sql_floats(c)}::DOUBLE[])" for i, c in enumerate(cents)
+    )
+    return f"""
+WITH cut AS (
+  SELECT CAST(FLOOR({CHURN_UPSERT_FRACTION} * MAX(vec_id)) AS BIGINT) AS c
+  FROM embeddings
+),
+cents(cid, cv) AS (VALUES
+  {values}
+),
+eff AS (
+  SELECT vec_id,
+         CASE WHEN vec_id >= cut.c THEN list_reverse(embedding::DOUBLE[])
+              ELSE embedding::DOUBLE[] END AS v
+  FROM embeddings, cut
+  WHERE NOT ({DELETE_SQL})
+),
+assign AS (
+  SELECT vec_id, v, cid AS centroid_id FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             ROUND(list_dot_product(e.v, c.cv)
+                   / sqrt(list_dot_product(e.v, e.v)), {ASSIGN_DECIMALS}) DESC,
+             c.cid) AS rn
+    FROM eff e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+SELECT a.vec_id, CAST(a.centroid_id AS INTEGER) AS centroid_id,
+       ROUND((1.0 + list_cosine_similarity(a.v, q.qv)) / 2.0,
+             {SCORE_DECIMALS}) AS score
+FROM assign a CROSS JOIN q
+WHERE a.centroid_id IN ({", ".join(str(p) for p in probes)})
+ORDER BY score DESC, a.vec_id
+LIMIT {K}
+"""
+
+
+def _pruned_topk(layout_df: DataFrame, probes: list[int], qvec) -> DataFrame:
+    qcol = vector_lit(qvec)
+    return (
+        layout_df.where(F.col("centroid_id").isin(probes))
+        .withColumn("score", F.round(neo4j_score("embedding", qcol), SCORE_DECIMALS))
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(K)
+        .select("vec_id", F.col("centroid_id").cast("int").alias("centroid_id"), "score")
+    )
+
+
+@register("ann_lifecycle_churn", oracle=_churn_oracle())
+def q_ann_lifecycle_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed index-churn lifecycle through REAL files: build the
+    centroid_id-partitioned IVF layout, then (1) physically DELETE a
+    tombstoned id set by rewriting only the cells that contain them,
+    (2) UPSERT a re-embedded batch (delete-and-append over old ∪ new
+    cells of the moved ids — ``ann_ivf_upsert_cells``'s path), and
+    (3) run a maintenance-triggered COMPACTION: every cell whose row
+    count changed during churn is rewritten in place (the vacuum the
+    maintenance plan's ``needs_rewrite`` bit schedules).  After all
+    three rewrites the pruned top-k is asserted EQUAL to a from-scratch
+    build over the effective corpus (the reference's only maintenance
+    story — index drop + re-create DDL, README.md:176-182 — rebuilds
+    everything; here rewrite cost is proportional to touched cells).
+    The oracle recomputes the effective state declaratively, so a lost
+    row, resurrected tombstone, or stale duplicate in ANY step shifts
+    the result hash."""
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = train_centroids(_sample_vectors(emb, TRAIN_SAMPLE))
+    cut = emb.agg(
+        F.floor(F.lit(CHURN_UPSERT_FRACTION) * F.max("vec_id")).cast("long").alias("c")
+    ).first()["c"]
+    qvec = [
+        float(v)
+        for v in emb.where(F.col("vec_id") == QUERY_VEC_ID).first()["embedding"]
+    ]
+    probes = nearest_centroids(qvec, cents, NPROBE)
+
+    # build: the pre-churn layout
+    base = emb.select(
+        "vec_id", "embedding", assignment_expr(cents).alias("centroid_id")
+    )
+    layout = tempfile.mkdtemp(prefix="ivf_churn_")
+    base.repartition("centroid_id").write.mode("overwrite").partitionBy(
+        "centroid_id"
+    ).parquet(layout)
+    pre_counts = {
+        r["centroid_id"]: r["n"]
+        for r in spark.read.parquet(layout)
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # bounded: ≤ n_centroids rows
+    }
+
+    # churn 1 — delete: rewrite only cells holding a tombstoned id
+    stored = spark.read.parquet(layout)
+    del_cells = sorted(
+        r["centroid_id"]
+        for r in stored.where(F.expr(DELETE_SQL)).select("centroid_id").distinct().collect()
+    )
+    survivors = stored.where(
+        F.col("centroid_id").isin(del_cells) & ~F.expr(DELETE_SQL)
+    ).select("vec_id", "embedding", "centroid_id")
+    replace_partitions(layout, del_cells, survivors)
+
+    # churn 2 — upsert: re-embedded batch (reversed vectors), only
+    # surviving ids; delete-and-append over old ∪ new cells
+    stored = spark.read.parquet(layout)
+    updated = stored.where(F.col("vec_id") >= cut).select(
+        "vec_id", F.reverse("embedding").alias("embedding")
+    )
+    new_assigned = updated.select(
+        "vec_id", "embedding", assignment_expr(cents).alias("centroid_id")
+    )
+    old_cells = stored.where(F.col("vec_id") >= cut).select("centroid_id").distinct()
+    up_cells = sorted(
+        r["centroid_id"]
+        for r in old_cells.unionAll(new_assigned.select("centroid_id").distinct())
+        .distinct()
+        .collect()  # bounded: ≤ n_centroids rows
+    )
+    replacement = stored.where(
+        F.col("centroid_id").isin(up_cells) & (F.col("vec_id") < cut)
+    ).select("vec_id", "embedding", "centroid_id").unionAll(new_assigned)
+    replace_partitions(layout, up_cells, replacement)
+
+    # churn 3 — maintenance compaction: cells whose census changed are
+    # rewritten in place (content-preserving vacuum of churned cells)
+    stored = spark.read.parquet(layout)
+    post_counts = {
+        r["centroid_id"]: r["n"]
+        for r in stored.groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # bounded: ≤ n_centroids rows
+    }
+    dirty = sorted(
+        c
+        for c in set(pre_counts) | set(post_counts)
+        if pre_counts.get(c) != post_counts.get(c)
+    )
+    compacted = stored.where(F.col("centroid_id").isin(dirty)).select(
+        "vec_id", "embedding", "centroid_id"
+    )
+    replace_partitions(layout, dirty, compacted)
+
+    # certify: post-churn pruned top-k == from-scratch build's
+    churned = _pruned_topk(spark.read.parquet(layout), probes, qvec).localCheckpoint(
+        eager=True
+    )
+    effective = emb.where(~F.expr(DELETE_SQL)).select(
+        "vec_id",
+        F.when(F.col("vec_id") >= cut, F.reverse("embedding"))
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    scratch = effective.select(
+        "vec_id", "embedding", assignment_expr(cents).alias("centroid_id")
+    )
+    expected = _pruned_topk(scratch, probes, qvec).collect()
+    got = churned.collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in expected], (
+        "post-churn top-k diverged from the from-scratch build"
+    )
+    shutil.rmtree(layout, ignore_errors=True)
+    return churned
