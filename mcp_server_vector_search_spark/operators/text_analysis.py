@@ -525,3 +525,105 @@ def text_phrase_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matches.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("int").alias("n_occurrences")
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval: the lexical counterpart of the flagship vector
+# top-k, over the same prompt
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_K = 10
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _prompt_terms())
+    return f"""
+WITH toks AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+stats AS (
+  SELECT COUNT(*) AS n, SUM(len(string_split(text, ' '))) AS total
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, dl, tok, COUNT(*) AS tf FROM toks
+  WHERE tok IN ({terms}) GROUP BY doc_id, dl, tok
+),
+df AS (
+  SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks
+  WHERE tok IN ({terms}) GROUP BY tok
+),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(SUM(CAST(ROUND(
+           ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * ({BM25_K1} + 1.0))
+           / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+              + {BM25_B} * tf.dl / (CAST(stats.total AS DOUBLE) / stats.n))),
+           {R}) AS DECIMAL(18,{R}))) AS DOUBLE) AS bm25
+  FROM tf JOIN df USING (tok) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, bm25 FROM scored
+ORDER BY bm25 DESC, doc_id
+LIMIT {BM25_K}
+"""
+
+
+@register("text_bm25_topk", oracle=_bm25_oracle())
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson-Sparck Jones; the Lucene
+    ``k1=1.2, b=0.75`` defaults and its ``ln(1 + (N-df+0.5)/(df+0.5))``
+    idf) for the engine's canonical prompt — the lexical side of the
+    hybrid RRF fusion (operators/hybrid.py scores dense-only; this is
+    the ranking function a 100 TB lexical store would fuse in).
+
+    Plan: the token explode filters to the QUERY's terms BEFORE any
+    aggregation, so the per-(doc, term) tf agg and the per-term df agg
+    shuffle O(matching postings), never O(corpus tokens); df (≤ |query|
+    rows) broadcasts into the scoring join.  Corpus stats (N, Σ|d|) are
+    one scalar aggregate folded as literals — exact integers, so avgdl
+    is the same double on both engines.  Per-term contributions are
+    rounded HALF_UP at {R} and summed as DECIMAL so the doc score is
+    addition-order-independent (double summation order differs between
+    Spark's hash agg and DuckDB's)."""
+    d = load_table(spark, sf_dir, "documents")
+    terms = _prompt_terms()
+    n_docs, total_len = d.agg(
+        F.count(F.lit(1)), F.sum(T.token_count(F.col("text")))
+    ).first()
+    avgdl = F.lit(float(total_len) / float(n_docs))
+    toks = d.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("dl"),
+        F.explode(T.tokens(F.col("text"))).alias("tok"),
+    ).where(F.col("tok").isin(*terms))
+    tf = toks.groupBy("doc_id", "dl", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    contrib = F.round(
+        idf
+        * (F.col("tf") * F.lit(BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(BM25_K1)
+            * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / avgdl)
+        ),
+        R,
+    ).cast(f"decimal(18,{R})")
+    return (
+        tf.join(F.broadcast(df), "tok")
+        .select("doc_id", contrib.alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").cast("double").alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(BM25_K)
+    )

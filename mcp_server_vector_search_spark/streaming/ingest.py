@@ -507,3 +507,72 @@ def q_streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(merged, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Stream-static join through the gate: every micro-batch of the event
+# stream enriches against a STATIC dimension table — the standard
+# "stream of facts × slowly-changing dim snapshot" topology (Spark's
+# stream-static join re-plans the static side per micro-batch; with a
+# small dim Catalyst broadcasts it, so no stateful join state at all).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_join_static",
+    oracle="""
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+""",
+)
+def q_streaming_join_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join executed as REAL micro-batches:
+    the events table is replayed as (at least) two file-stream
+    micro-batches, each joined against the static ``customer``
+    dimension (broadcast per batch — stream-static joins keep NO join
+    state, the scalable shape for fact-stream × dim enrichment at
+    100 TB/day), aggregated per market segment in complete mode, and
+    the sink table must hash-match the single-shot batch SQL.  Value
+    sums go through DECIMAL so micro-batch accumulation order can't
+    drift the double."""
+    import shutil
+    import uuid
+
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    src = tempfile.mkdtemp(prefix="ssjoin_src_")
+    # two files -> two micro-batches under maxFilesPerTrigger=1
+    events.repartition(2).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = f"ssjoin_stream_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ssjoin_ckpt_")
+    q = (
+        stream.join(customer, stream.user_id == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(q.recentProgress) >= 2, "join must span micro-batches"
+    out = spark.table(name).orderBy("c_mktsegment").localCheckpoint(eager=True)
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out

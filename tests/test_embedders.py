@@ -219,3 +219,39 @@ def test_model_loads_once_per_worker_process(spark, tmp_path):
     assert len(loads) < n_tasks, (
         f"{len(loads)} loads for {n_tasks} tasks — per-task reload"
     )
+
+
+def test_sentence_transformer_real_model_interop(spark):
+    """When sentence-transformers is installed, the REAL model must flow
+    through the sentence_transformer_embedder slot (reference
+    server.py:25-38 semantics: all-MiniLM-L6-v2, 384-dim) with the
+    shape/dim/determinism contracts the structural tests pin with a
+    fake; skipped where the library (or its model download) is absent.
+    Same env-gating pattern as the PIL codec interop
+    (test_jpeg.py:test_jpeg_pil_interop)."""
+    pytest.importorskip("sentence_transformers")
+    from mcp_server_vector_search_spark.functions.embedder import (
+        ST_EMBED_DIM,
+        sentence_transformer_embedder,
+    )
+
+    try:
+        embed = sentence_transformer_embedder()
+        texts = ["spark window query join", "the fast key order", ""]
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+        rows = (
+            df.select("id", embed(F.col("text")).alias("emb"))
+            .orderBy("id")
+            .collect()
+        )
+    except Exception as exc:  # pragma: no cover - model download blocked
+        pytest.skip(f"sentence-transformers present but model unavailable: {exc}")
+    assert all(len(r["emb"]) == ST_EMBED_DIM for r in rows)
+    # determinism: a second distributed pass produces identical vectors
+    again = (
+        df.select("id", embed(F.col("text")).alias("emb")).orderBy("id").collect()
+    )
+    for a, b in zip(rows, again):
+        assert np.allclose(a["emb"], b["emb"], atol=0.0)
+    # distinct texts get distinct embeddings
+    assert not np.allclose(rows[0]["emb"], rows[1]["emb"])
