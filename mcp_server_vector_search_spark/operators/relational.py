@@ -1026,3 +1026,92 @@ def q_join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC change feed: the diff of two table snapshots as typed change rows
+# — what a lakehouse emits to downstream consumers after a merge.
+# ---------------------------------------------------------------------------
+
+CDC_DELETE_EVERY = 17  # o_orderkey % 17 == 3 rows vanish in the new snapshot
+CDC_UPDATE_EVERY = 10  # o_orderkey % 10 == 0 rows re-state o_totalprice
+CDC_INSERT_EVERY = 23  # copies of % 23 == 7 rows arrive under fresh keys
+
+
+@register(
+    "cdc_table_diff",
+    oracle=f"""
+WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+old AS (
+  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders
+),
+new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % {CDC_UPDATE_EVERY} = 0
+              THEN CAST(o_totalprice AS DECIMAL(12,2)) + 1.00
+              ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS price
+  FROM orders WHERE o_orderkey % {CDC_DELETE_EVERY} <> 3
+  UNION ALL
+  SELECT o_orderkey + mx.m + 1 AS o_orderkey,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS price
+  FROM orders, mx WHERE o_orderkey % {CDC_INSERT_EVERY} = 7
+)
+SELECT CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+            WHEN n.o_orderkey IS NULL THEN 'delete'
+            ELSE 'update' END AS op,
+       COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+       CAST(o.price AS DOUBLE) AS old_price,
+       CAST(n.price AS DOUBLE) AS new_price
+FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL OR o.price <> n.price
+ORDER BY o_orderkey
+""",
+)
+def q_cdc_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture feed between two snapshots of ``orders``
+    (the new snapshot applies a deterministic delete/update/insert
+    batch): a single FULL OUTER join on the key classifies every row
+    as insert / update / delete, and unchanged rows are filtered OUT —
+    the feed is proportional to the churn, never the table.  Prices
+    compare as DECIMAL so float representation can't fake an update.
+    At 100 TB both snapshots shuffle once on the join key (or not at
+    all if both are bucketed by it — ``join_bucketed_colocated``'s
+    layout); the reference has no notion of history at all (its Neo4j
+    store is overwrite-only), so this is pure engine breadth."""
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(12,2)")
+    old = o.select("o_orderkey", price.alias("price"))
+    mx = o.agg(F.max("o_orderkey")).first()[0]
+    survivors = o.where(F.col("o_orderkey") % CDC_DELETE_EVERY != 3).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % CDC_UPDATE_EVERY == 0, price + F.lit(1.00))
+        .otherwise(price)
+        .alias("price"),
+    )
+    inserts = o.where(F.col("o_orderkey") % CDC_INSERT_EVERY == 7).select(
+        (F.col("o_orderkey") + F.lit(mx + 1)).alias("o_orderkey"),
+        price.alias("price"),
+    )
+    new = survivors.unionByName(inserts)
+    j = old.alias("o").join(
+        new.alias("n"), F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer"
+    )
+    op = (
+        F.when(F.col("o.o_orderkey").isNull(), F.lit("insert"))
+        .when(F.col("n.o_orderkey").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    return (
+        j.where(
+            F.col("o.o_orderkey").isNull()
+            | F.col("n.o_orderkey").isNull()
+            | (F.col("o.price") != F.col("n.price"))
+        )
+        .select(
+            op.alias("op"),
+            F.coalesce("o.o_orderkey", "n.o_orderkey").alias("o_orderkey"),
+            F.col("o.price").cast("double").alias("old_price"),
+            F.col("n.price").cast("double").alias("new_price"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -576,3 +576,83 @@ def q_streaming_join_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint-resume through the gate: a RESTARTED stream must process
+# only the delta — the exactly-once contract every long-running ingest
+# pipeline stands on.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_checkpoint_resume",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(event_id) AS BIGINT) AS id_sum
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def q_streaming_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once RESTART: run an availableNow stream over half the
+    corpus into a parquet sink, STOP it, add the second half to the
+    source, and restart from the SAME checkpoint.  The second run must
+    process only the delta (asserted from its progress counters — the
+    checkpoint's file-source log is what makes re-listing the old file
+    a no-op), and the sink must contain every event exactly once: the
+    batch aggregate over the sink hash-matches the single-shot oracle,
+    so a re-processed or skipped file shifts n_events AND id_sum.
+    This is the mechanism that lets a 100 TB/day ingest survive
+    restarts without reprocessing history."""
+    import shutil
+    import uuid
+
+    events = load_table(spark, sf_dir, "events")
+    half_a = events.where(F.col("event_id") % 2 == 0)
+    half_b = events.where(F.col("event_id") % 2 == 1)
+    n_b = half_b.count()
+    stage = tempfile.mkdtemp(prefix="ckptres_stage_")
+    src = tempfile.mkdtemp(prefix="ckptres_src_")
+    sink = tempfile.mkdtemp(prefix="ckptres_sink_")
+    ckpt = tempfile.mkdtemp(prefix="ckptres_ckpt_")
+    half_a.coalesce(1).write.mode("overwrite").parquet(f"{stage}/a")
+    half_b.coalesce(1).write.mode("overwrite").parquet(f"{stage}/b")
+    for n, f in enumerate(sorted(Path(f"{stage}/a").glob("*.parquet"))):
+        os.link(f, f"{src}/part_a_{n}.parquet")
+
+    def run_once():
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        q = (
+            stream.select("event_id", "event_type")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sum(p["numInputRows"] for p in q.recentProgress)
+
+    run_once()  # first run: file A only
+    for n, f in enumerate(sorted(Path(f"{stage}/b").glob("*.parquet"))):
+        os.link(f, f"{src}/part_b_{n}.parquet")
+    n_second = run_once()  # restart from the same checkpoint
+    assert n_second == n_b, (
+        f"restart must process exactly the delta ({n_b} rows), got {n_second}"
+    )
+    out = (
+        spark.read.parquet(sink)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("event_id").alias("id_sum"),
+        )
+        .orderBy("event_type")
+        .localCheckpoint(eager=True)
+    )
+    for d in (stage, src, sink, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    return out

@@ -393,6 +393,24 @@ SHOWCASE = [
         "by the time span, not the corpus.  The aggregation expression "
         "is byte-identical to the batch `window_tumbling_events` plan.",
     ),
+    (
+        "text_bm25_topk",
+        "BM25 ranked retrieval stays O(matching postings): the token "
+        "explode is filtered to the query's terms BEFORE either "
+        "aggregate (the `tok IN (...)` filter sits under the explode "
+        "projection), the ≤|query|-row df side enters the scoring join "
+        "as `BroadcastHashJoin`, and the final top-k is "
+        "`TakeOrderedAndProject` — corpus tokens never shuffle.",
+    ),
+    (
+        "semantic_search_dim1536",
+        "The reference's native dimension end-to-end: ONE "
+        "`ArrowEvalPython` stage embeds each document batch at 1536 "
+        "dims, the dim-check and sequential-fold cosine are JVM "
+        "expressions over the UDF output, and the top-k is "
+        "`TakeOrderedAndProject` — widening the vector 24x changes "
+        "bytes-per-row, not the plan shape.",
+    ),
 ]
 
 # Queries whose evidence is the EXECUTED streaming micro-batch plan,

@@ -68,6 +68,7 @@ ARROW_OK = {
     "similarity_join_threshold",
     "dedup_embedding_cosine",
     "semantic_search_hash_embedder",
+    "semantic_search_dim1536",  # distributed 1536-dim Arrow embed IS the subject (by design)
     "engine_search_e2e",
     "multimodal_frame_sample",
     "multimodal_metadata",
