@@ -592,7 +592,14 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     addition-order-independent (double summation order differs between
     Spark's hash agg and DuckDB's)."""
     d = load_table(spark, sf_dir, "documents")
-    terms = _prompt_terms()
+    return bm25_topk(d, _prompt_terms())
+
+
+def bm25_topk(
+    d: DataFrame, terms: tuple[str, ...], k: int = BM25_K
+) -> DataFrame:
+    """Parameterized BM25 plan (see ``text_bm25_topk``); the 100x
+    stress tier calls this with the scale corpus's vocabulary."""
     n_docs, total_len = d.agg(
         F.count(F.lit(1)), F.sum(T.token_count(F.col("text")))
     ).first()
@@ -625,5 +632,5 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("c").cast("double").alias("bm25"))
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
-        .limit(BM25_K)
+        .limit(k)
     )

@@ -459,3 +459,49 @@ def test_aqe_converts_smj_to_broadcast_at_runtime(spark):
     assert "BroadcastHashJoin" in final
     assert "SortMergeJoin" not in final
     assert "SortMergeJoin" in after  # the initial plan really was SMJ
+
+
+def test_bm25_broadcasts_df_and_takes_ordered(spark):
+    """BM25's df side (≤ |query terms| rows) must broadcast into the
+    scoring join and the final top-k must fuse to
+    TakeOrderedAndProject — corpus tokens shuffle only into the two
+    postings aggregates, never into a global sort."""
+    from mcp_server_vector_search_spark.operators.text_analysis import (
+        text_bm25_topk,
+    )
+
+    plan = formatted_plan(text_bm25_topk(spark, SF_CORRECTNESS))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dim1536_single_arrow_stage_take_ordered(spark):
+    """The 1536-dim path embeds in ONE ArrowEvalPython stage; scoring
+    and dim-check are JVM expressions over its output and the top-k is
+    TakeOrderedAndProject — widening the vector changes bytes-per-row,
+    not the plan shape."""
+    from mcp_server_vector_search_spark.operators.lifecycle import (
+        q_semantic_search_dim1536,
+    )
+
+    plan = formatted_plan(q_semantic_search_dim1536(spark, SF_CORRECTNESS))
+    # one physical node (the detail section re-prints it, so count the
+    # numbered node headers, not raw substring occurrences)
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1
+    assert "BatchEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_cdc_diff_filters_unchanged_rows_before_output(spark):
+    """The CDC feed is one full-outer join; unchanged rows are dropped
+    by the post-join filter so the output is proportional to churn.
+    No Python, no cartesian, no extra shuffle beyond the key join."""
+    from mcp_server_vector_search_spark.operators.relational import (
+        q_cdc_table_diff,
+    )
+
+    plan = formatted_plan(q_cdc_table_diff(spark, SF_CORRECTNESS))
+    assert "FullOuter" in plan or "full_outer" in plan.lower()
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan

@@ -213,3 +213,68 @@ def test_ivfpq_100x(spark, tiers):
         f"IVF-PQ query runtime grew {q100 / q10:.1f}x on 10x data "
         f"({q10:.1f}s -> {q100:.1f}s) — super-linear"
     )
+
+
+def test_bm25_100x(spark, tiers):
+    """BM25 retrieval at 500k docs: the explode is filtered to the
+    query's terms before either aggregate, so cost tracks matching
+    postings — runtime must stay inside the linear bound of the 10x
+    tier, and the scoring contract (k results, all containing at
+    least one query term, descending scores) must hold."""
+    from mcp_server_vector_search_spark.operators.text_analysis import bm25_topk
+
+    TERMS = ("w1", "w42", "w100", "the")
+
+    def run(sf_dir):
+        d = load_table(spark, sf_dir, "documents")
+        t0 = time.perf_counter()
+        rows = bm25_topk(d, TERMS).collect()
+        dt = time.perf_counter() - t0
+        return rows, dt
+
+    rows10, t10 = run(tiers[0][0])
+    rows100, t100 = run(tiers[1][0])
+    for rows, sf_dir in ((rows10, tiers[0][0]), (rows100, tiers[1][0])):
+        assert len(rows) == 10
+        scores = [r["bm25"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        top_ids = [r["doc_id"] for r in rows]
+        texts = {
+            r["doc_id"]: r["text"]
+            for r in load_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id").isin(top_ids))
+            .collect()
+        }
+        assert all(set(texts[i].split()) & set(TERMS) for i in top_ids)
+    print(f"SCALE100 bm25 t10={t10:.2f}s t100={t100:.2f}s ratio={t100 / t10:.2f}")
+    assert t100 <= LINEAR_SLACK * t10, (
+        f"BM25 runtime grew {t100 / t10:.1f}x on 10x data — super-linear"
+    )
+
+
+def test_lifecycle_churn_100x(spark, tiers):
+    """The composed delete→upsert→compaction lifecycle at 200k
+    vectors: the query's internal assertion (post-churn top-k EQUAL
+    to a from-scratch build) is the quality gate; this test adds the
+    scale gate — end-to-end churn runtime within the linear bound of
+    the 10x tier (every rewrite touches only affected cells, so cost
+    tracks data size, not cell count squared)."""
+    from mcp_server_vector_search_spark.operators.lifecycle import (
+        q_ann_lifecycle_churn,
+    )
+
+    def run(sf_dir):
+        t0 = time.perf_counter()
+        rows = q_ann_lifecycle_churn(spark, sf_dir).collect()
+        return rows, time.perf_counter() - t0
+
+    rows10, t10 = run(tiers[0][0])
+    rows100, t100 = run(tiers[1][0])
+    assert len(rows10) == 10 and len(rows100) == 10
+    print(
+        f"SCALE100 lifecycle t10={t10:.2f}s t100={t100:.2f}s "
+        f"ratio={t100 / t10:.2f}"
+    )
+    assert t100 <= LINEAR_SLACK * t10, (
+        f"lifecycle churn grew {t100 / t10:.1f}x on 10x data — super-linear"
+    )
