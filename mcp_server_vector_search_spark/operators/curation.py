@@ -307,3 +307,81 @@ def quality_constraint_certificate(spark: SparkSession, sf_dir: str) -> DataFram
     return m.select(F.explode(checks).alias("c")).select(
         "c.constraint", "c.metric", "c.passed"
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rules: the published repetition/length/stopword
+# document filters (Rae et al. 2021, appendix A1.1), as one codegen pass
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS = 40  # canonical 50, scaled to the fixture's 20-80 word docs
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 2  # canonical 3; fixture vocabulary skews short
+GOPHER_MAX_MEAN_LEN = 10
+GOPHER_MIN_STOP_HITS = 2  # docs must contain >= 2 stopword occurrences
+GOPHER_STOPS = ("the", "a", "of", "and", "to", "in")
+QR = 6
+
+
+@register(
+    "quality_gopher_rules",
+    oracle=f"""
+WITH feats AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+               / len(string_split(text, ' ')), {QR}) AS mean_word_len,
+         CAST(len(list_filter(string_split(text, ' '),
+                              t -> t IN {GOPHER_STOPS})) AS BIGINT) AS stop_hits
+  FROM documents
+)
+SELECT doc_id, CAST(n_words AS INTEGER) AS n_words, mean_word_len, stop_hits,
+       n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS} AS ok_words,
+       mean_word_len BETWEEN {GOPHER_MIN_MEAN_LEN} AND {GOPHER_MAX_MEAN_LEN}
+         AS ok_mean_len,
+       stop_hits >= {GOPHER_MIN_STOP_HITS} AS ok_stopwords,
+       (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+         AND (mean_word_len BETWEEN {GOPHER_MIN_MEAN_LEN} AND {GOPHER_MAX_MEAN_LEN})
+         AND stop_hits >= {GOPHER_MIN_STOP_HITS} AS keep
+FROM feats
+""",
+)
+def q_quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher corpus-filter rules (Rae et al. 2021 §A1.1, public):
+    word-count bounds, mean-word-length bounds, and a minimum stopword
+    presence, each surfaced as its own flag plus the conjunctive
+    ``keep`` bit — the per-rule flags are what a pipeline audits when
+    a filter version changes.  All features evaluate in ONE whole-stage
+    codegen projection (no explode — token counts and character sums
+    come from split/filter higher-order functions), so a 100 TB
+    filtering pass is a single scan with no shuffle at all.
+    Mean word length is rounded HALF_UP at {QR} so the derived double
+    hashes identically on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_words = F.size(toks)
+    mean_len = F.round(
+        F.length(F.regexp_replace("text", " ", "")).cast("double") / n_words, QR
+    )
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*GOPHER_STOPS))
+    ).cast("bigint")
+    ok_words = (F.col("n_words") >= GOPHER_MIN_WORDS) & (
+        F.col("n_words") <= GOPHER_MAX_WORDS
+    )
+    ok_mean = (F.col("mean_word_len") >= GOPHER_MIN_MEAN_LEN) & (
+        F.col("mean_word_len") <= GOPHER_MAX_MEAN_LEN
+    )
+    ok_stop = F.col("stop_hits") >= GOPHER_MIN_STOP_HITS
+    return (
+        d.select(
+            "doc_id",
+            n_words.alias("n_words"),
+            mean_len.alias("mean_word_len"),
+            stop_hits.alias("stop_hits"),
+        )
+        .withColumn("ok_words", ok_words)
+        .withColumn("ok_mean_len", ok_mean)
+        .withColumn("ok_stopwords", ok_stop)
+        .withColumn("keep", ok_words & ok_mean & ok_stop)
+    )

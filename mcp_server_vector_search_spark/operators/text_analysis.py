@@ -634,3 +634,144 @@ def bm25_topk(
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training: the tokenizer-construction pass of an LLM data
+# pipeline (Sennrich et al. 2016), as a distributed word-count + an
+# iterative bounded-vocabulary merge loop
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 8
+
+
+def _bpe_learn_driver(word_freq: dict[str, int], n_merges: int):
+    """Pure-python BPE replication for the oracle fold: identical pair
+    counting (every adjacent occurrence, weighted by word frequency),
+    identical argmax tie-break (count DESC, pair ASC), identical
+    left-to-right non-overlapping merge."""
+    seqs = {w: w and list(w) or [] for w in word_freq}
+    merges = []
+    for rank in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, f in word_freq.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), n = best
+        merges.append((rank, a, b, a + b, n))
+        for w in seqs:
+            s, out, i = seqs[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    return merges
+
+
+def _bpe_oracle() -> str | None:
+    try:
+        import pyarrow.parquet as pq
+
+        from ..functions.train import ORACLE_SF_DIR
+
+        t = pq.read_table(f"{ORACLE_SF_DIR}/documents.parquet", columns=["text"])
+    except Exception:  # pragma: no cover - testdata absent
+        return None
+    freq: dict[str, int] = {}
+    for text in t.column("text").to_pylist():
+        for w in (text or "").split(" "):
+            if w:
+                freq[w] = freq.get(w, 0) + 1
+    merges = _bpe_learn_driver(freq, BPE_MERGES)
+    values = ",\n  ".join(
+        f"({r}, '{a}', '{b}', '{m}', {n})" for r, a, b, m, n in merges
+    )
+    return f"""
+SELECT CAST(rank AS INTEGER) AS rank, left_sym, right_sym, merged,
+       CAST(pair_count AS BIGINT) AS pair_count
+FROM (VALUES
+  {values}
+) AS t(rank, left_sym, right_sym, merged, pair_count)
+"""
+
+
+@register("tokenizer_bpe_merges", oracle=_bpe_oracle())
+def q_tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding merge training (Sennrich et al. 2016) with
+    the production cost split: the CORPUS-scale stage is one
+    distributed word-frequency aggregate (the only pass that touches
+    every document; at 100 TB it is a map-side-combined hash agg), and
+    the merge loop then iterates over the DISTINCT-WORD table —
+    bounded by vocabulary, not corpus, which is exactly why real BPE
+    trainers tabulate word counts first.  Each iteration counts
+    adjacent symbol pairs (weighted by word frequency) in one small
+    agg, collects the single argmax row (count DESC, pair ASC — the
+    deterministic tie-break), and applies the merge with a
+    lookaround regex whose left-to-right non-overlapping semantics
+    equal the classic merge loop.  The oracle is the registration-time
+    pure-python replication over the same corpus: any divergence in
+    pair counting, tie-breaking, or merge order shifts a row."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        # seed symbol sequence: space-separated characters
+        .withColumn("seq", F.regexp_replace("word", "(.)", "$1 "))
+        .withColumn("seq", F.trim("seq"))
+        .localCheckpoint(eager=True)  # bounded: one row per distinct word
+    )
+    merges = []
+    for rank in range(BPE_MERGES):
+        pairs = (
+            words.select(
+                "freq", F.split("seq", " ").alias("a")
+            )
+            .select(
+                "freq",
+                F.explode(
+                    # guard: a 1-symbol word has no pairs (sequence(1,0)
+                    # would DESCEND and element_at(a,0) throws)
+                    F.expr(
+                        "CASE WHEN size(a) >= 2 THEN"
+                        " transform(sequence(1, size(a) - 1),"
+                        " i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))"
+                        " ELSE array() END"
+                    )
+                ).alias("pair"),
+            )
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("n"))
+        )
+        top = pairs.orderBy(F.desc("n"), F.asc("pair")).limit(1).collect()
+        if not top:
+            break
+        pair, n = top[0]["pair"], top[0]["n"]
+        a, b = pair.split(" ")
+        merges.append((rank, a, b, a + b, int(n)))
+        import re as _re
+
+        pat = f"(?<= ){_re.escape(a)} {_re.escape(b)}(?= )"
+        words = words.withColumn(
+            "seq",
+            F.trim(
+                F.regexp_replace(
+                    F.concat(F.lit(" "), F.col("seq"), F.lit(" ")),
+                    pat,
+                    a + b,
+                )
+            ),
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "rank int, left_sym string, right_sym string, merged string, pair_count long"
+    )
