@@ -907,3 +907,142 @@ def q_join_aqe_broadcast_conversion(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch certificate: point-frequency estimation joins the
+# sketch family (HLL = distinct, freqItems = heavy hitters, bitmap =
+# exact dense ids, CMS = per-key counts)
+# ---------------------------------------------------------------------------
+
+CMS_EPS = 0.001  # overestimate bound: est - exact <= eps * total_tokens
+CMS_CONF = 0.999
+CMS_SEED = 42
+CMS_TOP = 12  # probe the top-N tokens (deterministic: count DESC, tok ASC)
+
+
+@register(
+    "agg_count_min_certificate",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+counts AS (
+  SELECT tok, COUNT(*) AS n_exact FROM toks GROUP BY tok
+)
+SELECT tok, CAST(n_exact AS BIGINT) AS n_exact,
+       TRUE AS cms_ge_exact, TRUE AS cms_within_eps
+FROM counts
+ORDER BY n_exact DESC, tok
+LIMIT {CMS_TOP}
+""",
+)
+def q_agg_count_min_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) built by
+    ``DataFrame.stat.countMinSketch`` in ONE distributed pass (map-side
+    partial sketches, constant memory per task, merged by +), then
+    certified against exact counts for the corpus's top tokens: the
+    estimate can never undercount (``cms_ge_exact``) and the seeded
+    sketch's overestimate stays within the published ``eps·N`` bound
+    (``cms_within_eps``).  Like the HLL/freqItems certificates, the
+    exact aggregate exists only to certify the sketch — at 100 TB the
+    sketch is the answer (a few KB shuffled instead of the token
+    stream), and two corpora's sketches ADD to answer union queries
+    without re-reading either."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
+    total = toks.count()
+    # one distributed pass; the merged sketch is a few KB of binary
+    sk_bytes = bytes(
+        toks.agg(
+            F.count_min_sketch(
+                "tok", F.lit(CMS_EPS), F.lit(CMS_CONF), F.lit(CMS_SEED)
+            ).alias("sk")
+        ).first()["sk"]
+    )
+    jvm = spark._jvm  # noqa: SLF001 — deserializing Spark's own sketch binary
+    jin = jvm.java.io.ByteArrayInputStream(sk_bytes)
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(jin)
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("tok"))
+        .limit(CMS_TOP)
+        .collect()  # bounded: CMS_TOP rows
+    )
+    bound = CMS_EPS * total
+    rows = [
+        (
+            r["tok"],
+            int(r["n_exact"]),
+            cms.estimateCount(r["tok"]) >= r["n_exact"],
+            cms.estimateCount(r["tok"]) - r["n_exact"] <= bound,
+        )
+        for r in top
+    ]
+    return spark.createDataFrame(
+        rows, "tok string, n_exact long, cms_ge_exact boolean, cms_within_eps boolean"
+    )
+
+
+KLL_RANK_TOL = 0.05  # default k=200 gives ~1.65% rank error at 99% conf
+
+
+@register(
+    "agg_kll_quantile_certificate",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_sketches_merged,
+       TRUE AS median_rank_ok
+FROM events
+""",
+)
+def q_agg_kll_quantile_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache DataSketches KLL quantile MERGEABILITY, certified:
+    per-event-type sketches (``kll_sketch_agg_double``) merge into one
+    corpus sketch (``kll_sketch_merge_double``) whose median estimate
+    must land within the documented rank error of the true median —
+    the rank of the estimate among the exact values is recomputed in
+    the same statement, so the oracle hash-checks the certificate.
+    KLL is the 100 TB quantile answer for the same reason HLL is the
+    distinct answer: constant-memory map-side sketches, any grouping
+    merges later without re-reading data, and the error bound is on
+    RANK (distribution-free), unlike ``approx_percentile``'s
+    accuracy parameter."""
+    e = load_table(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.expr("kll_sketch_agg_double(value)").alias("sk")
+    )
+    # kll_sketch_merge_double is a PAIRWISE scalar merge; fold the
+    # (bounded: one per event_type) sketches in deterministic key order
+    merged = per_type.agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(event_type, sk))),"
+            " x -> x.sk)"
+        ).alias("sks")
+    ).select(
+        F.expr(
+            "kll_sketch_get_quantile_double("
+            " aggregate("
+            "  slice(sks, 2, greatest(size(sks) - 1, 0)),"
+            "  element_at(sks, 1),"
+            "  (acc, x) -> kll_sketch_merge_double(acc, x)),"
+            " 0.5D)"
+        ).alias("est"),
+        F.size("sks").cast("long").alias("n_sketches_merged"),
+    )
+    return (
+        e.crossJoin(F.broadcast(merged))
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.first("n_sketches_merged").alias("n_sketches_merged"),
+            (
+                F.abs(
+                    F.sum((F.col("value") <= F.col("est")).cast("long"))
+                    / F.count(F.lit(1))
+                    - F.lit(0.5)
+                )
+                <= F.lit(KLL_RANK_TOL)
+            ).alias("median_rank_ok"),
+        )
+    )
