@@ -41,9 +41,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def last_checked_rounds() -> dict[str, int]:
-    """name -> highest round with a committed driver CORRECTNESS row.
-
-    Queries absent from every record map to 0 so they sort first.
+    """name -> highest round with a committed GREEN driver CORRECTNESS
+    row.  Queries absent from every record map to 0 so they sort
+    first; a failed/errored record does NOT count as checked, so a
+    query whose latest check went red re-enters the sample immediately
+    instead of rotating to the back for ~3 rounds.
     """
     last: dict[str, int] = {}
     for path in sorted(_REPO.glob("CORRECTNESS_r*.json")):
@@ -57,8 +59,15 @@ def last_checked_rounds() -> dict[str, int]:
             continue
         if not isinstance(record, dict):
             continue
-        for name in record:
-            last[name] = max(last.get(name, 0), rnd)
+        for name, row in record.items():
+            ok = not isinstance(row, dict) or (
+                not row.get("err")
+                and row.get("rows_match") is not False
+                and row.get("schema_match") is not False
+                and row.get("hash_match") is not False
+            )
+            if ok:
+                last[name] = max(last.get(name, 0), rnd)
     return last
 
 

@@ -61,16 +61,18 @@ def main() -> None:
     for name in sorted(registry.QUERIES):
         fn = registry.QUERIES[name]
         samples: list[float] = []
+        last_err = None
         for _ in range(runs_per_query):
             t0 = time.perf_counter()
             try:
                 df = fn(spark, sf_dir)
                 n = df.count()
             except Exception as exc:  # noqa: BLE001 — survive any one query
-                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-                print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
-                samples = []
-                break
+                # a transient failure must not discard a valid sample
+                # from another run (nor forfeit the remaining retries) —
+                # the whole point of multi-run timing is noise rejection
+                last_err = f"{type(exc).__name__}: {exc}"[:500]
+                print(f"# {name}: run FAILED {last_err}", file=sys.stderr)
             else:
                 samples.append(round(time.perf_counter() - t0, 4))
             finally:
@@ -86,6 +88,8 @@ def main() -> None:
                 f"# {name}: {timings[name]:.3f}s min of {samples} ({n} rows)",
                 file=sys.stderr,
             )
+        else:
+            errors[name] = last_err or "no successful run"
 
     total = round(sum(timings.values()), 4)
     payload = {

@@ -38,6 +38,30 @@ def _token_vector(token: str, dim: int) -> np.ndarray:
     return rng.standard_normal(dim)
 
 
+def embed_text_driver(
+    text: str, dim: int, cache: dict[str, np.ndarray] | None = None
+) -> np.ndarray:
+    """Driver-side mirror of ``hash_embedder``'s per-row math (bag of
+    md5-seeded token vectors summed in float64, L2-normalized, cast
+    float32) — the single source for every registration-time oracle
+    fold (ann.prompt_embedding, lifecycle's dim-1536 corpus embed), so
+    the embedding convention cannot silently fork between the UDF and
+    its oracle replications."""
+    acc = np.zeros(dim)
+    for tok in (text or "").split(" "):
+        if cache is None:
+            vec = _token_vector(tok, dim)
+        else:
+            vec = cache.get(tok)
+            if vec is None:
+                vec = cache[tok] = _token_vector(tok, dim)
+        acc += vec
+    nrm = np.linalg.norm(acc)
+    if nrm > 0:
+        acc = acc / nrm
+    return acc.astype(np.float32)
+
+
 def hash_embedder(dim: int = DEFAULT_DIM) -> Callable[[Column], Column]:
     """Deterministic text → array<float> embedder (bag of hashed token
     vectors, L2-normalized).  Arrow-batched; the per-token vectors are

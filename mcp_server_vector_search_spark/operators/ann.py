@@ -664,13 +664,9 @@ def prompt_embedding(text: str = PROMPT_TEXT, dim: int = EMB_DIM) -> list[float]
     token vectors, L2-normalized, float32) without a Spark job, mirroring
     the reference embedding its prompt client-side before the query
     (server.py:78 ``get_open_ai_embeddings`` → Cypher parameter)."""
-    acc = np.zeros(dim)
-    for tok in (text or "").split(" "):
-        acc += _token_vector(tok, dim)
-    nrm = np.linalg.norm(acc)
-    if nrm > 0:
-        acc = acc / nrm
-    return [float(v) for v in acc.astype(np.float32)]
+    from ..functions.embedder import embed_text_driver
+
+    return [float(v) for v in embed_text_driver(text, dim)]
 
 
 def _semantic_oracle() -> str:

@@ -31,7 +31,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.embedder import OPENAI_EMBED_DIM, _token_vector, hash_embedder
+from ..functions.embedder import OPENAI_EMBED_DIM, embed_text_driver, hash_embedder
 from ..functions.train import ORACLE_SF_DIR, load_sorted_vectors, sql_float, sql_floats
 from ..functions.vector import dim_check, neo4j_score, vector_lit
 from ..registry import register
@@ -54,26 +54,18 @@ K = 10
 # semantic_search_dim1536 — the reference's dimension, end to end
 # ---------------------------------------------------------------------------
 
-PROMPT_1536 = "spark window query join"  # == ann.PROMPT_TEXT (shared prompt)
+from .ann import PROMPT_TEXT as PROMPT_1536  # the engine's shared prompt
 
 _TOKEN_CACHE: dict[str, np.ndarray] = {}
 
 
 def _embed_1536(text: str) -> np.ndarray:
-    """Driver-side mirror of ``hash_embedder(1536)``'s per-row math
-    (bag of md5-seeded token vectors summed in float64, L2-normalized,
-    cast float32) — the oracle generator runs THIS, the query runs the
-    distributed Arrow UDF, and the fold certifies they agree."""
-    acc = np.zeros(OPENAI_EMBED_DIM)
-    for tok in (text or "").split(" "):
-        vec = _TOKEN_CACHE.get(tok)
-        if vec is None:
-            vec = _TOKEN_CACHE[tok] = _token_vector(tok, OPENAI_EMBED_DIM)
-        acc += vec
-    nrm = np.linalg.norm(acc)
-    if nrm > 0:
-        acc = acc / nrm
-    return acc.astype(np.float32)
+    """Driver-side embed at the reference dimension — delegates to the
+    SHARED mirror of ``hash_embedder``'s math (embed_text_driver, also
+    behind ann.prompt_embedding) with a module-level token cache; the
+    oracle generator runs THIS, the query runs the distributed Arrow
+    UDF, and the fold certifies they agree."""
+    return embed_text_driver(text, OPENAI_EMBED_DIM, _TOKEN_CACHE)
 
 
 def _seq_dot(a, b) -> float:
@@ -87,15 +79,12 @@ def _seq_dot(a, b) -> float:
 
 
 def _score_round6(doc_vec, query_vec) -> float:
+    from .vsearch_extra import _round6  # the family's shared HALF_UP-at-6
+
     na = math.sqrt(_seq_dot(doc_vec, doc_vec))
     nb = math.sqrt(_seq_dot(query_vec, query_vec))
     cos = _seq_dot(doc_vec, query_vec) / (na * nb)
-    from decimal import ROUND_HALF_UP, Decimal
-
-    q = Decimal(1).scaleb(-SCORE_DECIMALS)
-    return float(
-        Decimal(repr((1.0 + cos) / 2.0)).quantize(q, rounding=ROUND_HALF_UP)
-    )
+    return _round6((1.0 + cos) / 2.0)
 
 
 def _dim1536_expected() -> list[tuple[int, float]] | None:

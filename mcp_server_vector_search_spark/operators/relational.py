@@ -30,6 +30,8 @@ cluster wants; AQE handles post-shuffle coalescing and skew.
 
 from __future__ import annotations
 
+from decimal import Decimal
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -1084,7 +1086,13 @@ def q_cdc_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = o.agg(F.max("o_orderkey")).first()[0]
     survivors = o.where(F.col("o_orderkey") % CDC_DELETE_EVERY != 3).select(
         "o_orderkey",
-        F.when(F.col("o_orderkey") % CDC_UPDATE_EVERY == 0, price + F.lit(1.00))
+        # decimal literal: a double 1.00 would promote the sum to DOUBLE
+        # and fl(fl(x)+1.0) can differ from the oracle's exact decimal
+        # x+1 in the last bit near binade boundaries (e.g. 131071.02)
+        F.when(
+            F.col("o_orderkey") % CDC_UPDATE_EVERY == 0,
+            price + F.lit(Decimal("1.00")),
+        )
         .otherwise(price)
         .alias("price"),
     )

@@ -951,7 +951,6 @@ def q_agg_count_min_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
     without re-reading either."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
-    total = toks.count()
     # one distributed pass; the merged sketch is a few KB of binary
     sk_bytes = bytes(
         toks.agg(
@@ -963,6 +962,7 @@ def q_agg_count_min_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
     jvm = spark._jvm  # noqa: SLF001 — deserializing Spark's own sketch binary
     jin = jvm.java.io.ByteArrayInputStream(sk_bytes)
     cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(jin)
+    total = cms.totalCount()  # the sketch carries the exact stream length
     top = (
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n_exact"))

@@ -692,8 +692,12 @@ def _bpe_oracle() -> str | None:
             if w:
                 freq[w] = freq.get(w, 0) + 1
     merges = _bpe_learn_driver(freq, BPE_MERGES)
+
+    def q(s: str) -> str:  # corpus-derived tokens: escape SQL quotes
+        return "'" + s.replace("'", "''") + "'"
+
     values = ",\n  ".join(
-        f"({r}, '{a}', '{b}', '{m}', {n})" for r, a, b, m, n in merges
+        f"({r}, {q(a)}, {q(b)}, {q(m)}, {n})" for r, a, b, m, n in merges
     )
     return f"""
 SELECT CAST(rank AS INTEGER) AS rank, left_sym, right_sym, merged,

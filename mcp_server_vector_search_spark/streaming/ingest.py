@@ -608,7 +608,6 @@ def q_streaming_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame
     This is the mechanism that lets a 100 TB/day ingest survive
     restarts without reprocessing history."""
     import shutil
-    import uuid
 
     events = load_table(spark, sf_dir, "events")
     half_a = events.where(F.col("event_id") % 2 == 0)

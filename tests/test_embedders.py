@@ -252,6 +252,6 @@ def test_sentence_transformer_real_model_interop(spark):
         df.select("id", embed(F.col("text")).alias("emb")).orderBy("id").collect()
     )
     for a, b in zip(rows, again):
-        assert np.allclose(a["emb"], b["emb"], atol=0.0)
+        assert np.array_equal(a["emb"], b["emb"])  # bit-exact, no rtol slack
     # distinct texts get distinct embeddings
     assert not np.allclose(rows[0]["emb"], rows[1]["emb"])
