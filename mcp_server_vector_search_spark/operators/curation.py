@@ -323,6 +323,32 @@ GOPHER_STOPS = ("the", "a", "of", "and", "to", "in")
 QR = 6
 
 
+def gopher_features(t) -> tuple:
+    """(n_words, mean_word_len, stop_hits) Column expressions — shared
+    by the audit query below and the export pipeline's keep gate."""
+    toks = F.split(t, " ")
+    n_words = F.size(toks)
+    mean_len = F.round(
+        F.length(F.regexp_replace(t, " ", "")).cast("double") / n_words, QR
+    )
+    stop_hits = F.size(
+        F.filter(toks, lambda x: x.isin(*GOPHER_STOPS))
+    ).cast("bigint")
+    return n_words, mean_len, stop_hits
+
+
+def gopher_keep(t) -> F.Column:
+    """The conjunctive Gopher keep predicate over a raw text column."""
+    n_words, mean_len, stop_hits = gopher_features(t)
+    return (
+        (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS)
+        & (mean_len >= GOPHER_MIN_MEAN_LEN)
+        & (mean_len <= GOPHER_MAX_MEAN_LEN)
+        & (stop_hits >= GOPHER_MIN_STOP_HITS)
+    )
+
+
 @register(
     "quality_gopher_rules",
     oracle=f"""
@@ -358,14 +384,7 @@ def q_quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     Mean word length is rounded HALF_UP at {QR} so the derived double
     hashes identically on both engines."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    n_words = F.size(toks)
-    mean_len = F.round(
-        F.length(F.regexp_replace("text", " ", "")).cast("double") / n_words, QR
-    )
-    stop_hits = F.size(
-        F.filter(toks, lambda t: t.isin(*GOPHER_STOPS))
-    ).cast("bigint")
+    n_words, mean_len, stop_hits = gopher_features(F.col("text"))
     ok_words = (F.col("n_words") >= GOPHER_MIN_WORDS) & (
         F.col("n_words") <= GOPHER_MAX_WORDS
     )

@@ -407,3 +407,102 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_leaked"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Export last mile: keep-filter → exact dedup → shard-packed manifest,
+# one lazy plan — the job that turns a curated corpus into training files
+# ---------------------------------------------------------------------------
+
+EXPORT_PACK_CAP = 256  # tokens per training sequence (== sampling.PACK_CAP)
+
+
+def _export_oracle() -> str:
+    from .curation import (
+        GOPHER_MAX_MEAN_LEN,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_MEAN_LEN,
+        GOPHER_MIN_STOP_HITS,
+        GOPHER_MIN_WORDS,
+        GOPHER_STOPS,
+        QR,
+    )
+
+    return f"""
+WITH feats AS (
+  SELECT doc_id, source, text,
+         len(string_split(text, ' ')) AS n_words,
+         ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+               / len(string_split(text, ' ')), {QR}) AS mean_word_len,
+         CAST(len(list_filter(string_split(text, ' '),
+                              t -> t IN {GOPHER_STOPS})) AS BIGINT) AS stop_hits
+  FROM documents
+),
+kept AS (
+  SELECT * FROM feats
+  WHERE n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+    AND mean_word_len BETWEEN {GOPHER_MIN_MEAN_LEN} AND {GOPHER_MAX_MEAN_LEN}
+    AND stop_hits >= {GOPHER_MIN_STOP_HITS}
+),
+dedup AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM kept
+  ) WHERE rn = 1
+),
+offs AS (
+  SELECT source, n_words,
+         SUM(n_words) OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR))
+                            ROWS UNBOUNDED PRECEDING) - n_words AS start_off
+  FROM dedup
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(MAX(start_off // {EXPORT_PACK_CAP}) + 1 AS INTEGER) AS n_packs,
+       CAST(SUM(n_words) AS BIGINT) AS total_tokens
+FROM offs
+GROUP BY source
+"""
+
+
+@register("pipeline_export_packed", oracle=_export_oracle())
+def q_pipeline_export_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data EXPORT job as one lazy plan: Gopher keep gate
+    (shared predicate with ``quality_gopher_rules`` — the filter runs
+    inside the scan stage, codegen, no shuffle), exact-text dedup
+    (keep the lowest doc_id per text — one window on the text key),
+    then the deterministic hash-ordered sequence packing per source
+    shard (``pack_sequences_cumsum``'s running-offset device), emitting
+    the per-shard export manifest (docs, packs, tokens) a downstream
+    trainer consumes.  Three pipeline stages, two shuffles total (text
+    key, source window) — the composition a 100 TB export runs nightly,
+    with the packed parquet write being the same plan plus a
+    partitioned sink on (source, pack_id)."""
+    from pyspark.sql import Window as W
+
+    from .curation import gopher_keep
+
+    d = load_table(spark, sf_dir, "documents")
+    kept = d.where(gopher_keep(F.col("text")))
+    w_text = W.partitionBy("text").orderBy("doc_id")
+    dedup = (
+        kept.withColumn("rn", F.row_number().over(w_text))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    n_tok = F.size(F.split(F.col("text"), " "))
+    h = F.md5(F.col("doc_id").cast("string"))
+    w_pack = W.partitionBy("source").orderBy(h).rowsBetween(W.unboundedPreceding, 0)
+    offs = dedup.select(
+        "source",
+        n_tok.alias("n_tok"),
+        (F.sum(n_tok).over(w_pack) - n_tok).alias("start_off"),
+    )
+    return offs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.max(F.floor(F.col("start_off") / EXPORT_PACK_CAP)) + 1)
+        .cast("int")
+        .alias("n_packs"),
+        F.sum("n_tok").alias("total_tokens"),
+    )
