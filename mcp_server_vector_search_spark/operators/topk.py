@@ -352,3 +352,56 @@ def q_empty_result_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
         FLAGSHIP_K,
         [F.desc("score"), F.asc("vec_id")],
     )
+
+
+# ---------------------------------------------------------------------------
+# Keyset pagination: page 2 of the flagship search without re-ranking
+# page 1 — the serve-path "next page" every search API needs
+# ---------------------------------------------------------------------------
+
+PAGE_K = 10
+
+
+@register(
+    "topk_search_after",
+    oracle=f"""
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+),
+ranked AS (
+  SELECT e.vec_id,
+         ROUND((1.0 + list_cosine_similarity(e.embedding::DOUBLE[], q.qv)) / 2.0,
+               {SCORE_DECIMALS}) AS score
+  FROM embeddings e CROSS JOIN q
+  ORDER BY score DESC, e.vec_id
+  LIMIT {PAGE_K} OFFSET {PAGE_K}
+)
+SELECT vec_id, score FROM ranked ORDER BY score DESC, vec_id
+""",
+)
+def q_topk_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-after (keyset) pagination for the flagship query: page 2
+    is fetched with the predicate ``score < last OR (score = last AND
+    vec_id > last_id)`` over the LAST KEY of page 1 — never an OFFSET.
+    At 100 TB an offset-n page re-ranks and discards the whole head
+    (every partition still heaps n+k rows), while the keyset predicate
+    is a plain filter that reaches the scan, so page cost stays O(k)
+    per partition no matter how deep the user pages.  The total order
+    (score DESC, vec_id ASC) makes the keyset unambiguous under ties.
+    The oracle fetches the same page WITH an offset — certifying the
+    keyset page is exactly the offset page, which is the correctness
+    property pagination must preserve.  The page-1 boundary key is a
+    bounded (1-row) driver value, the same device as the reference
+    binding its query vector client-side (server.py:86,95)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = query_vector_df(emb, QUERY_VEC_ID)
+    scored = score_against(emb, q).select("vec_id", "score")
+    page1 = topk(scored, PAGE_K, [F.desc("score"), F.asc("vec_id")])
+    # boundary = page 1's LAST row in the total order: minimum score,
+    # and the largest vec_id among its ties
+    last = page1.orderBy(F.asc("score"), F.desc("vec_id")).first()
+    after = scored.where(
+        (F.col("score") < last["score"])
+        | ((F.col("score") == last["score"]) & (F.col("vec_id") > last["vec_id"]))
+    )
+    return topk(after, PAGE_K, [F.desc("score"), F.asc("vec_id")])

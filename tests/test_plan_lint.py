@@ -26,6 +26,7 @@ registry.load_all_operators()
 # bounded build is the standard "attach a scalar to every row" shape.
 BNLJ_OK = {
     "flagship_topk_cosine",  # 1-row query-vector side (topk.py:60)
+    "topk_search_after",  # same 1-row query vector, two pages
     "vector_scores_all",  # same 1-row query vector
     "vector_distance_library",  # same
     "topk_per_query_batch",  # k-row query batch, broadcast
