@@ -655,3 +655,93 @@ def q_streaming_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame
     for d in (stage, src, sink, ckpt):
         shutil.rmtree(d, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Watermark semantics through the gate: late-but-allowed rows counted,
+# too-late rows DROPPED, only finalized windows emitted (append mode).
+# ---------------------------------------------------------------------------
+
+WM_DELAY = "30 minutes"
+
+
+@register(
+    "streaming_watermark_late_drop",
+    oracle="""
+SELECT CAST(win_start AS TIMESTAMP) AS win_start, CAST(n AS BIGINT) AS n
+FROM (VALUES
+  (TIMESTAMP '2024-03-01 10:00:00', 3),
+  (TIMESTAMP '2024-03-01 11:00:00', 1)
+) AS t(win_start, n)
+ORDER BY win_start
+""",
+)
+def q_streaming_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermark CONTRACT, certified end to end in append mode:
+
+    - run 1 (batch 1): rows at 10:10, 10:20, 11:05 → watermark
+      advances to 10:35 (max − 30 min); nothing emits (no window has
+      closed).
+    - run 2 (batch 2, same checkpoint): 09:50 arrives — its window
+      [09:00, 10:00) closed at watermark 10:35, so the ENGINE drops it
+      (not user code); 10:25 arrives — late but its window is still
+      open, so it counts; 12:40 advances the watermark to 12:10, which
+      finalizes [10:00, 11:00) = 3 rows (the late 10:25 included) and
+      [11:00, 12:00) = 1 row.  12:40's own window never emits — append
+      mode releases only finalized windows.
+
+    The parquet sink is read back and must hash-match the folded
+    expected rows: a dropped-late bug shifts n to 4, an
+    eager-emission bug adds the 12:00 window, a watermark that fails
+    to persist across the restart resurrects the 09:50 row.  The
+    timeline is synthetic (fixed literals) because the certificate is
+    about TIME semantics, not the corpus — sf only picks the session.
+    Bounded state: one row per open window."""
+    import shutil
+    from datetime import datetime
+
+    def rows_df(ts_list):
+        return spark.createDataFrame(
+            [(datetime(2024, 3, 1, h, m), 1.0) for h, m in ts_list],
+            "ts timestamp, v double",
+        )
+
+    src = tempfile.mkdtemp(prefix="wm_src_")
+    sink = tempfile.mkdtemp(prefix="wm_sink_")
+    ckpt = tempfile.mkdtemp(prefix="wm_ckpt_")
+    stage = tempfile.mkdtemp(prefix="wm_stage_")
+    rows_df([(10, 10), (10, 20), (11, 5)]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{stage}/a")
+    rows_df([(9, 50), (10, 25), (12, 40)]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{stage}/b")
+
+    def run_once():
+        stream = spark.readStream.schema("ts timestamp, v double").parquet(src)
+        q = (
+            stream.withWatermark("ts", WM_DELAY)
+            .groupBy(F.window("ts", "1 hour").alias("win"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("win.start").alias("win_start"), "n")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    for phase in ("a", "b"):
+        for n, f in enumerate(sorted(Path(f"{stage}/{phase}").glob("*.parquet"))):
+            os.link(f, f"{src}/part_{phase}_{n}.parquet")
+        run_once()
+    out = (
+        spark.read.parquet(sink)
+        .orderBy("win_start")
+        .localCheckpoint(eager=True)
+    )
+    for d in (src, sink, ckpt, stage):
+        shutil.rmtree(d, ignore_errors=True)
+    return out
