@@ -1046,3 +1046,51 @@ def q_agg_kll_quantile_certificate(spark: SparkSession, sf_dir: str) -> DataFram
             ).alias("median_rank_ok"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# AQE shuffle coalescing: the third runtime-replan mechanism (with the
+# skew rewrite and the SMJ→broadcast conversion) as a gate row
+# ---------------------------------------------------------------------------
+
+COALESCE_OVERPARTITION = 200  # deliberately oversized static shuffle width
+
+
+@register(
+    "agg_aqe_coalesced_partitions",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def q_agg_aqe_coalesced_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE partition COALESCING: the static conf asks for an absurd
+    200-partition shuffle for a 5-group aggregate; at runtime
+    ``CoalesceShufflePartitions`` measures the actual map output and
+    collapses the read into a handful of partitions
+    (``AQEShuffleRead coalesced``, asserted post-execution in
+    tests/test_plans.py).  This is the mechanism that makes a global
+    `spark.sql.shuffle.partitions` setting survivable at 100 TB: the
+    cluster-wide width is sized for the biggest shuffle, and AQE
+    shrinks every smaller exchange instead of scheduling thousands of
+    near-empty reducers.  Values are width-invariant, so the
+    certificate is a plain aggregate."""
+    child = spark.newSession()
+    child.conf.set("spark.sql.adaptive.enabled", "true")
+    child.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    child.conf.set("spark.sql.shuffle.partitions", str(COALESCE_OVERPARTITION))
+    o = load_table(child, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

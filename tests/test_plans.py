@@ -505,3 +505,21 @@ def test_cdc_diff_filters_unchanged_rows_before_output(spark):
     assert "FullOuter" in plan or "full_outer" in plan.lower()
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_aqe_coalesces_oversized_shuffle(spark):
+    """The 200-partition static width must collapse at runtime into a
+    coalesced AQEShuffleRead — the final plan carries the coalesced
+    read, and the number of post-shuffle partitions is far below the
+    static setting."""
+    from mcp_server_vector_search_spark.operators.scale import (
+        q_agg_aqe_coalesced_partitions,
+    )
+    from mcp_server_vector_search_spark.plans.explain import formatted_plan
+
+    df = q_agg_aqe_coalesced_partitions(spark, SF_CORRECTNESS)
+    df.collect()
+    after = formatted_plan(df)
+    assert "isFinalPlan=true" in after
+    assert "AQEShuffleRead" in after and "coalesced" in after
+    assert df.rdd.getNumPartitions() < 50  # 200 static -> a handful
