@@ -1123,3 +1123,47 @@ def q_cdc_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "scalar_variant_functions",
+    oracle="""
+SELECT event_id,
+       CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) AS k_int,
+       CAST(NULL AS VARCHAR) AS missing_str,
+       'OBJECT<k: BIGINT>' AS props_schema,
+       user_id AS second_elem
+FROM events
+WHERE event_id < 2000
+""",
+)
+def scalar_variant_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT type: the engine's semi-structured column path.
+    ``parse_json`` ingests the raw JSON props into the binary VARIANT
+    encoding ONCE at scan time; ``variant_get`` then does typed path
+    extraction (including array indexing through a synthesized nested
+    document) without re-parsing text per access — the reason VARIANT
+    beats string-JSON at 100 TB: shredded binary access instead of
+    O(fields) text scans per row.  ``try_variant_get`` pins the
+    missing-path → NULL contract and ``schema_of_variant`` the inferred
+    shape.  DuckDB oracle computes the same values via its JSON path
+    functions (the missing path and inferred schema fold to literals).
+    """
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    v = F.parse_json("props")
+    nested = F.parse_json(
+        F.concat(
+            F.lit('{"a":{"b":['),
+            F.col("event_id"),
+            F.lit(","),
+            F.col("user_id"),
+            F.lit("]}}"),
+        )
+    )
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k_int"),
+        F.try_variant_get(v, "$.missing", "string").alias("missing_str"),
+        F.schema_of_variant(v).alias("props_schema"),
+        F.variant_get(nested, "$.a.b[1]", "bigint").alias("second_elem"),
+    )

