@@ -881,3 +881,226 @@ def q_streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFram
     shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Bounded-state streaming dedup: dropDuplicatesWithinWatermark.  The
+# unbounded-corpus answer to streaming_dedup_events (whose state is one
+# row per id forever): here state is EVICTED once the watermark passes
+# an id's expiry, so a re-arrival after eviction is re-admitted — the
+# price of bounded state, certified explicitly.
+# ---------------------------------------------------------------------------
+
+DDW_DELAY = "1 hour"
+
+
+@register(
+    "streaming_dedup_within_watermark",
+    oracle="""
+SELECT CAST(id AS BIGINT) AS id, CAST(ts AS TIMESTAMP) AS ts, tag
+FROM (VALUES
+  (1, TIMESTAMP '2024-03-01 10:00:00', 'orig'),
+  (2, TIMESTAMP '2024-03-01 10:00:00', 'orig'),
+  (3, TIMESTAMP '2024-03-01 20:00:00', 'advance'),
+  (1, TIMESTAMP '2024-03-01 20:30:00', 're_admitted')
+) AS t(id, ts, tag)
+ORDER BY ts, id
+""",
+)
+def q_streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` — dedup whose state is BOUNDED
+    by the watermark delay, certified for all three behaviors:
+
+    - batch 1: ids 1 and 2 at 10:00 → both emitted, state stored with
+      expiry ``event_time + 1h``; watermark advances to 09:00.
+    - batch 2 (same checkpoint): id 1 again at 10:30 — within the
+      delay of its first arrival, so the ENGINE suppresses it (the
+      'dup_within' row must not appear); id 3 at 20:00 emits and
+      advances the watermark to 19:00, which EVICTS the expired id-1/2
+      entries at batch end.
+    - batch 3: id 1 once more at 20:30 — its state is gone, so it is
+      RE-ADMITTED and emitted a second time.
+
+    The parquet sink must hash-match the four folded expected rows: a
+    dedup bug adds 'dup_within', unbounded state (plain
+    ``dropDuplicates``) silently swallows 're_admitted', and a
+    watermark that fails to persist across the restart changes the
+    eviction point.  This is the 100 TB/day dedup contract: state ~
+    (arrival rate x delay window), not corpus size — exact within the
+    window by construction, while corpus-wide exactness belongs to the
+    batch/incremental dedup family (``dedup_exact``,
+    ``dedup_incremental_exact``).  Timeline synthetic (fixed literals)
+    because the certificate is about TIME semantics, not the corpus."""
+    import shutil
+    from datetime import datetime
+
+    def rows_df(rows):
+        return spark.createDataFrame(
+            [(i, datetime(2024, 3, 1, h, m), tag) for i, (h, m), tag in rows],
+            "id bigint, ts timestamp, tag string",
+        )
+
+    src = tempfile.mkdtemp(prefix="ddw_src_")
+    sink = tempfile.mkdtemp(prefix="ddw_sink_")
+    ckpt = tempfile.mkdtemp(prefix="ddw_ckpt_")
+    stage = tempfile.mkdtemp(prefix="ddw_stage_")
+    phases = {
+        "a": [(1, (10, 0), "orig"), (2, (10, 0), "orig")],
+        "b": [(1, (10, 30), "dup_within"), (3, (20, 0), "advance")],
+        "c": [(1, (20, 30), "re_admitted")],
+    }
+    for phase, rows in phases.items():
+        rows_df(rows).coalesce(1).write.mode("overwrite").parquet(
+            f"{stage}/{phase}"
+        )
+
+    def run_once():
+        stream = spark.readStream.schema("id bigint, ts timestamp, tag string").parquet(src)
+        q = (
+            stream.withWatermark("ts", DDW_DELAY)
+            .dropDuplicatesWithinWatermark(["id"])
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    for phase in phases:
+        for n, f in enumerate(sorted(Path(f"{stage}/{phase}").glob("*.parquet"))):
+            os.link(f, f"{src}/part_{phase}_{n}.parquet")
+        run_once()
+    out = spark.read.parquet(sink).orderBy("ts", "id").localCheckpoint(eager=True)
+    for d in (src, sink, ckpt, stage):
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream LEFT OUTER join: matched pairs emit immediately; an
+# unmatched left row is held in join state and emitted NULL-padded only
+# when the watermark proves no future right row can match it.  The
+# remaining outer-join streaming topology (inner is certified by
+# streaming_stream_stream_join above).
+# ---------------------------------------------------------------------------
+
+SSO_DELAY = "10 minutes"
+
+
+@register(
+    "streaming_stream_stream_outer",
+    oracle="""
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(click_ts AS TIMESTAMP) AS click_ts,
+       CAST(purchase_ts AS TIMESTAMP) AS purchase_ts,
+       CAST(purchase_value AS DOUBLE) AS purchase_value
+FROM (VALUES
+  (1, TIMESTAMP '2024-03-01 10:00:00', TIMESTAMP '2024-03-01 10:20:00', 5.0),
+  (2, TIMESTAMP '2024-03-01 10:00:00', CAST(NULL AS TIMESTAMP), CAST(NULL AS DOUBLE)),
+  (3, TIMESTAMP '2024-03-01 20:00:00', TIMESTAMP '2024-03-01 20:10:00', 7.0)
+) AS t(user_id, click_ts, purchase_ts, purchase_value)
+ORDER BY user_id
+""",
+)
+def q_streaming_stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join, the delayed-NULL
+    contract certified end to end:
+
+    - batch 1: click(u1)@10:00 + purchase(u1)@10:20 match inside the
+      1-hour attribution window and emit immediately; click(u2)@10:00
+      has no purchase and is BUFFERED, not emitted — outer results
+      cannot be released until the watermark proves no match can
+      still arrive.
+    - batch 2 (same checkpoint): click(u3)@20:00 + purchase(u3)@20:10
+      match; their event times advance the global watermark to 19:50
+      (min of both sides, 10-minute delay), which passes u2's last
+      possible match time (11:00), so u2's state is evicted.
+    - batch 3: a further click(u4)@20:30 triggers the batch in which
+      the evicted u2 row is emitted NULL-padded; u4 itself stays
+      buffered forever (watermark never passes it) and must NOT
+      appear.
+
+    The parquet sink must hash-match the three folded rows: an inner
+    join drops the NULL row entirely, an eager outer emission adds u4
+    or emits u2 with the wrong sink schema, and a watermark that does
+    not persist across restarts shifts the eviction batch.  This is
+    how funnel attribution over two 100 TB/day firehoses stays
+    bounded: join state ~ delay+window of rows per side, and
+    no-shows surface as NULL rows exactly one watermark-advance after
+    their window closes — never earlier, never lost."""
+    import shutil
+    import uuid
+    from datetime import datetime
+
+    child = spark.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", "4")
+
+    def ev_df(rows):
+        return child.createDataFrame(
+            [
+                (u, et, datetime(2024, 3, 1, h, m), v)
+                for u, et, (h, m), v in rows
+            ],
+            "user_id bigint, event_type string, ts timestamp, value double",
+        )
+
+    src = tempfile.mkdtemp(prefix="sso_src_")
+    sink = tempfile.mkdtemp(prefix="sso_sink_")
+    ckpt = tempfile.mkdtemp(prefix="sso_ckpt_")
+    stage = tempfile.mkdtemp(prefix="sso_stage_")
+    phases = {
+        "a": [
+            (1, "click", (10, 0), 0.0),
+            (1, "purchase", (10, 20), 5.0),
+            (2, "click", (10, 0), 0.0),
+        ],
+        "b": [(3, "click", (20, 0), 0.0), (3, "purchase", (20, 10), 7.0)],
+        "c": [(4, "click", (20, 30), 0.0)],
+    }
+    schema = "user_id bigint, event_type string, ts timestamp, value double"
+    for phase, rows in phases.items():
+        ev_df(rows).coalesce(1).write.mode("overwrite").parquet(f"{stage}/{phase}")
+
+    def run_once():
+        stream = child.readStream.schema(schema).parquet(src)
+        clicks = (
+            stream.where(F.col("event_type") == "click")
+            .select("user_id", F.col("ts").alias("click_ts"))
+            .withWatermark("click_ts", SSO_DELAY)
+        )
+        purchases = (
+            stream.where(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("buyer_id"),
+                F.col("ts").alias("purchase_ts"),
+                F.col("value").alias("purchase_value"),
+            )
+            .withWatermark("purchase_ts", SSO_DELAY)
+        )
+        joined = clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("buyer_id"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+            "left_outer",
+        ).select("user_id", "click_ts", "purchase_ts", "purchase_value")
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    for phase in phases:
+        for n, f in enumerate(sorted(Path(f"{stage}/{phase}").glob("*.parquet"))):
+            os.link(f, f"{src}/part_{phase}_{n}.parquet")
+        run_once()
+    out = child.read.parquet(sink).orderBy("user_id").localCheckpoint(eager=True)
+    for d in (src, sink, ckpt, stage):
+        shutil.rmtree(d, ignore_errors=True)
+    return out
