@@ -1167,3 +1167,101 @@ def scalar_variant_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.schema_of_variant(v).alias("props_schema"),
         F.variant_get(nested, "$.a.b[1]", "bigint").alias("second_elem"),
     )
+
+
+@register(
+    "scalar_try_arithmetic",
+    oracle="""
+SELECT event_id,
+       CASE WHEN user_id % 2 = 0 THEN NULL
+            ELSE value / CAST(user_id % 2 AS DOUBLE) END AS td,
+       CASE WHEN event_id * 600 > 1000 THEN NULL
+            ELSE 9223372036854774807 + event_id * 600 END AS ta,
+       CASE WHEN event_id % 2 = 0 THEN CAST(12.34 AS DOUBLE)
+            ELSE NULL END AS tn,
+       CASE WHEN event_id % 4 + 1 <= 2 THEN event_id % 4 + 1
+            ELSE NULL END AS te
+FROM events
+WHERE event_id < 2000
+""",
+)
+def q_scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode error-safe arithmetic: this engine runs with
+    ``spark.sql.ansi.enabled=true`` (the Spark 4 default), where
+    division by zero, integer overflow, malformed casts, and
+    out-of-bounds array access RAISE rather than silently NULLing —
+    the correct default for a 100 TB pipeline, since a silent NULL in
+    one of a trillion rows is undebuggable.  The ``try_*`` family is
+    the explicit, per-expression opt-out: ``try_divide`` (zero
+    divisor), ``try_add`` (BIGINT overflow, exercised on real rows —
+    event_id*600 crosses the bound mid-column), ``try_to_number``
+    (malformed numeric text vs a format mask), ``try_element_at``
+    (index past the array) each fold the error case to NULL while
+    non-error rows compute exactly.  The DuckDB oracle reconstructs
+    every NULL boundary with CASE arms, so a shifted overflow
+    threshold or a NULL on the wrong side hash-mismatches."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    idx = (F.col("event_id") % 4 + 1).cast("int")
+    return e.select(
+        "event_id",
+        F.try_divide(F.col("value"), (F.col("user_id") % 2).cast("double")).alias(
+            "td"
+        ),
+        F.try_add(
+            F.lit(9223372036854774807).cast("long"), F.col("event_id") * 600
+        ).alias("ta"),
+        F.try_to_number(
+            F.when(F.col("event_id") % 2 == 0, F.lit("12.34")).otherwise(
+                F.lit("oops")
+            ),
+            F.lit("99.99"),
+        )
+        .cast("double")
+        .alias("tn"),
+        F.try_element_at(F.array(F.lit(1), F.lit(2)), idx).cast("bigint").alias("te"),
+    )
+
+
+@register(
+    "scalar_collation_functions",
+    oracle="""
+SELECT LOWER(n_name) AS name_lc,
+       MIN(n_name) AS min_variant,
+       CAST(COUNT(*) AS BIGINT) AS n_variants
+FROM (
+  SELECT n_name FROM nation
+  UNION ALL
+  SELECT UPPER(SUBSTR(n_name, 1, 1)) || LOWER(SUBSTR(n_name, 2)) FROM nation
+) t(n_name)
+GROUP BY LOWER(n_name)
+ORDER BY name_lc
+""",
+)
+def q_scalar_collation_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 COLLATIONS: case-insensitive equality as a property of
+    the COLUMN, not of every expression touching it.  The corpus is
+    each nation name in two case variants (original upper-case +
+    initcap); ``F.collate(name, 'UTF8_LCASE')`` makes the groupBy hash
+    and compare under the case-insensitive collation, so both variants
+    land in one group WITHOUT rewriting the key through lower() — at
+    100 TB the difference is that collation-aware comparison happens
+    inside codegen'd hash/compare on the original bytes instead of
+    materializing a second normalized column through every shuffle.
+    Output normalizes the (nondeterministic) group representative away:
+    lower() key, binary MIN over the variants, and the variant count
+    (2 for every nation).  Oracle replicates with GROUP BY LOWER()."""
+    n = load_table(spark, sf_dir, "nation").select("n_name")
+    variants = n.unionAll(n.select(F.initcap(F.lower("n_name")).alias("n_name")))
+    return (
+        variants.groupBy(F.collate("n_name", "UTF8_LCASE").alias("cname"))
+        .agg(
+            F.min(F.col("n_name").cast("string")).alias("min_variant"),
+            F.count(F.lit(1)).alias("n_variants"),
+        )
+        .select(
+            F.lower(F.col("cname").cast("string")).alias("name_lc"),
+            "min_variant",
+            "n_variants",
+        )
+        .orderBy("name_lc")
+    )

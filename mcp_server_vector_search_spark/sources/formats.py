@@ -220,3 +220,54 @@ def source_csv_quoted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("tricky").alias("n_chars"),
         F.md5(F.encode("tricky", "utf-8")).alias("content_md5"),
     ).orderBy("doc_id")
+
+
+@register(
+    "source_xml_roundtrip",
+    oracle="""
+SELECT n_nationkey,
+       n_name,
+       comment_text,
+       CAST(nk_xpath AS BIGINT) AS nk_xpath
+FROM (
+  SELECT n_nationkey, n_name,
+         '&<>"' || n_name AS comment_text,
+         n_nationkey AS nk_xpath
+  FROM nation
+)
+ORDER BY n_nationkey
+""",
+)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML source/sink (built into Spark 4 — no external
+    package): nation rows with a deliberately hostile text column
+    (leading ``&<>\"`` forces entity escaping) are written as XML
+    documents and read back with SCHEMA INFERENCE, so the roundtrip
+    certifies writer escaping, reader unescaping, and type recovery
+    (n_nationkey must come back integral, not string).  A second
+    extraction path re-parses the written markup with ``xpath_long``
+    — the query-time XML path API — and must agree with the typed
+    column it rode in on.  XML is the interchange format of the
+    feeds a 100 TB curation pipeline actually ingests (sitemaps,
+    Wikipedia dumps, PubMed); the scan parallelizes per-file like any
+    other FileFormat scan."""
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        "n_name",
+        F.concat(F.lit('&<>"'), F.col("n_name")).alias("comment_text"),
+    )
+    tmp = tempfile.mkdtemp(prefix="xml_roundtrip_")
+    n.write.mode("overwrite").option("rowTag", "nation").format("xml").save(tmp)
+    back = spark.read.option("rowTag", "nation").format("xml").load(tmp)
+    return (
+        back.select(
+            "n_nationkey",
+            "n_name",
+            "comment_text",
+            F.xpath_long(
+                F.to_xml(F.struct(F.col("n_nationkey").alias("nk"))),
+                F.lit("/ROW/nk"),
+            ).alias("nk_xpath"),
+        )
+        .orderBy("n_nationkey")
+    )
