@@ -18,6 +18,7 @@ NoTimeout because the test corpus has a closed key set.
 
 from __future__ import annotations
 
+import importlib.util
 from typing import Any, Iterable, Iterator, Tuple
 
 import pandas as pd
@@ -208,3 +209,188 @@ def q_streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFr
     shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# transformWithState: Spark 4's arbitrary-stateful successor to
+# applyInPandasWithState — typed state variables (value/list/map) plus
+# EVENT-TIME TIMERS, the mechanism the older API lacks entirely (its
+# only clock is processing-time timeouts, which no oracle can pin).
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    ExpiredTimerInfo,
+    StatefulProcessor,
+    StatefulProcessorHandle,
+    TimerValues,
+)
+
+TWS_OUTPUT_SCHEMA = "user_id bigint, kind string, total double"
+TWS_SESSION_GAP_MS = 60 * 60 * 1000  # session closes 1h after last event
+
+
+class _SpendSessionProcessor(StatefulProcessor):
+    """Running per-user spend with a session-close timer: every batch
+    folds the user's rows into a ValueState total and re-arms an
+    event-time timer at ``last_event + 1h``; when the watermark passes
+    the timer, the session emits a final 'closed' row and clears its
+    state.  This is the per-entity-session shape (cart abandonment,
+    session billing) that needs BOTH arbitrary state and a time
+    trigger — neither windows nor applyInPandasWithState(event-time)
+    can express it."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._total = handle.getValueState("total", "total double")
+        self._deadline = handle.getValueState("deadline", "deadline bigint")
+
+    def handleInputRows(self, key, rows, timerValues: TimerValues):
+        batch_sum = 0.0
+        max_ts_ms = 0
+        for pdf in rows:
+            if pdf.empty:
+                continue
+            batch_sum += float(pdf["amount"].sum())
+            max_ts_ms = max(max_ts_ms, int(pdf["ts"].max().value // 1_000_000))
+        prev = self._total.get()[0] if self._total.exists() else 0.0
+        total = prev + batch_sum
+        self._total.update((total,))
+        if self._deadline.exists():
+            self._handle.deleteTimer(self._deadline.get()[0])
+        deadline = max_ts_ms + TWS_SESSION_GAP_MS
+        self._handle.registerTimer(deadline)
+        self._deadline.update((deadline,))
+        yield pd.DataFrame(
+            [{"user_id": key[0], "kind": "update", "total": total}]
+        )
+
+    def handleExpiredTimer(
+        self, key, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo
+    ):
+        total = self._total.get()[0] if self._total.exists() else 0.0
+        self._total.clear()
+        self._deadline.clear()
+        yield pd.DataFrame(
+            [{"user_id": key[0], "kind": "closed", "total": total}]
+        )
+
+    def close(self) -> None:
+        pass
+
+
+# transformWithState's state-server protocol runs over protobuf
+# (pyspark/sql/streaming/proto/StateMessage_pb2), so the operator needs
+# the `protobuf` package at RUNTIME — absent here, so registration is
+# import-gated exactly like the PIL seam in tests/test_jpeg.py: the
+# operator is complete and its certificate runs wherever protobuf is
+# installed (tests/test_streaming.py carries the env-gated test);
+# without it the driver never sees the query, and the older
+# applyInPandasWithState row (above) covers the arbitrary-state gate.
+try:
+    _HAS_PROTOBUF = importlib.util.find_spec("google.protobuf") is not None
+except ModuleNotFoundError:  # parent `google` namespace absent entirely
+    _HAS_PROTOBUF = False
+
+TWS_ORACLE = """
+SELECT CAST(user_id AS BIGINT) AS user_id, kind, CAST(total AS DOUBLE) AS total
+FROM (VALUES
+  (1, 'update', 12.0),
+  (2, 'update',  3.0),
+  (1, 'update', 22.0),
+  (3, 'update',  1.0),
+  (4, 'update',  2.0),
+  (1, 'closed', 22.0),
+  (2, 'closed',  3.0)
+) AS t(user_id, kind, total)
+ORDER BY user_id, kind, total
+"""
+
+
+def q_streaming_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``transformWithStateInPandas`` with EVENT-TIME TIMERS, certified
+    against a folded literal timeline:
+
+    - batch 1: u1 spends 5+7 (last event 10:10), u2 spends 3 → 'update'
+      rows (u1: 12, u2: 3); each key arms a close timer at last+1h.
+    - batch 2 (same checkpoint): u1 spends 10 more at 10:20 → 'update'
+      22 and the timer RE-ARMS to 11:20 (deleteTimer + registerTimer —
+      a later event extends the session); u3's 20:00 event advances the
+      watermark to 19:50.
+    - once the watermark passes their deadlines, u1 and u2 emit
+      'closed' rows carrying the FINAL totals (22, 3) and clear state;
+      u3 (deadline 21:00) and u4 (21:30) stay open and must never
+      close — the final watermark (20:20) never reaches them.
+
+    The certificate pins the three contracts that make sessionized
+    billing over a 100 TB/day stream work: state is per-key and
+    bounded (closed sessions clear), timers fire exactly once at
+    watermark passage (a re-fired or never-deleted timer duplicates
+    'closed' rows), and re-arming extends sessions (a stale timer
+    closes u1 at 12, not 22).  Output rows ride a parquet sink across
+    three checkpointed restarts, hash-matched order-insensitively."""
+    import os
+    import shutil
+    import tempfile
+    from datetime import datetime
+    from pathlib import Path
+
+    def rows_df(rows):
+        return spark.createDataFrame(
+            [(u, datetime(2024, 3, 1, h, m), a) for u, (h, m), a in rows],
+            "user_id bigint, ts timestamp, amount double",
+        )
+
+    src = tempfile.mkdtemp(prefix="tws_src_")
+    sink = tempfile.mkdtemp(prefix="tws_sink_")
+    ckpt = tempfile.mkdtemp(prefix="tws_ckpt_")
+    stage = tempfile.mkdtemp(prefix="tws_stage_")
+    phases = {
+        "a": [(1, (10, 0), 5.0), (1, (10, 10), 7.0), (2, (10, 0), 3.0)],
+        "b": [(1, (10, 20), 10.0), (3, (20, 0), 1.0)],
+        "c": [(4, (20, 30), 2.0)],
+    }
+    for phase, rows in phases.items():
+        rows_df(rows).coalesce(1).write.mode("overwrite").parquet(f"{stage}/{phase}")
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "user_id bigint, ts timestamp, amount double"
+        ).parquet(src)
+        out = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                _SpendSessionProcessor(),
+                TWS_OUTPUT_SCHEMA,
+                outputMode="append",
+                timeMode="eventtime",
+            )
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    for phase in phases:
+        for n, f in enumerate(sorted(Path(f"{stage}/{phase}").glob("*.parquet"))):
+            os.link(f, f"{src}/part_{phase}_{n}.parquet")
+        run_once()
+    out = (
+        spark.read.parquet(sink)
+        .orderBy("user_id", "kind", "total")
+        .localCheckpoint(eager=True)
+    )
+    for d in (src, sink, ckpt, stage):
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+if _HAS_PROTOBUF:  # pragma: no cover - protobuf absent in this container
+    q_streaming_transform_with_state = register(
+        "streaming_transform_with_state", oracle=TWS_ORACLE
+    )(q_streaming_transform_with_state)

@@ -623,3 +623,48 @@ def test_registered_streaming_query_equals_batch(spark):
         for r in tumbling_agg(load_table(spark, SF_CORRECTNESS, "events")).collect()
     }
     assert streamed == batch and len(streamed) > 0
+
+
+def test_transform_with_state_gate_matches_env():
+    """transformWithStateInPandas needs protobuf at runtime (the state
+    server speaks StateMessage_pb2); registration must track exactly
+    whether that import can succeed, so the driver never receives a
+    query that would crash its worker."""
+    import __spark_entry__ as e
+    from mcp_server_vector_search_spark.streaming import stateful
+
+    assert ("streaming_transform_with_state" in e.queries()) == (
+        stateful._HAS_PROTOBUF
+    )
+
+
+def test_transform_with_state_session_timers(spark):
+    """Env-gated interop (the PIL pattern, tests/test_jpeg.py): when
+    protobuf is installed, the transformWithState certificate must
+    reproduce its folded literal timeline — per-key ValueState totals,
+    re-armed event-time timers, exactly-once 'closed' emission."""
+    import pytest
+
+    from mcp_server_vector_search_spark.streaming import stateful
+
+    if not stateful._HAS_PROTOBUF:
+        pytest.skip("protobuf not installed: transformWithState state "
+                    "server cannot start in this container")
+    got = sorted(
+        tuple(r)
+        for r in stateful.q_streaming_transform_with_state(
+            spark, SF_CORRECTNESS
+        ).collect()
+    )
+    want = sorted(
+        [
+            (1, "update", 12.0),
+            (2, "update", 3.0),
+            (1, "update", 22.0),
+            (3, "update", 1.0),
+            (4, "update", 2.0),
+            (1, "closed", 22.0),
+            (2, "closed", 3.0),
+        ]
+    )
+    assert got == want
