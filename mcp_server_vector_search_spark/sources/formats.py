@@ -261,7 +261,9 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.option("rowTag", "nation").format("xml").load(tmp)
     return (
         back.select(
-            "n_nationkey",
+            # inference widens integrals to bigint; cast back to the
+            # table's int so the type-parity gate sees the same shape
+            F.col("n_nationkey").cast("int").alias("n_nationkey"),
             "n_name",
             "comment_text",
             F.xpath_long(
