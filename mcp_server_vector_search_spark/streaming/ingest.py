@@ -1104,3 +1104,97 @@ def q_streaming_stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFra
     for d in (src, sink, ckpt, stage):
         shutil.rmtree(d, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# RocksDB state store: the same stateful-agg topology as
+# streaming_tumbling_counts re-run on the PRODUCTION state backend.
+# ---------------------------------------------------------------------------
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+@register(
+    "streaming_rocksdb_state_store",
+    oracle=f"""
+SELECT CAST(to_timestamp(CAST(FLOOR(epoch(ts) / {TUMBLE_SEC}) AS BIGINT) * {TUMBLE_SEC})
+            AS TIMESTAMP) AS win_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_streaming_rocksdb_state_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling stateful aggregate re-run with the state store
+    swapped to ROCKSDB with changelog checkpointing — the backend a
+    100 TB/day deployment actually runs, and the certificate that the
+    swap is semantics-neutral:
+
+    - HDFSBackedStateStoreProvider (the default, used by every other
+      streaming row here) keeps state as JVM-heap maps and rewrites
+      full snapshots per checkpoint: fine for bounded key sets, fatal
+      when per-executor state outgrows the heap.
+    - RocksDBStateStoreProvider spills state to executor-local disk
+      with bounded block-cache memory, and with
+      ``rocksdb.changelogCheckpointing`` the per-batch checkpoint
+      uploads only the CHANGELOG (the delta), amortizing full
+      snapshots — state size and checkpoint cost stop scaling with
+      keys held and start scaling with keys touched.
+
+    Values must hash-match the identical batch SQL oracle as the
+    heap-provider row; that the stream really ran on RocksDB is
+    asserted from the executed query's stateOperators progress metrics
+    (rocksdb* custom metrics only exist on this provider).  Runs in a
+    child session so the provider conf cannot leak into other rows."""
+    import uuid
+
+    child = spark.newSession()
+    child.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    child.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true",
+    )
+    events = load_table(child, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="rocksdb_src_")
+    # three files -> three micro-batches under maxFilesPerTrigger=1, so
+    # windows genuinely accumulate across RocksDB commits
+    (
+        events.withColumn("__b", F.pmod("event_id", F.lit(3)))
+        .repartition(3, "__b")
+        .drop("__b")
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    stream = (
+        child.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = f"rocksdb_tumbling_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="rocksdb_ckpt_")
+    q = (
+        tumbling_agg(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(q.recentProgress) >= 2, "state must cross micro-batches"
+    ops = (q.lastProgress or q.recentProgress[-1])["stateOperators"]
+    rocks_metrics = [
+        m for op in ops for m in op.get("customMetrics", {}) if m.startswith("rocksdb")
+    ]
+    assert rocks_metrics, "expected rocksdb* state-store metrics in progress"
+    out = child.table(name).localCheckpoint(eager=True)
+    import shutil
+
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(src, ignore_errors=True)
+    return out
