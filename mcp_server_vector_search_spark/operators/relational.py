@@ -1265,3 +1265,125 @@ def q_scalar_collation_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("name_lc")
     )
+
+
+@register(
+    "scalar_sql_udf",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(0.9 AS DECIMAL(3,2)))
+            AS DOUBLE) AS total_discounted
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def q_scalar_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-language UDF (Spark 4 ``CREATE FUNCTION ... RETURN <expr>``):
+    user extension WITHOUT leaving the JVM.  Unlike a Python UDF, a SQL
+    UDF's body is INLINED into the calling plan by the analyzer — the
+    aggregate below whole-stage-codegens exactly as if the expression
+    were written in place, so user abstractions cost nothing at 100 TB
+    (no serialization boundary, no black box blocking predicate
+    pushdown through it).  The oracle inlines the same arithmetic,
+    which is precisely the claim being certified."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sqludf_orders")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION discounted("
+        "p DECIMAL(12,2)) RETURNS DECIMAL(16,4) "
+        "RETURN p * CAST(0.9 AS DECIMAL(3,2))"
+    )
+    return spark.sql(
+        """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(discounted(CAST(o_totalprice AS DECIMAL(12,2)))) AS DOUBLE)
+           AS total_discounted
+FROM sqludf_orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+    )
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
+FROM orders
+WHERE o_orderstatus = 'O'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def q_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIPE syntax (Spark 4 ``|>``): the linear FROM → WHERE →
+    AGGREGATE → ORDER BY form that reads in execution order instead of
+    inside-out.  Pipe operators are pure SYNTAX — each stage lowers to
+    the same logical operators as classic SQL, so the plan (pushed
+    filter, partial/final hash aggregate) and every value must be
+    identical to the oracle's classic formulation.  Matters for an
+    engine meant to host generated queries: pipes compose by string
+    append, no re-nesting."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("pipe_orders")
+    return spark.sql(
+        """
+FROM pipe_orders
+|> WHERE o_orderstatus = 'O'
+|> AGGREGATE COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+                 AS total_price
+   GROUP BY o_orderpriority
+|> SELECT o_orderpriority, n_orders, total_price
+|> ORDER BY o_orderpriority
+"""
+    )
+
+
+@register(
+    "scalar_parameterized_sql",
+    oracle="""
+SELECT o_orderkey,
+       o_orderpriority,
+       CAST(o_totalprice AS DOUBLE) AS price
+FROM orders
+WHERE o_orderstatus = 'F'
+  AND o_totalprice >= 350000.0
+  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+ORDER BY o_orderkey
+""",
+)
+def q_scalar_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NAMED-PARAMETER SQL (``spark.sql(..., args={...})``): values bind
+    as literal parameters in the parser, never by string interpolation
+    — the reference's own query does exactly this through Neo4j's
+    ``$prompt_embeddings``/``$top_k`` binds (reference server.py:86,95),
+    and this is the engine's equivalent surface.  Binding beats
+    interpolation twice over at scale: injection is impossible by
+    construction, and the parameterized plan is cache-reusable across
+    values.  The bound markers cover an equality, a numeric range, and
+    an IN-list (array parameter expanded by element_at/array_contains
+    semantics)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("param_orders")
+    return spark.sql(
+        """
+SELECT o_orderkey,
+       o_orderpriority,
+       CAST(o_totalprice AS DOUBLE) AS price
+FROM param_orders
+WHERE o_orderstatus = :status
+  AND o_totalprice >= :minprice
+  AND array_contains(:prios, o_orderpriority)
+ORDER BY o_orderkey
+""",
+        args={
+            "status": "F",
+            "minprice": 350000.0,
+            "prios": ["1-URGENT", "2-HIGH"],
+        },
+    )
