@@ -1387,3 +1387,36 @@ ORDER BY o_orderkey
             "prios": ["1-URGENT", "2-HIGH"],
         },
     )
+
+
+@register(
+    "agg_listagg_ordered",
+    oracle="""
+SELECT r.r_name,
+       STRING_AGG(n.n_name, ',' ORDER BY n.n_name) AS members,
+       CAST(COUNT(*) AS BIGINT) AS n_members
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+ORDER BY r.r_name
+""",
+)
+def q_agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``LISTAGG ... WITHIN GROUP (ORDER BY ...)`` (Spark 4, the ANSI
+    string-concatenation aggregate): per-region nation rosters as one
+    deterministic string.  WITHIN GROUP matters at scale — without the
+    mandated order the concatenation inherits partition arrival order
+    and no two runs hash alike; with it the aggregate buffers sort
+    locally per group before emitting.  DuckDB's STRING_AGG with
+    ORDER BY is the exact oracle."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("la_nation")
+    load_table(spark, sf_dir, "region").createOrReplaceTempView("la_region")
+    return spark.sql(
+        """
+SELECT r.r_name,
+       LISTAGG(n.n_name, ',') WITHIN GROUP (ORDER BY n.n_name) AS members,
+       COUNT(*) AS n_members
+FROM la_nation n JOIN la_region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+ORDER BY r.r_name
+"""
+    )

@@ -1198,3 +1198,85 @@ def q_streaming_rocksdb_state_store(spark: SparkSession, sf_dir: str) -> DataFra
     shutil.rmtree(ckpt, ignore_errors=True)
     shutil.rmtree(src, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# State Data Source: offline inspection of a checkpoint's state store —
+# the ops surface for debugging/auditing production streaming state
+# without replaying the stream.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_state_reader",
+    oracle="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def q_streaming_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STATE DATA SOURCE (`spark.read.format("statestore")`): after
+    a stateful per-type count runs across ≥2 micro-batches, the
+    checkpoint's state store is read back OFFLINE as a DataFrame —
+    key struct, aggregation buffer, partition id — and the flattened
+    buffers must hash-match the batch aggregate over the corpus.
+
+    This is the operational answer to "what is my stream's state RIGHT
+    NOW" at 100 TB/day: state inspection (skew hunting — the
+    partition_id column shows per-partition key placement), audit, and
+    surgical repair all read the checkpoint directly instead of
+    replaying days of input.  The companion `state-metadata` format is
+    asserted to report the operator (stateStoreSave) and its batch
+    range, which is how tooling discovers what a foreign checkpoint
+    contains."""
+    import shutil
+    import uuid
+
+    events = load_table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="ssread_src_")
+    (
+        events.withColumn("__b", F.pmod("event_id", F.lit(2)))
+        .repartition(2, "__b")
+        .drop("__b")
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = f"ssread_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ssread_ckpt_")
+    q = (
+        stream.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(q.recentProgress) >= 2, "state must accumulate across batches"
+    meta = spark.read.format("state-metadata").load(ckpt).collect()
+    assert any(r["operatorName"] == "stateStoreSave" for r in meta), meta
+    state = spark.read.format("statestore").load(ckpt)
+    # the value struct carries the INTERNAL aggregation-buffer field
+    # name (`count`), not the query's output alias — resolve it by
+    # position so the certificate doesn't depend on buffer naming
+    buf_field = state.schema["value"].dataType.fieldNames()[0]
+    out = (
+        state.select(
+            F.col("key.event_type").alias("event_type"),
+            F.col(f"value.{buf_field}").alias("n_events"),
+        )
+        .orderBy("event_type")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out
