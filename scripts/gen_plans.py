@@ -433,6 +433,22 @@ SHOWCASE = [
         "compile to `TakeOrderedAndProject` — page cost stays O(k) per "
         "partition at any depth.",
     ),
+    (
+        "scalar_variant_functions",
+        "Spark 4 VARIANT in one codegen'd Project: `parse_json` encodes "
+        "the binary variant once, every `variant_get` path extraction "
+        "is a JVM expression over that encoding — no `EvalPython`, no "
+        "per-access text re-parse.  At 100 TB semi-structured access is "
+        "shredded binary reads, not O(fields) string scans per row.",
+    ),
+    (
+        "sql_pipe_syntax",
+        "The `|>` pipe form is pure syntax: the plan below is the same "
+        "pushed filter + partial/final hash aggregate a classic "
+        "GROUP BY compiles to — `PushedFilters` reaches the scan and "
+        "the shuffle carries 5 groups.  Generated queries can compose "
+        "by string append without re-planning cost.",
+    ),
 ]
 
 # Queries whose evidence is the EXECUTED streaming micro-batch plan,
