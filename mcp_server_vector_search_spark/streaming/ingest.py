@@ -700,8 +700,14 @@ def q_streaming_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFra
     import shutil
     from datetime import datetime
 
+    # 4-way stateful shuffle (see streaming_stream_stream_join): the
+    # window-agg state is a handful of rows; 32-wide state stores
+    # across two restarts are pure commit overhead
+    child = spark.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", "4")
+
     def rows_df(ts_list):
-        return spark.createDataFrame(
+        return child.createDataFrame(
             [(datetime(2024, 3, 1, h, m), 1.0) for h, m in ts_list],
             "ts timestamp, v double",
         )
@@ -718,7 +724,7 @@ def q_streaming_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFra
     ).parquet(f"{stage}/b")
 
     def run_once():
-        stream = spark.readStream.schema("ts timestamp, v double").parquet(src)
+        stream = child.readStream.schema("ts timestamp, v double").parquet(src)
         q = (
             stream.withWatermark("ts", WM_DELAY)
             .groupBy(F.window("ts", "1 hour").alias("win"))
@@ -738,7 +744,7 @@ def q_streaming_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFra
             os.link(f, f"{src}/part_{phase}_{n}.parquet")
         run_once()
     out = (
-        spark.read.parquet(sink)
+        child.read.parquet(sink)
         .orderBy("win_start")
         .localCheckpoint(eager=True)
     )
@@ -934,8 +940,15 @@ def q_streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> Data
     import shutil
     from datetime import datetime
 
+    # 4-way stateful shuffle (see streaming_stream_stream_join): the
+    # dedup state width is pinned at the first checkpoint, and a
+    # 5-key certificate has no business paying 32 state-store commits
+    # per micro-batch across three restarts
+    child = spark.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", "4")
+
     def rows_df(rows):
-        return spark.createDataFrame(
+        return child.createDataFrame(
             [(i, datetime(2024, 3, 1, h, m), tag) for i, (h, m), tag in rows],
             "id bigint, ts timestamp, tag string",
         )
@@ -955,7 +968,7 @@ def q_streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> Data
         )
 
     def run_once():
-        stream = spark.readStream.schema("id bigint, ts timestamp, tag string").parquet(src)
+        stream = child.readStream.schema("id bigint, ts timestamp, tag string").parquet(src)
         q = (
             stream.withWatermark("ts", DDW_DELAY)
             .dropDuplicatesWithinWatermark(["id"])
@@ -972,7 +985,7 @@ def q_streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> Data
         for n, f in enumerate(sorted(Path(f"{stage}/{phase}").glob("*.parquet"))):
             os.link(f, f"{src}/part_{phase}_{n}.parquet")
         run_once()
-    out = spark.read.parquet(sink).orderBy("ts", "id").localCheckpoint(eager=True)
+    out = child.read.parquet(sink).orderBy("ts", "id").localCheckpoint(eager=True)
     for d in (src, sink, ckpt, stage):
         shutil.rmtree(d, ignore_errors=True)
     return out
