@@ -900,6 +900,22 @@ def q_streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFram
 DDW_DELAY = "1 hour"
 
 
+def _link_ordered_phases(stage: str, src: str, phases: list[str]) -> None:
+    """Expose per-phase staged parquet as ONE source dir whose files
+    carry strictly increasing mtimes, so the file-stream source (which
+    processes oldest-first) delivers them as ordered micro-batches
+    under ``maxFilesPerTrigger=1`` — phase boundaries without paying a
+    StreamExecution restart per phase."""
+    import time as _time
+
+    base = _time.time() - 3600
+    for i, phase in enumerate(phases):
+        for n, f in enumerate(sorted(Path(f"{stage}/{phase}").glob("*.parquet"))):
+            dst = f"{src}/part_{i}_{phase}_{n}.parquet"
+            os.link(f, dst)
+            os.utime(dst, (base + i * 60, base + i * 60))
+
+
 @register(
     "streaming_dedup_within_watermark",
     oracle="""
@@ -908,6 +924,7 @@ FROM (VALUES
   (1, TIMESTAMP '2024-03-01 10:00:00', 'orig'),
   (2, TIMESTAMP '2024-03-01 10:00:00', 'orig'),
   (3, TIMESTAMP '2024-03-01 20:00:00', 'advance'),
+  (9, TIMESTAMP '2024-03-01 20:05:00', 'post_advance'),
   (1, TIMESTAMP '2024-03-01 20:30:00', 're_admitted')
 ) AS t(id, ts, tag)
 ORDER BY ts, id
@@ -919,19 +936,24 @@ def q_streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> Data
 
     - batch 1: ids 1 and 2 at 10:00 → both emitted, state stored with
       expiry ``event_time + 1h``; watermark advances to 09:00.
-    - batch 2 (same checkpoint): id 1 again at 10:30 — within the
-      delay of its first arrival, so the ENGINE suppresses it (the
-      'dup_within' row must not appear); id 3 at 20:00 emits and
-      advances the watermark to 19:00, which EVICTS the expired id-1/2
-      entries at batch end.
-    - batch 3: id 1 once more at 20:30 — its state is gone, so it is
+    - batch 2: id 1 again at 10:30 — within the delay of its first
+      arrival, so the ENGINE suppresses it (the 'dup_within' row must
+      not appear); id 3 at 20:00 emits and moves the watermark to
+      19:00.
+    - batch 3 ('post_advance'): the purge that watermark drives runs
+      at this batch's close and EVICTS the expired id-1/2 entries.
+    - batch 4: id 1 once more at 20:30 — its state is gone, so it is
       RE-ADMITTED and emitted a second time.
 
-    The parquet sink must hash-match the four folded expected rows: a
-    dedup bug adds 'dup_within', unbounded state (plain
-    ``dropDuplicates``) silently swallows 're_admitted', and a
-    watermark that fails to persist across the restart changes the
-    eviction point.  This is the 100 TB/day dedup contract: state ~
+    The parquet sink must hash-match the five folded expected rows: a
+    dedup bug adds 'dup_within', and unbounded state (plain
+    ``dropDuplicates``) silently swallows 're_admitted'.  The four
+    arrivals ride ONE StreamExecution as mtime-ordered files under
+    ``maxFilesPerTrigger=1`` (≥4 data batches asserted) — watermark
+    persistence across RESTARTS is separately certified by
+    ``streaming_watermark_late_drop`` and
+    ``streaming_checkpoint_resume``.  This is the 100 TB/day dedup
+    contract: state ~
     (arrival rate x delay window), not corpus size — exact within the
     window by construction, while corpus-wide exactness belongs to the
     batch/incremental dedup family (``dedup_exact``,
@@ -957,34 +979,39 @@ def q_streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> Data
     sink = tempfile.mkdtemp(prefix="ddw_sink_")
     ckpt = tempfile.mkdtemp(prefix="ddw_ckpt_")
     stage = tempfile.mkdtemp(prefix="ddw_stage_")
+    # state purge runs at the END of a batch against the watermark that
+    # batch opened with, so the eviction driven by 'advance' (batch 2,
+    # watermark 19:00 from batch 1's max) lands at batch 2's close —
+    # 'post_advance' gives that purge a batch to happen in before the
+    # re-arrival is probed in batch 3
     phases = {
         "a": [(1, (10, 0), "orig"), (2, (10, 0), "orig")],
         "b": [(1, (10, 30), "dup_within"), (3, (20, 0), "advance")],
-        "c": [(1, (20, 30), "re_admitted")],
+        "c": [(9, (20, 5), "post_advance")],
+        "d": [(1, (20, 30), "re_admitted")],
     }
     for phase, rows in phases.items():
         rows_df(rows).coalesce(1).write.mode("overwrite").parquet(
             f"{stage}/{phase}"
         )
+    _link_ordered_phases(stage, src, list(phases))
 
-    def run_once():
-        stream = child.readStream.schema("id bigint, ts timestamp, tag string").parquet(src)
-        q = (
-            stream.withWatermark("ts", DDW_DELAY)
-            .dropDuplicatesWithinWatermark(["id"])
-            .writeStream.format("parquet")
-            .option("path", sink)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-
-    for phase in phases:
-        for n, f in enumerate(sorted(Path(f"{stage}/{phase}").glob("*.parquet"))):
-            os.link(f, f"{src}/part_{phase}_{n}.parquet")
-        run_once()
+    stream = child.readStream.schema(
+        "id bigint, ts timestamp, tag string"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        stream.withWatermark("ts", DDW_DELAY)
+        .dropDuplicatesWithinWatermark(["id"])
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    data_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+    assert data_batches >= 4, f"expected 4 ordered arrivals, got {data_batches}"
     out = child.read.parquet(sink).orderBy("ts", "id").localCheckpoint(eager=True)
     for d in (src, sink, ckpt, stage):
         shutil.rmtree(d, ignore_errors=True)
@@ -1036,9 +1063,12 @@ def q_streaming_stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFra
       appear.
 
     The parquet sink must hash-match the three folded rows: an inner
-    join drops the NULL row entirely, an eager outer emission adds u4
-    or emits u2 with the wrong sink schema, and a watermark that does
-    not persist across restarts shifts the eviction batch.  This is
+    join drops the NULL row entirely, and an eager outer emission adds
+    u4 or emits u2 with the wrong sink schema.  The three arrivals
+    ride ONE StreamExecution as mtime-ordered files under
+    ``maxFilesPerTrigger=1`` (≥3 data batches asserted); restart
+    persistence is certified by ``streaming_watermark_late_drop`` and
+    ``streaming_checkpoint_resume``.  This is
     how funnel attribution over two 100 TB/day firehoses stays
     bounded: join state ~ delay+window of rows per side, and
     no-shows surface as NULL rows exactly one watermark-advance after
@@ -1076,43 +1106,45 @@ def q_streaming_stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFra
     for phase, rows in phases.items():
         ev_df(rows).coalesce(1).write.mode("overwrite").parquet(f"{stage}/{phase}")
 
-    def run_once():
-        stream = child.readStream.schema(schema).parquet(src)
-        clicks = (
-            stream.where(F.col("event_type") == "click")
-            .select("user_id", F.col("ts").alias("click_ts"))
-            .withWatermark("click_ts", SSO_DELAY)
-        )
-        purchases = (
-            stream.where(F.col("event_type") == "purchase")
-            .select(
-                F.col("user_id").alias("buyer_id"),
-                F.col("ts").alias("purchase_ts"),
-                F.col("value").alias("purchase_value"),
-            )
-            .withWatermark("purchase_ts", SSO_DELAY)
-        )
-        joined = clicks.join(
-            purchases,
-            (F.col("user_id") == F.col("buyer_id"))
-            & (F.col("purchase_ts") >= F.col("click_ts"))
-            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
-            "left_outer",
-        ).select("user_id", "click_ts", "purchase_ts", "purchase_value")
-        q = (
-            joined.writeStream.format("parquet")
-            .option("path", sink)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    _link_ordered_phases(stage, src, list(phases))
 
-    for phase in phases:
-        for n, f in enumerate(sorted(Path(f"{stage}/{phase}").glob("*.parquet"))):
-            os.link(f, f"{src}/part_{phase}_{n}.parquet")
-        run_once()
+    stream = (
+        child.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    clicks = (
+        stream.where(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", SSO_DELAY)
+    )
+    purchases = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("buyer_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", SSO_DELAY)
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("buyer_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select("user_id", "click_ts", "purchase_ts", "purchase_value")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    data_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+    assert data_batches >= 3, f"expected 3 ordered arrivals, got {data_batches}"
     out = child.read.parquet(sink).orderBy("user_id").localCheckpoint(eager=True)
     for d in (src, sink, ckpt, stage):
         shutil.rmtree(d, ignore_errors=True)
