@@ -371,3 +371,81 @@ def test_hnsw_visited_sublinear_vs_flat_nsw():
     assert hnsw_mean[hi] < flat_mean[hi], (flat_mean, hnsw_mean)
     # while routing at least as well
     assert hnsw_hits[hi] >= flat_hits[hi], (flat_hits, hnsw_hits)
+
+
+def test_streaming_dedup_state_stays_bounded(spark):
+    """The 100 TB/day claim behind dropDuplicatesWithinWatermark,
+    measured: replay 9 time-ordered micro-batches (200k ids, each
+    re-arriving once in the NEXT batch) through a 30s-delay watermark
+    dedup and read the state-store size the engine actually reports.
+    State must track the delay window (≈ one batch of ids + the 30s
+    tail), NOT the corpus — plain dropDuplicates holds every id ever
+    seen and fails the bound immediately.  Output must still be
+    exactly one row per id."""
+    import os
+    import tempfile
+    import time as _time
+
+    child = spark.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", "8")
+    N, CHUNKS = 200_000, 8
+    PER = N // CHUNKS  # 25k ids per chunk, 1000 ids per event-second
+    base = child.range(N).select(
+        F.col("id"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + (F.col("id") / 1000).cast("long")).alias("ts"),
+    )
+    stage = tempfile.mkdtemp(prefix="ddwscale_stage_")
+    src = tempfile.mkdtemp(prefix="ddwscale_src_")
+    sink = tempfile.mkdtemp(prefix="ddwscale_sink_")
+    ckpt = tempfile.mkdtemp(prefix="ddwscale_ckpt_")
+    t0 = _time.time() - 3600
+    for k in range(CHUNKS + 1):
+        fresh = base.where(
+            (F.col("id") >= k * PER) & (F.col("id") < (k + 1) * PER)
+        )
+        dups = base.where(
+            (F.col("id") >= (k - 1) * PER) & (F.col("id") < k * PER)
+        )
+        fresh.unionAll(dups).coalesce(1).write.mode("overwrite").parquet(
+            f"{stage}/p{k}"
+        )
+        from pathlib import Path
+
+        for n, f in enumerate(sorted(Path(f"{stage}/p{k}").glob("*.parquet"))):
+            dst = f"{src}/part_{k:02d}_{n}.parquet"
+            os.link(f, dst)
+            os.utime(dst, (t0 + k * 60, t0 + k * 60))
+    stream = (
+        child.readStream.schema("id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.withWatermark("ts", "30 seconds")
+        .dropDuplicatesWithinWatermark(["id"])
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out_n = child.read.parquet(sink).count()
+    assert out_n == N, f"each id must be emitted exactly once, got {out_n}"
+    state_sizes = [
+        op["numRowsTotal"]
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+    ]
+    assert state_sizes, "no stateOperators progress recorded"
+    # steady-state bound: one 25s chunk of fresh ids (25k) + the 30s
+    # delay tail (30k) + purge lag of one batch; corpus-sized state
+    # (200k) fails by >2x
+    assert max(state_sizes) <= 90_000, (
+        f"state not bounded by the delay window: max {max(state_sizes)} rows"
+    )
+    import shutil
+
+    for d in (stage, src, sink, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
