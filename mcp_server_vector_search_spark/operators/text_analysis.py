@@ -779,3 +779,82 @@ def q_tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank int, left_sym string, right_sym string, merged string, pair_count long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher REPETITION rules: within-document duplicate / dominant n-gram
+# fractions (Rae et al. 2021 §A1.1 "repetition" filters — the family
+# quality_gopher_rules does not cover, which is word/stopword stats).
+# ---------------------------------------------------------------------------
+
+REP_DUP_MAX_PCT = 20  # keep if duplicate-2gram fraction <= 20%
+REP_TOP_MAX_PCT = 10  # and the most frequent 2-gram covers <= 10%
+
+
+@register(
+    "quality_repetition_rules",
+    oracle=f"""
+WITH grams AS (
+  SELECT doc_id, UNNEST(list_transform(range(1, len(ws)),
+                                       i -> ws[i] || ' ' || ws[i + 1])) AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+),
+per_gram AS (
+  SELECT doc_id, g, COUNT(*) AS cnt FROM grams GROUP BY doc_id, g
+)
+SELECT doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_grams,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(MAX(cnt) AS BIGINT) AS top_count,
+       (100 * (SUM(cnt) - COUNT(*)) <= {REP_DUP_MAX_PCT} * SUM(cnt)
+        AND 100 * MAX(cnt) <= {REP_TOP_MAX_PCT} * SUM(cnt)) AS keep
+FROM per_gram
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def q_quality_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters (Rae et al. 2021, §A1.1): a document
+    whose 2-grams repeat heavily (boilerplate, keyword stuffing, decode
+    loops) is dropped before training.  Two integer-exact rules per
+    document — duplicate-2gram fraction (``(n-distinct)/n``) and
+    dominant-2gram fraction (``top/n``) — evaluated as cross-multiplied
+    integer comparisons so the keep flag hashes exactly (no float
+    ratio).  Plan shape: split+zip_with builds grams in codegen and ONE
+    explode feeds the (doc_id, gram) count; the per-doc rollup then
+    shuffles only the per-gram COUNT rows (already collapsed, with a
+    map-side partial aggregate on top) — the exploded gram stream
+    itself crosses the wire once.  At 100 TB nothing is held per-doc
+    except aggregation buffers."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    grams = F.zip_with(
+        F.slice(ws, 1, F.size(ws) - 1),
+        F.slice(ws, 2, F.size(ws) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    per_gram = (
+        d.select("doc_id", F.explode(grams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    dup_ok = 100 * (F.col("n_grams") - F.col("n_distinct")) <= (
+        REP_DUP_MAX_PCT * F.col("n_grams")
+    )
+    top_ok = 100 * F.col("top_count") <= REP_TOP_MAX_PCT * F.col("n_grams")
+    return (
+        per_gram.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("cnt").alias("top_count"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_distinct",
+            "top_count",
+            (dup_ok & top_ok).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
