@@ -145,3 +145,97 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+GAPFILL_USERS = 10  # bounded output: spine is ~720 hourly rows/user
+
+
+@register(
+    "timeseries_gap_fill_locf",
+    oracle=f"""
+WITH bounds AS (
+  SELECT user_id,
+         date_trunc('hour', MIN(ts)) AS h_min,
+         date_trunc('hour', MAX(ts)) AS h_max
+  FROM events WHERE user_id < {GAPFILL_USERS} GROUP BY user_id
+),
+spine AS (
+  SELECT user_id, UNNEST(generate_series(h_min, h_max, INTERVAL 1 HOUR)) AS hour_ts
+  FROM bounds
+),
+hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour_ts,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS cents
+  FROM events WHERE user_id < {GAPFILL_USERS} GROUP BY 1, 2
+)
+SELECT s.user_id,
+       CAST(s.hour_ts AS TIMESTAMP) AS hour_ts,
+       CAST(COALESCE(h.n_events, 0) AS BIGINT) AS n_events,
+       CAST(LAST_VALUE(h.cents IGNORE NULLS) OVER (
+            PARTITION BY s.user_id ORDER BY s.hour_ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cents_locf,
+       (h.user_id IS NULL) AS is_gap
+FROM spine s LEFT JOIN hourly h
+  ON s.user_id = h.user_id AND s.hour_ts = h.hour_ts
+ORDER BY s.user_id, s.hour_ts
+""",
+)
+def q_timeseries_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series RESAMPLING: an hourly spine per user generated with
+    ``F.sequence`` (min→max observed hour), left-joined to the hourly
+    aggregate, gaps carried forward with ``last(..., ignorenulls) ROWS
+    UNBOUNDED PRECEDING`` — the LOCF gap-fill every monitoring / IoT /
+    finance pipeline needs and SQL engines ship as ``GAP_FILL``/
+    ``time_bucket``.  Values fold as integer cents so the carried
+    value hashes exactly.  Scale shape: the spine explodes from ONE
+    row per user (bounds aggregate), the join key is (user, hour) —
+    co-partitioned with the aggregate it fills — and the LOCF window
+    is a per-user ordered scan, so cost is O(hours x users), never
+    O(events x hours).  The ``is_gap`` flag certifies the join found
+    exactly the observed hours (a time-zone or truncation bug flips
+    flags)."""
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("user_id") < GAPFILL_USERS
+    )
+    hourly = (
+        e.groupBy(
+            "user_id", F.date_trunc("hour", "ts").alias("hour_ts")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    spine = (
+        e.groupBy("user_id")
+        .agg(
+            F.date_trunc("hour", F.min("ts")).alias("h_min"),
+            F.date_trunc("hour", F.max("ts")).alias("h_max"),
+        )
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h_min", "h_max", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour_ts"),
+        )
+    )
+    w = (
+        W.partitionBy(spine["user_id"])
+        .orderBy("hour_ts")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        spine.join(hourly, ["user_id", "hour_ts"], "left")
+        .select(
+            "user_id",
+            "hour_ts",
+            F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+            F.last("cents", ignorenulls=True).over(w).alias("cents_locf"),
+            F.col("cents").isNull().alias("is_gap"),
+        )
+        .orderBy("user_id", "hour_ts")
+    )
