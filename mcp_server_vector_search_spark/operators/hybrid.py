@@ -197,3 +197,145 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle device as ``semantic_search_hash_embedder``): BM25 top-20 ∪
     cosine top-20 fused by reciprocal rank, top-10 returned."""
     return hybrid_search(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# The OTHER standard fusion: convex score blend over min-max-normalized
+# legs (the "hybrid alpha" of production vector stores), complementing
+# rank-based RRF above — score-sensitive where RRF is rank-only.
+# ---------------------------------------------------------------------------
+
+ALPHA_NUM, ALPHA_DEN = 6, 10  # alpha = 0.6 toward the vector leg
+
+
+def _scored_pool(scored: DataFrame, score_col: str) -> DataFrame:
+    """Global top-POOL by (score desc, doc_id), KEEPING the score —
+    same bounded TakeOrderedAndProject cut as ``_ranked_pool``."""
+    return scored.orderBy(F.desc(score_col), F.asc("doc_id")).limit(POOL)
+
+
+def _minmax(pool: DataFrame, score_col: str, out_col: str) -> DataFrame:
+    """Min-max normalize a ≤POOL-row leg: (s - min) / (max - min),
+    rounded pre-fusion.  The extrema come from a broadcast 1-row
+    aggregate of the bounded pool, not a global pass."""
+    ext = pool.agg(
+        F.min(score_col).alias("__mn"), F.max(score_col).alias("__mx")
+    )
+    return (
+        pool.crossJoin(F.broadcast(ext))
+        .select(
+            "doc_id",
+            F.round(
+                (F.col(score_col) - F.col("__mn"))
+                / F.nullif(F.col("__mx") - F.col("__mn"), F.lit(0.0)),
+                R,
+            ).alias(out_col),
+        )
+    )
+
+
+def _hybrid_weighted_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in QUERY_TERMS)
+    qv = sql_floats(prompt_embedding())
+    alpha = f"{ALPHA_NUM}.0 / {ALPHA_DEN}"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, dl, tok, COUNT(*) AS tf
+  FROM toks WHERE tok IN ({terms})
+  GROUP BY doc_id, dl, tok
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs,
+         AVG(len(string_split(text, ' '))) AS avgdl
+  FROM documents
+),
+df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+bm25 AS (
+  SELECT t.doc_id,
+         ROUND(SUM(
+           ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (t.tf * ({BM25_K1} + 1))
+           / (t.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * t.dl / s.avgdl))
+         ), {R}) AS bm25
+  FROM tf t JOIN df d USING (tok) CROSS JOIN stats s
+  GROUP BY t.doc_id
+),
+lexp AS (SELECT doc_id, bm25 FROM bm25 ORDER BY bm25 DESC, doc_id LIMIT {POOL}),
+lexn AS (
+  SELECT doc_id,
+         ROUND((bm25 - MIN(bm25) OVER ()) /
+               NULLIF(MAX(bm25) OVER () - MIN(bm25) OVER (), 0.0), {R})
+             AS bm25_norm
+  FROM lexp
+),
+vs AS (
+  SELECT vec_id AS doc_id,
+         ROUND(list_cosine_similarity(embedding::DOUBLE[], {qv}::DOUBLE[]),
+               {R}) AS cos
+  FROM embeddings
+),
+vecp AS (SELECT doc_id, cos FROM vs ORDER BY cos DESC, doc_id LIMIT {POOL}),
+vecn AS (
+  SELECT doc_id,
+         ROUND((cos - MIN(cos) OVER ()) /
+               NULLIF(MAX(cos) OVER () - MIN(cos) OVER (), 0.0), {R})
+             AS cos_norm
+  FROM vecp
+)
+SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+       ROUND(({alpha}) * COALESCE(v.cos_norm, 0.0)
+             + (1 - {alpha}) * COALESCE(l.bm25_norm, 0.0), {R}) AS blend_score,
+       l.bm25_norm, v.cos_norm
+FROM lexn l FULL OUTER JOIN vecn v ON l.doc_id = v.doc_id
+ORDER BY blend_score DESC, doc_id
+LIMIT {FINAL_K}
+"""
+
+
+@register("hybrid_search_weighted", oracle=_hybrid_weighted_oracle())
+def q_hybrid_search_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-sum hybrid (alpha blend): each leg's top-POOL scores are
+    min-max normalized WITHIN the pool (extrema from a broadcast 1-row
+    aggregate over ≤POOL rows — never a global pass), then fused as
+    ``alpha·cos_norm + (1-alpha)·bm25_norm`` with alpha=0.6.  This is
+    the score-sensitive fusion production vector stores expose as the
+    "hybrid alpha" knob; RRF (`hybrid_search_rrf`) is its rank-only
+    sibling — together they cover both standard fusion families.  A doc
+    missing from one leg contributes 0 from that leg (COALESCE), same
+    convention both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    lexn = _minmax(
+        _scored_pool(bm25_scores(docs, QUERY_TERMS), "bm25"), "bm25", "bm25_norm"
+    )
+    qv = vector_lit(prompt_embedding())
+    vec_scored = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(
+            cosine_similarity(F.col("embedding").cast("array<double>"), qv), R
+        ).alias("cos"),
+    )
+    vecn = _minmax(_scored_pool(vec_scored, "cos"), "cos", "cos_norm")
+
+    alpha = F.lit(ALPHA_NUM) / F.lit(ALPHA_DEN)
+    return (
+        lexn.join(vecn, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                alpha * F.coalesce(F.col("cos_norm"), F.lit(0.0))
+                + (1 - alpha) * F.coalesce(F.col("bm25_norm"), F.lit(0.0)),
+                R,
+            ).alias("blend_score"),
+            "bm25_norm",
+            "cos_norm",
+        )
+        .orderBy(F.desc("blend_score"), F.asc("doc_id"))
+        .limit(FINAL_K)
+    )
