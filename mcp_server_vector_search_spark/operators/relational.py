@@ -1251,7 +1251,15 @@ def q_scalar_collation_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     lower() key, binary MIN over the variants, and the variant count
     (2 for every nation).  Oracle replicates with GROUP BY LOWER()."""
     n = load_table(spark, sf_dir, "nation").select("n_name")
-    variants = n.unionAll(n.select(F.initcap(F.lower("n_name")).alias("n_name")))
+    # first-letter-upper + rest-lower, the EXACT string the oracle's
+    # UPPER(SUBSTR(..,1,1)) || LOWER(SUBSTR(..,2)) builds — initcap
+    # would diverge on multi-word names ('United States' vs
+    # 'United states') and only be masked by the binary MIN
+    sentence_case = F.concat(
+        F.upper(F.substring("n_name", 1, 1)),
+        F.lower(F.expr("substring(n_name, 2)")),
+    )
+    variants = n.unionAll(n.select(sentence_case.alias("n_name")))
     return (
         variants.groupBy(F.collate("n_name", "UTF8_LCASE").alias("cname"))
         .agg(

@@ -235,7 +235,10 @@ def q_timeseries_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hour_ts",
             F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
             F.last("cents", ignorenulls=True).over(w).alias("cents_locf"),
-            F.col("cents").isNull().alias("is_gap"),
+            # join-miss test on the count (never NULL for an observed
+            # hour), matching the oracle's h.user_id IS NULL — cents
+            # would misflag an observed hour whose values are all NULL
+            F.col("n_events").isNull().alias("is_gap"),
         )
         .orderBy("user_id", "hour_ts")
     )

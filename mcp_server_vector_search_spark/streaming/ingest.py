@@ -38,6 +38,14 @@ TUMBLE = "3600 seconds"
 SESSION_GAP = "30 minutes"
 
 
+def data_batches(q) -> int:
+    """Number of micro-batches that actually carried input rows.
+    ``len(q.recentProgress)`` also counts the empty finalization batch
+    availableNow appends, so cross-batch certificates must count DATA
+    batches or the 'spans micro-batches' claim can pass vacuously."""
+    return sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+
+
 def _as_stream_dir(file_path: str) -> str:
     """Spark's file-stream source requires a DIRECTORY; expose a single
     parquet file through a temp dir symlink (testdata stays read-only)."""
@@ -497,7 +505,7 @@ def q_streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    assert len(q.recentProgress) >= 2, "duplicates must span micro-batches"
+    assert data_batches(q) >= 2, "duplicates must span micro-batches"
     out = (
         spark.table(name)
         .orderBy("event_type")
@@ -571,7 +579,7 @@ def q_streaming_join_static(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    assert len(q.recentProgress) >= 2, "join must span micro-batches"
+    assert data_batches(q) >= 2, "join must span micro-batches"
     out = spark.table(name).orderBy("c_mktsegment").localCheckpoint(eager=True)
     shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
@@ -878,7 +886,7 @@ def q_streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFram
         .start()
     )
     q.awaitTermination()
-    assert len(q.recentProgress) >= 2, "join must span micro-batches"
+    assert data_batches(q) >= 2, "join must span micro-batches"
     out = (
         child.table(name)
         .orderBy("click_id", "purchase_id")
@@ -1010,8 +1018,8 @@ def q_streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> Data
         .start()
     )
     q.awaitTermination()
-    data_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
-    assert data_batches >= 4, f"expected 4 ordered arrivals, got {data_batches}"
+    n_data = data_batches(q)
+    assert n_data >= 4, f"expected 4 ordered arrivals, got {n_data}"
     out = child.read.parquet(sink).orderBy("ts", "id").localCheckpoint(eager=True)
     for d in (src, sink, ckpt, stage):
         shutil.rmtree(d, ignore_errors=True)
@@ -1143,8 +1151,8 @@ def q_streaming_stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFra
         .start()
     )
     q.awaitTermination()
-    data_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
-    assert data_batches >= 3, f"expected 3 ordered arrivals, got {data_batches}"
+    n_data = data_batches(q)
+    assert n_data >= 3, f"expected 3 ordered arrivals, got {n_data}"
     out = child.read.parquet(sink).orderBy("user_id").localCheckpoint(eager=True)
     for d in (src, sink, ckpt, stage):
         shutil.rmtree(d, ignore_errors=True)
@@ -1205,15 +1213,15 @@ def q_streaming_rocksdb_state_store(spark: SparkSession, sf_dir: str) -> DataFra
     )
     events = load_table(child, sf_dir, "events")
     src = tempfile.mkdtemp(prefix="rocksdb_src_")
-    # three files -> three micro-batches under maxFilesPerTrigger=1, so
-    # windows genuinely accumulate across RocksDB commits
-    (
-        events.withColumn("__b", F.pmod("event_id", F.lit(3)))
-        .repartition(3, "__b")
-        .drop("__b")
-        .write.mode("overwrite")
-        .parquet(src)
-    )
+    stage = tempfile.mkdtemp(prefix="rocksdb_stage_")
+    # one explicit file per third -> three micro-batches under
+    # maxFilesPerTrigger=1, so windows genuinely accumulate across
+    # RocksDB commits (hash repartition could collapse the thirds)
+    for third in (0, 1, 2):
+        events.where(F.pmod("event_id", F.lit(3)) == third).coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{stage}/t{third}")
+    _link_ordered_phases(stage, src, ["t0", "t1", "t2"])
     stream = (
         child.readStream.schema(events.schema)
         .option("maxFilesPerTrigger", 1)
@@ -1231,7 +1239,7 @@ def q_streaming_rocksdb_state_store(spark: SparkSession, sf_dir: str) -> DataFra
         .start()
     )
     q.awaitTermination()
-    assert len(q.recentProgress) >= 2, "state must cross micro-batches"
+    assert data_batches(q) >= 2, "state must cross micro-batches"
     ops = (q.lastProgress or q.recentProgress[-1])["stateOperators"]
     rocks_metrics = [
         m for op in ops for m in op.get("customMetrics", {}) if m.startswith("rocksdb")
@@ -1242,6 +1250,7 @@ def q_streaming_rocksdb_state_store(spark: SparkSession, sf_dir: str) -> DataFra
 
     shutil.rmtree(ckpt, ignore_errors=True)
     shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(stage, ignore_errors=True)
     return out
 
 
@@ -1281,13 +1290,15 @@ def q_streaming_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     src = tempfile.mkdtemp(prefix="ssread_src_")
-    (
-        events.withColumn("__b", F.pmod("event_id", F.lit(2)))
-        .repartition(2, "__b")
-        .drop("__b")
-        .write.mode("overwrite")
-        .parquet(src)
-    )
+    stage = tempfile.mkdtemp(prefix="ssread_stage_")
+    # explicit per-half files: repartition(2, hash(__b)) can land both
+    # key values in ONE partition (hash collision mod 2), collapsing
+    # the stream to a single data batch
+    for half in (0, 1):
+        events.where(F.pmod("event_id", F.lit(2)) == half).coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{stage}/h{half}")
+    _link_ordered_phases(stage, src, ["h0", "h1"])
     stream = (
         spark.readStream.schema(events.schema)
         .option("maxFilesPerTrigger", 1)
@@ -1306,7 +1317,7 @@ def q_streaming_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    assert len(q.recentProgress) >= 2, "state must accumulate across batches"
+    assert data_batches(q) >= 2, "state must accumulate across batches"
     meta = spark.read.format("state-metadata").load(ckpt).collect()
     assert any(r["operatorName"] == "stateStoreSave" for r in meta), meta
     state = spark.read.format("statestore").load(ckpt)
@@ -1323,5 +1334,6 @@ def q_streaming_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(stage, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     return out

@@ -168,15 +168,19 @@ def q_streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFr
 
     from pyspark.sql import Window as W
 
+    from .ingest import _link_ordered_phases
+
     events = load_table(spark, sf_dir, "events")
     src = tempfile.mkdtemp(prefix="stateful_src_")
-    (
-        events.withColumn("__b", F.pmod("event_id", F.lit(3)))
-        .repartition(3, "__b")
-        .drop("__b")
-        .write.mode("overwrite")
-        .parquet(src)
-    )
+    stage = tempfile.mkdtemp(prefix="stateful_stage_")
+    # one explicit file per third: repartition(3, hash(__b)) can
+    # collapse the 3 key values into fewer partitions (hash collision),
+    # silently reducing the stream to <3 data batches
+    for third in (0, 1, 2):
+        events.where(F.pmod("event_id", F.lit(3)) == third).coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{stage}/t{third}")
+    _link_ordered_phases(stage, src, ["t0", "t1", "t2"])
     stream = (
         spark.readStream.schema(events.schema)
         .option("maxFilesPerTrigger", 1)
@@ -194,7 +198,9 @@ def q_streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFr
         .start()
     )
     q.awaitTermination()
-    assert len(q.recentProgress) >= 3, "state must cross micro-batches"
+    from .ingest import data_batches
+
+    assert data_batches(q) >= 3, "state must cross micro-batches"
     w = W.partitionBy("user_id").orderBy(F.desc("n_events"))
     out = (
         spark.table(name)
@@ -207,6 +213,7 @@ def q_streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFr
     import shutil
 
     shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(stage, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     return out
 
@@ -255,10 +262,20 @@ class _SpendSessionProcessor(StatefulProcessor):
         prev = self._total.get()[0] if self._total.exists() else 0.0
         total = prev + batch_sum
         self._total.update((total,))
-        if self._deadline.exists():
-            self._handle.deleteTimer(self._deadline.get()[0])
+        # re-arm to the LATEST deadline: an out-of-order row that is
+        # late-but-within-watermark must never REWIND the close timer
+        # (max_ts_ms here is only this batch's max, which can be older
+        # than an event already folded in a previous batch)
         deadline = max_ts_ms + TWS_SESSION_GAP_MS
-        self._handle.registerTimer(deadline)
+        if self._deadline.exists():
+            prev_deadline = self._deadline.get()[0]
+            if prev_deadline >= deadline:
+                deadline = prev_deadline
+            else:
+                self._handle.deleteTimer(prev_deadline)
+                self._handle.registerTimer(deadline)
+        else:
+            self._handle.registerTimer(deadline)
         self._deadline.update((deadline,))
         yield pd.DataFrame(
             [{"user_id": key[0], "kind": "update", "total": total}]

@@ -382,9 +382,11 @@ def test_streaming_dedup_state_stays_bounded(spark):
     tail), NOT the corpus — plain dropDuplicates holds every id ever
     seen and fails the bound immediately.  Output must still be
     exactly one row per id."""
-    import os
     import tempfile
-    import time as _time
+
+    from mcp_server_vector_search_spark.streaming.ingest import (
+        _link_ordered_phases,
+    )
 
     child = spark.newSession()
     child.conf.set("spark.sql.shuffle.partitions", "8")
@@ -398,7 +400,6 @@ def test_streaming_dedup_state_stays_bounded(spark):
     src = tempfile.mkdtemp(prefix="ddwscale_src_")
     sink = tempfile.mkdtemp(prefix="ddwscale_sink_")
     ckpt = tempfile.mkdtemp(prefix="ddwscale_ckpt_")
-    t0 = _time.time() - 3600
     for k in range(CHUNKS + 1):
         fresh = base.where(
             (F.col("id") >= k * PER) & (F.col("id") < (k + 1) * PER)
@@ -409,12 +410,7 @@ def test_streaming_dedup_state_stays_bounded(spark):
         fresh.unionAll(dups).coalesce(1).write.mode("overwrite").parquet(
             f"{stage}/p{k}"
         )
-        from pathlib import Path
-
-        for n, f in enumerate(sorted(Path(f"{stage}/p{k}").glob("*.parquet"))):
-            dst = f"{src}/part_{k:02d}_{n}.parquet"
-            os.link(f, dst)
-            os.utime(dst, (t0 + k * 60, t0 + k * 60))
+    _link_ordered_phases(stage, src, [f"p{k}" for k in range(CHUNKS + 1)])
     stream = (
         child.readStream.schema("id bigint, ts timestamp")
         .option("maxFilesPerTrigger", 1)
