@@ -41,6 +41,7 @@ BNLJ_OK = {
     "q22_idle_customers",  # 1-row global-avg scalar
     "subquery_correlated_above_avg",  # decorrelated 1-row average
     "hybrid_search_rrf",  # 1-row corpus stats (N, avgdl)
+    "hybrid_search_weighted",  # 1-row min/max extrema per <=POOL-row leg
     "agg_kll_quantile_certificate",  # 1-row merged-sketch estimate side
     "q14_promo_revenue",  # 1-row denominator scalar
     "q8_market_share",  # 1-row denominators
