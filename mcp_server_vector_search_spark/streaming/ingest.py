@@ -724,10 +724,13 @@ def q_streaming_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFra
     sink = tempfile.mkdtemp(prefix="wm_sink_")
     ckpt = tempfile.mkdtemp(prefix="wm_ckpt_")
     stage = tempfile.mkdtemp(prefix="wm_stage_")
-    rows_df([(10, 10), (10, 20), (11, 5)]).coalesce(1).write.mode(
+    # repartition(1), NOT coalesce(1): a coalesced single task over the
+    # 32 empty parallelize partitions stalls ~3s on spark.locality.wait
+    # per write at local[32]; a shuffle of <10 rows is free
+    rows_df([(10, 10), (10, 20), (11, 5)]).repartition(1).write.mode(
         "overwrite"
     ).parquet(f"{stage}/a")
-    rows_df([(9, 50), (10, 25), (12, 40)]).coalesce(1).write.mode(
+    rows_df([(9, 50), (10, 25), (12, 40)]).repartition(1).write.mode(
         "overwrite"
     ).parquet(f"{stage}/b")
 
@@ -999,7 +1002,8 @@ def q_streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> Data
         "d": [(1, (20, 30), "re_admitted")],
     }
     for phase, rows in phases.items():
-        rows_df(rows).coalesce(1).write.mode("overwrite").parquet(
+        # repartition(1), not coalesce(1) — see the locality-wait note above
+        rows_df(rows).repartition(1).write.mode("overwrite").parquet(
             f"{stage}/{phase}"
         )
     _link_ordered_phases(stage, src, list(phases))
@@ -1112,7 +1116,8 @@ def q_streaming_stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFra
     }
     schema = "user_id bigint, event_type string, ts timestamp, value double"
     for phase, rows in phases.items():
-        ev_df(rows).coalesce(1).write.mode("overwrite").parquet(f"{stage}/{phase}")
+        # repartition(1), not coalesce(1) — see the locality-wait note above
+        ev_df(rows).repartition(1).write.mode("overwrite").parquet(f"{stage}/{phase}")
 
     _link_ordered_phases(stage, src, list(phases))
 

@@ -367,7 +367,9 @@ def q_streaming_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFr
         "c": [(4, (20, 30), 2.0)],
     }
     for phase, rows in phases.items():
-        rows_df(rows).coalesce(1).write.mode("overwrite").parquet(f"{stage}/{phase}")
+        # repartition(1), not coalesce(1): single-task coalesce over 32
+        # empty parallelize partitions stalls on spark.locality.wait
+        rows_df(rows).repartition(1).write.mode("overwrite").parquet(f"{stage}/{phase}")
 
     def run_once():
         stream = spark.readStream.schema(
