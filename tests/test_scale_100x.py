@@ -306,3 +306,84 @@ def test_export_pipeline_100x(spark, tiers):
     assert t100 <= LINEAR_SLACK * t10, (
         f"export pipeline grew {t100 / t10:.1f}x on 10x data — super-linear"
     )
+
+
+def test_streaming_dedup_bounded_state_100x(spark):
+    """The 10x bounded-state streaming certificate
+    (tests/test_scale_stress.py::test_streaming_dedup_state_stays_bounded)
+    at 2M ids / 4M arrivals: dropDuplicatesWithinWatermark state must
+    track the watermark delay window, NOT the corpus, at a volume where
+    corpus-sized state (2M rows x 8 state stores) would be the
+    difference between a working and a dying executor.  Output exactly
+    one row per id; engine-reported max state <= 900k (the 10x test's
+    3.6x-per-chunk bound scaled), vs the 2M a plain dropDuplicates
+    would hold."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mcp_server_vector_search_spark.streaming.ingest import (
+        _link_ordered_phases,
+    )
+
+    child = spark.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", "8")
+    N, CHUNKS = 2_000_000, 8
+    PER = N // CHUNKS
+    base = child.range(N).select(
+        F.col("id"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + (F.col("id") / 1000).cast("long")
+        ).alias("ts"),
+    )
+    stage = tempfile.mkdtemp(prefix="ddw100_stage_")
+    src = tempfile.mkdtemp(prefix="ddw100_src_")
+    sink = tempfile.mkdtemp(prefix="ddw100_sink_")
+    ckpt = tempfile.mkdtemp(prefix="ddw100_ckpt_")
+    t0 = time.perf_counter()
+    for k in range(CHUNKS + 1):
+        fresh = base.where((F.col("id") >= k * PER) & (F.col("id") < (k + 1) * PER))
+        dups = base.where((F.col("id") >= (k - 1) * PER) & (F.col("id") < k * PER))
+        fresh.unionAll(dups).coalesce(1).write.mode("overwrite").parquet(
+            f"{stage}/p{k}"
+        )
+    _link_ordered_phases(stage, src, [f"p{k}" for k in range(CHUNKS + 1)])
+    t_stage = time.perf_counter() - t0
+    stream = (
+        child.readStream.schema("id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    t1 = time.perf_counter()
+    q = (
+        stream.withWatermark("ts", "30 seconds")
+        .dropDuplicatesWithinWatermark(["id"])
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    t_stream = time.perf_counter() - t1
+    out_n = child.read.parquet(sink).count()
+    assert out_n == N, f"each id must be emitted exactly once, got {out_n}"
+    state_sizes = [
+        op["numRowsTotal"]
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+    ]
+    max_state = max(state_sizes)
+    print(
+        f"SCALE100 streaming-dedup stage={t_stage:.1f}s stream={t_stream:.1f}s "
+        f"max_state={max_state} corpus={N}"
+    )
+    assert max_state <= 900_000, (
+        f"state not bounded by the delay window at 100x: {max_state} rows"
+    )
+    import shutil
+
+    for d in (stage, src, sink, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
