@@ -333,3 +333,117 @@ def q_ann_lifecycle_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(layout, ignore_errors=True)
     return churned
+
+
+# ---------------------------------------------------------------------------
+# ann_ivf_dim1536 — the INDEX path at the reference's dimension: IVF
+# build (GEMM assignment) + cell-pruned probe over 1536-dim vectors.
+# ---------------------------------------------------------------------------
+
+IVF1536_CELLS = 64  # = GEMM_ASSIGN_MIN_CELLS: forces the production path
+IVF1536_NPROBE = 8
+
+
+def _ivf1536_model() -> tuple[list[list[float]], list[int], list[tuple[int, float, int]]] | None:
+    """Registration-time replication of the whole 1536-dim IVF path in
+    numpy: corpus embed (the certified float32 mirror), unit-sphere
+    k-means, GEMM assignment (same round-then-argmax), query-probe cell
+    ranking, exact re-rank inside the probe set.  Returns (centroids,
+    probe cells, expected top-K rows)."""
+    try:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            f"{ORACLE_SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+        )
+    except Exception:  # pragma: no cover - testdata absent
+        return None
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    order = np.argsort(ids)
+    ids = [int(ids[i]) for i in order]
+    vecs = [_embed_1536(texts[i]) for i in order]
+    cents = train_centroids(
+        [[float(v) for v in w] for w in vecs[:TRAIN_SAMPLE]], IVF1536_CELLS
+    )
+    C = np.asarray(cents, dtype=np.float64)
+    V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+    nrm = np.maximum(np.linalg.norm(V, axis=1), 1e-12)
+    assign = np.argmax(np.round((V @ C.T) / nrm[:, None], ASSIGN_DECIMALS), axis=1)
+    qvec = _embed_1536(PROMPT_1536)
+    q64 = np.asarray(qvec, dtype=np.float64)
+    qsims = np.round(
+        (C @ q64) / max(float(np.linalg.norm(q64)), 1e-12), ASSIGN_DECIMALS
+    )
+    probes = sorted(range(IVF1536_CELLS), key=lambda c: (-qsims[c], c))[
+        :IVF1536_NPROBE
+    ]
+    probe_set = set(probes)
+    cand = [
+        (i, doc_id)
+        for i, doc_id in enumerate(ids)
+        if int(assign[i]) in probe_set
+    ]
+    scored = sorted(
+        (
+            (-_score_round6(vecs[i], qvec), doc_id, int(assign[i]))
+            for i, doc_id in cand
+        ),
+    )[:K]
+    expected = [(doc_id, -s, cell) for s, doc_id, cell in scored]
+    return cents, probes, expected
+
+
+_IVF1536 = _ivf1536_model()
+
+
+def _ivf1536_oracle() -> str | None:
+    if _IVF1536 is None:  # pragma: no cover - testdata absent
+        return None
+    _cents, _probes, expected = _IVF1536
+    values = ",\n  ".join(
+        f"({i}, {sql_float(s)}, {c})" for i, s, c in expected
+    )
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, score,
+       CAST(centroid_id AS INTEGER) AS centroid_id
+FROM (VALUES
+  {values}
+) AS t(doc_id, score, centroid_id)
+"""
+
+
+@register("ann_ivf_dim1536", oracle=_ivf1536_oracle())
+def q_ann_ivf_dim1536(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF at the reference's native 1536 dims, end to end on the
+    PRODUCTION code path: distributed Arrow embed → GEMM coarse
+    assignment (64 cells = the dispatch threshold, so the FAISS-shaped
+    numpy matmul runs, not the small-fixture JVM literal expression) →
+    the probe prunes to NPROBE=8 cells → exact re-rank inside the
+    union of probe cells.  `semantic_search_dim1536` certifies the
+    brute-force scan at this width; this row certifies that INDEXING
+    math survives the 24× dimension change — the oracle is a complete
+    registration-time numpy replication (same float32 embed mirror,
+    same unit-sphere k-means, same round-then-argmax assignment), so a
+    drift anywhere in the 1536-dim build shifts an id, a score, or a
+    cell."""
+    if _IVF1536 is None:  # pragma: no cover - testdata absent
+        raise RuntimeError("registration fixture unavailable")
+    cents, probes, _expected = _IVF1536
+    from .ann import assignment_gemm
+
+    docs = load_table(spark, sf_dir, "documents")
+    embed = hash_embedder(OPENAI_EMBED_DIM)
+    qcol = vector_lit([float(v) for v in _embed_1536(PROMPT_1536)])
+    emb = docs.select("doc_id", embed(F.col("text")).alias("embedding"))
+    assigned = emb.withColumn("centroid_id", assignment_gemm(cents))
+    return (
+        assigned.where(F.col("centroid_id").isin(*probes))
+        .select(
+            "doc_id",
+            F.round(neo4j_score("embedding", qcol), SCORE_DECIMALS).alias("score"),
+            "centroid_id",
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(K)
+    )
