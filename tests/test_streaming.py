@@ -668,3 +668,91 @@ def test_transform_with_state_session_timers(spark):
         ]
     )
     assert got == want
+
+
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def clear(self):
+        self._v = None
+
+
+class _FakeHandle:
+    """Records the processor's timer traffic so the protobuf-gated
+    logic is unit-testable without a state server."""
+
+    def __init__(self):
+        self.states = {}
+        self.timers = set()
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        return self.states.setdefault(name, _FakeValueState())
+
+    def registerTimer(self, ts):
+        self.timers.add(ts)
+
+    def deleteTimer(self, ts):
+        self.timers.discard(ts)
+
+
+def _tws_batch(proc, user, rows_hm_amt):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "user_id": [user] * len(rows_hm_amt),
+            "ts": [pd.Timestamp(2024, 3, 1, h, m) for h, m, _ in rows_hm_amt],
+            "amount": [a for _, _, a in rows_hm_amt],
+        }
+    )
+    return list(proc.handleInputRows((user,), iter([pdf]), None))
+
+
+def test_tws_timer_never_rewinds():
+    """The session-close timer must re-arm to the LATEST deadline: an
+    out-of-order but within-watermark row in a later batch carries an
+    older event time, and a naive re-arm from the batch max would
+    REWIND the deadline and close the session early (review finding,
+    round 9).  Stub-based because the real operator needs protobuf."""
+    from mcp_server_vector_search_spark.streaming.stateful import (
+        TWS_SESSION_GAP_MS,
+        _SpendSessionProcessor,
+    )
+
+    proc = _SpendSessionProcessor()
+    handle = _FakeHandle()
+    proc.init(handle)
+    # batch 1: event at 10:20 -> deadline 11:20
+    out1 = _tws_batch(proc, 1, [(10, 20, 5.0)])
+    ts_1020 = int(
+        __import__("pandas").Timestamp(2024, 3, 1, 10, 20).value // 1_000_000
+    )
+    assert handle.timers == {ts_1020 + TWS_SESSION_GAP_MS}
+    assert out1[0].iloc[0]["total"] == 5.0
+    # batch 2: OUT-OF-ORDER event at 10:12 — deadline must stay 11:20
+    _tws_batch(proc, 1, [(10, 12, 2.0)])
+    assert handle.timers == {ts_1020 + TWS_SESSION_GAP_MS}, (
+        "earlier event rewound the close timer"
+    )
+    # batch 3: later event at 10:40 — deadline extends, old timer gone
+    _tws_batch(proc, 1, [(10, 40, 1.0)])
+    ts_1040 = int(
+        __import__("pandas").Timestamp(2024, 3, 1, 10, 40).value // 1_000_000
+    )
+    assert handle.timers == {ts_1040 + TWS_SESSION_GAP_MS}
+    # expiry: emits closed with the FULL total and clears state
+    closed = list(proc.handleExpiredTimer((1,), None, None))
+    assert closed[0].iloc[0]["kind"] == "closed"
+    assert closed[0].iloc[0]["total"] == 8.0
+    assert not handle.states["total"].exists()
+    assert not handle.states["deadline"].exists()
