@@ -72,6 +72,7 @@ ARROW_OK = {
     "dedup_embedding_cosine",
     "semantic_search_hash_embedder",
     "semantic_search_dim1536",  # distributed 1536-dim Arrow embed IS the subject (by design)
+    "ann_ivf_dim1536",  # 1536-dim Arrow embed + GEMM assignment: both Python stages ARE the subject
     "engine_search_e2e",
     "multimodal_frame_sample",
     "multimodal_metadata",
