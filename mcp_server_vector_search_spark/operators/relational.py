@@ -1428,3 +1428,91 @@ GROUP BY r.r_name
 ORDER BY r.r_name
 """
     )
+
+
+@register(
+    "scalar_session_variables",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_above_avg
+FROM orders
+WHERE o_orderstatus = 'O'
+  AND o_totalprice > (SELECT AVG(o_totalprice) FROM orders
+                      WHERE o_orderstatus = 'O')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def q_scalar_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION VARIABLES (Spark 4 ``DECLARE VARIABLE`` / ``SET VAR``):
+    typed, session-scoped state a client sets ONCE — including FROM a
+    query result (``SET VAR avg_price = (SELECT AVG(...))``) — and
+    every later statement references by name.  This is the stateful
+    sibling of `scalar_parameterized_sql`: parameters bind per
+    statement, variables persist across statements, and both are
+    injection-proof because values never enter SQL text.  The variable
+    here carries a computed aggregate into a second query; the oracle
+    inlines the same scalar subquery."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("var_orders")
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE var_avg_price DOUBLE DEFAULT 0.0"
+    )
+    spark.sql(
+        "SET VAR var_avg_price = (SELECT AVG(o_totalprice) FROM var_orders "
+        "WHERE o_orderstatus = 'O')"
+    )
+    return spark.sql(
+        """
+SELECT o_orderpriority,
+       COUNT(*) AS n_above_avg
+FROM var_orders
+WHERE o_orderstatus = 'O' AND o_totalprice > var_avg_price
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+    )
+
+
+SCRIPT_START_THRESH = 100000.0
+SCRIPT_TARGET = 500
+
+
+@register(
+    "sql_scripting_control_flow",
+    oracle=f"""
+WITH cnts AS (
+  SELECT k,
+         CAST({SCRIPT_START_THRESH} * POWER(2, k) AS DOUBLE) AS thresh,
+         (SELECT COUNT(*) FROM orders
+          WHERE o_totalprice > {SCRIPT_START_THRESH} * POWER(2, k)) AS c
+  FROM (SELECT UNNEST(generate_series(0, 40)) AS k)
+)
+SELECT thresh, CAST(c AS BIGINT) AS n_above
+FROM cnts WHERE c <= {SCRIPT_TARGET} ORDER BY k LIMIT 1
+""",
+)
+def q_sql_scripting_control_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL SCRIPTING (Spark 4 ``BEGIN ... END`` with DECLARE / WHILE /
+    SET): procedural control flow executed INSIDE the engine — the
+    loop below doubles a price threshold until at most SCRIPT_TARGET
+    orders exceed it, each iteration a real aggregate over the table.  This is what replaces the driver-side
+    collect-check-resubmit loop (and its per-iteration session
+    round-trip) for search/convergence procedures; powers of two keep
+    the double arithmetic exact.  The DuckDB oracle finds the same
+    fixpoint declaratively: the first k in an enumerated ladder whose
+    exceed-count reaches the target."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("script_orders")
+    return spark.sql(
+        f"""
+BEGIN
+  DECLARE thresh DOUBLE DEFAULT {SCRIPT_START_THRESH};
+  DECLARE c BIGINT DEFAULT 0;
+  SET c = (SELECT COUNT(*) FROM script_orders WHERE o_totalprice > thresh);
+  WHILE c > {SCRIPT_TARGET} DO
+    SET thresh = thresh * 2;
+    SET c = (SELECT COUNT(*) FROM script_orders WHERE o_totalprice > thresh);
+  END WHILE;
+  SELECT thresh, c AS n_above;
+END
+"""
+    )
