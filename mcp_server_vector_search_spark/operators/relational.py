@@ -1516,3 +1516,39 @@ BEGIN
 END
 """
     )
+
+
+@register(
+    "scalar_dynamic_sql",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+FROM orders
+WHERE o_totalprice >= 200000.0
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def q_scalar_dynamic_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC SQL done safely (Spark 4): the table name binds through
+    the ``IDENTIFIER(:tbl)`` clause — parsed as an identifier, so a
+    hostile value cannot smuggle SQL — and the statement itself runs
+    through ``EXECUTE IMMEDIATE ... USING`` with positional parameter
+    markers.  Together with `scalar_parameterized_sql` (named binds)
+    and `scalar_session_variables` this completes the
+    generated-query-safety surface: every dynamic piece of a statement
+    — values, identifiers, whole statements — has a binding mechanism
+    that never concatenates user input into SQL text.  Values match
+    the oracle's static formulation exactly."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("dyn_orders")
+    inner = (
+        "SELECT o_orderstatus, COUNT(*) AS n_orders, "
+        "CAST(MAX(o_totalprice) AS DOUBLE) AS max_price "
+        "FROM IDENTIFIER(:tbl) WHERE o_totalprice >= :minp "
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    )
+    return spark.sql(
+        "EXECUTE IMMEDIATE :stmt USING 'dyn_orders' AS tbl, 200000.0 AS minp",
+        args={"stmt": inner},
+    )
