@@ -1552,3 +1552,111 @@ def q_scalar_dynamic_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         "EXECUTE IMMEDIATE :stmt USING 'dyn_orders' AS tbl, 200000.0 AS minp",
         args={"stmt": inner},
     )
+
+
+@register(
+    "scalar_null_semantics",
+    oracle="""
+SELECT e1.event_id,
+       (p1 IS NOT DISTINCT FROM p2) AS nullsafe_eq,
+       (p1 IS DISTINCT FROM p2) AS is_distinct,
+       CASE WHEN p1 = p2 THEN 'T' WHEN NOT (p1 = p2) THEN 'F'
+            ELSE 'U' END AS three_valued,
+       (p1 IN (1.0, 2.0)) IS NULL AND p1 IS NULL AS null_in_unknown,
+       NULLIF(COALESCE(p1, -1.0), -1.0) IS NULL AS roundtrip_null
+FROM (
+  SELECT event_id,
+         CASE WHEN event_id % 3 = 0 THEN NULL
+              ELSE CAST(event_id % 5 AS DOUBLE) END AS p1,
+         CASE WHEN event_id % 4 = 0 THEN NULL
+              ELSE CAST(event_id % 5 AS DOUBLE) END AS p2
+  FROM events WHERE event_id < 2000
+) e1
+ORDER BY event_id
+""",
+)
+def q_scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE-VALUED LOGIC, pinned: the NULL behaviors every filter and
+    join in a 100 TB pipeline silently depends on.  Null-safe equality
+    (``<=>`` / IS NOT DISTINCT FROM — the only equality that can serve
+    as a join key over nullable columns without dropping NULL matches),
+    its negation, the UNKNOWN outcome of plain ``=`` surfaced as a
+    CASE arm (a WHERE clause drops UNKNOWN rows — the classic NOT-IN
+    trap), ``NULL IN (...)`` evaluating to UNKNOWN rather than false,
+    and a NULLIF/COALESCE round trip.  Both engines implement ANSI
+    three-valued logic; the certificate makes the agreement a hash,
+    not an assumption."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    p1 = F.when(F.col("event_id") % 3 == 0, F.lit(None)).otherwise(
+        (F.col("event_id") % 5).cast("double")
+    )
+    p2 = F.when(F.col("event_id") % 4 == 0, F.lit(None)).otherwise(
+        (F.col("event_id") % 5).cast("double")
+    )
+    base = e.select("event_id", p1.alias("p1"), p2.alias("p2"))
+    eq = F.col("p1") == F.col("p2")
+    return base.select(
+        "event_id",
+        F.col("p1").eqNullSafe(F.col("p2")).alias("nullsafe_eq"),
+        (~F.col("p1").eqNullSafe(F.col("p2"))).alias("is_distinct"),
+        F.when(eq, "T").when(~eq, "F").otherwise("U").alias("three_valued"),
+        (
+            F.col("p1").isin(1.0, 2.0).isNull() & F.col("p1").isNull()
+        ).alias("null_in_unknown"),
+        F.nullif(F.coalesce(F.col("p1"), F.lit(-1.0)), F.lit(-1.0))
+        .isNull()
+        .alias("roundtrip_null"),
+    ).orderBy("event_id")
+
+
+@register(
+    "scalar_struct_surgery",
+    oracle="""
+SELECT o_orderkey,
+       o_orderkey AS s_key,
+       CAST(o_totalprice * 1.1 AS DOUBLE) AS s_adjusted,
+       'v2' AS s_version,
+       3 AS n_fields_after_drop
+FROM orders
+WHERE o_orderkey < 2000
+ORDER BY o_orderkey
+""",
+)
+def q_scalar_struct_surgery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-struct SURGERY without rebuild: ``withField`` updates one
+    field and adds another inside an existing struct column,
+    ``dropFields`` removes one, and ``struct.*`` star-expands the
+    result — the Column-API path for evolving nested records in place.
+    At 100 TB this is the difference between rewriting a projection of
+    every nested field (and re-listing them each schema change) and a
+    targeted field edit that Catalyst compiles to the same efficient
+    CreateStruct.  The oracle states the expected flattened values."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    s = F.struct(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    edited = (
+        s.withField("adjusted", F.col("o_totalprice") * 1.1)
+        .withField("version", F.lit("v2"))
+        .dropFields("price", "status")
+    )
+    return (
+        o.select("o_orderkey", edited.alias("s"))
+        .select(
+            "o_orderkey",
+            F.col("s.key").alias("s_key"),
+            F.col("s.adjusted").cast("double").alias("s_adjusted"),
+            F.col("s.version").alias("s_version"),
+            # honest arity measurement: serialize the struct and count
+            # its keys — dropFields must leave exactly {key, adjusted,
+            # version}, so a silently-retained field shifts the count
+            F.size(
+                F.map_keys(F.from_json(F.to_json(F.col("s")), "map<string,string>"))
+            )
+            .cast("int")
+            .alias("n_fields_after_drop"),
+        )
+        .orderBy("o_orderkey")
+    )
