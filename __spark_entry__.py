@@ -60,11 +60,14 @@ def last_checked_rounds() -> dict[str, int]:
         if not isinstance(record, dict):
             continue
         for name, row in record.items():
-            ok = not isinstance(row, dict) or (
+            # Require an explicit POSITIVE signal (ADVICE r9): a
+            # malformed or format-drifted row must re-enter the sample,
+            # not silently rotate an unverified query to the back.
+            ok = isinstance(row, dict) and (
                 not row.get("err")
-                and row.get("rows_match") is not False
-                and row.get("schema_match") is not False
-                and row.get("hash_match") is not False
+                and row.get("rows_match") is True
+                and row.get("schema_match") is True
+                and row.get("hash_match") is True
             )
             if ok:
                 last[name] = max(last.get(name, 0), rnd)

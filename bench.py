@@ -60,7 +60,7 @@ def main() -> None:
     errors: dict[str, str] = {}
     for name in sorted(registry.QUERIES):
         fn = registry.QUERIES[name]
-        samples: list[float] = []
+        samples: list[tuple[float, int]] = []  # (seconds, row_count) per run
         last_err = None
         for _ in range(runs_per_query):
             t0 = time.perf_counter()
@@ -74,7 +74,7 @@ def main() -> None:
                 last_err = f"{type(exc).__name__}: {exc}"[:500]
                 print(f"# {name}: run FAILED {last_err}", file=sys.stderr)
             else:
-                samples.append(round(time.perf_counter() - t0, 4))
+                samples.append((round(time.perf_counter() - t0, 4), n))
             finally:
                 # Operators may persist() scratch subtrees (signature
                 # tables, exploded shingles); drop them so runs are timed
@@ -82,10 +82,12 @@ def main() -> None:
                 release_scratch()
                 spark.catalog.clearCache()
         if samples:
-            raw_runs[name] = samples
-            timings[name] = min(samples)
+            raw_runs[name] = [dt for dt, _ in samples]
+            best_dt, best_n = min(samples)
+            timings[name] = best_dt
             print(
-                f"# {name}: {timings[name]:.3f}s min of {samples} ({n} rows)",
+                f"# {name}: {best_dt:.3f}s min of {raw_runs[name]} "
+                f"({best_n} rows)",
                 file=sys.stderr,
             )
         else:

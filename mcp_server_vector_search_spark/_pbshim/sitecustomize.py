@@ -1,0 +1,34 @@
+"""Worker-side protobuf compatibility patch (runs at interpreter start).
+
+PySpark executors launch Python workers whose ``worker.py`` imports
+``pyspark.sql.streaming.proto.StateMessage_pb2`` at MODULE scope —
+before any user code runs — so the only place to reconcile the gencode
+version (6.33.0 in pyspark 4.1.2) with the on-disk pure-Python runtime
+(6.32.0-dev inside the public Google Cloud SDK) is interpreter startup.
+This directory is appended to the worker ``PYTHONPATH`` solely when no
+real protobuf install exists (``_pbcompat.propagate_to_workers``), and
+``site`` imports this file automatically.
+
+The patch is deliberately narrow: ``ValidateProtobufRuntimeVersion`` is
+wrapped so that a SAME-MAJOR gencode/runtime mismatch is tolerated
+(minor/patch drift — wire format and the generated-code builder API are
+stable within a major); any cross-major mismatch still raises exactly
+as upstream would.  Must stay self-contained: the engine package may
+not be importable in the worker.
+"""
+
+try:
+    from google.protobuf import runtime_version as _rv
+
+    _upstream_validate = _rv.ValidateProtobufRuntimeVersion
+
+    def _lenient_validate(domain, major, minor, patch, suffix, location):
+        try:
+            _upstream_validate(domain, major, minor, patch, suffix, location)
+        except Exception:
+            if major != _rv.MAJOR:
+                raise
+
+    _rv.ValidateProtobufRuntimeVersion = _lenient_validate
+except Exception:  # no runtime found at all: leave imports to fail loudly
+    pass

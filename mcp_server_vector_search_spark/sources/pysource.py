@@ -274,7 +274,7 @@ ORDER BY event_type
 )
 def source_python_stream_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table replayed through the CUSTOM STREAMING Python
-    source in ≥3 pulled chunks (chunk_rows = ceil(n/3), asserted from
+    source in ≥3 pulled chunks (chunk_rows = floor(n/3), asserted from
     progress counters), appended raw to a memory sink, then aggregated
     and hash-matched against the direct batch oracle — proving the
     offset bookkeeping neither drops, duplicates, nor reorders-with-
@@ -282,7 +282,6 @@ def source_python_stream_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     match is exact.  This closes the extension-surface matrix: batch
     Python source (`source_python_datasource`) / streaming Python
     source (this row), both Arrow/driver-fed, both oracle-checked."""
-    import math
     import shutil
     import tempfile
     import uuid
@@ -293,10 +292,13 @@ def source_python_stream_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_pytail(spark)
     n = load_table(spark, sf_dir, "events").count()
+    # floor, not ceil: ceil(n/3) yields only 2 chunks for n=4 (ADVICE
+    # r9); floor guarantees ceil(n/chunk) >= 3 for every n >= 3.
+    chunk = max(1, n // 3)
     stream = (
         spark.readStream.format("pytail")
         .option("path", f"{sf_dir}/events.parquet")
-        .option("chunk_rows", str(max(1, math.ceil(n / 3))))
+        .option("chunk_rows", str(chunk))
         .load()
     )
     name = f"pytail_{uuid.uuid4().hex[:8]}"

@@ -259,6 +259,11 @@ class _SpendSessionProcessor(StatefulProcessor):
                 continue
             batch_sum += float(pdf["amount"].sum())
             max_ts_ms = max(max_ts_ms, int(pdf["ts"].max().value // 1_000_000))
+        if max_ts_ms == 0:
+            # No rows observed (every chunk empty): arming a timer at
+            # epoch+gap would fire immediately and emit a spurious
+            # 'closed' row for a key with no prior state (ADVICE r9).
+            return
         prev = self._total.get()[0] if self._total.exists() else 0.0
         total = prev + batch_sum
         self._total.update((total,))
@@ -297,16 +302,16 @@ class _SpendSessionProcessor(StatefulProcessor):
 
 # transformWithState's state-server protocol runs over protobuf
 # (pyspark/sql/streaming/proto/StateMessage_pb2), so the operator needs
-# the `protobuf` package at RUNTIME — absent here, so registration is
-# import-gated exactly like the PIL seam in tests/test_jpeg.py: the
-# operator is complete and its certificate runs wherever protobuf is
-# installed (tests/test_streaming.py carries the env-gated test);
-# without it the driver never sees the query, and the older
-# applyInPandasWithState row (above) covers the arbitrary-state gate.
-try:
-    _HAS_PROTOBUF = importlib.util.find_spec("google.protobuf") is not None
-except ModuleNotFoundError:  # parent `google` namespace absent entirely
-    _HAS_PROTOBUF = False
+# the `google.protobuf` runtime in the driver AND every Python worker.
+# No pip install exists in this container, but _pbcompat bridges to the
+# public pure-Python runtime shipped inside the local Google Cloud SDK
+# (and relaxes pyspark's same-major gencode/runtime version gate); on a
+# real cluster with protobuf pip-installed the bridge is inert.  If no
+# runtime can be found at all, registration stays gated exactly like
+# the PIL seam in tests/test_jpeg.py.
+from .._pbcompat import ensure_protobuf, propagate_to_workers  # noqa: E402
+
+_HAS_PROTOBUF = ensure_protobuf()
 
 TWS_ORACLE = """
 SELECT CAST(user_id AS BIGINT) AS user_id, kind, CAST(total AS DOUBLE) AS total
@@ -350,6 +355,18 @@ def q_streaming_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFr
     import tempfile
     from datetime import datetime
     from pathlib import Path
+
+    # Workers spawned for this query need google.protobuf on their
+    # PYTHONPATH (worker.py imports StateMessage_pb2 at module scope);
+    # must happen BEFORE transformWithStateInPandas wraps the processor.
+    propagate_to_workers(spark)
+    # transformWithState requires the RocksDB state store; child session
+    # so the provider conf cannot leak into other rows.
+    spark = spark.newSession()
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
 
     def rows_df(rows):
         return spark.createDataFrame(
