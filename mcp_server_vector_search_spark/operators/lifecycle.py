@@ -87,10 +87,20 @@ def _score_round6(doc_vec, query_vec) -> float:
     return _round6((1.0 + cos) / 2.0)
 
 
-def _dim1536_expected() -> list[tuple[int, float]] | None:
-    """Embed every sf0.01 document at dim 1536 driver-side, score
-    against the prompt embedding, return the exact top-K —
-    registration-time fold, same discipline as quantizer training."""
+IVF1536_CELLS = 64  # = GEMM_ASSIGN_MIN_CELLS: forces the production path
+
+_CORPUS_1536_CACHE: object = "unset"
+
+
+def _corpus_1536():
+    """Sorted doc ids, their 1536-dim embeddings, the trained 64-cell
+    centroids, and the round-then-argmax assignments over the sf0.01
+    documents — computed ONCE at registration and shared by the
+    brute-force, IVF, and HNSW dim-1536 oracles (embedding the corpus
+    is the expensive part; three independent passes tripled it)."""
+    global _CORPUS_1536_CACHE
+    if _CORPUS_1536_CACHE != "unset":
+        return _CORPUS_1536_CACHE
     try:
         import pyarrow.parquet as pq
 
@@ -98,12 +108,50 @@ def _dim1536_expected() -> list[tuple[int, float]] | None:
             f"{ORACLE_SF_DIR}/documents.parquet", columns=["doc_id", "text"]
         )
     except Exception:  # pragma: no cover - testdata absent
+        _CORPUS_1536_CACHE = None
         return None
     ids = t.column("doc_id").to_pylist()
     texts = t.column("text").to_pylist()
+    order = np.argsort(ids)
+    ids = [int(ids[i]) for i in order]
+    vecs = [_embed_1536(texts[i]) for i in order]
+    cents = train_centroids(
+        [[float(v) for v in w] for w in vecs[:TRAIN_SAMPLE]], IVF1536_CELLS
+    )
+    C = np.asarray(cents, dtype=np.float64)
+    V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+    nrm = np.maximum(np.linalg.norm(V, axis=1), 1e-12)
+    assign = np.argmax(np.round((V @ C.T) / nrm[:, None], ASSIGN_DECIMALS), axis=1)
+    _CORPUS_1536_CACHE = (ids, vecs, cents, assign)
+    return _CORPUS_1536_CACHE
+
+
+def _probe_topk_1536(probes) -> list[tuple[int, float, int]]:
+    """Exact re-rank (sequential-fold cosine, HALF_UP at 6) of the docs
+    whose assigned cell is in the probe set — the shared tail of every
+    cell-pruned 1536-dim oracle."""
+    ids, vecs, _cents, assign = _corpus_1536()
+    qvec = _embed_1536(PROMPT_1536)
+    probe_set = set(int(p) for p in probes)
+    scored = sorted(
+        (-_score_round6(vecs[i], qvec), doc_id, int(assign[i]))
+        for i, doc_id in enumerate(ids)
+        if int(assign[i]) in probe_set
+    )[:K]
+    return [(doc_id, -s, cell) for s, doc_id, cell in scored]
+
+
+def _dim1536_expected() -> list[tuple[int, float]] | None:
+    """Score every sf0.01 document at dim 1536 against the prompt
+    embedding, return the exact top-K — registration-time fold, same
+    discipline as quantizer training."""
+    corpus = _corpus_1536()
+    if corpus is None:  # pragma: no cover - testdata absent
+        return None
+    ids, vecs, _cents, _assign = corpus
     qvec = _embed_1536(PROMPT_1536)
     scored = sorted(
-        ((-_score_round6(_embed_1536(tx), qvec), i) for i, tx in zip(ids, texts)),
+        ((-_score_round6(v, qvec), i) for i, v in zip(ids, vecs)),
     )[:K]
     return [(int(i), -s) for s, i in scored]
 
@@ -340,7 +388,6 @@ def q_ann_lifecycle_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
 # build (GEMM assignment) + cell-pruned probe over 1536-dim vectors.
 # ---------------------------------------------------------------------------
 
-IVF1536_CELLS = 64  # = GEMM_ASSIGN_MIN_CELLS: forces the production path
 IVF1536_NPROBE = 8
 
 
@@ -350,26 +397,11 @@ def _ivf1536_model() -> tuple[list[list[float]], list[int], list[tuple[int, floa
     k-means, GEMM assignment (same round-then-argmax), query-probe cell
     ranking, exact re-rank inside the probe set.  Returns (centroids,
     probe cells, expected top-K rows)."""
-    try:
-        import pyarrow.parquet as pq
-
-        t = pq.read_table(
-            f"{ORACLE_SF_DIR}/documents.parquet", columns=["doc_id", "text"]
-        )
-    except Exception:  # pragma: no cover - testdata absent
+    corpus = _corpus_1536()
+    if corpus is None:  # pragma: no cover - testdata absent
         return None
-    ids = t.column("doc_id").to_pylist()
-    texts = t.column("text").to_pylist()
-    order = np.argsort(ids)
-    ids = [int(ids[i]) for i in order]
-    vecs = [_embed_1536(texts[i]) for i in order]
-    cents = train_centroids(
-        [[float(v) for v in w] for w in vecs[:TRAIN_SAMPLE]], IVF1536_CELLS
-    )
+    _ids, _vecs, cents, _assign = corpus
     C = np.asarray(cents, dtype=np.float64)
-    V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-    nrm = np.maximum(np.linalg.norm(V, axis=1), 1e-12)
-    assign = np.argmax(np.round((V @ C.T) / nrm[:, None], ASSIGN_DECIMALS), axis=1)
     qvec = _embed_1536(PROMPT_1536)
     q64 = np.asarray(qvec, dtype=np.float64)
     qsims = np.round(
@@ -378,20 +410,7 @@ def _ivf1536_model() -> tuple[list[list[float]], list[int], list[tuple[int, floa
     probes = sorted(range(IVF1536_CELLS), key=lambda c: (-qsims[c], c))[
         :IVF1536_NPROBE
     ]
-    probe_set = set(probes)
-    cand = [
-        (i, doc_id)
-        for i, doc_id in enumerate(ids)
-        if int(assign[i]) in probe_set
-    ]
-    scored = sorted(
-        (
-            (-_score_round6(vecs[i], qvec), doc_id, int(assign[i]))
-            for i, doc_id in cand
-        ),
-    )[:K]
-    expected = [(doc_id, -s, cell) for s, doc_id, cell in scored]
-    return cents, probes, expected
+    return cents, probes, _probe_topk_1536(probes)
 
 
 _IVF1536 = _ivf1536_model()
@@ -443,6 +462,99 @@ def q_ann_ivf_dim1536(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.round(neo4j_score("embedding", qcol), SCORE_DECIMALS).alias("score"),
             "centroid_id",
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# ann_hnsw_dim1536 — the reference's LITERAL index type at its LITERAL
+# dimension: Lucene-HNSW behind db.index.vector.queryNodes is a layered
+# navigable graph over 1536-dim vectors (reference server.py:87,
+# README.md:76 ``vector.dimensions: 1536``).  ann_hnsw_topk certifies
+# the layered descent at the fixture's dim 64; this row re-runs the
+# same hierarchy build + greedy descent + layer-0 beam over the SAME
+# 64 routing nodes the 1536-dim IVF trains, so the graph family now has
+# a row on the production GEMM-dispatch assignment path too.
+# ---------------------------------------------------------------------------
+
+
+def _hnsw1536_model() -> tuple[list[list[float]], list[int], list[tuple[int, float, int]]] | None:
+    """Layered-HNSW probe selection over the 1536-dim routing nodes:
+    geometric level hierarchy, greedy upper-layer descent, layer-0 beam
+    (graph_ann.build_hnsw / hnsw_search — the code the dim-64 row
+    certifies), then the family's shared exact re-rank inside the probe
+    cells.  Deterministic end to end, so the oracle is a complete
+    registration-time numpy replication."""
+    corpus = _corpus_1536()
+    if corpus is None:  # pragma: no cover - testdata absent
+        return None
+    _ids, _vecs, cents, _assign = corpus
+    from .graph_ann import build_hnsw, hnsw_search
+
+    qvec = [float(v) for v in _embed_1536(PROMPT_1536)]
+    probes = hnsw_search(cents, build_hnsw(cents), qvec)
+    return cents, probes, _probe_topk_1536(probes)
+
+
+_HNSW1536 = _hnsw1536_model()
+
+
+def _hnsw1536_oracle() -> str | None:
+    if _HNSW1536 is None:  # pragma: no cover - testdata absent
+        return None
+    _cents, _probes, expected = _HNSW1536
+    values = ",\n  ".join(
+        f"({i}, {sql_float(s)}, {c})" for i, s, c in expected
+    )
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, score,
+       CAST(node_id AS INTEGER) AS node_id
+FROM (VALUES
+  {values}
+) AS t(doc_id, score, node_id)
+"""
+
+
+@register("ann_hnsw_dim1536", oracle=_hnsw1536_oracle())
+def q_ann_hnsw_dim1536(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HNSW at the reference's native 1536 dims on the production code
+    path: distributed Arrow embed → GEMM coarse assignment to the 64
+    routing nodes (the dispatch threshold, so the FAISS-shaped numpy
+    matmul runs) → the LAYERED GRAPH DESCENT picks the probe nodes
+    (driver-side over the bounded node set, exactly where HNSW's upper
+    layers live at 100 TB) → the scan reads only the probed cells and
+    exact-re-ranks inside them.  Complements ``ann_ivf_dim1536``: same
+    layout, same assignment math, navigation swapped from flat
+    centroid ranking to the graph walk — a drift in the hierarchy
+    build, the descent, or the 1536-dim assignment shifts an id, a
+    score, or a cell.  Recall discipline (tests/test_graph_ann.py):
+    the fixture's hash embeddings are near-orthogonal at 1536 dims, so
+    NO cell-pruned navigation can recall well on them (measured: even
+    probing 48/64 cells tops out at 0.5 vs exact — the curse-of-
+    dimensionality result graph indexes exist to exploit structure
+    against); the gates are therefore (a) planted navigation on the
+    fixture (a query AT a corpus vector must reach that vector's own
+    cell) at its measured floor and (b) >=0.95 planted recall on a
+    CLUSTERED synthetic 1536-dim node set, where real-corpus structure
+    exists and the descent must find it."""
+    if _HNSW1536 is None:  # pragma: no cover - testdata absent
+        raise RuntimeError("registration fixture unavailable")
+    cents, probes, _expected = _HNSW1536
+    from .ann import assignment_gemm
+
+    docs = load_table(spark, sf_dir, "documents")
+    embed = hash_embedder(OPENAI_EMBED_DIM)
+    qcol = vector_lit([float(v) for v in _embed_1536(PROMPT_1536)])
+    emb = docs.select("doc_id", embed(F.col("text")).alias("embedding"))
+    assigned = emb.withColumn("node_id", assignment_gemm(cents))
+    return (
+        assigned.where(F.col("node_id").isin(*probes))
+        .select(
+            "doc_id",
+            F.round(neo4j_score("embedding", qcol), SCORE_DECIMALS).alias("score"),
+            "node_id",
         )
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(K)

@@ -241,3 +241,73 @@ def test_hnsw_insert_nodes_rejects_bad_start():
 
     with _pytest.raises(AssertionError):
         graph_ann.hnsw_insert_nodes(base, X, 12)  # start != |existing|
+
+
+# ---------------------------------------------------------------------------
+# ann_hnsw_dim1536 — the reference's literal index type at its literal
+# dimension (Lucene-HNSW over 1536-dim vectors, server.py:87).
+# ---------------------------------------------------------------------------
+
+
+def test_hnsw_dim1536_planted_navigation_floor():
+    """On the fixture's near-orthogonal 1536-dim hash embeddings no
+    navigation can be perfect (see the query docstring); what must hold
+    is the measured floor: a query planted AT a corpus vector reaches
+    that vector's own cell (its argmax centroid) within the probe set
+    for a solid majority of docs — a drop below the floor means the
+    descent or the hierarchy regressed, not the fixture."""
+    from mcp_server_vector_search_spark.operators import lifecycle as L
+
+    corpus = L._corpus_1536()
+    assert corpus is not None, "sf0.01 testdata required"
+    ids, vecs, cents, assign = corpus
+    h = graph_ann.build_hnsw(cents)
+    sample = list(range(0, len(ids), max(1, len(ids) // 50)))
+    hits = 0
+    for i in sample:
+        probes = graph_ann.hnsw_search(
+            cents, h, [float(v) for v in vecs[i]], n_probes=10
+        )
+        hits += int(assign[i]) in probes
+    # measured 31/50 at degree 5; gate at 50% so only a real regression
+    # (stuck descent, broken hierarchy) trips it
+    assert hits >= len(sample) // 2, f"planted navigation {hits}/{len(sample)}"
+
+
+def test_hnsw_dim1536_clustered_recall():
+    """Where 1536-dim structure EXISTS the descent must find it: nodes
+    drawn as noisy copies of 8 cluster directions (the shape of real
+    embedding corpora), queries planted near a node — recall@probe of
+    the planted node's cell must be >=0.95.  This is the certificate
+    that the layered walk is correct at the reference dimension; the
+    fixture-floor test above only pins that it doesn't regress on
+    unstructured data."""
+    rng = np.random.default_rng(1536)
+    anchors = rng.normal(size=(8, 1536))
+    anchors /= np.linalg.norm(anchors, axis=1, keepdims=True)
+    nodes = np.repeat(anchors, 8, axis=0) + 0.15 * rng.normal(size=(64, 1536))
+    nodes /= np.linalg.norm(nodes, axis=1, keepdims=True)
+    h = graph_ann.build_hnsw(nodes.tolist())
+    hits = 0
+    n_queries = 40
+    for t in range(n_queries):
+        target = int(rng.integers(0, 64))
+        q = nodes[target] + 0.05 * rng.normal(size=1536)
+        probes = graph_ann.hnsw_search(nodes.tolist(), h, q.tolist(), n_probes=10)
+        hits += target in probes
+    assert hits / n_queries >= 0.95, f"clustered planted recall {hits}/{n_queries}"
+
+
+def test_hnsw_dim1536_query_matches_oracle(spark):
+    """The registered row end to end: distributed 1536-dim embed + GEMM
+    assignment + descent-pruned scan must reproduce the registration-
+    time numpy replication exactly (ids, scores, cells)."""
+    from mcp_server_vector_search_spark.operators import lifecycle as L
+
+    assert L._HNSW1536 is not None, "sf0.01 testdata required"
+    _cents, _probes, expected = L._HNSW1536
+    got = [
+        (int(r.doc_id), float(r.score), int(r.node_id))
+        for r in L.q_ann_hnsw_dim1536(spark, SF_CORRECTNESS).collect()
+    ]
+    assert got == [(i, s, c) for i, s, c in expected]
