@@ -474,9 +474,14 @@ def q_streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import uuid
 
+    # narrow state partitions for the bounded fixture (a sizing conf at
+    # scale); repartition(1), not coalesce(1), so the staging scan stays
+    # parallel and only the write is single-file
+    spark = spark.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     events = load_table(spark, sf_dir, "events")
     src = tempfile.mkdtemp(prefix="dedup_src_")
-    events.coalesce(1).write.mode("overwrite").parquet(f"{src}/a")
+    events.repartition(1).write.mode("overwrite").parquet(f"{src}/a")
     # ONE write pass; the duplicate arrival is two hard links to the
     # same file, which the file-stream source treats as two inputs
     merged = tempfile.mkdtemp(prefix="dedup_merged_")
@@ -625,8 +630,9 @@ def q_streaming_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame
     src = tempfile.mkdtemp(prefix="ckptres_src_")
     sink = tempfile.mkdtemp(prefix="ckptres_sink_")
     ckpt = tempfile.mkdtemp(prefix="ckptres_ckpt_")
-    half_a.coalesce(1).write.mode("overwrite").parquet(f"{stage}/a")
-    half_b.coalesce(1).write.mode("overwrite").parquet(f"{stage}/b")
+    # repartition(1), not coalesce(1): keeps the filter scan parallel
+    half_a.repartition(1).write.mode("overwrite").parquet(f"{stage}/a")
+    half_b.repartition(1).write.mode("overwrite").parquet(f"{stage}/b")
     for n, f in enumerate(sorted(Path(f"{stage}/a").glob("*.parquet"))):
         os.link(f, f"{src}/part_a_{n}.parquet")
 
@@ -1216,14 +1222,19 @@ def q_streaming_rocksdb_state_store(spark: SparkSession, sf_dir: str) -> DataFra
         "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
         "true",
     )
+    # 8 RocksDB instances instead of 32: each state partition opens its
+    # own store; the fixture's window count doesn't justify 32 opens x
+    # 3 commits (a sizing conf at scale, not code)
+    child.conf.set("spark.sql.shuffle.partitions", "8")
     events = load_table(child, sf_dir, "events")
     src = tempfile.mkdtemp(prefix="rocksdb_src_")
     stage = tempfile.mkdtemp(prefix="rocksdb_stage_")
     # one explicit file per third -> three micro-batches under
     # maxFilesPerTrigger=1, so windows genuinely accumulate across
-    # RocksDB commits (hash repartition could collapse the thirds)
+    # RocksDB commits (hash repartition could collapse the thirds);
+    # repartition(1), not coalesce(1), keeps the staging scan parallel
     for third in (0, 1, 2):
-        events.where(F.pmod("event_id", F.lit(3)) == third).coalesce(
+        events.where(F.pmod("event_id", F.lit(3)) == third).repartition(
             1
         ).write.mode("overwrite").parquet(f"{stage}/t{third}")
     _link_ordered_phases(stage, src, ["t0", "t1", "t2"])

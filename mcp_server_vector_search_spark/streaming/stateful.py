@@ -170,14 +170,23 @@ def q_streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFr
 
     from .ingest import _link_ordered_phases
 
+    # Child session: 8 state partitions instead of 32.  The fixture has
+    # ~1.5k keys; 3 micro-batches x 32 state-store tasks is pure task
+    # overhead here.  At scale this is the same knob sized the other
+    # way (state partitions ~ keys / executor-memory-budget) — a conf,
+    # not code.  Measured: 5.7s -> 4.0s warm at sf0.1.
+    spark = spark.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     events = load_table(spark, sf_dir, "events")
     src = tempfile.mkdtemp(prefix="stateful_src_")
     stage = tempfile.mkdtemp(prefix="stateful_stage_")
     # one explicit file per third: repartition(3, hash(__b)) can
     # collapse the 3 key values into fewer partitions (hash collision),
-    # silently reducing the stream to <3 data batches
+    # silently reducing the stream to <3 data batches.  repartition(1),
+    # not coalesce(1): coalesce fuses the filter into ONE task — a
+    # single-threaded scan of the whole table per third.
     for third in (0, 1, 2):
-        events.where(F.pmod("event_id", F.lit(3)) == third).coalesce(
+        events.where(F.pmod("event_id", F.lit(3)) == third).repartition(
             1
         ).write.mode("overwrite").parquet(f"{stage}/t{third}")
     _link_ordered_phases(stage, src, ["t0", "t1", "t2"])
@@ -370,6 +379,9 @@ def q_streaming_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFr
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
+    # 4 keys in the fixture: 8 state partitions, not 32 (task overhead
+    # dominates two whole StreamExecutions otherwise; a conf at scale)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
 
     def rows_df(rows):
         return spark.createDataFrame(
