@@ -148,3 +148,120 @@ def q_engine_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("score"), F.asc("name"))
     )
+
+
+# ---------------------------------------------------------------------------
+# engine_search_warm_cache — the serve-path latency certificate
+# (VERDICT r9 item 3): the reference claims pooled/async serving
+# (README.md:131-132) but publishes no numbers; the Spark analog of its
+# always-warm Neo4j index is a BUILD-ONCE cached corpus behind the
+# facade.  This row issues one COLD search (embeds + caches the corpus
+# as a side effect) then WARM_REPEATS consecutive searches against the
+# cache, asserting (a) every repeat returns byte-identical JSON and
+# (b) median warm latency beats the cold call — the measured form of
+# "the index is resident; queries don't pay the build".
+# ---------------------------------------------------------------------------
+
+WARM_REPEATS = 8
+
+#: measured by the last q_engine_search_warm_cache run (driver-side
+#: seconds); read by tests and the SURVEY record — latencies are not
+#: deterministic, so they never enter the hashed result columns.
+LAST_WARM_STATS: dict | None = None
+
+
+def _warm_expected() -> list[tuple[str, float]] | None:
+    """Registration-time replication of the embed-at-build facade path:
+    hash-embed every sf0.01 document text at DEFAULT_DIM driver-side
+    (embed_text_driver — the single certified mirror of the UDF math),
+    sequential-fold cosine vs the prompt embedding, HALF_UP at 6, top-k
+    by (score DESC, name ASC) with name a STRING doc_id (so '10' sorts
+    before '2', exactly as the facade's F.asc('name') does)."""
+    from ..functions.embedder import DEFAULT_DIM, embed_text_driver
+    from ..functions.train import ORACLE_SF_DIR
+    from .lifecycle import _score_round6
+
+    try:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            f"{ORACLE_SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+        )
+    except Exception:  # pragma: no cover - testdata absent
+        return None
+    cache: dict = {}
+    qvec = [float(v) for v in embed_text_driver(PROMPT_TEXT, DEFAULT_DIM, cache)]
+    scored = sorted(
+        (
+            -_score_round6(
+                [float(x) for x in embed_text_driver(tx, DEFAULT_DIM, cache)], qvec
+            ),
+            str(i),
+        )
+        for i, tx in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        )
+    )[:ENGINE_K]
+    return [(name, -s) for s, name in scored]
+
+
+def _warm_oracle() -> str | None:
+    expected = _warm_expected()
+    if expected is None:  # pragma: no cover - testdata absent
+        return None
+    from ..functions.train import sql_float
+
+    values = ",\n  ".join(f"('{n}', {sql_float(s)})" for n, s in expected)
+    return f"""
+SELECT name, score FROM (VALUES
+  {values}
+) AS t(name, score)
+"""
+
+
+@register("engine_search_warm_cache", oracle=_warm_oracle())
+def q_engine_search_warm_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warm-serving certificate: corpus built by embedding document
+    text through the facade's Arrow UDF and persisted ONCE; the cold
+    search pays the embed + cache fill, the 8 warm repeats must all
+    serve from cached blocks, return byte-identical JSON, and beat the
+    cold latency at the median.  Returns the (name, score) top-k so
+    the driver value-hashes the actual served results against the
+    registration-time replication."""
+    import time
+
+    from ..engine import SparkVectorSearch, corpus_from_documents
+
+    global LAST_WARM_STATS
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = corpus_from_documents(docs).persist()
+    engine = SparkVectorSearch(corpus)
+    t0 = time.perf_counter()
+    cold_payload = engine.search(PROMPT_TEXT, k=ENGINE_K)
+    cold_s = time.perf_counter() - t0
+    warm_s: list[float] = []
+    payloads: list[str] = []
+    for _ in range(WARM_REPEATS):
+        t0 = time.perf_counter()
+        payloads.append(engine.search(PROMPT_TEXT, k=ENGINE_K))
+        warm_s.append(time.perf_counter() - t0)
+    warm_median = sorted(warm_s)[len(warm_s) // 2]
+    LAST_WARM_STATS = {
+        "cold_s": cold_s,
+        "warm_s": warm_s,
+        "warm_median_s": warm_median,
+        "speedup": cold_s / max(warm_median, 1e-9),
+    }
+    assert all(p == cold_payload for p in payloads), (
+        "warm repeats must be byte-identical to the cold result"
+    )
+    assert warm_median < cold_s, (
+        f"warm median {warm_median:.3f}s did not beat cold {cold_s:.3f}s"
+    )
+    out = (
+        engine.search_df(PROMPT_TEXT, k=ENGINE_K)
+        .select("name", "score")
+        .localCheckpoint(eager=True)
+    )
+    corpus.unpersist()
+    return out

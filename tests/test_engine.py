@@ -62,3 +62,21 @@ def test_missing_columns_rejected(spark_module):
     docs = load_table(spark_module, SF_SMOKE, "documents")
     with pytest.raises(ValueError, match="missing columns"):
         SparkVectorSearch(docs)
+
+
+def test_warm_cache_certificate(spark_module):
+    """The serve-path latency row end to end at smoke scale: warm
+    repeats byte-identical, median warm < cold, stats recorded for the
+    SURVEY numbers (the reference's pooling/async claim, README.md:
+    131-132, has no published figures — ours do)."""
+    from mcp_server_vector_search_spark.operators import engine_queries as EQ
+
+    rows = [
+        (r.name, r.score)
+        for r in EQ.q_engine_search_warm_cache(spark_module, SF_SMOKE).collect()
+    ]
+    assert len(rows) == EQ.ENGINE_K
+    stats = EQ.LAST_WARM_STATS
+    assert stats is not None
+    assert stats["warm_median_s"] < stats["cold_s"]
+    assert len(stats["warm_s"]) == EQ.WARM_REPEATS

@@ -32,6 +32,7 @@ BNLJ_OK = {
     "topk_per_query_batch",  # k-row query batch, broadcast
     "semantic_search_hash_embedder",  # 1-row embedded prompt
     "engine_search_e2e",  # 1-row embedded prompt via the facade
+    "engine_search_warm_cache",  # same 1-row embedded prompt, cached corpus
     "ann_lsh_topk",  # 1-row bucket literal probe
     "timeseries_resample_ffill",  # 1-row (min,max) grid bounds
     "timeseries_interpolate_linear",  # same
@@ -75,6 +76,7 @@ ARROW_OK = {
     "ann_ivf_dim1536",  # 1536-dim Arrow embed + GEMM assignment: both Python stages ARE the subject
     "ann_hnsw_dim1536",  # same 1536-dim Arrow embed + GEMM stages; probes picked by the graph descent
     "engine_search_e2e",
+    "engine_search_warm_cache",  # facade embed UDF (by design); the cache IS the subject
     "multimodal_frame_sample",
     "multimodal_metadata",
     "multimodal_resize",  # stubbed codec over mapInPandas (by design)
