@@ -387,3 +387,56 @@ def test_streaming_dedup_bounded_state_100x(spark):
 
     for d in (stage, src, sink, ckpt):
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_inverted_conjunctive_100x(spark, tiers):
+    """Inverted-index conjunctive (AND) retrieval at 500k docs — the
+    boolean-query counterpart of the BM25 row: the token explode's
+    grouping-key filter must reach BELOW the posting aggregate (only
+    the query terms' postings are built), so cost tracks matching
+    postings, not vocabulary.  Correctness is exact: the posting-path
+    result set must EQUAL a direct full-scan conjunctive filter, and
+    runtime must stay inside the linear bound."""
+    TERMS = ("w1", "w7", "the")
+
+    def posting_path(sf_dir):
+        d = load_table(spark, sf_dir, "documents")
+        t0 = time.perf_counter()
+        toks = d.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+        )
+        postings = toks.groupBy("tok").agg(
+            F.sort_array(F.collect_list("doc_id")).alias("plist"),
+            F.count(F.lit(1)).alias("df"),
+        )
+        hits = postings.where(F.col("tok").isin(*TERMS)).select(
+            F.explode("plist").alias("doc_id")
+        )
+        out = (
+            hits.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") == len(TERMS))
+        )
+        ids = {r["doc_id"] for r in out.collect()}
+        return ids, time.perf_counter() - t0
+
+    def scan_truth(sf_dir):
+        d = load_table(spark, sf_dir, "documents")
+        cond = " AND ".join(
+            f"array_contains(split(text, ' '), '{t}')" for t in TERMS
+        )
+        return {r["doc_id"] for r in d.where(cond).select("doc_id").collect()}
+
+    ids10, t10 = posting_path(tiers[0][0])
+    ids100, t100 = posting_path(tiers[1][0])
+    assert ids10 == scan_truth(tiers[0][0])
+    assert ids100 == scan_truth(tiers[1][0])
+    assert len(ids100) > 0, "conjunction must be non-empty at 500k docs"
+    print(
+        f"SCALE100 inverted-AND t10={t10:.2f}s t100={t100:.2f}s "
+        f"ratio={t100 / t10:.2f} hits10={len(ids10)} hits100={len(ids100)}"
+    )
+    assert t100 <= LINEAR_SLACK * t10, (
+        f"conjunctive runtime grew {t100 / t10:.1f}x on 10x data — super-linear"
+    )
