@@ -1325,3 +1325,121 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_substring_spans — repeated-SUBSTRING detection (the span-removal
+# form of dedup, Lee et al. 2021 "Deduplicating Training Data Makes
+# Language Models Better", public): instead of dropping whole near-
+# duplicate documents, find every k-token span that also occurs in
+# ANOTHER document and merge overlapping hits into maximal regions —
+# the unit a training pipeline actually cuts out.  The paper builds a
+# suffix array; the distributed re-expression is exact k-gram matching
+# (every length->=k shared substring contains a shared k-gram, so gram
+# coverage == suffix-array coverage up to the k-1 token fringe).
+# ---------------------------------------------------------------------------
+
+SPAN_K = 8  # span gram width (the paper uses 50 BPE tokens; fixture docs are short)
+
+
+def substring_span_stats(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
+    """Per-doc repeated-span statistics: (doc_id, n_dup_spans,
+    n_regions, covered_tokens) for docs containing at least one k-token
+    span shared with a DIFFERENT doc.
+
+    Scale shape: grams are built with WINDOW LEADs over the exploded
+    tokens (JVM codegen'd; the HOF-transform alternative is interpreted
+    per element — the exact trap the 100x tier caught in SemDeDup), one
+    shuffle on doc_id for the window, one on the gram for the
+    cross-doc count (map-side combined, grouping-key filter), then the
+    merge-overlaps pass is a per-doc gaps-and-islands window over only
+    the MATCHED spans.  All integer outputs — exact hash parity."""
+    from pyspark.sql import Window as W
+
+    tok = docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
+    w = W.partitionBy("doc_id").orderBy("pos")
+    gram_col = F.concat_ws(
+        " ", F.col("tok"), *[F.lead("tok", i).over(w) for i in range(1, k)]
+    )
+    grams = (
+        tok.withColumn("gram", gram_col)
+        .withColumn("last_tok", F.lead("tok", k - 1).over(w))
+        .where(F.col("last_tok").isNotNull())
+        .select("doc_id", (F.col("pos") + 1).alias("s"), "gram")
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where("nd > 1")
+        .select("gram")
+    )
+    spans = grams.join(dup, "gram").select(
+        "doc_id", "s", (F.col("s") + k - 1).alias("e")
+    )
+    w_ord = W.partitionBy("doc_id").orderBy("s")
+    prev_max = F.max("e").over(w_ord.rowsBetween(W.unboundedPreceding, -1))
+    isl = spans.withColumn(
+        "new_isl",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0),
+    ).withColumn(
+        "isl_id", F.sum("new_isl").over(w_ord.rowsBetween(W.unboundedPreceding, 0))
+    )
+    regions = isl.groupBy("doc_id", "isl_id").agg(
+        F.min("s").alias("rs"), F.max("e").alias("re"), F.count("*").alias("nspans")
+    )
+    return (
+        regions.groupBy("doc_id")
+        .agg(
+            F.sum("nspans").cast("long").alias("n_dup_spans"),
+            F.count("*").cast("long").alias("n_regions"),
+            F.sum(F.col("re") - F.col("rs") + 1).cast("long").alias("covered_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SUBSTRING_SPAN_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id, u.i AS s, array_to_string(t[u.i:u.i+{SPAN_K}-1], ' ') AS gram
+  FROM toks, UNNEST(range(1, len(t)-{SPAN_K}+2)) AS u(i)
+  WHERE len(t) >= {SPAN_K}
+),
+dup AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) > 1),
+spans AS (SELECT doc_id, s, s+{SPAN_K}-1 AS e FROM grams WHERE gram IN (SELECT gram FROM dup)),
+isl AS (
+  SELECT doc_id, s, e,
+         CASE WHEN MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR s > MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_isl
+  FROM spans
+),
+isl2 AS (
+  SELECT *, SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY s
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl_id
+  FROM isl
+),
+regions AS (
+  SELECT doc_id, isl_id, MIN(s) AS rs, MAX(e) AS re, COUNT(*) AS nspans
+  FROM isl2 GROUP BY doc_id, isl_id
+)
+SELECT doc_id,
+       CAST(SUM(nspans) AS BIGINT) AS n_dup_spans,
+       CAST(COUNT(*) AS BIGINT) AS n_regions,
+       CAST(SUM(re-rs+1) AS BIGINT) AS covered_tokens
+FROM regions GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("dedup_substring_spans", oracle=SUBSTRING_SPAN_ORACLE)
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-substring span detection over the documents table:
+    every 8-token span shared with another doc, merged into maximal
+    regions per doc — whole-doc dedup's complement (a doc 5% copied
+    from another survives MinHash but still leaks memorized spans into
+    training).  Exact integer outputs (span count, merged-region count,
+    covered token positions) hash-checked against the identical
+    gaps-and-islands SQL."""
+    return substring_span_stats(load_table(spark, sf_dir, "documents"))

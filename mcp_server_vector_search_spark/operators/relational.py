@@ -1660,3 +1660,48 @@ def q_scalar_struct_surgery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# scalar_sql_sugar — the modern-SQL resolution sugar, one row: GROUP BY
+# ALL (group by every non-aggregate select item), lateral column alias
+# references (a SELECT item reading an alias defined earlier in the
+# same list — Spark 3.4+), and ORDER BY ALL.  These are resolver
+# features, not functions, so nothing else in the registry pins them;
+# the certificate is the IDENTICAL query text executing on both
+# engines (DuckDB grew the same sugar) and hash-matching.
+# ---------------------------------------------------------------------------
+
+SQL_SUGAR_QUERY = """
+SELECT o_orderpriority,
+       o_orderstatus,
+       n,
+       CAST(n * 100 AS BIGINT) AS n_hundred,
+       CAST(n_hundred + n AS BIGINT) AS n_chained
+FROM (
+  SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+  FROM sugar_orders
+  GROUP BY ALL
+)
+ORDER BY ALL
+"""
+
+
+@register(
+    "scalar_sql_sugar",
+    oracle=SQL_SUGAR_QUERY.replace("sugar_orders", "orders").replace(
+        "CAST(n_hundred + n AS", "CAST(n * 100 + n AS"
+    ),
+)
+def q_scalar_sql_sugar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL + chained LATERAL COLUMN ALIASES + ORDER BY ALL in
+    one statement: the resolver must (a) derive the grouping set from
+    the non-aggregate select items, (b) resolve ``n_hundred`` laterally
+    in the outer SELECT and then ``n_chained`` through it (an alias
+    reading an alias — Spark rejects this inside a GROUP BY ALL
+    aggregate, so the lateral chain lives in the projection above it),
+    and (c) order by the full output row.  The oracle expands the
+    chained alias, so a resolution drift in any of the three shifts
+    values or order."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sugar_orders")
+    return spark.sql(SQL_SUGAR_QUERY)

@@ -220,3 +220,28 @@ def test_incremental_minhash_equals_full_restricted(spark):
     }
     assert inc == full
     assert inc  # non-trivial at the correctness SF
+
+
+def test_substring_spans_known_plant(spark):
+    """A planted 8-token span shared by two docs must surface with the
+    exact merged-region accounting: doc A repeats a 10-token window of
+    doc B -> both docs report one region; A's covers 10 tokens (three
+    overlapping 8-gram hits merged), and an unrelated doc reports
+    nothing."""
+    from mcp_server_vector_search_spark.operators.dedup import (
+        substring_span_stats,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(10))  # 10 shared tokens
+    rows = [
+        (1, f"a1 a2 {shared} a3"),
+        (2, f"b1 {shared} b2 b3 b4"),
+        (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_dup_spans"], r["n_regions"], r["covered_tokens"])
+        for r in substring_span_stats(docs).collect()
+    }
+    # 10-token shared run -> 3 overlapping 8-gram spans, one region of 10
+    assert got == {1: (3, 1, 10), 2: (3, 1, 10)}

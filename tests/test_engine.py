@@ -80,3 +80,21 @@ def test_warm_cache_certificate(spark_module):
     assert stats is not None
     assert stats["warm_median_s"] < stats["cold_s"]
     assert len(stats["warm_s"]) == EQ.WARM_REPEATS
+
+
+def test_concurrent_searches_match_sequential(spark_module, search):
+    """The measured analog of the reference's async-session claim
+    (README.md:131-132): N facade searches issued CONCURRENTLY from
+    worker threads against one shared SparkSession/corpus must all
+    succeed and return byte-identical payloads to their sequential
+    counterparts — Spark schedules concurrent actions from multiple
+    driver threads, so the facade needs no pooling layer of its own."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    prompts = [f"spark query join w{i}" for i in range(6)]
+    sequential = {p: search.search(p, k=5) for p in prompts}
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        concurrent = dict(
+            zip(prompts, pool.map(lambda p: search.search(p, k=5), prompts))
+        )
+    assert concurrent == sequential
