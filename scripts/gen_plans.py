@@ -449,6 +449,25 @@ SHOWCASE = [
         "the shuffle carries 5 groups.  Generated queries can compose "
         "by string append without re-planning cost.",
     ),
+    (
+        "dedup_substring_spans",
+        "Repeated-substring spans without suffix arrays: grams build as "
+        "WINDOW LEADs over the exploded tokens (JVM `Window` operator — "
+        "no interpreted higher-order lambdas, the trap the 100x tier "
+        "caught), the cross-doc gram count is a partial/final hash "
+        "aggregate, and the overlap merge is a per-doc gaps-and-islands "
+        "window over only the MATCHED spans — never `EvalPython`, never "
+        "a cartesian pair stage.",
+    ),
+    (
+        "ann_hnsw_dim1536",
+        "The graph-descent ANN at the reference's 1536 dims: the probe "
+        "set chosen by the layered walk arrives as an `IN` filter over "
+        "the GEMM-assigned node ids, and the final k rows compile to "
+        "`TakeOrderedAndProject` — the descent (driver-side, bounded "
+        "node set) never appears in the distributed plan, exactly like "
+        "HNSW's resident upper layers at 100 TB.",
+    ),
 ]
 
 # Queries whose evidence is the EXECUTED streaming micro-batch plan,
