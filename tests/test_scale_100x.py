@@ -440,3 +440,51 @@ def test_inverted_conjunctive_100x(spark, tiers):
     assert t100 <= LINEAR_SLACK * t10, (
         f"conjunctive runtime grew {t100 / t10:.1f}x on 10x data — super-linear"
     )
+
+
+def test_substring_spans_100x(spark, tiers):
+    """Repeated-substring span detection at 500k docs: the planted
+    near-dup pairs (a source doc plus one appended token) and exact
+    pairs share their ENTIRE text, so both members of every planted
+    pair whose shared run is >= the gram width must surface with dup
+    spans — a full-recall gate on 2,200/22,000 planted docs.  Runtime
+    must stay inside the linear bound: gram construction is window
+    leads (codegen), the cross-doc count is one map-side-combined
+    shuffle on the gram, and the island merge touches only matched
+    spans."""
+    from mcp_server_vector_search_spark.operators.dedup import (
+        SPAN_K,
+        substring_span_stats,
+    )
+
+    def run(sf_dir, meta):
+        d = load_table(spark, sf_dir, "documents")
+        lens = {
+            r["doc_id"]: r["n"]
+            for r in d.select(
+                "doc_id", F.size(F.split("text", " ")).alias("n")
+            ).collect()
+        }
+        t0 = time.perf_counter()
+        hit_docs = {
+            r["doc_id"] for r in substring_span_stats(d).collect()
+        }
+        dt = time.perf_counter() - t0
+        planted = set()
+        for a, b in list(meta["near_pairs"]) + list(meta["exact_pairs"]):
+            # a shared run >= SPAN_K tokens guarantees a shared gram
+            if min(lens[a], lens[b]) >= SPAN_K:
+                planted.update((a, b))
+        missed = planted - hit_docs
+        assert not missed, f"{len(missed)} planted dup docs missing spans"
+        return dt, len(hit_docs), len(planted)
+
+    t10, n10, p10 = run(*tiers[0])
+    t100, n100, p100 = run(*tiers[1])
+    print(
+        f"SCALE100 substring-spans t10={t10:.2f}s t100={t100:.2f}s "
+        f"ratio={t100 / t10:.2f} hits={n10}/{n100} planted={p10}/{p100}"
+    )
+    assert t100 <= LINEAR_SLACK * t10, (
+        f"substring spans grew {t100 / t10:.1f}x on 10x data — super-linear"
+    )
