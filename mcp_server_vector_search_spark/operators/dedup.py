@@ -1342,18 +1342,11 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPAN_K = 8  # span gram width (the paper uses 50 BPE tokens; fixture docs are short)
 
 
-def substring_span_stats(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
-    """Per-doc repeated-span statistics: (doc_id, n_dup_spans,
-    n_regions, covered_tokens) for docs containing at least one k-token
-    span shared with a DIFFERENT doc.
-
-    Scale shape: grams are built with WINDOW LEADs over the exploded
-    tokens (JVM codegen'd; the HOF-transform alternative is interpreted
-    per element — the exact trap the 100x tier caught in SemDeDup), one
-    shuffle on doc_id for the window, one on the gram for the
-    cross-doc count (map-side combined, grouping-key filter), then the
-    merge-overlaps pass is a per-doc gaps-and-islands window over only
-    the MATCHED spans.  All integer outputs — exact hash parity."""
+def doc_grams(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
+    """(doc_id, s, gram): every k-token window of every doc, built with
+    WINDOW LEADs over the exploded tokens (JVM codegen'd; the
+    HOF-transform alternative is interpreted per element — the exact
+    trap the 100x tier caught in SemDeDup).  One shuffle on doc_id."""
     from pyspark.sql import Window as W
 
     tok = docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
@@ -1361,21 +1354,20 @@ def substring_span_stats(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
     gram_col = F.concat_ws(
         " ", F.col("tok"), *[F.lead("tok", i).over(w) for i in range(1, k)]
     )
-    grams = (
+    return (
         tok.withColumn("gram", gram_col)
         .withColumn("last_tok", F.lead("tok", k - 1).over(w))
         .where(F.col("last_tok").isNotNull())
         .select("doc_id", (F.col("pos") + 1).alias("s"), "gram")
     )
-    dup = (
-        grams.groupBy("gram")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .where("nd > 1")
-        .select("gram")
-    )
-    spans = grams.join(dup, "gram").select(
-        "doc_id", "s", (F.col("s") + k - 1).alias("e")
-    )
+
+
+def merged_span_stats(spans: DataFrame) -> DataFrame:
+    """Gaps-and-islands merge of (doc_id, s, e) spans into maximal
+    regions, aggregated per doc — a window over only the MATCHED spans.
+    All integer outputs — exact hash parity."""
+    from pyspark.sql import Window as W
+
     w_ord = W.partitionBy("doc_id").orderBy("s")
     prev_max = F.max("e").over(w_ord.rowsBetween(W.unboundedPreceding, -1))
     isl = spans.withColumn(
@@ -1396,6 +1388,24 @@ def substring_span_stats(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def substring_span_stats(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
+    """Per-doc repeated-span statistics: (doc_id, n_dup_spans,
+    n_regions, covered_tokens) for docs containing at least one k-token
+    span shared with a DIFFERENT doc.  One shuffle on the gram for the
+    cross-doc count (map-side combined), then the islands merge."""
+    grams = doc_grams(docs, k)
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where("nd > 1")
+        .select("gram")
+    )
+    spans = grams.join(dup, "gram").select(
+        "doc_id", "s", (F.col("s") + k - 1).alias("e")
+    )
+    return merged_span_stats(spans)
 
 
 SUBSTRING_SPAN_ORACLE = f"""
@@ -1443,3 +1453,74 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     covered token positions) hash-checked against the identical
     gaps-and-islands SQL."""
     return substring_span_stats(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# dedup_incremental_substring — the rolling-ingest form: which spans of
+# TODAY's documents already exist in the accumulated corpus?  Completes
+# the incremental family (exact, MinHash, and now span-level) for the
+# span operator above.
+# ---------------------------------------------------------------------------
+
+INCR_SPAN_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id, u.i AS s, array_to_string(t[u.i:u.i+{SPAN_K}-1], ' ') AS gram
+  FROM toks, UNNEST(range(1, len(t)-{SPAN_K}+2)) AS u(i)
+  WHERE len(t) >= {SPAN_K}
+),
+cut AS (SELECT CAST(FLOOR(0.8 * MAX(doc_id)) AS BIGINT) AS c FROM documents),
+corpus AS (SELECT DISTINCT gram FROM grams, cut WHERE doc_id < c),
+spans AS (
+  SELECT g.doc_id, g.s, g.s+{SPAN_K}-1 AS e
+  FROM grams g, cut
+  WHERE g.doc_id >= c AND g.gram IN (SELECT gram FROM corpus)
+),
+isl AS (
+  SELECT doc_id, s, e,
+         CASE WHEN MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR s > MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_isl
+  FROM spans
+),
+isl2 AS (
+  SELECT *, SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY s
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl_id
+  FROM isl
+),
+regions AS (
+  SELECT doc_id, isl_id, MIN(s) AS rs, MAX(e) AS re, COUNT(*) AS nspans
+  FROM isl2 GROUP BY doc_id, isl_id
+)
+SELECT doc_id,
+       CAST(SUM(nspans) AS BIGINT) AS n_dup_spans,
+       CAST(COUNT(*) AS BIGINT) AS n_regions,
+       CAST(SUM(re-rs+1) AS BIGINT) AS covered_tokens
+FROM regions GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("dedup_incremental_substring", oracle=INCR_SPAN_ORACLE)
+def q_dedup_incremental_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental span-level contamination check: the new batch's
+    k-grams probe the corpus's DISTINCT-gram store (the persisted
+    artifact of a rolling ingest — same build-once discipline as the
+    corpus fingerprint table in ``dedup_incremental_exact``), matched
+    spans merge into maximal regions per NEW doc.  Only old→new sharing
+    counts — a gram two new docs share is their own batch's problem,
+    handled by the batch operator.  The corpus side reduces to one
+    distinct-gram aggregate; the new batch is the small join side by
+    construction, so the store is never re-shuffled at probe time."""
+    d = load_table(spark, sf_dir, "documents")
+    cut = d.agg(
+        F.floor(F.lit(INCR_NEW_FRACTION) * F.max("doc_id")).cast("long").alias("c")
+    )
+    grams = doc_grams(d).crossJoin(F.broadcast(cut))
+    corpus = grams.where(F.col("doc_id") < F.col("c")).select("gram").distinct()
+    new_grams = grams.where(F.col("doc_id") >= F.col("c"))
+    spans = new_grams.join(corpus, "gram").select(
+        "doc_id", "s", (F.col("s") + SPAN_K - 1).alias("e")
+    )
+    return merged_span_stats(spans)
