@@ -57,6 +57,7 @@ BNLJ_OK = {
     "sort_global_rank",  # 32-row per-range-partition offset table broadcast
     "dedup_incremental_exact",  # 1-row corpus-cut scalar broadcast
     "dedup_incremental_minhash",  # same 1-row corpus-cut scalar broadcast
+    "dedup_incremental_substring",  # same 1-row corpus-cut scalar broadcast
     "agg_hll_mergeable_certificate",  # 1-row exact × 1-row union-estimate
     "dsir_importance_weights",  # 1-row corpus-total scalar over the 64-row bucket table
     "ann_index_maintenance_plan",  # 1-row upsert-cut scalar broadcast
