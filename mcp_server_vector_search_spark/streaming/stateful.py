@@ -463,3 +463,173 @@ if _HAS_PROTOBUF:  # pragma: no cover - protobuf absent in this container
     q_streaming_transform_with_state = register(
         "streaming_transform_with_state", oracle=TWS_ORACLE
     )(q_streaming_transform_with_state)
+
+
+# ---------------------------------------------------------------------------
+# transformWithState TYPED STATE VARIABLES: MapState + ListState.  The
+# session-timer row above certifies ValueState + event-time timers;
+# this one certifies the other two state kinds the Spark 4 API offers —
+# a per-user MapState (event_type -> running (cents, n)) and a per-user
+# ListState (one entry per micro-batch the user appeared in).  Together
+# the three rows cover the full transformWithState state surface.
+# ---------------------------------------------------------------------------
+
+TWS_MAP_OUTPUT_SCHEMA = (
+    "user_id bigint, event_type string, total_cents bigint, "
+    "n_events bigint, user_batches bigint"
+)
+
+
+class _CategoryTotalsProcessor(StatefulProcessor):
+    """Per-user category ledger: MapState accumulates exact integer
+    cents per event_type across batches; ListState records per-batch
+    row counts (its length = batches this user appeared in).  Every
+    batch re-emits the user's WHOLE ledger stamped with the current
+    batch count, so the final row per (user, type) is selected by max
+    user_batches downstream — update-mode semantics without relying on
+    sink-side replacement."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._totals = handle.getMapState(
+            "totals", "event_type string", "cents bigint, n bigint"
+        )
+        self._batches = handle.getListState("batches", "rows_in_batch bigint")
+
+    def handleInputRows(self, key, rows, timerValues: TimerValues):
+        per_type: dict[str, tuple[int, int]] = {}
+        n_rows = 0
+        for pdf in rows:
+            if pdf.empty:
+                continue
+            n_rows += len(pdf)
+            for et, grp in pdf.groupby("event_type"):
+                cents = sum(int(round(float(v) * 100)) for v in grp["value"])
+                c0, n0 = per_type.get(str(et), (0, 0))
+                per_type[str(et)] = (c0 + cents, n0 + len(grp))
+        if n_rows == 0:
+            return
+        self._batches.appendValue((n_rows,))
+        n_batches = sum(1 for _ in self._batches.get())
+        for et, (cents, n) in per_type.items():
+            if self._totals.containsKey((et,)):
+                c0, n0 = self._totals.getValue((et,))
+            else:
+                c0, n0 = 0, 0
+            self._totals.updateValue((et,), (c0 + cents, n0 + n))
+        out = [
+            {
+                "user_id": key[0],
+                "event_type": k[0],
+                "total_cents": v[0],
+                "n_events": v[1],
+                "user_batches": n_batches,
+            }
+            for k, v in self._totals.iterator()
+        ]
+        yield pd.DataFrame(out)
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+    def close(self) -> None:
+        pass
+
+
+TWS_MAP_ORACLE = """
+WITH per AS (
+  SELECT user_id, event_type,
+         CAST(SUM(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS total_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id, event_type
+),
+ub AS (
+  SELECT user_id, CAST(COUNT(DISTINCT event_id % 2) AS BIGINT) AS user_batches
+  FROM events GROUP BY user_id
+)
+SELECT p.user_id, p.event_type, p.total_cents, p.n_events, u.user_batches
+FROM per p JOIN ub u USING (user_id)
+ORDER BY user_id, event_type
+"""
+
+
+def q_streaming_tws_map_list_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table split into two micro-batches by event_id parity
+    and folded through the MapState/ListState processor; the final
+    ledger per (user, event_type) must hash-match the batch GROUP BY
+    oracle exactly (integer cents), and user_batches must equal the
+    number of parities each user's events span — proving MapState
+    entries accumulate across batches, absent keys initialize cleanly,
+    and ListState length tracks batch participation."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+    from pathlib import Path
+
+    from pyspark.sql import Window as W
+
+    from ..sources.tables import load_table
+    from .ingest import _link_ordered_phases, data_batches
+
+    propagate_to_workers(spark)
+    spark = spark.newSession()
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    events = load_table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="twsmap_src_")
+    stage = tempfile.mkdtemp(prefix="twsmap_stage_")
+    for half in (0, 1):
+        events.where(F.pmod("event_id", F.lit(2)) == half).repartition(
+            1
+        ).write.mode("overwrite").parquet(f"{stage}/h{half}")
+    _link_ordered_phases(stage, src, ["h0", "h1"])
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out_stream = (
+        stream.select("user_id", "event_type", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            _CategoryTotalsProcessor(),
+            TWS_MAP_OUTPUT_SCHEMA,
+            outputMode="update",
+            timeMode="none",
+        )
+    )
+    name = f"twsmap_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="twsmap_ckpt_")
+    q = (
+        out_stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert data_batches(q) >= 2, "ledger must accumulate across micro-batches"
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.desc("user_batches"), F.desc("n_events")
+    )
+    out = (
+        spark.table(name)
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("user_id", "event_type", "total_cents", "n_events", "user_batches")
+        .orderBy("user_id", "event_type")
+        .localCheckpoint(eager=True)
+    )
+    for d in (src, stage, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+if _HAS_PROTOBUF:  # pragma: no cover - gated with the session-timer row
+    q_streaming_tws_map_list_state = register(
+        "streaming_tws_map_list_state", oracle=TWS_MAP_ORACLE
+    )(q_streaming_tws_map_list_state)

@@ -756,3 +756,80 @@ def test_tws_timer_never_rewinds():
     assert closed[0].iloc[0]["total"] == 8.0
     assert not handle.states["total"].exists()
     assert not handle.states["deadline"].exists()
+
+
+def test_tws_map_list_state_gate_matches_env():
+    """Same gate contract as the session-timer row: the MapState/
+    ListState certificate registers exactly when protobuf resolves."""
+    import __spark_entry__ as e
+
+    from mcp_server_vector_search_spark.streaming import stateful
+
+    assert ("streaming_tws_map_list_state" in e.queries()) == (
+        stateful._HAS_PROTOBUF
+    )
+
+
+def test_tws_category_processor_ledger_logic():
+    """Driver-side unit test of the MapState/ListState fold (the fake-
+    handle pattern): two batches for one user must accumulate per-type
+    cents exactly, re-emit the full ledger with the batch count, and
+    initialize absent keys cleanly."""
+    import pandas as pd
+    import pytest
+
+    from mcp_server_vector_search_spark.streaming import stateful
+
+    if not stateful._HAS_PROTOBUF:
+        pytest.skip("protobuf unavailable")
+
+    class FakeMap:
+        def __init__(self):
+            self.d = {}
+
+        def containsKey(self, k):
+            return k in self.d
+
+        def getValue(self, k):
+            return self.d[k]
+
+        def updateValue(self, k, v):
+            self.d[k] = v
+
+        def iterator(self):
+            return iter(sorted(self.d.items()))
+
+    class FakeList:
+        def __init__(self):
+            self.v = []
+
+        def appendValue(self, x):
+            self.v.append(x)
+
+        def get(self):
+            return iter(self.v)
+
+    class FakeHandle:
+        def __init__(self):
+            self.m, self.l = FakeMap(), FakeList()
+
+        def getMapState(self, name, ks, vs, ttlDurationMs=None):
+            return self.m
+
+        def getListState(self, name, schema, ttlDurationMs=None):
+            return self.l
+
+    p = stateful._CategoryTotalsProcessor()
+    p.init(FakeHandle())
+    b1 = pd.DataFrame({"event_type": ["a", "a", "b"], "value": [1.25, 2.0, 0.5]})
+    out1 = pd.concat(list(p.handleInputRows((7,), [b1], None)))
+    got1 = {(r.event_type): (r.total_cents, r.n_events, r.user_batches)
+            for r in out1.itertuples()}
+    assert got1 == {"a": (325, 2, 1), "b": (50, 1, 1)}
+    b2 = pd.DataFrame({"event_type": ["b", "c"], "value": [0.25, 10.0]})
+    out2 = pd.concat(list(p.handleInputRows((7,), [b2], None)))
+    got2 = {(r.event_type): (r.total_cents, r.n_events, r.user_batches)
+            for r in out2.itertuples()}
+    assert got2 == {"a": (325, 2, 2), "b": (75, 2, 2), "c": (1000, 1, 2)}
+    # empty batch: no emission, no ledger change, no batch increment
+    assert list(p.handleInputRows((7,), [pd.DataFrame({"event_type": [], "value": []})], None) or []) == []
