@@ -292,3 +292,63 @@ def q_observe_metrics_certificate(spark: SparkSession, sf_dir: str) -> DataFrame
         [(m["n_rows"], m["sum_qty"], m["min_key"], m["max_key"])],
         "n_rows long, sum_qty double, min_key bigint, max_key bigint",
     )
+
+
+# --- polymorphic UDTF (static analyze) ---------------------------------------
+
+from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult  # noqa: E402
+
+
+@F.udtf(useArrow=True)
+class _FirstTokensUDTF:
+    """POLYMORPHIC table function (Spark 4 ``analyze`` protocol): the
+    output schema is computed at PLAN TIME from the constant second
+    argument — ``first_tokens(text, 3)`` yields columns t0..t2, a
+    different call site with n=5 yields t0..t4.  This is the surface
+    static ``returnType`` UDTFs (``udtf_tokenize``) cannot express:
+    Catalyst calls the static ``analyze`` during resolution, so the
+    schema is a function of the ARGUMENTS, not a registration constant."""
+
+    @staticmethod
+    def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+        import pyspark.sql.types as T2
+
+        if n.value is None or not isinstance(n.value, int) or n.value < 1:
+            raise Exception("n must be a positive integer literal")
+        return AnalyzeResult(
+            T2.StructType(
+                [T2.StructField(f"t{i}", T2.StringType()) for i in range(n.value)]
+            )
+        )
+
+    def eval(self, text: str, n: int):
+        toks = (text or "").split(" ")
+        yield tuple(toks[i] if i < len(toks) else None for i in range(n))
+
+
+@register(
+    "udtf_polymorphic_schema",
+    oracle="""
+SELECT doc_id,
+       string_split(text, ' ')[1] AS t0,
+       string_split(text, ' ')[2] AS t1,
+       string_split(text, ' ')[3] AS t2
+FROM documents
+WHERE doc_id < 100
+""",
+)
+def udtf_polymorphic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL call of the polymorphic UDTF at n=3: the resolver must
+    derive (t0, t1, t2) from the literal argument, the Arrow eval must
+    NULL-pad short documents, and the values must hash-match the
+    list-indexing oracle (DuckDB's out-of-range list index is NULL,
+    exactly the eval's padding)."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    spark.udtf.register("first_tokens_udtf", _FirstTokensUDTF)
+    d.createOrReplaceTempView("__udtf_poly_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.t0, t.t1, t.t2
+        FROM __udtf_poly_docs d, LATERAL first_tokens_udtf(d.text, 3) t
+        """
+    )

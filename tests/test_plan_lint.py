@@ -70,6 +70,7 @@ ARROW_OK = {
     "udf_scalar_pandas",
     "udaf_grouped_geomean",
     "udtf_tokenize",
+    "udtf_polymorphic_schema",  # Arrow UDTF with plan-time analyze (by design)
     "similarity_join_threshold",
     "dedup_embedding_cosine",
     "semantic_search_hash_embedder",
