@@ -352,3 +352,62 @@ def udtf_polymorphic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __udtf_poly_docs d, LATERAL first_tokens_udtf(d.text, 3) t
         """
     )
+
+
+# --- table-argument UDTF with PARTITION BY + terminate lifecycle -------------
+
+
+@F.udtf(
+    returnType="event_type string, n bigint, total_cents bigint", useArrow=True
+)
+class _PartitionSummaryUDTF:
+    """TABLE-ARGUMENT UDTF (Spark 4): called as
+    ``summary(TABLE(t) PARTITION BY event_type)`` — Catalyst hashes the
+    input by the partition clause, instantiates the class once per
+    partition, streams the partition's ROWS through ``eval``, and calls
+    ``terminate`` at partition end for the summary emission.  The two
+    lifecycle points the scalar/lateral UDTF rows never touch: table
+    input and end-of-partition finalization.  State is exact integer
+    cents, so the emission hash-matches GROUP BY regardless of row
+    order within the partition."""
+
+    def __init__(self) -> None:
+        self._et = None
+        self._n = 0
+        self._cents = 0
+
+    def eval(self, row):
+        self._et = row["event_type"]
+        self._n += 1
+        self._cents += int(round(float(row["value"]) * 100))
+
+    def terminate(self):
+        if self._et is not None:
+            yield (self._et, self._n, self._cents)
+
+
+@register(
+    "udtf_table_argument",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS total_cents
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition fold through the table-argument UDTF: one summary
+    row per event_type, emitted from ``terminate`` — the arbitrary
+    per-partition computation slot (model fits, compaction planners)
+    that grouped-agg pandas UDFs can't express when the output isn't a
+    scalar.  Values are exact cents; the oracle is the plain GROUP BY."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("__udtf_events")
+    spark.udtf.register("partition_summary_udtf", _PartitionSummaryUDTF)
+    return spark.sql(
+        """
+        SELECT * FROM partition_summary_udtf(
+          TABLE(__udtf_events) PARTITION BY event_type
+        )
+        ORDER BY event_type
+        """
+    )

@@ -71,6 +71,7 @@ ARROW_OK = {
     "udaf_grouped_geomean",
     "udtf_tokenize",
     "udtf_polymorphic_schema",  # Arrow UDTF with plan-time analyze (by design)
+    "udtf_table_argument",  # Arrow UDTF over TABLE() partitions (by design)
     "similarity_join_threshold",
     "dedup_embedding_cosine",
     "semantic_search_hash_embedder",
