@@ -331,3 +331,139 @@ def source_python_stream_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(ckpt, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Python data source WRITER — the remaining extension-point: executor-
+# side write tasks returning WriterCommitMessages and a driver-side
+# commit that finalizes atomically (rename-on-commit, the same temp->
+# final discipline FileStreamSink uses).  Together with the batch
+# reader (`pyrowgroup`) and streaming reader (`pytail`) this closes the
+# Python DataSource matrix: read/write x batch(/stream read).
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage  # noqa: E402
+
+
+class _JsonlCommit(WriterCommitMessage):
+    def __init__(self, path: str, n: int) -> None:
+        self.path = path
+        self.n = n
+
+
+class JsonlSinkWriter(DataSourceWriter):
+    """Each task writes its partition to a ``.tmp`` JSONL file and
+    reports (path, row_count); the driver-side ``commit`` renames the
+    non-empty files into place and writes a ``_MANIFEST`` with the
+    total — readers of the layout can verify exactly-once delivery
+    against it.  ``abort`` removes the temp files, so a failed job
+    leaves nothing visible."""
+
+    def __init__(self, options) -> None:
+        self._dir = options["path"]
+
+    def write(self, it):
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        p = _os.path.join(self._dir, f"part-{_uuid.uuid4().hex}.jsonl.tmp")
+        n = 0
+        with open(p, "w") as f:
+            for row in it:
+                f.write(_json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _JsonlCommit(p, n)
+
+    def commit(self, messages):
+        import json as _json
+        import os as _os
+
+        total = 0
+        for m in messages:
+            if m.n:
+                _os.rename(m.path, m.path[: -len(".tmp")])
+                total += m.n
+            else:
+                _os.remove(m.path)
+        with open(_os.path.join(self._dir, "_MANIFEST"), "w") as f:
+            f.write(_json.dumps({"rows": total}))
+
+    def abort(self, messages):
+        import os as _os
+
+        for m in messages:
+            try:
+                _os.remove(m.path)
+            except OSError:
+                pass
+
+
+class JsonlSinkDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "pyjsonl"
+
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        return JsonlSinkWriter(self.options)
+
+
+def register_pyjsonl(spark) -> None:
+    key = "__pyjsonl_registered__"
+    if not getattr(spark, key, False):
+        spark.dataSource.register(JsonlSinkDataSource)
+        setattr(spark, key, True)
+
+
+@register(
+    "sink_python_datasource",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(event_id) AS BIGINT) AS id_sum
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table written through the CUSTOM PYTHON SINK (4
+    parallel write tasks -> rename-on-commit -> _MANIFEST), read back
+    from the committed JSONL files, and aggregated: the result must
+    hash-match the direct GROUP BY oracle (a dropped, duplicated, or
+    uncommitted partition shifts n_events and id_sum), and the
+    manifest total must equal the rows read back — the exactly-once
+    receipt the commit protocol exists to provide."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .tables import load_table
+
+    register_pyjsonl(spark)
+    events = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    out_dir = tempfile.mkdtemp(prefix="pyjsonl_sink_")
+    events.repartition(4).write.format("pyjsonl").mode("append").option(
+        "path", out_dir
+    ).save()
+    back = spark.read.schema("event_id bigint, event_type string").json(
+        f"{out_dir}/*.jsonl"
+    )
+    n_back = back.count()
+    manifest = _json.loads(open(f"{out_dir}/_MANIFEST").read())
+    assert manifest["rows"] == n_back, (
+        f"manifest {manifest['rows']} != rows read back {n_back}"
+    )
+    out = (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("event_id").cast("long").alias("id_sum"),
+        )
+        .orderBy("event_type")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return out
