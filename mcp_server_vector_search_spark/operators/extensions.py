@@ -392,7 +392,7 @@ class _PartitionSummaryUDTF:
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS total_cents
-FROM events GROUP BY event_type ORDER BY event_type
+FROM events WHERE event_id % 4 = 0 GROUP BY event_type ORDER BY event_type
 """,
 )
 def udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -400,8 +400,17 @@ def udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per event_type, emitted from ``terminate`` — the arbitrary
     per-partition computation slot (model fits, compaction planners)
     that grouped-agg pandas UDFs can't express when the output isn't a
-    scalar.  Values are exact cents; the oracle is the plain GROUP BY."""
-    load_table(spark, sf_dir, "events").createOrReplaceTempView("__udtf_events")
+    scalar.  Values are exact cents; the oracle is the plain GROUP BY.
+
+    Cost model, stated honestly: ``eval`` is called PER ROW (only the
+    transfers are Arrow-batched), so this API is for per-partition
+    LOGIC, not bulk arithmetic — a vectorizable fold belongs in a
+    grouped-agg pandas UDF (``udaf_grouped_geomean``).  The input is a
+    deterministic quarter of events: enough rows to cross every Arrow
+    batch boundary, without timing 1M Python calls per bench run."""
+    load_table(spark, sf_dir, "events").where(
+        F.pmod("event_id", F.lit(4)) == 0
+    ).createOrReplaceTempView("__udtf_events")
     spark.udtf.register("partition_summary_udtf", _PartitionSummaryUDTF)
     return spark.sql(
         """
