@@ -64,6 +64,14 @@ class SparkVectorSearch:
         embedder: Optional[Callable[[Column], Column]] = None,
     ) -> None:
         self.dim = dim
+        # Default embedder: prompts embed DRIVER-side (embed_text_driver,
+        # the certified mirror of the UDF math) — the reference embeds
+        # its prompt client-side in the server process (server.py:78's
+        # OpenAI call) and ships the VECTOR as a query parameter, and
+        # skipping the 1-row Spark job halves warm-search latency.  A
+        # CUSTOM embedder has no driver mirror, so prompts go through
+        # its real column expression in a 1-row job instead.
+        self._driver_prompt_embed = embedder is None
         self.embedder = embedder or hash_embedder(dim)
         missing = {"name", "description", "embedding"} - set(corpus.columns)
         if missing:
@@ -71,13 +79,18 @@ class SparkVectorSearch:
         self.corpus = corpus
 
     def _embed_prompt(self, prompt: str) -> list[float]:
-        spark = self.corpus.sparkSession
-        row = (
-            spark.createDataFrame([(prompt,)], ["text"])
-            .select(self.embedder(F.col("text")).alias("v"))
-            .first()
-        )
-        vec = list(row["v"]) if row["v"] is not None else []
+        if self._driver_prompt_embed:
+            from .functions.embedder import embed_text_driver
+
+            vec = [float(v) for v in embed_text_driver(prompt, self.dim)]
+        else:
+            spark = self.corpus.sparkSession
+            row = (
+                spark.createDataFrame([(prompt,)], ["text"])
+                .select(self.embedder(F.col("text")).alias("v"))
+                .first()
+            )
+            vec = list(row["v"]) if row["v"] is not None else []
         # hard-fail dim check, as server.py:55-56 and the re-check at
         # server.py:80-84
         if len(vec) != self.dim:

@@ -14,9 +14,11 @@ path is value-hash-checked.
 The corpus is the pre-embedded ``embeddings`` table joined to
 ``documents`` metadata (the reference's corpus lives pre-embedded in
 Neo4j the same way, README.md:124); only the PROMPT is embedded at
-query time — through the facade's real path, i.e. the Arrow-batched
-embedder UDF in a 1-row Spark job (server.py:78's client-side RPC
-analog), not the driver-side shortcut.  The JSON serialization wrapper
+query time — through the facade's real path, which for the default
+embedder is the DRIVER-side certified mirror (the reference embeds its
+prompt client-side in the server process, server.py:78, and ships the
+vector as a query parameter; a custom embedder still runs its real
+column expression in a 1-row job).  The JSON serialization wrapper
 (``search`` vs ``search_df``) is the same rows through
 ``F.to_json(struct)``, which carries its own byte-equal driver row
 (``rows_as_json``).
