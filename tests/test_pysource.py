@@ -61,3 +61,47 @@ def test_pysource_unknown_column_fails_at_planning(spark):
             .load()
             .collect()
         )
+
+
+def test_pyjsonl_writer_abort_leaves_nothing_visible(spark):
+    """A failed write job must call the writer's abort hook: no
+    committed .jsonl files, no _MANIFEST — rename-on-commit means a
+    crashed job can never expose partial output to readers."""
+    import glob
+    import tempfile
+
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    from mcp_server_vector_search_spark.sources.pysource import register_pyjsonl
+
+    register_pyjsonl(spark)
+
+    @F.udf(LongType())
+    def boom(x):
+        if x == 7:
+            raise RuntimeError("planted task failure")
+        return x
+
+    out_dir = tempfile.mkdtemp(prefix="pyjsonl_abort_")
+    df = spark.range(0, 16, 1, 4).select(boom("id").alias("event_id"))
+    with pytest.raises(Exception):
+        df.write.format("pyjsonl").mode("append").option("path", out_dir).save()
+    assert glob.glob(f"{out_dir}/*.jsonl") == []
+    assert glob.glob(f"{out_dir}/_MANIFEST") == []
+
+
+def test_polymorphic_udtf_rejects_bad_arity(spark):
+    """The analyze protocol runs at PLAN time: a non-positive n must
+    fail resolution (AnalysisException), never reach executors."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from mcp_server_vector_search_spark.operators.extensions import (
+        _FirstTokensUDTF,
+    )
+
+    spark.udtf.register("first_tokens_neg_test", _FirstTokensUDTF)
+    with pytest.raises(AnalysisException):
+        spark.sql("SELECT * FROM first_tokens_neg_test('a b c', 0)").collect()
