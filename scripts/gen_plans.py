@@ -468,12 +468,43 @@ SHOWCASE = [
         "node set) never appears in the distributed plan, exactly like "
         "HNSW's resident upper layers at 100 TB.",
     ),
+    (
+        "engine_search_warm_cache",
+        "The warm serve path: the prompt embeds driver-side (the "
+        "reference's client-side embed, server.py:78 — no Spark job), "
+        "the corpus scan is `InMemoryTableScan` over the build-once "
+        "cache, and the top-k is `TakeOrderedAndProject` — a warm "
+        "search is ONE bounded job, measured at 0.2-0.3 s.",
+    ),
 ]
 
 # Queries whose evidence is the EXECUTED streaming micro-batch plan,
 # not a batch DataFrame explain (a memory-sink table explains as a
 # bare LocalTableScan).  Rendered via StreamingQuery.explainInternal.
 STREAMING_PLAN = {"streaming_tumbling_counts"}
+
+# The warm-serve showcase: the registered query returns a
+# localCheckpoint (its plan is a bare checkpoint scan), so the evidence
+# plan is the facade's search_df over the persisted corpus directly.
+ENGINE_PLAN = {"engine_search_warm_cache"}
+
+
+def engine_warm_plan(spark, name: str) -> str:
+    assert name == "engine_search_warm_cache"
+    from mcp_server_vector_search_spark.engine import (
+        SparkVectorSearch,
+        corpus_from_documents,
+    )
+    from mcp_server_vector_search_spark.operators.ann import PROMPT_TEXT
+    from mcp_server_vector_search_spark.sources.tables import load_table
+
+    corpus = corpus_from_documents(load_table(spark, SF, "documents")).persist()
+    try:
+        corpus.count()  # fill the cache so the scan explains as InMemory
+        engine = SparkVectorSearch(corpus)
+        return formatted_plan(engine.search_df(PROMPT_TEXT))
+    finally:
+        corpus.unpersist()
 
 HEADER = """# PLANS — physical-plan evidence for the scale design
 
@@ -537,8 +568,10 @@ def render_plans(spark) -> str:
             section = f"\n## {name}\n\n{why}\n\n```\n{plan.strip()}\n```\n"
             parts.append(_EXPR_ID.sub("#N", section))
             continue
-        df = registry.QUERIES[name](spark, SF)
-        plan = formatted_plan(df)
+        if name in ENGINE_PLAN:
+            plan = engine_warm_plan(spark, name)
+        else:
+            plan = formatted_plan(registry.QUERIES[name](spark, SF))
         tree = plan.split("\n\n")[0]
         # keep the scan-detail lines the section's claim rests on
         details = [
