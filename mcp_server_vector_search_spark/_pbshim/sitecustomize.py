@@ -32,3 +32,27 @@ try:
     _rv.ValidateProtobufRuntimeVersion = _lenient_validate
 except Exception:  # no runtime found at all: leave imports to fail loudly
     pass
+
+# Python imports exactly ONE sitecustomize, so prepending this
+# directory to PYTHONPATH shadows any sitecustomize the worker
+# environment already relied on.  Chain-load the next one on sys.path
+# (standard shadowing-shim pattern, ADVICE r10) in its own namespace —
+# a fresh dict so the downstream hook cannot clobber the wrapper's
+# module globals (``_upstream_validate`` is a global lookup, not a
+# closure).
+try:
+    import os as _os
+    import sys as _sys
+
+    _shim_dir = _os.path.dirname(_os.path.abspath(__file__))
+    for _entry in _sys.path:
+        _cand = _os.path.join(_os.path.abspath(_entry or "."), "sitecustomize.py")
+        if _os.path.dirname(_cand) == _shim_dir or not _os.path.isfile(_cand):
+            continue
+        with open(_cand) as _f:
+            _src = _f.read()
+        _ns = {"__file__": _cand, "__name__": "sitecustomize"}
+        exec(compile(_src, _cand, "exec"), _ns)
+        break
+except Exception:  # a broken downstream hook must not kill the worker
+    pass

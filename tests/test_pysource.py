@@ -105,3 +105,27 @@ def test_polymorphic_udtf_rejects_bad_arity(spark):
     spark.udtf.register("first_tokens_neg_test", _FirstTokensUDTF)
     with pytest.raises(AnalysisException):
         spark.sql("SELECT * FROM first_tokens_neg_test('a b c', 0)").collect()
+
+
+def test_python_datasource_lookup_survives_child_session(spark):
+    """``createDataFrame`` on a child session sets the JVM
+    thread-active session WITHOUT restoring it (pyspark
+    session.py:1533), and Spark 4 resolves PYTHON data sources through
+    ``SparkSession.getActiveSession`` — so a ``pyjsonl`` write issued
+    after any child-session query on the same thread used to die with
+    DATA_SOURCE_NOT_FOUND (caught by /verify r11: the
+    transformWithState row before the sink row in one session).  The
+    register_* helpers now pin the target session as active."""
+    import glob
+    import tempfile
+
+    from mcp_server_vector_search_spark.sources.pysource import register_pyjsonl
+
+    child = spark.newSession()
+    child.createDataFrame([(1,)], "x long").collect()  # leaks child as active
+    register_pyjsonl(spark)
+    out_dir = tempfile.mkdtemp(prefix="pyjsonl_child_")
+    spark.range(3).write.format("pyjsonl").mode("append").option(
+        "path", out_dir
+    ).save()
+    assert len(glob.glob(f"{out_dir}/*.jsonl")) >= 1

@@ -833,3 +833,86 @@ def test_tws_category_processor_ledger_logic():
     assert got2 == {"a": (325, 2, 2), "b": (75, 2, 2), "c": (1000, 1, 2)}
     # empty batch: no emission, no ledger change, no batch increment
     assert list(p.handleInputRows((7,), [pd.DataFrame({"event_type": [], "value": []})], None) or []) == []
+
+
+def test_pbshim_bypassed_when_real_protobuf_resolves_first(tmp_path):
+    """Import-order property (VERDICT r10 task 6 + ADVICE r10): when a
+    REAL ``google.protobuf`` resolves first on sys.path,
+    ``ensure_protobuf`` must leave that install's version gate
+    untouched — the same-major leniency patch applies ONLY to the
+    vendored SDK runtime, so a future environment with pip-installed
+    protobuf keeps upstream validation (genuine gencode/runtime
+    incompatibilities fail with the clear version error, not obscure
+    AttributeErrors)."""
+    import importlib
+    import sys
+
+    from mcp_server_vector_search_spark import _pbcompat
+
+    pkg = tmp_path / "google" / "protobuf"
+    pkg.mkdir(parents=True)
+    (tmp_path / "google" / "__init__.py").write_text("")
+    (pkg / "__init__.py").write_text("")
+    (pkg / "runtime_version.py").write_text(
+        "MAJOR = 6\n"
+        "def ValidateProtobufRuntimeVersion(*a, **k):\n"
+        "    return None\n"
+        "ValidateProtobufRuntimeVersion._sentinel = 'real-install'\n"
+    )
+
+    saved_path = list(sys.path)
+    saved_mods = {
+        m: sys.modules[m]
+        for m in list(sys.modules)
+        if m == "google" or m.startswith("google.")
+    }
+    saved_activated = _pbcompat._activated
+    try:
+        for m in saved_mods:
+            del sys.modules[m]
+        sys.path.insert(0, str(tmp_path))
+        importlib.invalidate_caches()
+        _pbcompat._activated = None
+        _pbcompat.ensure_protobuf()
+        origin = _pbcompat._protobuf_origin()
+        assert origin and str(tmp_path) in origin, origin
+        assert not _pbcompat._is_vendored(origin)
+        from google.protobuf import runtime_version as rv
+
+        assert (
+            getattr(rv.ValidateProtobufRuntimeVersion, "_sentinel", None)
+            == "real-install"
+        ), "real install's version gate was wrapped — shim must stay inert"
+    finally:
+        sys.path[:] = saved_path
+        for m in [
+            m
+            for m in list(sys.modules)
+            if m == "google" or m.startswith("google.")
+        ]:
+            del sys.modules[m]
+        sys.modules.update(saved_mods)
+        _pbcompat._activated = saved_activated
+        importlib.invalidate_caches()
+
+
+def test_pbshim_patch_scope_matches_resolution():
+    """Whatever runtime THIS session resolved, the patch scope must
+    match the resolution: vendored SDK runtime → lenient wrapper
+    installed; real install → upstream validator untouched.  Green
+    both with and without the shim active (VERDICT r10 task 6)."""
+    import pytest
+
+    from mcp_server_vector_search_spark import _pbcompat
+    from mcp_server_vector_search_spark.streaming import stateful
+
+    if not stateful._HAS_PROTOBUF:
+        pytest.skip("no protobuf runtime (real or vendored) in this env")
+    assert _pbcompat.ensure_protobuf() is True
+    from google.protobuf import runtime_version as rv
+
+    wrapped = rv.ValidateProtobufRuntimeVersion.__name__ in (
+        "lenient",
+        "_lenient_validate",
+    )
+    assert wrapped == _pbcompat._is_vendored(_pbcompat._protobuf_origin())
