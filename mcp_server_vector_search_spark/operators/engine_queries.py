@@ -290,3 +290,95 @@ def q_engine_search_warm_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# engine_search_concurrent — the serve-path CONCURRENCY certificate
+# (VERDICT r10 task 5): the reference claims async serving over one
+# shared session (README.md:131-132 — FastMCP's asyncio loop + one
+# Neo4j driver).  Spark's analog: N searches issued simultaneously
+# from driver threads against ONE SparkSession/engine — the scheduler
+# interleaves the jobs (FAIR/FIFO both correct, just different
+# latency), and the facade needs no pooling layer of its own.  The
+# hard gate is byte-identity: every concurrently-served payload must
+# equal its sequentially-served counterpart, and the returned rows are
+# parsed FROM the concurrent payloads so the driver value-hashes what
+# concurrency actually served.
+# ---------------------------------------------------------------------------
+
+CONCURRENT_PROMPTS = [f"spark query join w{i}" for i in range(6)]
+
+#: wall-clock of the last run (advisory, like LAST_WARM_STATS — never
+#: part of the hashed result).
+LAST_CONCURRENT_STATS: dict | None = None
+
+
+def _concurrent_oracle() -> str:
+    from .ann import prompt_embedding
+
+    branches = []
+    for i, p in enumerate(CONCURRENT_PROMPTS):
+        qv = sql_floats(prompt_embedding(p))
+        branches.append(f"""
+(SELECT {i} AS prompt_id, name,
+        ROUND((1.0 + list_cosine_similarity(embedding::DOUBLE[], {qv}::DOUBLE[])) / 2.0,
+              {SCORE_DECIMALS}) AS score
+ FROM corpus
+ ORDER BY score DESC, name
+ LIMIT {ENGINE_K})""")
+    return f"""
+WITH corpus AS (
+  SELECT CAST(d.doc_id AS VARCHAR) AS name, e.embedding
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+)
+{" UNION ALL ".join(branches)}
+"""
+
+
+@register("engine_search_concurrent", oracle=_concurrent_oracle())
+def q_engine_search_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N interleaved facade searches on one session, hash-matched
+    against sequential execution AND the registration-time oracle.
+    Sequential payloads are served first (the ground truth), then the
+    same prompts run concurrently from a thread pool; each concurrent
+    payload must be byte-identical to its sequential twin — a shared
+    mutable plan, a cross-thread session-state race, or a scheduler
+    result mixup all break byte-identity.  The returned DataFrame is
+    parsed from the CONCURRENT payloads, so the driver's value-hash
+    certifies the concurrently-served bytes, not a re-execution."""
+    import json as _json
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    global LAST_CONCURRENT_STATS
+    corpus = _engine_corpus(spark, sf_dir).persist()
+    engine = SparkVectorSearch(corpus)
+
+    t0 = time.perf_counter()
+    sequential = [engine.search(p, k=ENGINE_K) for p in CONCURRENT_PROMPTS]
+    seq_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=len(CONCURRENT_PROMPTS)) as pool:
+        concurrent = list(
+            pool.map(lambda p: engine.search(p, k=ENGINE_K), CONCURRENT_PROMPTS)
+        )
+    conc_s = time.perf_counter() - t0
+    LAST_CONCURRENT_STATS = {
+        "sequential_s": seq_s,
+        "concurrent_s": conc_s,
+        "n": len(CONCURRENT_PROMPTS),
+    }
+    for i, (s, c) in enumerate(zip(sequential, concurrent)):
+        assert c == s, (
+            f"prompt {i}: concurrent payload diverged from sequential"
+        )
+    rows = [
+        (i, str(r["name"]), float(r["score"]))
+        for i, payload in enumerate(concurrent)
+        for r in _json.loads(payload)
+    ]
+    out = spark.createDataFrame(
+        rows, "prompt_id int, name string, score double"
+    ).localCheckpoint(eager=True)
+    corpus.unpersist()
+    return out
