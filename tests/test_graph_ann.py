@@ -311,3 +311,71 @@ def test_hnsw_dim1536_query_matches_oracle(spark):
         for r in L.q_ann_hnsw_dim1536(spark, SF_CORRECTNESS).collect()
     ]
     assert got == [(i, s, c) for i, s, c in expected]
+
+
+def test_select_neighbors_heuristic_keeps_bridges():
+    """Algorithm 4's defining property on two tight clusters: pure-kNN
+    selection spends every edge intra-cluster, the heuristic keeps a
+    cross-cluster bridge — a candidate dominated by a kept neighbor
+    (closer to that neighbor than to the base) is pruned, so slots
+    reach the other cluster."""
+    from mcp_server_vector_search_spark.operators.graph_ann import (
+        _unit_rows,
+        select_neighbors_heuristic,
+    )
+
+    # base + a chain of ever-farther cluster-mates (each closer to the
+    # previous mate than to the base -> dominated -> pruned) + one
+    # far point with a slight base-ward lean (closer to the base than
+    # to any mate -> kept).  All angles explicit; no rng.
+    pts = [
+        [1.0, 0.0, 0.0],  # 0: base
+        [1.0, 0.05, 0.0],  # 1: mate, kept first
+        [1.0, 0.06, 0.0],  # 2: angle 0.01 to mate 1, 0.06 to base
+        [1.0, 0.07, 0.0],  # 3: angle 0.02 to mate 1, 0.07 to base
+        [0.3, 0.0, 1.0],  # 4: other cluster, leaning base-ward
+    ]
+    x = _unit_rows(pts)
+    sims = x @ x[0]
+    cands = sorted(range(1, 5), key=lambda i: (-round(float(sims[i]), 6), i))
+    kept_knn = cands[:3]
+    kept_h = select_neighbors_heuristic(x, 0, cands, 3)
+    assert kept_knn == [1, 2, 3], "kNN keeps only cluster-mates"
+    assert len(kept_h) == 3
+    assert 4 in kept_h, "heuristic must keep the cross-cluster bridge"
+
+
+def test_select_neighbors_heuristic_backfills():
+    """keepPrunedConnections: when diversity admits fewer than degree,
+    pruned candidates back-fill in candidate order — out-degree never
+    starves."""
+    import numpy as np
+
+    from mcp_server_vector_search_spark.operators.graph_ann import (
+        _unit_rows,
+        select_neighbors_heuristic,
+    )
+
+    # near-collinear points: after the first keep, everything else is
+    # dominated (closer to the kept neighbor than to the base)
+    base = np.array([1.0, 0.0])
+    pts = [base] + [
+        np.array([np.cos(t), np.sin(t)]) for t in (0.10, 0.11, 0.12, 0.13)
+    ]
+    x = _unit_rows([p.tolist() for p in pts])
+    kept = select_neighbors_heuristic(x, 0, [1, 2, 3, 4], 3)
+    assert len(kept) == 3
+    assert kept[0] == 1  # best candidate always kept
+
+
+def test_hnsw_heuristic_row_matches_plain_scan_contract(spark):
+    """The registered heuristic row returns k rows from probed cells
+    with descending rounded scores, same contract as ann_hnsw_topk."""
+    from mcp_server_vector_search_spark.operators.graph_ann import (
+        q_ann_hnsw_heuristic_topk,
+    )
+
+    rows = q_ann_hnsw_heuristic_topk(spark, SF_CORRECTNESS).collect()
+    assert len(rows) == 10
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)

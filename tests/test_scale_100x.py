@@ -488,3 +488,129 @@ def test_substring_spans_100x(spark, tiers):
     assert t100 <= LINEAR_SLACK * t10, (
         f"substring spans grew {t100 / t10:.1f}x on 10x data — super-linear"
     )
+
+
+def test_hnsw_100x(spark, tiers):
+    """Layered HNSW at the 100x tier (VERDICT r10 task 3): the full
+    query pipeline — k-means routing nodes (250 at 10x, 1000 at 100x),
+    INCREMENTAL layered build (the O(n log n) construction, never the
+    n^2 sims matrix), Arrow-GEMM cell assignment, node_id-partitioned
+    layout, greedy descent + layer-0 beam picking probe cells, and the
+    partition-pruned Spark scan serving exact top-10 inside them.
+
+    The build uses the paper's Algorithm 4 neighbor-selection
+    heuristic (select_neighbors_heuristic): on this corpus's 32 tight
+    clusters, pure-kNN edges are all intra-cluster, the graph
+    fragments into cliques, and the descent cannot cross clusters
+    (measured: recall 0.33).  The flat-NSW baseline is the SAME
+    layer-0 graph without the hierarchy, so the visited-set comparison
+    isolates exactly what the layers buy.
+
+    Gates: (a) recall@10 >= 0.9 vs exact brute force at 200k vectors
+    while scanning ~3% of cells; (b) the descent's visited set grows
+    SUB-LINEARLY in node count (measured 1.23x visits on 4x nodes —
+    4% of nodes touched at 1000 vs 13% at 250) and no worse than the
+    flat NSW walk over the same layer-0 graph; the hierarchy-vs-flat
+    ASYMPTOTIC contrast lives in the 16x synthetic sweep
+    (test_scale_stress.py::test_hnsw_visited_sublinear_vs_flat_nsw) —
+    at 4x node growth with a medoid entry both walks are short, so
+    here flat parity is a regression guard, not the headline; (c)
+    per-query wall time within the linear bound of the 10x tier."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from mcp_server_vector_search_spark.operators.ann import (
+        assignment_gemm,
+        train_centroids,
+    )
+    from mcp_server_vector_search_spark.operators.graph_ann import (
+        _pruned_node_topk,
+        beam_search_stats,
+        build_hnsw_incremental,
+        hnsw_search,
+        hnsw_search_stats,
+    )
+
+    rng = np.random.default_rng(1234)
+
+    def run(sf_dir, n_nodes, n_probes, n_queries=3):
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+        ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+        V = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+        norms = np.maximum(np.linalg.norm(V, axis=1), 1e-12)
+
+        nodes = train_centroids(
+            [list(v) for v in V[: 8 * n_nodes]], n_nodes
+        )
+        hnsw = build_hnsw_incremental(nodes, degree=8, heuristic=True)
+        # flat NSW = the hierarchy's own layer 0, searched alone
+        flat = [hnsw["graphs"][0].get(i, []) for i in range(n_nodes)]
+
+        # (b) greedy visited-set counts on the real trained nodes
+        h_vis, f_vis = [], []
+        for _ in range(20):
+            j = int(rng.integers(0, len(ids)))
+            q = V[j] + rng.normal(scale=0.01, size=V.shape[1])
+            _, hc = hnsw_search_stats(nodes, hnsw, q.tolist(), 1, 1)
+            _, fc = beam_search_stats(nodes, flat, q.tolist(), 1, 1)
+            h_vis.append(hc)
+            f_vis.append(fc)
+
+        # (a)+(c) the served pipeline: GEMM assign -> partitioned
+        # layout -> descent-pruned scan
+        emb = load_table(spark, sf_dir, "embeddings")
+        layout = tempfile.mkdtemp(prefix="hnsw100x_")
+        try:
+            emb.withColumn("node_id", assignment_gemm(nodes)).repartition(
+                "node_id"
+            ).write.mode("overwrite").partitionBy("node_id").parquet(layout)
+            index = spark.read.parquet(layout)
+            recalls, total = [], 0.0
+            for _ in range(n_queries):
+                j = int(rng.integers(0, len(ids)))
+                q = V[j] + rng.normal(scale=0.01, size=V.shape[1])
+                sims = (V @ q) / (norms * np.linalg.norm(q))
+                true_top = set(ids[np.lexsort((ids, -sims))[:10]].tolist())
+                t0 = time.perf_counter()
+                probes = hnsw_search(
+                    nodes, hnsw, q.tolist(),
+                    n_probes=n_probes, beam=max(2 * n_probes, 16),
+                )
+                got = {
+                    r["vec_id"]
+                    for r in _pruned_node_topk(
+                        index, probes, [float(x) for x in q], k=10
+                    ).collect()
+                }
+                total += time.perf_counter() - t0
+                recalls.append(len(true_top & got) / 10.0)
+        finally:
+            shutil.rmtree(layout, ignore_errors=True)
+        return (
+            float(np.mean(recalls)),
+            total / n_queries,
+            float(np.mean(h_vis)),
+            float(np.mean(f_vis)),
+        )
+
+    (d10, _), (d100, _) = tiers
+    _, q10, h10, f10 = run(d10, n_nodes=250, n_probes=8)
+    recall, q100, h100, f100 = run(d100, n_nodes=1000, n_probes=32)
+
+    print(
+        f"SCALE100 hnsw q10={q10:.2f}s q100={q100:.2f}s "
+        f"ratio={q100 / q10:.2f} recall={recall:.2f} "
+        f"visited hnsw {h10:.0f}->{h100:.0f} flat {f10:.0f}->{f100:.0f}"
+    )
+    assert recall >= 0.9, f"100x HNSW recall@10 {recall:.2f}"
+    # visited set sub-linear in node count: 4x nodes, well under 2x visits
+    assert (h100 / h10) < 0.5 * (1000 / 250), (h10, h100)
+    # and in the same class as the flat walk over the same layer-0
+    # graph (regression guard with slack — measured 1.24x vs 1.0x; a
+    # broken hierarchy that re-walks layer 0 per level would be >2x)
+    assert (h100 / h10) < 1.5 * (f100 / f10), (h10, h100, f10, f100)
+    assert q100 <= LINEAR_SLACK * q10, (
+        f"HNSW query grew {q100 / q10:.1f}x on 10x data — super-linear"
+    )
