@@ -382,3 +382,82 @@ def q_engine_search_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     corpus.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# semantic_search_mini_transformer — the REAL-MODEL serving certificate
+# (VERDICT r10 task 4): a genuine transformer encoder (numpy, 317 KB
+# seeded-weight fixture) through model_embedder's distributed Arrow
+# path, under the driver gate.  Embedding VALUES are not value-hashed
+# — BLAS thread/dispatch differences between driver and workers shift
+# the last float32 bit (measured in tests/test_embedders.py), and the
+# hash-row discipline needs bit-equality — so this row certifies the
+# structural contract of the real-model pass: every document embeds to
+# a dim-64 unit vector, the facade serves k results over that corpus,
+# scores descend.  Exact-value parity (to 1 ulp) against a driver-side
+# replay lives in test_mini_transformer_real_model_end_to_end.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "semantic_search_mini_transformer",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       TRUE AS dims_ok,
+       TRUE AS units_ok,
+       5 AS k,
+       TRUE AS scores_desc
+FROM documents
+""",
+)
+def q_semantic_search_mini_transformer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distributed REAL-transformer embed (multi-head attention, GELU
+    FFN, masked pooling — functions/mini_transformer.py) over every
+    document, then a facade search over the resulting corpus — the
+    reference's real-model shape (server.py:25,40-58) executed offline
+    for real.  The driver hash-checks the structural certificate; a
+    wrong dim, a non-unit vector, a missing document, or a misordered
+    result set flips a column."""
+    from ..engine import SparkVectorSearch, corpus_from_documents
+    from ..functions import mini_transformer as MT
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = corpus_from_documents(
+        docs, embedder=MT.mini_transformer_embedder(), dim=MT.DIM
+    ).persist()
+    n_docs = corpus.count()
+    bad_dim = corpus.where(F.size("embedding") != MT.DIM).count()
+    norm_off = corpus.where(
+        F.abs(
+            F.sqrt(
+                F.aggregate(
+                    "embedding",
+                    F.lit(0.0),
+                    lambda a, x: a + x.cast("double") * x.cast("double"),
+                )
+            )
+            - 1.0
+        )
+        > 1e-4
+    ).count()
+    served = (
+        SparkVectorSearch(corpus, dim=MT.DIM)
+        .search_df(PROMPT_TEXT, k=5)
+        .collect()
+    )  # bounded: k rows
+    corpus.unpersist()
+    scores = [r.score for r in served]
+    return spark.createDataFrame(
+        [
+            (
+                n_docs,
+                bad_dim == 0,
+                norm_off == 0,
+                len(served),
+                scores == sorted(scores, reverse=True),
+            )
+        ],
+        "n_docs bigint, dims_ok boolean, units_ok boolean, k int, scores_desc boolean",
+    ).localCheckpoint(eager=True)
