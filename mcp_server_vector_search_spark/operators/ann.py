@@ -916,3 +916,140 @@ def q_ann_assign_gemm_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("centroid_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Range search (radius query): every vector whose similarity to the
+# query clears a threshold — FAISS's `range_search`, the set-retrieval
+# sibling of top-k (the reference's tool is top-k only, server.py:87,
+# but a production vector store serves both).  The scale story is
+# LOSSLESS cell pruning: the index keeps a per-cell radius (max angle
+# between a member and its centroid), and the triangle inequality
+# upper-bounds any member's similarity to the query — cells whose best
+# possible score misses the threshold are never read.  On clustered
+# corpora (radii << 90°) this prunes most cells
+# (tests/test_ann.py::test_range_search_pruning_lossless_clustered);
+# on this repo's near-random hash-embedding fixtures the radii are
+# ~80° and the bound keeps every cell, so the DRIVER row certifies the
+# exact set semantics (full-scan SQL oracle — equality holds BECAUSE
+# the pruning is lossless) while the pruning ratio is asserted on the
+# clustered corpus, the same honesty split as the HNSW recall
+# discipline (operators/lifecycle.py).
+# ---------------------------------------------------------------------------
+
+RANGE_MIN_SCORE = 0.62
+
+
+def ivf_cell_radii(
+    indexed: DataFrame, centroids: list[list[float]]
+) -> dict[int, float]:
+    """Per-cell max angle (radians) between a member vector and its
+    centroid — the index-build-time statistic that makes range queries
+    prunable (FAISS keeps per-list stats the same way).  One
+    map-side-combined aggregation over (centroid_id, own-centroid
+    cosine); at 100 TB this runs once in the index build job and lands
+    in the metadata next to the centroids, not per query."""
+    cmat = matrix_lit(centroids)
+    cvec = F.element_at(cmat, F.col("centroid_id").cast("int") + 1)
+    cosv = dot("embedding", cvec) / l2_norm("embedding")
+    ang = F.acos(F.least(F.greatest(cosv, F.lit(-1.0)), F.lit(1.0)))
+    rows = indexed.groupBy("centroid_id").agg(F.max(ang).alias("r")).collect()
+    return {int(r["centroid_id"]): float(r["r"]) for r in rows}
+
+
+def range_feasible_cells(
+    query_vec: Sequence[float],
+    centroids: list[list[float]],
+    radii: dict[int, float],
+    min_score: float,
+    eps: float = 1e-6,
+) -> list[int]:
+    """Lossless cell pruning by the triangle inequality on the unit
+    sphere: a member v of cell c satisfies
+    ``angle(v,q) >= angle(c,q) - radius(c)``, so
+    ``cos(v,q) <= cos(max(0, angle(c,q) - radius(c)))``.  A cell whose
+    best-possible score is below the threshold cannot contain a match
+    and is never read.  ``eps`` absorbs the HALF_UP score rounding
+    (<= 5e-7) so the bound can never exclude a row the rounded filter
+    would keep.  A cell missing from ``radii`` (empty at build time)
+    gets radius pi — never pruned."""
+    import math
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / max(float(np.linalg.norm(q)), 1e-12)
+    feasible = []
+    for i, c in enumerate(centroids):
+        cu = np.asarray(c, dtype=np.float64)
+        cu = cu / max(float(np.linalg.norm(cu)), 1e-12)
+        ang = math.acos(min(1.0, max(-1.0, float(cu @ q))))
+        best_cos = math.cos(max(0.0, ang - radii.get(i, math.pi)))
+        if (1.0 + best_cos) / 2.0 >= min_score - eps:
+            feasible.append(i)
+    return feasible
+
+
+#: pruning stats of the last ivf_range_search (advisory, like
+#: engine_queries.LAST_WARM_STATS; never part of the hashed result).
+LAST_RANGE_STATS: dict | None = None
+
+
+def ivf_range_search(
+    indexed: DataFrame,
+    centroids: list[list[float]],
+    radii: dict[int, float],
+    query_vec: Sequence[float],
+    min_score: float = RANGE_MIN_SCORE,
+) -> DataFrame:
+    """Radius query over the IVF layout: driver-side feasible-cell
+    selection (tiny centroid/radius tables, same discipline as
+    ``nearest_centroids``), partition-pruned scan, exact rounded-score
+    filter inside — the result is EXACTLY the full-scan answer because
+    the bound is lossless."""
+    global LAST_RANGE_STATS
+    feasible = range_feasible_cells(query_vec, centroids, radii, min_score)
+    LAST_RANGE_STATS = {"feasible": len(feasible), "cells": len(centroids)}
+    qcol = vector_lit(query_vec)
+    return (
+        indexed.where(F.col("centroid_id").isin(feasible))
+        .withColumn(
+            "score", F.round(neo4j_score("embedding", qcol), SCORE_DECIMALS)
+        )
+        .where(F.col("score") >= min_score)
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .select("vec_id", "score")
+    )
+
+
+def _range_oracle() -> str:
+    """Full-scan mirror — no probe list folded in: lossless pruning
+    means the pruned scan must equal the unpruned answer, so the oracle
+    is the STRONGEST possible check (any over-pruning loses a row and
+    breaks the hash)."""
+    return f"""
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+)
+SELECT e.vec_id,
+       ROUND((1.0 + list_cosine_similarity(e.embedding::DOUBLE[], q.qv)) / 2.0,
+             {SCORE_DECIMALS}) AS score
+FROM embeddings e CROSS JOIN q
+WHERE ROUND((1.0 + list_cosine_similarity(e.embedding::DOUBLE[], q.qv)) / 2.0,
+            {SCORE_DECIMALS}) >= {RANGE_MIN_SCORE}
+ORDER BY score DESC, e.vec_id
+"""
+
+
+@register("ann_range_search", oracle=_range_oracle())
+def q_ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range search end to end over the build-once IVF layout: per-cell
+    radii (index metadata), triangle-inequality feasible cells,
+    partition-pruned scan, exact threshold filter — hash-matched
+    against the full-scan oracle."""
+    indexed, cents = load_or_build_ivf_index(spark, sf_dir)
+    radii = ivf_cell_radii(indexed, cents)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(v)
+        for v in emb.where(F.col("vec_id") == QUERY_VEC_ID).first()["embedding"]
+    ]
+    return ivf_range_search(indexed, cents, radii, qvec)

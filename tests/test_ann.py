@@ -422,3 +422,104 @@ def test_probe_sequence_properties():
         assert seq[0] == ann._py_bucket(vec, planes, t)
         assert len(seq) == len(set(seq)) == ann.MP_PROBES
         assert all(0 <= b < (1 << ann.SRP_BITS) for b in seq)
+
+
+def test_range_search_pruning_lossless_clustered():
+    """The range-search bound on a CLUSTERED corpus (where it earns its
+    keep): per-cell radii are small, so the triangle-inequality bound
+    prunes most cells — and losslessness must hold exactly: NO vector
+    outside the feasible cells clears the threshold, at any threshold.
+    Pure numpy over the same range_feasible_cells the operator uses."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    n_cells, dim, per = 8, 16, 40
+    centers = rng.normal(size=(n_cells, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = np.repeat(np.arange(n_cells), per)
+    X = centers[labels] + 0.05 * rng.normal(size=(n_cells * per, dim))
+    U = X / np.linalg.norm(X, axis=1, keepdims=True)
+    cents = [list(c) for c in centers]
+    assign = np.argmax(U @ centers.T, axis=1)
+    radii = {
+        int(i): float(
+            np.max(
+                np.arccos(
+                    np.clip((U[assign == i] @ centers[i]), -1.0, 1.0)
+                )
+            )
+        )
+        for i in range(n_cells)
+        if np.any(assign == i)
+    }
+    pruned_somewhere = False
+    for t in (0.80, 0.90, 0.95):
+        for _ in range(10):
+            j = int(rng.integers(0, len(U)))
+            q = X[j] + 0.02 * rng.normal(size=dim)
+            qu = q / np.linalg.norm(q)
+            feasible = set(ann.range_feasible_cells(list(q), cents, radii, t))
+            scores = np.round((1.0 + U @ qu) / 2.0, 6)
+            outside = [i for i in range(len(U)) if assign[i] not in feasible]
+            assert all(scores[i] < t for i in outside), (
+                "lossless bound violated: a match lives in a pruned cell"
+            )
+            if len(feasible) < n_cells:
+                pruned_somewhere = True
+    assert pruned_somewhere, "clustered corpus should actually prune cells"
+
+
+def test_ivf_cell_radii_matches_numpy(spark):
+    """The Spark radii aggregation computes exactly the statistic the
+    driver-side bound consumes: max member angle per cell, replicated
+    in numpy over the collected smoke index."""
+    import numpy as np
+
+    indexed, cents = ann.load_or_build_ivf_index(spark, SF_CORRECTNESS)
+    radii = ann.ivf_cell_radii(indexed, cents)
+    rows = indexed.select("embedding", "centroid_id").collect()
+    C = np.asarray(cents, dtype=np.float64)
+    by_cell: dict[int, list[float]] = {}
+    for r in rows:
+        v = np.asarray(list(r.embedding), dtype=np.float64)
+        cu = C[r.centroid_id]
+        cos = float(v @ cu) / max(float(np.linalg.norm(v)), 1e-12)
+        by_cell.setdefault(int(r.centroid_id), []).append(
+            float(np.arccos(min(1.0, max(-1.0, cos))))
+        )
+    expect = {c: max(a) for c, a in by_cell.items()}
+    assert set(radii) == set(expect)
+    for c in expect:
+        assert abs(radii[c] - expect[c]) < 1e-9, (c, radii[c], expect[c])
+
+
+def test_range_search_matches_full_scan(spark):
+    """End-to-end set equality at the correctness SF: the pruned range
+    query returns exactly the rows a full scan keeps — the operator's
+    defining contract (the driver row hash-checks the same thing
+    against DuckDB)."""
+    emb = load_table(spark, SF_CORRECTNESS, "embeddings")
+    qvec = [
+        float(v)
+        for v in emb.where(F.col("vec_id") == QUERY_VEC_ID).first()["embedding"]
+    ]
+    got = {
+        (r.vec_id, r.score)
+        for r in ann.q_ann_range_search(spark, SF_CORRECTNESS).collect()
+    }
+    from mcp_server_vector_search_spark.functions.vector import (
+        neo4j_score,
+        vector_lit,
+    )
+
+    full = {
+        (r.vec_id, r.score)
+        for r in emb.withColumn(
+            "score",
+            F.round(neo4j_score("embedding", vector_lit(qvec)), 6),
+        )
+        .where(F.col("score") >= ann.RANGE_MIN_SCORE)
+        .select("vec_id", "score")
+        .collect()
+    }
+    assert got == full and len(got) > 0
