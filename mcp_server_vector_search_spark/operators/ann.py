@@ -1053,3 +1053,144 @@ def q_ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         for v in emb.where(F.col("vec_id") == QUERY_VEC_ID).first()["embedding"]
     ]
     return ivf_range_search(indexed, cents, radii, qvec)
+
+
+# ---------------------------------------------------------------------------
+# Index observability: a distributed RECALL REPORT for the served ANN
+# index — recall@k of the IVF probe path vs exact brute force, per
+# query, computed as ONE Spark job.  Production vector stores ship
+# exactly this audit (FAISS benchmarks, Lucene's KNN regression
+# harness); here every stage is deterministic (trained constants,
+# rounded scores, id tie-breaks), so the whole report is value-hashed
+# against a registration-time numpy replication — the driver certifies
+# not just that search runs, but that its measured quality is exactly
+# what the index math says it must be.
+# ---------------------------------------------------------------------------
+
+REPORT_QUERIES = 5  # vec_id < 5, the batch-query convention
+
+
+def _recall_report_expected() -> list[tuple[int, int]] | None:
+    """(query_id, ann_hits) per report query, replicated in numpy:
+    same trained centroids, same rounded-argmax assignment, same
+    nprobe selection, same rounded-score/vec_id tie-breaks."""
+    from .vsearch_extra import _round6_arr  # shared HALF_UP-at-6
+
+    try:
+        ids, x = load_sorted_vectors(ORACLE_SF_DIR)
+    except Exception:  # pragma: no cover - testdata absent
+        return None
+    cents = train_centroids([list(v) for v in x[:TRAIN_SAMPLE]])
+    C = np.asarray(cents, dtype=np.float64)
+    X = np.asarray(x, dtype=np.float64)
+    U = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    assign = np.argmax(np.round(U @ C.T, ASSIGN_DECIMALS), axis=1)
+    ids_arr = np.asarray(ids, dtype=np.int64)
+    out = []
+    for qid in range(REPORT_QUERIES):
+        qvec = X[ids.index(qid)]
+        qu = qvec / max(float(np.linalg.norm(qvec)), 1e-12)
+        probes = set(nearest_centroids([float(v) for v in qvec], cents, NPROBE))
+        scores = _round6_arr((1.0 + U @ qu) / 2.0)
+        order = np.lexsort((ids_arr, -scores))
+        exact = set(ids_arr[order[:K]].tolist())
+        in_probe = [j for j in order if int(assign[j]) in probes]
+        ann_ids = set(ids_arr[in_probe[:K]].tolist())
+        out.append((qid, len(exact & ann_ids)))
+    return out
+
+
+def _recall_report_oracle() -> str | None:
+    expected = _recall_report_expected()
+    if expected is None:  # pragma: no cover - testdata absent
+        return None
+    values = ",\n  ".join(
+        f"({qid}, {hits}, {hits / K!r})" for qid, hits in expected
+    )
+    return f"""
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(hits AS BIGINT) AS hits,
+       CAST(recall AS DOUBLE) AS recall
+FROM (VALUES
+  {values}
+) AS t(query_id, hits, recall)
+ORDER BY query_id
+"""
+
+
+@register("ann_recall_report", oracle=_recall_report_oracle())
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index quality audit, distributed: batch the report queries
+    against the IVF layout (one scan of the UNION of probed cells,
+    per-query probe membership by broadcast pair join, window top-k)
+    and against the exact corpus (the batch top-k shape), then join
+    the two result sets per query — recall@k falls out as a count.
+    Scale shape: the ANN leg reads only probed partitions; the exact
+    leg is the one honest full scan (it IS the ground truth); both
+    window shuffles carry (query_id, vec_id, score) triples only."""
+    from .topk import topk_per_query
+
+    indexed, cents = load_or_build_ivf_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.where(F.col("vec_id") < REPORT_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )  # bounded: REPORT_QUERIES rows
+    queries = emb.where(F.col("vec_id") < REPORT_QUERIES)
+
+    pairs = [
+        (int(r["vec_id"]), int(c))
+        for r in qrows
+        for c in nearest_centroids(
+            [float(v) for v in r["embedding"]], cents, NPROBE
+        )
+    ]
+    pair_df = spark.createDataFrame(pairs, "query_id bigint, centroid_id int")
+    qdf = spark.createDataFrame(
+        [
+            (int(r["vec_id"]), [float(v) for v in r["embedding"]])
+            for r in qrows
+        ],
+        "query_id bigint, qv array<double>",
+    )
+    cells = sorted({c for _, c in pairs})
+
+    from pyspark.sql import Window as W
+
+    scored = (
+        indexed.where(F.col("centroid_id").isin(cells))
+        .join(F.broadcast(pair_df), ["centroid_id"])
+        .join(F.broadcast(qdf), ["query_id"])
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(neo4j_score("embedding", "qv"), SCORE_DECIMALS).alias(
+                "score"
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    ann_topk = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= K)
+        .select("query_id", "vec_id")
+    )
+    exact_topk = topk_per_query(emb, queries, k=K).select("query_id", "vec_id")
+    hits = (
+        ann_topk.join(exact_topk, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        qdf.select("query_id")
+        .join(hits, ["query_id"], "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("hits"), F.lit(0)).cast("bigint").alias("hits"),
+            (F.coalesce(F.col("hits"), F.lit(0)) / F.lit(K))
+            .cast("double")
+            .alias("recall"),
+        )
+        .orderBy("query_id")
+    )

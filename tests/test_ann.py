@@ -523,3 +523,40 @@ def test_range_search_matches_full_scan(spark):
         .collect()
     }
     assert got == full and len(got) > 0
+
+
+def test_recall_report_row(spark):
+    """The index-quality audit row: one row per report query, hits in
+    [0, K], recall = hits/K exactly, and the 100%-recall queries'
+    exact top-k fully contained in the probed cells (cross-checked
+    against the standalone ivf_topk path)."""
+    rows = ann.q_ann_recall_report(spark, SF_CORRECTNESS).collect()
+    assert [r.query_id for r in rows] == list(range(ann.REPORT_QUERIES))
+    for r in rows:
+        assert 0 <= r.hits <= ann.K
+        assert r.recall == r.hits / ann.K
+    # the report's qid-0 hits must agree with the standalone probe path
+    emb = load_table(spark, SF_CORRECTNESS, "embeddings")
+    indexed, cents = ann.load_or_build_ivf_index(spark, SF_CORRECTNESS)
+    qvec = [
+        float(v)
+        for v in emb.where(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    standalone = {
+        r.vec_id for r in ann.ivf_topk(indexed, cents, qvec).collect()
+    }
+    from mcp_server_vector_search_spark.functions.vector import (
+        neo4j_score,
+        vector_lit,
+    )
+
+    exact = {
+        r.vec_id
+        for r in emb.withColumn(
+            "score", F.round(neo4j_score("embedding", vector_lit(qvec)), 6)
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(ann.K)
+        .collect()
+    }
+    assert rows[0].hits == len(standalone & exact)
