@@ -506,3 +506,100 @@ def q_pipeline_export_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_packs"),
         F.sum("n_tok").alias("total_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fingerprint-atomic split: the constructive sibling of
+# split_leakage_check.  The id-keyed split (sampling.py) can strand
+# identical chunk content on both sides of the train/eval fence — the
+# audit row COUNTS those leaks; this operator makes them impossible:
+# the split cell is keyed on the content FINGERPRINT, so every copy of
+# a chunk text lands in one split by construction (the dedup-aware
+# split every LLM data pipeline should use for held-out sets).
+# ---------------------------------------------------------------------------
+
+
+def _fp_atomic_oracle() -> str:
+    from ..operators.sampling import SPLIT_TRAIN_CELLS, SPLIT_VAL_CELLS
+
+    return f"""
+WITH {_chunk_gate_split_sql()},
+fps AS (
+  SELECT md5(array_to_string(list_sort(list_distinct(string_split(chunk_text, ' '))), ' '))
+           AS fp,
+         COUNT(*) AS n_chunks
+  FROM assigned
+  GROUP BY fp
+),
+resplit AS (
+  SELECT fp, n_chunks,
+         CASE WHEN cell < {SPLIT_TRAIN_CELLS} THEN 'train'
+              WHEN cell < {SPLIT_VAL_CELLS} THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT *, CAST(('0x' || substr(md5(fp), 1, 2)) AS INTEGER) AS cell
+    FROM fps
+  )
+),
+train AS (SELECT DISTINCT fp FROM resplit WHERE split = 'train')
+SELECT r.split,
+       COUNT(*) AS n_fps,
+       CAST(SUM(r.n_chunks) AS BIGINT) AS n_chunks,
+       CAST(COALESCE(SUM(CASE WHEN r.split <> 'train' AND t.fp IS NOT NULL
+                              THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_leaked
+FROM resplit r LEFT JOIN train t ON t.fp = r.fp
+GROUP BY r.split
+"""
+
+
+@register("split_fp_atomic", oracle=_fp_atomic_oracle())
+def split_fp_atomic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-key the gated chunk stream's split on the content
+    fingerprint: every chunk with the same fingerprint — across
+    documents, across duplicates — gets the same md5(fp) cell, so
+    train/eval leakage is structurally zero.  The result still PROBES
+    for leaks the honest way (the same left-join the audit row runs)
+    and returns the count, which the oracle pins at 0 alongside the
+    per-split fingerprint and chunk totals.
+
+    Scale shape: reuses pipeline_build_corpus's one-shuffle fingerprint
+    aggregate, adds one groupBy(fp) rollup (already-collapsed groups)
+    and a fingerprint-width self-join — no document bytes move."""
+    from ..operators.sampling import SPLIT_TRAIN_CELLS, SPLIT_VAL_CELLS
+
+    corpus = pipeline_build_corpus(spark, sf_dir)
+    fps = corpus.groupBy("fp").agg(F.sum("n_members").alias("n_chunks"))
+    cell = F.conv(F.substring(F.md5(F.col("fp")), 1, 2), 16, 10).cast("int")
+    resplit = fps.select(
+        "fp",
+        "n_chunks",
+        F.when(cell < SPLIT_TRAIN_CELLS, "train")
+        .when(cell < SPLIT_VAL_CELLS, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    train = (
+        resplit.where(F.col("split") == "train")
+        .select("fp")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        resplit.join(train, "fp", "left")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_fps"),
+            F.sum("n_chunks").cast("long").alias("n_chunks"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("split") != "train") & F.col("__hit").isNotNull(),
+                        1,
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_leaked"),
+        )
+    )

@@ -445,3 +445,42 @@ def test_streaming_dedup_state_stays_bounded(spark):
 
     for d in (stage, src, sink, ckpt):
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_fp_atomic_split_eliminates_leaks(spark):
+    """The discriminating pair at the correctness SF: the id-keyed
+    split strands duplicate chunk content across the train/eval fence
+    (the audit row reports real leaks on this corpus — 6 fingerprints
+    at sf0.01), while the fingerprint-keyed split reports ZERO via the
+    SAME honest left-join probe, because identical content cannot land
+    in two splits when the cell is keyed on the fingerprint itself."""
+    from mcp_server_vector_search_spark.operators.pipeline import (
+        split_fp_atomic,
+        split_leakage_check,
+    )
+
+    from .conftest import SF_CORRECTNESS
+
+    id_keyed = {
+        r.split: r.n_leaked
+        for r in split_leakage_check(spark, SF_CORRECTNESS).collect()
+    }
+    assert sum(id_keyed.values()) > 0, (
+        "fixture should exhibit id-keyed leakage for the contrast"
+    )
+    atomic = split_fp_atomic(spark, SF_CORRECTNESS).collect()
+    assert {r.split for r in atomic} == {"train", "val", "test"}
+    assert all(r.n_leaked == 0 for r in atomic), atomic
+    # and it still partitions everything: chunk totals match the
+    # corpus-build fingerprint aggregate
+    from mcp_server_vector_search_spark.operators.pipeline import (
+        pipeline_build_corpus,
+    )
+    from pyspark.sql import functions as F
+
+    total = (
+        pipeline_build_corpus(spark, SF_CORRECTNESS)
+        .agg(F.sum("n_members"))
+        .first()[0]
+    )
+    assert sum(r.n_chunks for r in atomic) == total
