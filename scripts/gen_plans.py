@@ -476,6 +476,17 @@ SHOWCASE = [
         "cache, and the top-k is `TakeOrderedAndProject` — a warm "
         "search is ONE bounded job, measured at 0.2-0.3 s.",
     ),
+    (
+        "ann_range_search",
+        "Range (radius) search over the IVF layout: the "
+        "triangle-inequality feasible cells arrive as "
+        "`PartitionFilters: INSET …` on the parquet scan — cells whose "
+        "best possible score misses the threshold are never read — and "
+        "the only shuffle is the final sort of MATCHES (the "
+        "threshold-bounded result), never corpus rows.  Lossless by "
+        "construction: the driver row hash-matches the full-scan "
+        "oracle.",
+    ),
 ]
 
 # Queries whose evidence is the EXECUTED streaming micro-batch plan,
