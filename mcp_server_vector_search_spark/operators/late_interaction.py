@@ -1,0 +1,201 @@
+"""Late-interaction (MaxSim) retrieval — ColBERT-style multi-vector
+search over token-level embeddings.
+
+The reference serves single-vector cosine top-k (server.py:85-91); the
+modern evolution of that capability keeps ONE VECTOR PER TOKEN and
+scores a document as ``sum over query tokens of (max over doc tokens
+of cos(q_i, d_j))`` — Khattab & Zaharia 2020's MaxSim, what ColBERT /
+PLAID serve.  This module is the Spark-first form:
+
+- doc-side token vectors are computed DISTRIBUTED (Arrow-batched UDF
+  over the deduplicated (doc, token) stream — duplicates cannot change
+  a max, so they are dropped before the UDF);
+- query-side token vectors fold into the plan as a literal matrix
+  (the reference's client-side embed discipline, server.py:78);
+- the per-token similarity row is a JVM ``transform`` over that
+  matrix; the per-document reduction is ``max`` partials per query
+  slot + a final rounded sum — map-side combine does the heavy
+  lifting, and the shuffle carries (doc_id, Q floats), never vectors.
+
+Determinism contract (what makes the row value-hashable): token
+vectors come from the md5-seeded generator with a PURE-SEQUENTIAL
+float64 normalization, similarities fold left-to-right exactly like
+``functions.vector.dot``'s ``F.aggregate``, and every comparison
+happens on HALF_UP-rounded values — the registration-time replication
+(`_maxsim_expected`) runs the identical arithmetic, so the oracle
+literals are bit-faithful (the ``lifecycle`` dim-1536 rows prove this
+device end to end).
+
+Scale notes: token-level indexes are ~32× larger than doc-level ones —
+the production layout stores token vectors cell-partitioned like the
+IVF family and prunes candidates with a doc-level first stage; here
+the corpus is scanned once (the honest exact form), and the plan's
+only shuffles are the (doc, token) dedup and the Q-float per-doc
+rollup.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.embedder import _token_vector
+from ..functions.vector import dot, matrix_lit
+from ..registry import register
+from ..sources.tables import load_table
+
+__all__ = ["maxsim_topk", "token_unit", "query_token_matrix"]
+
+MAXSIM_DIM = 32
+MAXSIM_DOC_TOKENS = 32  # first-N truncation, the ColBERT doc_maxlen knob
+MAXSIM_QUERY = "spark window query join"
+MAXSIM_K = 10
+SIM_DECIMALS = 6
+
+
+def _round6(v: float) -> float:
+    from .vsearch_extra import _round6 as shared
+
+    return shared(v)
+
+
+def token_unit(tok: str, dim: int = MAXSIM_DIM) -> list[float]:
+    """Unit token vector with PURE-SEQUENTIAL normalization: the
+    md5-seeded generator is bit-stable on every process (no BLAS), and
+    the norm folds left-to-right in float64 — so driver replication
+    and Arrow workers produce identical bytes (the skew measured in
+    test_mini_transformer_real_model_end_to_end comes from BLAS
+    kernels, which this path never touches)."""
+    raw = [float(x) for x in _token_vector(tok, dim)]
+    acc = 0.0
+    for x in raw:
+        acc += x * x
+    nrm = math.sqrt(acc)
+    return [x / nrm for x in raw] if nrm > 0 else raw
+
+
+@F.pandas_udf(T.ArrayType(T.DoubleType()))
+def token_unit_udf(toks: pd.Series) -> pd.Series:
+    from mcp_server_vector_search_spark.operators.late_interaction import (
+        token_unit,
+    )
+
+    return toks.map(lambda t: token_unit(t))
+
+
+def query_token_matrix(query: str = MAXSIM_QUERY) -> list[list[float]]:
+    return [token_unit(t) for t in query.split(" ")]
+
+
+def maxsim_topk(
+    docs: DataFrame, query: str = MAXSIM_QUERY, k: int = MAXSIM_K
+) -> DataFrame:
+    """(doc_id, score) top-k by MaxSim.  Stage shape: explode first-N
+    tokens → dedup (doc, token) → Arrow token embed → JVM transform
+    over the query matrix (rounded sims) → per-doc max per query slot
+    (map-side combine) → rounded sum → TakeOrderedAndProject."""
+    qmat = query_token_matrix(query)
+    # per-doc token SET via array_distinct BEFORE the explode: MaxSim
+    # is duplicate-insensitive, and deduping inside the row is a
+    # map-side array op — no shuffle, fewer Arrow UDF rows.  (A
+    # DataFrame-level .distinct() here gets optimized away anyway:
+    # Catalyst's RemoveRedundantAggregates knows max() ignores
+    # duplicates and elides the lower aggregate.)
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.slice(F.split("text", " "), 1, MAXSIM_DOC_TOKENS))
+        ).alias("tok"),
+    )
+    sims = toks.withColumn("vec", token_unit_udf("tok")).select(
+        "doc_id",
+        F.transform(
+            matrix_lit(qmat), lambda qv: F.round(dot("vec", qv), SIM_DECIMALS)
+        ).alias("sims"),
+    )
+    maxes = sims.groupBy("doc_id").agg(
+        *[
+            F.max(F.element_at("sims", i + 1)).alias(f"m{i}")
+            for i in range(len(qmat))
+        ]
+    )
+    score = F.round(
+        sum(F.col(f"m{i}") for i in range(len(qmat))), SIM_DECIMALS
+    )
+    return (
+        maxes.select("doc_id", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def _maxsim_expected() -> list[tuple[int, float]] | None:
+    """Registration-time replication: identical token vectors,
+    identical sequential dot fold, identical HALF_UP rounding."""
+    from ..functions.train import ORACLE_SF_DIR
+    from .lifecycle import _seq_dot
+
+    try:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            f"{ORACLE_SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+        )
+    except Exception:  # pragma: no cover - testdata absent
+        return None
+    qmat = query_token_matrix()
+    cache: dict[str, list[float]] = {}
+    scored: list[tuple[float, int]] = []
+    for doc_id, text in zip(
+        t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+    ):
+        toks = set((text or "").split(" ")[:MAXSIM_DOC_TOKENS])
+        if not toks:
+            continue
+        maxes = [-2.0] * len(qmat)
+        for tok in toks:
+            vec = cache.get(tok)
+            if vec is None:
+                vec = cache[tok] = token_unit(tok)
+            for i, qv in enumerate(qmat):
+                s = _round6(_seq_dot(vec, qv))
+                if s > maxes[i]:
+                    maxes[i] = s
+        acc = 0.0  # sequential fold, mirroring the Column `+` chain
+        for m in maxes:
+            acc += m
+        scored.append((-_round6(acc), int(doc_id)))
+    scored.sort()
+    return [(doc_id, -neg) for neg, doc_id in scored[:MAXSIM_K]]
+
+
+def _maxsim_oracle() -> str | None:
+    expected = _maxsim_expected()
+    if expected is None:  # pragma: no cover - testdata absent
+        return None
+    from ..functions.train import sql_float
+
+    values = ",\n  ".join(
+        f"({d}, {sql_float(s)})" for d, s in expected
+    )
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(score AS DOUBLE) AS score
+FROM (VALUES
+  {values}
+) AS t(doc_id, score)
+ORDER BY score DESC, doc_id
+"""
+
+
+@register("semantic_search_maxsim", oracle=_maxsim_oracle())
+def q_semantic_search_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late interaction end to end: distributed doc-token
+    embed, literal query-token matrix, per-doc MaxSim reduction, top-k
+    — value-hashed against the sequential-arithmetic replication."""
+    docs = load_table(spark, sf_dir, "documents")
+    return maxsim_topk(docs)

@@ -55,6 +55,7 @@ def load_all_operators() -> None:
         graph_ann,
         hybrid,
         ivfpq,
+        late_interaction,
         lifecycle,
         matryoshka,
         opq,
