@@ -1,0 +1,234 @@
+"""Distributed Lloyd k-means — the iterative-algorithm pattern as a
+first-class, fully value-hashed engine row.
+
+The reference's store clusters nothing (its ANN index is delegated to
+Neo4j wholesale, server.py:85-91); but every production vector system
+trains coarse quantizers with exactly this loop, and the repo's own IVF
+family (`functions/train.py:32`) runs Lloyd DRIVER-SIDE on a bounded
+sample, FAISS-style.  This module is the other half of the story: the
+SAME algorithm run DISTRIBUTED over the full table — the shape you need
+when the training sample itself no longer fits one machine.
+
+Spark-first iteration shape (what MLlib's KMeans does under the hood):
+
+- **assignment is map-side**: the K current centroids fold into the
+  plan as literal arrays, each point's nearest-centroid argmin is a
+  ``zip_with``+``aggregate`` fold inside whole-stage codegen — NO join,
+  NO shuffle, no Python;
+- **update is one tiny shuffle**: per-cluster per-dimension sums are
+  64 ``F.sum`` columns over a groupBy on K keys — map-side partial
+  aggregation reduces each of the 1000 executors' contribution to
+  K x (dim+2) longs before the exchange, so the shuffle carries
+  kilobytes regardless of table size;
+- **the driver touches K rows per iteration** (the new centroids) —
+  a bounded certificate read, the same O5 discipline every other
+  bounded ``collect()`` in the repo follows.
+
+Determinism contract (what makes an ITERATIVE float algorithm
+value-hashable across engines): all cross-row reductions happen in
+exact BIGINT micro-units, which are associative and commutative, so
+partition order cannot change a single bit:
+
+- squared-L2 distances are compared as ``floor((x-c)^2 * 1e12)`` term
+  sums (exact longs; max |dm| ~ 2.6e14 << 2^53),
+- centroid updates sum ``floor(x * 1e6)`` per dimension (exact longs)
+  and divide once, driver-side, in IEEE double — bit-identical to the
+  oracle's ``CAST(s AS DOUBLE)/CAST(n AS DOUBLE)/1e6``,
+- argmin ties break on cluster id via lexicographic struct min.
+
+The DuckDB oracle replays ALL THREE iterations in pure SQL (exploded
+point-dimension CTEs, one dist/assign/update block per iteration) — no
+registration-time training constants; the driver genuinely re-executes
+the algorithm on both engines and hash-compares the result.
+
+Scale notes: at 100 TB the per-iteration scan dominates; production
+caches the (vec_id, emb) projection in memory/disk before iterating
+(MLlib does `.persist()` exactly there) and the update shuffle stays
+K x dim longs per executor regardless.  BIGINT micro-sums bound the
+per-cluster mass at 2^63; past ~1e12 members per cluster the
+accumulator widens to DECIMAL(38,0) — the plan shape is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import EMBEDDING_DIM, load_table
+
+__all__ = ["kmeans_lloyd", "K_CLUSTERS", "N_ITERS"]
+
+K_CLUSTERS = 8
+N_ITERS = 3
+DIM = EMBEDDING_DIM
+# micro-unit scales; exponent-suffixed literals on the SQL side parse
+# straight through strtod (functions/train.py:64 discipline)
+POINT_SCALE = 1000000.0  # centroid-update quantum (1e-6)
+DIST_SCALE = 1000000000000.0  # distance-comparison quantum (1e-12)
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # float32 -> float64 cast is exact; matches CAST(embedding[d] AS DOUBLE)
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+
+
+def _dist_micro(centroid: list[float]) -> Column:
+    """Exact long micro-distance to one literal centroid: each term is
+    floor((x-c)^2 * 1e12) — deterministic double math per element, then
+    an order-free integer sum."""
+    c = F.array(*[F.lit(float(v)) for v in centroid])
+    terms = F.zip_with(
+        "emb", c, lambda a, b: F.floor((a - b) * (a - b) * F.lit(DIST_SCALE))
+    )
+    return F.aggregate(terms, F.lit(0).cast("long"), lambda acc, t: acc + t)
+
+
+def _won(centroids: list[tuple[int, list[float]]]) -> Column:
+    """struct(dm, cid) of the nearest centroid; lexicographic array_min
+    IS the (distance, cluster-id) tie-break."""
+    cands = F.array(
+        *[
+            F.struct(_dist_micro(vec).alias("dm"), F.lit(cid).alias("cid"))
+            for cid, vec in centroids
+        ]
+    )
+    return F.array_min(cands)
+
+
+def _point_micro(d: int) -> Column:
+    return F.floor(F.element_at("emb", d + 1) * F.lit(POINT_SCALE))
+
+
+def kmeans_lloyd(
+    spark: SparkSession, sf_dir: str, k: int = K_CLUSTERS, iters: int = N_ITERS
+) -> DataFrame:
+    """K-means over ``embeddings``: init = the k smallest vec_ids'
+    vectors, ``iters`` assignment+update rounds, then one final
+    distributed pass producing per-cluster (count, exact WSS in 1e-12
+    units, exact per-dim micro-sums).  Clusters that lose every member
+    drop out (documented semantics; the oracle's GROUP BY agrees)."""
+    pts = _points(spark, sf_dir)
+
+    seed_rows = pts.orderBy("vec_id").limit(k).collect()  # bounded: k rows
+    centroids = [
+        (cid, [float(v) for v in r["emb"]]) for cid, r in enumerate(seed_rows)
+    ]
+
+    for _ in range(iters):
+        agg = (
+            pts.select("emb", _won(centroids).alias("won"))
+            .groupBy(F.col("won.cid").alias("cid"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(_point_micro(d)).alias(f"s{d}") for d in range(DIM)],
+            )
+        )
+        rows = agg.collect()  # bounded: <= k rows per iteration
+        # (s/n)/1e6 in IEEE double == the oracle's CAST/CAST/1e6 chain
+        centroids = sorted(
+            (
+                int(r["cid"]),
+                [(float(r[f"s{d}"]) / float(r["n"])) / POINT_SCALE for d in range(DIM)],
+            )
+            for r in rows
+        )
+
+    final = pts.select("emb", _won(centroids).alias("won"))
+    return (
+        final.groupBy(F.col("won.cid").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("won.dm").alias("wss_micro"),
+            *[F.sum(_point_micro(d)).alias(f"s{d}") for d in range(DIM)],
+        )
+        .select(
+            "cluster_id",
+            "n_members",
+            "wss_micro",
+            F.array(*[F.col(f"s{d}") for d in range(DIM)]).alias(
+                "centroid_microsum"
+            ),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _kmeans_oracle(k: int = K_CLUSTERS, iters: int = N_ITERS) -> str:
+    """The full 3-iteration Lloyd loop as one DuckDB query: exploded
+    (vec_id, d, val) points, one dist/assign/update CTE block per
+    iteration, micro-unit arithmetic everywhere a sum crosses rows."""
+
+    def dist_block(n: int, prev_c: str) -> str:
+        return f"""d{n} AS (
+  SELECT px.vec_id, c.cid,
+         CAST(SUM(CAST(FLOOR((px.val - c.cval) * (px.val - c.cval) * 1000000000000.0e0) AS BIGINT)) AS BIGINT) AS dm
+  FROM px JOIN {prev_c} c ON c.d = px.d
+  GROUP BY px.vec_id, c.cid
+),
+a{n} AS (
+  SELECT vec_id, cid, dm FROM (
+    SELECT vec_id, cid, dm,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dm, cid) AS rn
+    FROM d{n}
+  ) WHERE rn = 1
+)"""
+
+    def update_block(n: int) -> str:
+        return f"""c{n} AS (
+  SELECT a.cid, px.d,
+         CAST(SUM(CAST(FLOOR(px.val * 1000000.0e0) AS BIGINT)) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) / 1000000.0e0 AS cval
+  FROM px JOIN a{n} a ON a.vec_id = px.vec_id
+  GROUP BY a.cid, px.d
+)"""
+
+    blocks = []
+    prev = "c0"
+    for n in range(1, iters + 1):
+        blocks.append(dist_block(n, prev))
+        blocks.append(update_block(n))
+        prev = f"c{n}"
+    final_n = iters + 1
+    blocks.append(dist_block(final_n, prev))
+
+    return f"""
+WITH dims AS (SELECT UNNEST(generate_series(1, {DIM})) AS d),
+pts AS (SELECT vec_id, embedding FROM embeddings),
+px AS (
+  SELECT p.vec_id, d.d, CAST(p.embedding[d.d] AS DOUBLE) AS val
+  FROM pts p CROSS JOIN dims d
+),
+seed AS (
+  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid
+  FROM (SELECT vec_id FROM pts ORDER BY vec_id LIMIT {k})
+),
+c0 AS (SELECT s.cid, px.d, px.val AS cval FROM seed s JOIN px ON px.vec_id = s.vec_id),
+{",".join(blocks)},
+summ AS (
+  SELECT a.cid AS cluster_id, px.d,
+         CAST(SUM(CAST(FLOOR(px.val * 1000000.0e0) AS BIGINT)) AS BIGINT) AS sd
+  FROM px JOIN a{final_n} a ON a.vec_id = px.vec_id
+  GROUP BY a.cid, px.d
+),
+base AS (
+  SELECT cid AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+         CAST(SUM(dm) AS BIGINT) AS wss_micro
+  FROM a{final_n} GROUP BY cid
+)
+SELECT b.cluster_id, b.n_members, b.wss_micro,
+       (SELECT list(sd ORDER BY d) FROM summ s WHERE s.cluster_id = b.cluster_id)
+         AS centroid_microsum
+FROM base b
+ORDER BY cluster_id
+"""
+
+
+@register("cluster_kmeans_lloyd", oracle=_kmeans_oracle())
+def q_cluster_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means, 3 iterations end to end on BOTH
+    engines — map-side literal-centroid assignment, K-key micro-unit
+    update shuffle, per-cluster exact WSS + centroid mass out."""
+    return kmeans_lloyd(spark, sf_dir)

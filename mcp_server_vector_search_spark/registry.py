@@ -46,6 +46,7 @@ def load_all_operators() -> None:
     from .operators import (  # noqa: F401
         analytics,
         ann,
+        clustering,
         components,
         curation,
         data_selection,

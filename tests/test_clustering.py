@@ -1,0 +1,63 @@
+"""Distributed Lloyd k-means (operators/clustering.py).
+
+Oracle parity runs wholesale in test_oracle_parity.py; these are the
+bespoke properties: partition-count determinism (micro-unit sums are
+order-free BY CONSTRUCTION, so reshuffling the input cannot move a
+bit), mass conservation, and the map-side plan shape (the assignment
+must stay join-free and Python-free — literal centroids, one K-key
+exchange).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mcp_server_vector_search_spark.operators.clustering import (
+    K_CLUSTERS,
+    kmeans_lloyd,
+)
+from mcp_server_vector_search_spark.plans.explain import formatted_plan
+from mcp_server_vector_search_spark.sources.tables import load_table
+
+from .conftest import SF_CORRECTNESS
+
+
+def test_kmeans_mass_conservation_and_shape(spark):
+    out = kmeans_lloyd(spark, SF_CORRECTNESS).collect()
+    n_total = load_table(spark, SF_CORRECTNESS, "embeddings").count()
+    assert sum(r["n_members"] for r in out) == n_total
+    assert 1 <= len(out) <= K_CLUSTERS
+    assert [r["cluster_id"] for r in out] == sorted(r["cluster_id"] for r in out)
+    for r in out:
+        assert r["wss_micro"] >= 0
+        assert len(r["centroid_microsum"]) == 64
+
+
+def test_kmeans_partition_count_invariance(spark):
+    """Exact integer micro-sums are associative+commutative: running the
+    same loop over a repartitioned input must produce byte-identical
+    clusters — the property that makes the row value-hashable at any
+    parallelism (and on a 1000-executor cluster)."""
+    base = kmeans_lloyd(spark, SF_CORRECTNESS).collect()
+
+    pts = load_table(spark, SF_CORRECTNESS, "embeddings").repartition(13)
+    tmp = "/tmp/kmeans_repart_embeddings"
+    pts.write.mode("overwrite").parquet(f"{tmp}/embeddings.parquet")
+    again = kmeans_lloyd(spark, tmp).collect()
+
+    assert [tuple(r) for r in base] == [tuple(r) for r in again]
+
+
+def test_kmeans_assignment_is_map_side(spark):
+    """The final pass must be scan -> project(argmin over literal
+    centroids) -> partial agg -> ONE exchange -> final agg -> sort:
+    no join operator, no Python stage, centroids as plan literals."""
+    plan = formatted_plan(kmeans_lloyd(spark, SF_CORRECTNESS))
+    assert "Join" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    # one aggregation exchange + the output-sort exchange, nothing else
+    # (formatted plans print each node twice: tree line + detail header)
+    import re
+
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 2
+    assert "array_min" in plan  # the literal-centroid argmin survives codegen
