@@ -1353,3 +1353,103 @@ def q_streaming_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(stage, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Driver-gated streaming row #15: STATEFUL SESSION WINDOWS — the one
+# streaming mechanism previously certified only in batch
+# (operators/windows.q_window_session_native runs the same Catalyst
+# operator un-stateful).  Session state is the interesting state shape:
+# unlike tumbling windows, session boundaries are DATA-DEPENDENT, so the
+# store must merge adjacent sessions when a later micro-batch bridges a
+# gap — the events table is split into three files (maxFilesPerTrigger=1)
+# precisely so sessions span micro-batches and that merge actually runs.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_session_window",
+    oracle=f"""
+WITH marks AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w >= INTERVAL {SESSION_GAP.split()[0]} MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marks
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+FROM sess
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+""",
+)
+def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-merged user sessions computed BY A STREAM: the events table
+    replays as three micro-batches through the file source, the
+    ``session_windows`` aggregate (the SAME expression the batch row
+    certifies) runs stateful under StreamExecution, and the
+    complete-mode memory sink is hashed against the gaps-and-islands
+    oracle.  The split is random (``repartition(3)``), so sessions
+    straddle batches and the state store's session-MERGE path executes
+    — the certificate asserts >=2 data batches actually carried rows.
+
+    Complete mode for the same reason as ``streaming_tumbling_counts``:
+    the gate needs every session, closed or not.  NO watermark here —
+    watermark lateness filtering applies to stateful aggregates in
+    EVERY output mode, and a random bounded replay makes two thirds of
+    the input "late" after the first micro-batch advances the clock to
+    the end of the range (measured: 946 sessions drop to 643).  The
+    production append-mode form (watermarked ``session_windows``, 2 h
+    eviction) is exercised in tests/test_streaming.py, and lateness
+    semantics are gated by ``streaming_watermark_late_drop``.  At
+    100 TB state is one entry per OPEN session per user — bounded by
+    active users, not corpus — on the RocksDB provider the
+    ``streaming_rocksdb_state_store`` row certifies."""
+    import shutil
+    import uuid
+
+    events = load_table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="stream_sess_src_")
+    events.repartition(3).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = f"stream_session_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
+    sessions = (
+        stream.groupBy("user_id", F.session_window("ts", SESSION_GAP))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert data_batches(q) >= 2, "sessions must be assembled across batches"
+    out = (
+        spark.table(name)
+        .orderBy("user_id", "session_start")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out
