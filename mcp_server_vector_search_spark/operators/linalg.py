@@ -1,0 +1,175 @@
+"""Distributed power iteration — the top principal direction of the
+embedding Gram matrix, computed by repeated distributed mat-vec.
+
+The second iterative-algorithm exemplar (clustering.py's Lloyd loop is
+the first): PCA / spectral methods at corpus scale reduce to exactly
+this loop — ``w = X^T (X v)`` as one scan plus a dim-wide reduce, the
+driver holding only the 64-float iterate.  The repo's OPQ row trains
+its rotation driver-side on a bounded sample (FAISS discipline,
+opq.py); THIS row is the shape you need when the sample no longer fits
+one machine.
+
+Spark-first iteration shape:
+
+- ``s = x . v`` is a per-row ``zip_with``+``aggregate`` fold against
+  the literal iterate — map-side, whole-stage codegen, no shuffle;
+- ``w_d = sum_rows x_d * s`` is 64 ``F.sum`` columns in ONE global
+  aggregate — map-side partials reduce each executor's contribution to
+  64 longs before the single-row exchange (the treeAggregate shape);
+- the driver divides by ``max|w|`` (max-norm power iteration — MAX is
+  order-free, so the normalizer needs no float sum) and folds the next
+  iterate back in as literals.
+
+Determinism contract: every cross-row reduction is an exact BIGINT
+micro-unit sum (``floor((x.v piecewise) * 1e9)`` per row,
+``floor(x_d * s)`` per contribution), so partition order cannot move a
+bit; the normalizing division is one IEEE double op on identical
+integers.  The Gram matrix is PSD, so the iteration cannot oscillate
+sign.  The DuckDB oracle replays ALL iterations in pure SQL — no
+registration-time constants.
+
+Scale notes: per-iteration driver traffic is 64 longs; the scan
+dominates, so production persists the projected column once and
+iterates over the cache (same note as clustering.py).  BIGINT
+contribution sums bound per-dim mass at 2^53-exact doubles up to
+~1e8 rows per ulp-free cast; past that the accumulator widens to
+DECIMAL(38,0) with the plan shape unchanged.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import EMBEDDING_DIM, load_table
+
+__all__ = ["power_iteration_top_component", "PI_ITERS"]
+
+DIM = EMBEDDING_DIM
+PI_ITERS = 4
+DOT_SCALE = 1000000000.0  # per-row x.v quantum (1e-9)
+OUT_SCALE = 1000000000.0  # component output quantum (1e-9)
+
+
+def _row_dot_micro(v: list[float]) -> Column:
+    """Exact long micro dot-product against the literal iterate:
+    floor((x_d * v_d) * 1e9) per element, order-free integer sum."""
+    lit_v = F.array(*[F.lit(float(x)) for x in v])
+    terms = F.zip_with(
+        "emb", lit_v, lambda a, b: F.floor((a * b) * F.lit(DOT_SCALE))
+    )
+    return F.aggregate(terms, F.lit(0).cast("long"), lambda acc, t: acc + t)
+
+
+def power_iteration_top_component(
+    spark: SparkSession, sf_dir: str, iters: int = PI_ITERS
+) -> DataFrame:
+    """One row out: the max-normalized top principal direction in 1e-9
+    units, the exact micro Rayleigh mass ``sum floor((x.v)^2 * 1e9)``
+    under the final iterate, and the row count."""
+    pts = load_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("emb")
+    )
+
+    v = [1.0] + [0.0] * (DIM - 1)
+    for _ in range(iters):
+        scored = pts.select("emb", _row_dot_micro(v).alias("su"))
+        agg = scored.groupBy().agg(
+            *[
+                F.sum(
+                    F.floor(
+                        F.element_at("emb", d + 1) * F.col("su").cast("double")
+                    )
+                ).alias(f"w{d}")
+                for d in range(DIM)
+            ]
+        )
+        row = agg.collect()[0]  # bounded: one row of 64 longs
+        w = [int(row[f"w{d}"]) for d in range(DIM)]
+        wmax = max(abs(x) for x in w)
+        # float(w)/float(wmax): one IEEE division on identical integers,
+        # bit-equal to the oracle's CAST/CAST quotient
+        v = [float(x) / float(wmax) for x in w]
+
+    component_micro = [int(math.floor(x * OUT_SCALE)) for x in v]
+    e = F.col("su").cast("double") / F.lit(DOT_SCALE)
+    return (
+        pts.select(_row_dot_micro(v).alias("su"))
+        .groupBy()
+        .agg(
+            F.sum(F.floor((e * e) * F.lit(DOT_SCALE))).alias("rayleigh_micro"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.array(*[F.lit(c) for c in component_micro])
+            .cast("array<bigint>")
+            .alias("component_micro"),
+            "rayleigh_micro",
+            "n_rows",
+        )
+    )
+
+
+def _power_iteration_oracle(iters: int = PI_ITERS) -> str:
+    """All ``iters`` mat-vec rounds as chained CTEs over the exploded
+    (vec_id, d, val) view; max-norm normalization keeps every
+    normalizer order-free (MAX of exact longs)."""
+    blocks = []
+    prev_v = "v0"
+    for n in range(1, iters + 1):
+        blocks.append(
+            f"""su{n} AS (
+  SELECT px.vec_id,
+         CAST(SUM(CAST(FLOOR((px.val * v.vd) * 1000000000.0e0) AS BIGINT)) AS BIGINT) AS su
+  FROM px JOIN {prev_v} v ON v.d = px.d
+  GROUP BY px.vec_id
+),
+w{n} AS (
+  SELECT px.d,
+         CAST(SUM(CAST(FLOOR(px.val * CAST(s.su AS DOUBLE)) AS BIGINT)) AS BIGINT) AS w
+  FROM px JOIN su{n} s ON s.vec_id = px.vec_id
+  GROUP BY px.d
+),
+v{n} AS (
+  SELECT d, CAST(w AS DOUBLE) / CAST((SELECT MAX(ABS(w)) FROM w{n}) AS DOUBLE) AS vd
+  FROM w{n}
+)"""
+        )
+        prev_v = f"v{n}"
+    final_n = iters + 1
+    blocks.append(
+        f"""su{final_n} AS (
+  SELECT px.vec_id,
+         CAST(SUM(CAST(FLOOR((px.val * v.vd) * 1000000000.0e0) AS BIGINT)) AS BIGINT) AS su
+  FROM px JOIN {prev_v} v ON v.d = px.d
+  GROUP BY px.vec_id
+)"""
+    )
+    return f"""
+WITH dims AS (SELECT UNNEST(generate_series(1, {DIM})) AS d),
+px AS (
+  SELECT e.vec_id, d.d, CAST(e.embedding[d.d] AS DOUBLE) AS val
+  FROM embeddings e CROSS JOIN dims d
+),
+v0 AS (SELECT d, CASE WHEN d = 1 THEN 1.0e0 ELSE 0.0e0 END AS vd FROM dims),
+{",".join(blocks)}
+SELECT
+  (SELECT list(CAST(FLOOR(vd * 1000000000.0e0) AS BIGINT) ORDER BY d) FROM {prev_v})
+    AS component_micro,
+  CAST(SUM(CAST(FLOOR(((CAST(su AS DOUBLE) / 1000000000.0e0)
+                       * (CAST(su AS DOUBLE) / 1000000000.0e0)) * 1000000000.0e0) AS BIGINT)) AS BIGINT)
+    AS rayleigh_micro,
+  CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM su{final_n}
+"""
+
+
+@register("linalg_power_iteration", oracle=_power_iteration_oracle())
+def q_linalg_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed power iteration, 4 mat-vec rounds on BOTH engines —
+    map-side literal-iterate dot, 64-column single-row reduce, max-norm
+    update; component + Rayleigh mass value-hashed bit for bit."""
+    return power_iteration_top_component(spark, sf_dir)

@@ -58,6 +58,7 @@ def load_all_operators() -> None:
         ivfpq,
         late_interaction,
         lifecycle,
+        linalg,
         matryoshka,
         opq,
         pipeline,
