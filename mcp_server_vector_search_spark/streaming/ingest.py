@@ -1413,6 +1413,26 @@ def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     active users, not corpus — on the RocksDB provider the
     ``streaming_rocksdb_state_store`` row certifies."""
     import shutil
+
+    q, name, src, ckpt = run_session_stream(spark, sf_dir)
+    assert data_batches(q) >= 2, "sessions must be assembled across batches"
+    out = (
+        spark.table(name)
+        .orderBy("user_id", "session_start")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out
+
+
+def run_session_stream(spark: SparkSession, sf_dir: str):
+    """Run the session-window stream to completion; return the finished
+    handle, memory-sink table name, and the two tmp dirs the caller
+    sweeps.  Shared by the gate query above and ``scripts/gen_plans.py``,
+    which renders the executed micro-batch plan (the
+    ``SessionWindowStateStore`` restore/save pair) via
+    ``explainInternal``."""
     import uuid
 
     events = load_table(spark, sf_dir, "events")
@@ -1444,12 +1464,4 @@ def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    assert data_batches(q) >= 2, "sessions must be assembled across batches"
-    out = (
-        spark.table(name)
-        .orderBy("user_id", "session_start")
-        .localCheckpoint(eager=True)
-    )
-    shutil.rmtree(src, ignore_errors=True)
-    shutil.rmtree(ckpt, ignore_errors=True)
-    return out
+    return q, name, src, ckpt

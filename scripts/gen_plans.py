@@ -487,12 +487,44 @@ SHOWCASE = [
         "construction: the driver row hash-matches the full-scan "
         "oracle.",
     ),
+    (
+        "streaming_session_window",
+        "Stateful session windows under real StreamExecution: the "
+        "executed micro-batch plan shows the `SessionWindowStateStore` "
+        "restore/save pair around the gap-merge aggregate — "
+        "data-dependent session boundaries merging ACROSS micro-batches "
+        "(the input is split into three files so the merge path "
+        "actually runs).  Complete-mode sink hash-matches the "
+        "gaps-and-islands batch oracle.",
+    ),
+    (
+        "cluster_kmeans_lloyd",
+        "Distributed Lloyd k-means, final pass: the scan is pruned to "
+        "the embedding column, the nearest-centroid argmin is an "
+        "`array_min` over literal-centroid structs INSIDE the project "
+        "(no join, no Python), and the per-cluster micro-unit sums "
+        "reduce map-side before ONE K-key exchange — the shuffle "
+        "carries K x (dim+2) longs per executor regardless of table "
+        "size.  Exact BIGINT micro-units make the iteration "
+        "order-free, so the DuckDB oracle replays all three rounds in "
+        "pure SQL and hash-matches bit for bit.",
+    ),
+    (
+        "linalg_power_iteration",
+        "Distributed power iteration, final pass: per-row dot against "
+        "the literal iterate folds inside whole-stage codegen, and the "
+        "Rayleigh/count aggregate reduces to ONE row through a single "
+        "exchange (the treeAggregate shape) — per-iteration driver "
+        "traffic is 64 longs.  Max-norm normalization keeps the "
+        "normalizer an order-free integer MAX, which is what lets the "
+        "oracle replay every mat-vec round in SQL.",
+    ),
 ]
 
 # Queries whose evidence is the EXECUTED streaming micro-batch plan,
 # not a batch DataFrame explain (a memory-sink table explains as a
 # bare LocalTableScan).  Rendered via StreamingQuery.explainInternal.
-STREAMING_PLAN = {"streaming_tumbling_counts"}
+STREAMING_PLAN = {"streaming_tumbling_counts", "streaming_session_window"}
 
 # The warm-serve showcase: the registered query returns a
 # localCheckpoint (its plan is a bare checkpoint scan), so the evidence
@@ -543,18 +575,29 @@ _STREAM_NOISE = [
         re.compile(r", \d+\), REQUIRED_BY_STATEFUL_OPERATOR"),
         ", N), REQUIRED_BY_STATEFUL_OPERATOR",
     ),
+    # session-window operators print the shuffle-partition count as a
+    # bare positional argument (`true, 32, [user_id...`)
+    (re.compile(r"(true|false), \d+, \["), r"\1, N, ["),
 ]
 
 
 def streaming_plan(spark, name: str) -> str:
     """Executed micro-batch physical plan for a streaming showcase
     query, with run-specific noise normalized."""
+    import shutil
+
     from mcp_server_vector_search_spark.streaming.ingest import (
+        run_session_stream,
         run_tumbling_stream,
     )
 
-    assert name == "streaming_tumbling_counts"
-    q, _table = run_tumbling_stream(spark, SF)
+    if name == "streaming_tumbling_counts":
+        q, _table = run_tumbling_stream(spark, SF)
+    else:
+        assert name == "streaming_session_window"
+        q, _table, src, ckpt = run_session_stream(spark, SF)
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
     plan = q._jsq.explainInternal(False)
     for pat, repl in _STREAM_NOISE:
         plan = pat.sub(repl, plan)
