@@ -614,3 +614,49 @@ def test_hnsw_100x(spark, tiers):
     assert q100 <= LINEAR_SLACK * q10, (
         f"HNSW query grew {q100 / q10:.1f}x on 10x data — super-linear"
     )
+
+
+def test_kmeans_100x(spark, tiers):
+    """Distributed Lloyd at 200k vectors: the iterative-family scale
+    record.  Gates: (a) the Lloyd objective is monotone non-increasing
+    across iterations and actually improves on the clustered corpus
+    (>=30% WSS drop vs the init centroids), (b) full-loop runtime grows
+    ~linearly from the 10x tier — assignment is map-side O(N*K*D) and
+    the update shuffle carries K x (dim+2) longs regardless of N, so a
+    super-linear ratio means a broken plan, not a bigger corpus."""
+    from mcp_server_vector_search_spark.operators.clustering import kmeans_lloyd
+
+    K = 16
+
+    def wss_at(sf_dir, iters):
+        rows = kmeans_lloyd(spark, sf_dir, k=K, iters=iters).collect()
+        return sum(r["wss_micro"] for r in rows), sum(r["n_members"] for r in rows)
+
+    def run(sf_dir):
+        t0 = time.perf_counter()
+        w3, n = wss_at(sf_dir, 3)
+        elapsed = time.perf_counter() - t0
+        return w3, n, elapsed
+
+    (d10, m10), (d100, m100) = tiers
+
+    # quality ladder at the 100x tier: monotone + real improvement
+    w0, n0 = wss_at(d100, 0)
+    w1, _ = wss_at(d100, 1)
+    w2, _ = wss_at(d100, 2)
+    w3, n3, t100 = run(d100)
+    assert n0 == n3  # mass conservation at every iteration depth
+    slop = 1.000001
+    assert w1 <= w0 * slop and w2 <= w1 * slop and w3 <= w2 * slop, (
+        w0, w1, w2, w3,
+    )
+    assert w3 < 0.7 * w0, f"Lloyd failed to improve: {w3 / w0:.2f} of init WSS"
+
+    _, _, t10 = run(d10)
+    print(
+        f"SCALE100 kmeans t10={t10:.2f}s t100={t100:.2f}s "
+        f"ratio={t100 / t10:.2f} wss3/wss0={w3 / w0:.3f}"
+    )
+    assert t100 <= LINEAR_SLACK * t10, (
+        f"k-means loop grew {t100 / t10:.1f}x on 10x data — super-linear"
+    )
