@@ -858,3 +858,87 @@ def q_quality_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations — phrase induction, the corpus statistic behind
+# word2vec-style phrase detection (Mikolov et al. 2013's score without
+# the discount) and tokenizer vocabulary building.  Scale shape: ONE
+# bigram explode + hash agg (map-side combined, exchange is O(bigram
+# vocab) not O(tokens)), two vocab-keyed joins for the unigram
+# marginals, a 1-row corpus-total scalar, TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 5
+PMI_TOP = 20
+
+
+@register(
+    "text_collocations_pmi",
+    oracle=f"""
+WITH toks AS (SELECT string_split(text, ' ') AS ts FROM documents),
+uni AS (SELECT unnest(ts) AS tok FROM toks),
+ucnt AS (SELECT tok, COUNT(*) AS c FROM uni GROUP BY tok),
+nu AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM uni),
+big AS (
+  SELECT t.ts[i.i] AS x, t.ts[i.i + 1] AS y
+  FROM toks t, LATERAL (SELECT unnest(generate_series(1, len(t.ts) - 1)) AS i) i
+),
+bcnt AS (SELECT x, y, COUNT(*) AS cxy FROM big GROUP BY x, y)
+SELECT b.x || ' ' || b.y AS bigram,
+       b.cxy AS n_pair,
+       ROUND(LN(CAST(b.cxy AS DOUBLE) * nu.n
+                / (CAST(cx.c AS DOUBLE) * CAST(cy.c AS DOUBLE))), {R}) AS pmi
+FROM bcnt b
+JOIN ucnt cx ON cx.tok = b.x
+JOIN ucnt cy ON cy.tok = b.y
+CROSS JOIN nu
+WHERE b.cxy >= {PMI_MIN_COUNT}
+ORDER BY pmi DESC, bigram
+LIMIT {PMI_TOP}
+""",
+)
+def q_text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by pointwise mutual information:
+    ``ln(c_xy * N / (c_x * c_y))`` over whitespace bigrams, min
+    support PMI_MIN_COUNT.  The adjacent-pair stream is built inside
+    the row with an indexed ``transform`` (0-based ``ts[i+1]``
+    partner), so no second explode pass over the corpus; the unigram
+    marginals attach via two token-keyed joins (AQE broadcasts the
+    vocab side when runtime-small) and the corpus total via a 1-row
+    scalar.  Same ln+ROUND(6) cross-engine device as tf-idf/BM25."""
+    d = load_table(spark, sf_dir, "documents")
+    ts = T.tokens(F.col("text"))
+    pairs = d.select(
+        F.explode(
+            F.expr(
+                "transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),"
+                " (x, i) -> struct(x AS x, split(text, ' ')[i + 1] AS y))"
+            )
+        ).alias("p")
+    ).select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+    bcnt = pairs.groupBy("x", "y").agg(F.count(F.lit(1)).alias("n_pair"))
+    uni = d.select(F.explode(ts).alias("tok"))
+    ucnt = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    nu = uni.groupBy().agg(F.count(F.lit(1)).cast("double").alias("n"))
+    pmi = F.round(
+        F.log(
+            F.col("n_pair").cast("double")
+            * F.col("n")
+            / (F.col("cx").cast("double") * F.col("cy").cast("double"))
+        ),
+        R,
+    )
+    return (
+        bcnt.where(F.col("n_pair") >= PMI_MIN_COUNT)
+        .join(ucnt.select(F.col("tok").alias("x"), F.col("c").alias("cx")), "x")
+        .join(ucnt.select(F.col("tok").alias("y"), F.col("c").alias("cy")), "y")
+        .crossJoin(nu)
+        .select(
+            F.concat_ws(" ", "x", "y").alias("bigram"),
+            "n_pair",
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("bigram"))
+        .limit(PMI_TOP)
+    )

@@ -61,6 +61,7 @@ BNLJ_OK = {
     "dedup_incremental_substring",  # same 1-row corpus-cut scalar broadcast
     "agg_hll_mergeable_certificate",  # 1-row exact × 1-row union-estimate
     "dsir_importance_weights",  # 1-row corpus-total scalar over the 64-row bucket table
+    "text_collocations_pmi",  # 1-row corpus-total scalar for the PMI denominator
     "ann_index_maintenance_plan",  # 1-row upsert-cut scalar broadcast
 }
 
