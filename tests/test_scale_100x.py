@@ -660,3 +660,54 @@ def test_kmeans_100x(spark, tiers):
     assert t100 <= LINEAR_SLACK * t10, (
         f"k-means loop grew {t100 / t10:.1f}x on 10x data — super-linear"
     )
+
+
+def test_power_iteration_100x(spark, tiers):
+    """Distributed power iteration at 200k vectors: per-iteration cost
+    is one scan + a 64-long single-row reduce, so the loop must track
+    data size ~linearly; quality gate = the final direction captures
+    measurably more Rayleigh mass per unit length than the raw axis
+    start.  NOTE the bound is modest by construction: this corpus is
+    320 random unit centers in 64-dim, which is NEARLY ISOTROPIC (the
+    spectrum is flat), so the true top component only beats a raw axis
+    by ~1.4x here — the gate pins improvement, not dominance (the
+    sf-testdata fixture, measured 1.57x against its tighter 1.5x gate,
+    is covered in tests/test_linalg.py)."""
+    from mcp_server_vector_search_spark.operators.linalg import (
+        _row_dot_micro,
+        power_iteration_top_component,
+    )
+
+    def rayleigh_under(sf_dir, v):
+        pts = load_table(spark, sf_dir, "embeddings").select(
+            F.col("embedding").cast("array<double>").alias("emb")
+        )
+        e = F.col("su").cast("double") / F.lit(1000000000.0)
+        return (
+            pts.select(_row_dot_micro(v).alias("su"))
+            .groupBy()
+            .agg(F.sum(F.floor((e * e) * F.lit(1000000000.0))).alias("r"))
+            .collect()[0]["r"]
+        )
+
+    def run(sf_dir):
+        t0 = time.perf_counter()
+        row = power_iteration_top_component(spark, sf_dir).collect()[0]
+        return row, time.perf_counter() - t0
+
+    (d10, _), (d100, _) = tiers
+    _, t10 = run(d10)
+    row, t100 = run(d100)
+
+    comp = [c / 1e9 for c in row["component_micro"]]
+    norm_sq = sum(c * c for c in comp)
+    r_axis = rayleigh_under(d100, [1.0] + [0.0] * 63)
+    print(
+        f"SCALE100 power-iter t10={t10:.2f}s t100={t100:.2f}s "
+        f"ratio={t100 / t10:.2f} gain={row['rayleigh_micro'] / norm_sq / max(r_axis, 1):.1f}x"
+    )
+    assert row["rayleigh_micro"] / norm_sq > r_axis * 1.15
+    assert row["n_rows"] == 200_000
+    assert t100 <= LINEAR_SLACK * t10, (
+        f"power iteration grew {t100 / t10:.1f}x on 10x data — super-linear"
+    )
