@@ -258,10 +258,9 @@ base AS (
   FROM a{final_n} GROUP BY cid
 )
 SELECT b.cluster_id, b.n_members, b.wss_micro,
-       (SELECT list(sd ORDER BY d) FROM summ s WHERE s.cluster_id = b.cluster_id)
-         AS centroid_microsum
-FROM base b
-ORDER BY cluster_id
+       CAST(s.d AS BIGINT) AS d, s.sd
+FROM base b JOIN summ s ON s.cluster_id = b.cluster_id
+ORDER BY b.cluster_id, s.d
 """
 
 
@@ -269,8 +268,31 @@ ORDER BY cluster_id
 def q_cluster_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd k-means, 3 iterations end to end on BOTH
     engines — map-side literal-centroid assignment, K-key micro-unit
-    update shuffle, per-cluster exact WSS + centroid mass out."""
-    return kmeans_lloyd(spark, sf_dir)
+    update shuffle, per-cluster exact WSS + centroid mass out.
+
+    Output contract: the per-dimension micro-sums are ``posexplode``d
+    into ``(cluster_id, n_members, wss_micro, d, sd)`` rows — the
+    driver's canonicalizer hashes via a pandas column sort and cannot
+    factorize a top-level ``array<>`` column (the r11 red row), so
+    every registered query emits scalar-only output columns
+    (enforced tree-wide by tests/test_entry.py)."""
+    out = kmeans_lloyd(spark, sf_dir)
+    return (
+        out.select(
+            "cluster_id",
+            "n_members",
+            "wss_micro",
+            F.posexplode("centroid_microsum").alias("pos", "sd"),
+        )
+        .select(
+            "cluster_id",
+            "n_members",
+            "wss_micro",
+            (F.col("pos") + 1).cast("long").alias("d"),
+            "sd",
+        )
+        .orderBy("cluster_id", "d")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -155,15 +155,20 @@ px AS (
   FROM embeddings e CROSS JOIN dims d
 ),
 v0 AS (SELECT d, CASE WHEN d = 1 THEN 1.0e0 ELSE 0.0e0 END AS vd FROM dims),
-{",".join(blocks)}
-SELECT
-  (SELECT list(CAST(FLOOR(vd * 1000000000.0e0) AS BIGINT) ORDER BY d) FROM {prev_v})
-    AS component_micro,
-  CAST(SUM(CAST(FLOOR(((CAST(su AS DOUBLE) / 1000000000.0e0)
-                       * (CAST(su AS DOUBLE) / 1000000000.0e0)) * 1000000000.0e0) AS BIGINT)) AS BIGINT)
-    AS rayleigh_micro,
-  CAST(COUNT(*) AS BIGINT) AS n_rows
-FROM su{final_n}
+{",".join(blocks)},
+ray AS (
+  SELECT
+    CAST(SUM(CAST(FLOOR(((CAST(su AS DOUBLE) / 1000000000.0e0)
+                         * (CAST(su AS DOUBLE) / 1000000000.0e0)) * 1000000000.0e0) AS BIGINT)) AS BIGINT)
+      AS rayleigh_micro,
+    CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM su{final_n}
+)
+SELECT CAST(v.d AS BIGINT) AS d,
+       CAST(FLOOR(v.vd * 1000000000.0e0) AS BIGINT) AS component_micro_d,
+       r.rayleigh_micro, r.n_rows
+FROM {prev_v} v CROSS JOIN ray r
+ORDER BY v.d
 """
 
 
@@ -171,5 +176,25 @@ FROM su{final_n}
 def q_linalg_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed power iteration, 4 mat-vec rounds on BOTH engines —
     map-side literal-iterate dot, 64-column single-row reduce, max-norm
-    update; component + Rayleigh mass value-hashed bit for bit."""
-    return power_iteration_top_component(spark, sf_dir)
+    update; component + Rayleigh mass value-hashed bit for bit.
+
+    Output contract: the 64-dim iterate is ``posexplode``d into
+    ``(d, component_micro_d, rayleigh_micro, n_rows)`` rows — the
+    driver's canonicalizer cannot hash top-level ``array<>`` columns
+    (the r11 red row); scalar-only outputs are enforced tree-wide by
+    tests/test_entry.py."""
+    out = power_iteration_top_component(spark, sf_dir)
+    return (
+        out.select(
+            F.posexplode("component_micro").alias("pos", "component_micro_d"),
+            "rayleigh_micro",
+            "n_rows",
+        )
+        .select(
+            (F.col("pos") + 1).cast("long").alias("d"),
+            "component_micro_d",
+            "rayleigh_micro",
+            "n_rows",
+        )
+        .orderBy("d")
+    )
