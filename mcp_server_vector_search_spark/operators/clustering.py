@@ -53,6 +53,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd  # module-level: pandas_udf type-hint resolution
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -104,7 +106,7 @@ def _dist_micro(centroid: list[float]) -> Column:
     return F.aggregate(terms, F.lit(0).cast("long"), lambda acc, t: acc + t)
 
 
-def _won(centroids: list[tuple[int, list[float]]]) -> Column:
+def _won_hof(centroids: list[tuple[int, list[float]]]) -> Column:
     """struct(dm, cid) of the nearest centroid; lexicographic array_min
     IS the (distance, cluster-id) tie-break."""
     cands = F.array(
@@ -114,6 +116,90 @@ def _won(centroids: list[tuple[int, list[float]]]) -> Column:
         ]
     )
     return F.array_min(cands)
+
+
+GEMM_WON_MIN_CELLS = 16
+# exact-vs-float reconciliation margin, in micro-units: each of the DIM
+# per-element floors loses < 1 micro, and the GEMM's ||x||^2-2x.c+||c||^2
+# rearrangement error is << 1 micro at embedding magnitudes, so any
+# centroid that can beat the float winner after flooring sits within
+# DIM+1 micro of it; 4x slack costs nothing (shortlists are ~0 rows).
+WON_MARGIN_MICRO = 4 * DIM
+
+
+def _won_gemm(centroids: list[tuple[int, list[float]]]) -> Column:
+    """struct(dm, cid) via Arrow-batched BLAS, value-hash-identical to
+    ``_won_hof``: a float GEMM (``||x||^2 - 2 x.c + ||c||^2`` argmin,
+    FAISS's coarse-assignment shape) picks the winner, then the EXACT
+    integer micro-distance is recomputed for the winner only — k x dim
+    interpreted ops per row collapse to one BLAS row plus 1 x dim exact
+    work.  Centroids whose float distance lands within the floor-error
+    margin of the winner (vanishingly rare off exact ties) get the same
+    exact recompute, and the lexicographic (dm, cid) min decides —
+    bit-identical semantics to the HOF fold at any parallelism.
+
+    Catalyst evaluates higher-order-function lambdas interpreted, per
+    array element; the HOF fold is the right oracle-reference plan at
+    the registered row's k=8 but measured 109 s at 200k rows x k=16
+    (STRESS_100X r11) — the same interpreted-HOF profile the r8 GEMM
+    fix removed from SemDeDup.  Dispatch via ``_won``."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray([vec for _, vec in centroids], dtype=np.float64)
+    cids = np.asarray([cid for cid, _ in centroids], dtype=np.int64)
+    margin = WON_MARGIN_MICRO / DIST_SCALE
+
+    def _exact_dm(diff: "np.ndarray") -> "np.ndarray":
+        # identical IEEE op order to _dist_micro: (a-b)*(a-b) then *scale,
+        # floor per element, exact int64 sum (terms ~4e12, sum << 2^63)
+        return (
+            np.floor(diff * diff * DIST_SCALE).astype(np.int64).sum(axis=-1)
+        )
+
+    @pandas_udf("struct<dm: bigint, cid: int>")
+    def won(emb: pd.Series) -> pd.DataFrame:
+        if len(emb) == 0:
+            return pd.DataFrame(
+                {
+                    "dm": pd.Series([], dtype="int64"),
+                    "cid": pd.Series([], dtype="int32"),
+                }
+            )
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+        D = (
+            (V * V).sum(axis=1)[:, None]
+            - 2.0 * (V @ C.T)
+            + (C * C).sum(axis=1)[None, :]
+        )
+        jmin = np.argmin(D, axis=1)
+        dm = _exact_dm(V - C[jmin])
+        out_cid = cids[jmin].copy()
+        # reconcile rows where flooring could flip the winner
+        rows = np.arange(len(V))
+        close = D <= (D[rows, jmin] + margin)[:, None]
+        close[rows, jmin] = False
+        for i in np.nonzero(close.any(axis=1))[0]:
+            best = (int(dm[i]), int(out_cid[i]))
+            for j in np.nonzero(close[i])[0]:
+                cand = (int(_exact_dm(V[i] - C[j])), int(cids[j]))
+                if cand < best:
+                    best = cand
+            dm[i], out_cid[i] = best
+        return pd.DataFrame(
+            {"dm": dm, "cid": out_cid.astype(np.int32)}
+        )
+
+    return won("emb")
+
+
+def _won(centroids: list[tuple[int, list[float]]]) -> Column:
+    """Assignment dispatcher, mirroring ann.py's ``assignment_col``:
+    the pure-JVM exact fold below the GEMM threshold (no Python in the
+    plan — the registered k=8 row keeps its codegen'd map-side shape),
+    the Arrow GEMM + exact-winner recompute at production cell counts."""
+    if len(centroids) >= GEMM_WON_MIN_CELLS:
+        return _won_gemm(centroids)
+    return _won_hof(centroids)
 
 
 def _point_micro(d: int) -> Column:

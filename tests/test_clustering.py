@@ -63,6 +63,61 @@ def test_kmeans_assignment_is_map_side(spark):
     assert "array_min" in plan  # the literal-centroid argmin survives codegen
 
 
+def test_won_gemm_bitwise_agrees_with_hof(spark):
+    """The GEMM-dispatched assignment (k >= GEMM_WON_MIN_CELLS) must be
+    value-hash-identical to the exact HOF fold: same (dm, cid) struct on
+    every row of the real corpus — the contract that lets the trainer
+    switch devices without moving a bit."""
+    from mcp_server_vector_search_spark.operators.clustering import (
+        _points,
+        _won_gemm,
+        _won_hof,
+        train_centroids_distributed,
+    )
+
+    pts = _points(spark, SF_CORRECTNESS)
+    cents = train_centroids_distributed(pts, k=8, iters=1)
+    # pad to 16 jittered centroids so both devices face the GEMM regime
+    cents = cents + [
+        (cid + 8, [v + 0.01 * (cid + 1) for v in vec]) for cid, vec in cents
+    ]
+    hof = (
+        pts.select("vec_id", _won_hof(cents).alias("w")).collect()
+    )
+    gemm = (
+        pts.select("vec_id", _won_gemm(cents).alias("w")).collect()
+    )
+    assert {r["vec_id"]: (r["w"]["dm"], r["w"]["cid"]) for r in hof} == {
+        r["vec_id"]: (r["w"]["dm"], r["w"]["cid"]) for r in gemm
+    }
+
+
+def test_won_gemm_exact_tie_breaks_on_cid(spark):
+    """A point exactly equidistant from two centroids must take the
+    lower cluster id on BOTH devices (the lexicographic (dm, cid) min),
+    exercising the GEMM path's margin-shortlist reconciliation."""
+    from mcp_server_vector_search_spark.operators.clustering import (
+        DIM,
+        _won_gemm,
+        _won_hof,
+    )
+
+    mid = [0.5] * DIM
+    # 16 centroids; cids 3 and 11 are exact mirror images around mid
+    cents = []
+    for cid in range(16):
+        if cid == 3:
+            cents.append((cid, [0.25] * DIM))
+        elif cid == 11:
+            cents.append((cid, [0.75] * DIM))
+        else:
+            cents.append((cid, [2.0 + cid] * DIM))
+    df = spark.createDataFrame([(1, mid)], "vec_id int, emb array<double>")
+    for col in (_won_hof(cents), _won_gemm(cents)):
+        row = df.select(col.alias("w")).collect()[0]["w"]
+        assert row["cid"] == 3, row
+
+
 def test_kmeans_ivf_search_semantics(spark):
     """The composition row: k results, query excluded, every hit drawn
     from the NPROBE cells nearest the query, distances ascending, and
