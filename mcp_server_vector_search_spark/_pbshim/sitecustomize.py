@@ -44,15 +44,27 @@ try:
     import os as _os
     import sys as _sys
 
-    _shim_dir = _os.path.dirname(_os.path.abspath(__file__))
-    for _entry in _sys.path:
-        _cand = _os.path.join(_os.path.abspath(_entry or "."), "sitecustomize.py")
-        if _os.path.dirname(_cand) == _shim_dir or not _os.path.isfile(_cand):
-            continue
-        with open(_cand) as _f:
-            _src = _f.read()
-        _ns = {"__file__": _cand, "__name__": "sitecustomize"}
-        exec(compile(_src, _cand, "exec"), _ns)
-        break
+    # re-entry sentinel: a symlinked spelling of this directory on
+    # sys.path must not make the shim exec itself recursively
+    # (ADVICE r11) — realpath comparison below handles the common
+    # case, the sentinel guards any aliasing realpath cannot see
+    # (e.g. bind mounts)
+    if not getattr(_sys, "_pbshim_chained", False):
+        _sys._pbshim_chained = True
+        _shim_dir = _os.path.realpath(_os.path.dirname(_os.path.abspath(__file__)))
+        for _entry in _sys.path:
+            _cand = _os.path.join(
+                _os.path.abspath(_entry or "."), "sitecustomize.py"
+            )
+            if (
+                _os.path.realpath(_os.path.dirname(_cand)) == _shim_dir
+                or not _os.path.isfile(_cand)
+            ):
+                continue
+            with open(_cand) as _f:
+                _src = _f.read()
+            _ns = {"__file__": _cand, "__name__": "sitecustomize"}
+            exec(compile(_src, _cand, "exec"), _ns)
+            break
 except Exception:  # a broken downstream hook must not kill the worker
     pass

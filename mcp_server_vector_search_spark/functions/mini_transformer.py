@@ -10,10 +10,13 @@ must prove is that ``model_embedder``'s distributed serving machinery
 partition-parallel encode — executes a REAL model forward pass, not a
 hash or a stub.  This module is that model: a genuine transformer
 encoder (byte-level tokens, learned positions, multi-head scaled-dot
-attention with padding masks, pre-LN residual blocks, GELU FFN, masked
-mean pooling, L2 normalization — the MiniLM recipe at toy scale) whose
-weights are DETERMINISTIC seeded Gaussians stored as an ``.npz``
-fixture in the repo.
+attention, pre-LN residual blocks, GELU FFN, mean pooling, L2
+normalization — the MiniLM recipe at toy scale) whose weights are
+DETERMINISTIC seeded Gaussians stored as an ``.npz`` fixture in the
+repo.  No attention/pooling masks are implemented — none are needed,
+because ``encode`` runs ONE unpadded text per forward pass; anyone
+adding batched (padded) forward passes must add both masks or the
+results will be wrong (ADVICE r11).
 
 Honesty note: the weights are untrained (no network to fetch public
 pretrained weights), so the embeddings carry no semantic meaning.

@@ -948,10 +948,22 @@ def ivf_cell_radii(
     prunable (FAISS keeps per-list stats the same way).  One
     map-side-combined aggregation over (centroid_id, own-centroid
     cosine); at 100 TB this runs once in the index build job and lands
-    in the metadata next to the centroids, not per query."""
+    in the metadata next to the centroids, not per query.
+
+    The cosine divides by BOTH norms: train_centroids re-normalizes its
+    output so the centroid norm is 1.0 here, but for non-unit centroids
+    (e.g. train_centroids_distributed means) dividing by |e| alone
+    UNDERESTIMATES the angle when cos < 0, which would let the
+    advertised-lossless range bound over-prune a cell holding a true
+    match (ADVICE r11)."""
     cmat = matrix_lit(centroids)
     cvec = F.element_at(cmat, F.col("centroid_id").cast("int") + 1)
-    cosv = dot("embedding", cvec) / l2_norm("embedding")
+    cnrm = F.sqrt(
+        F.aggregate(
+            cvec, F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+    cosv = dot("embedding", cvec) / l2_norm("embedding") / cnrm
     ang = F.acos(F.least(F.greatest(cosv, F.lit(-1.0)), F.lit(1.0)))
     rows = indexed.groupBy("centroid_id").agg(F.max(ang).alias("r")).collect()
     return {int(r["centroid_id"]): float(r["r"]) for r in rows}

@@ -909,11 +909,20 @@ def q_text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar.  Same ln+ROUND(6) cross-engine device as tf-idf/BM25."""
     d = load_table(spark, sf_dir, "documents")
     ts = T.tokens(F.col("text"))
+    # adjacent_grams let-binds the split array so the lambda indexes a
+    # bound variable — the raw transform-over-split spelling re-splits
+    # the text per element, O(L^2) per document (ADVICE r11; the exact
+    # pitfall functions/text.py::let1 documents)
     pairs = d.select(
         F.explode(
-            F.expr(
-                "transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),"
-                " (x, i) -> struct(x AS x, split(text, ' ')[i + 1] AS y))"
+            T.adjacent_grams(
+                F.col("text"),
+                2,
+                lambda toks, i: F.struct(
+                    F.element_at(toks, i).alias("x"),
+                    F.element_at(toks, i + 1).alias("y"),
+                ),
+                "array<struct<x:string,y:string>>",
             )
         ).alias("p")
     ).select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))

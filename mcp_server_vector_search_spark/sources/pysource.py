@@ -389,18 +389,26 @@ class JsonlSinkWriter(DataSourceWriter):
     executor-local disks, point ``path`` at shared storage or swap the
     rename for a driver-side copy of task-shipped bytes.  Because
     ``abort`` only receives commit messages from tasks that RETURNED
-    one, both finalizers also sweep any leftover ``part-*.jsonl.tmp``
-    in the target directory — failed attempts that never reported a
-    message cannot strand invisible temp files."""
+    one, both finalizers also sweep any leftover temp files OF THIS JOB
+    — failed attempts that never reported a message cannot strand
+    invisible temp files.  Temp names carry a per-job uuid prefix
+    (minted once driver-side in ``__init__``, shipped to every task via
+    writer serialization) and the sweep matches only that prefix, so
+    two concurrent append jobs on the same path cannot delete each
+    other's in-flight files (ADVICE r11)."""
 
     def __init__(self, options) -> None:
+        import uuid as _uuid
+
         self._dir = options["path"]
+        self._job = _uuid.uuid4().hex
 
     def _sweep_orphan_tmps(self) -> None:
         import glob as _glob
         import os as _os
 
-        for p in _glob.glob(_os.path.join(self._dir, "part-*.jsonl.tmp")):
+        pat = _os.path.join(self._dir, f"part-{self._job}-*.jsonl.tmp")
+        for p in _glob.glob(pat):
             try:
                 _os.remove(p)
             except OSError:
@@ -411,7 +419,9 @@ class JsonlSinkWriter(DataSourceWriter):
         import os as _os
         import uuid as _uuid
 
-        p = _os.path.join(self._dir, f"part-{_uuid.uuid4().hex}.jsonl.tmp")
+        p = _os.path.join(
+            self._dir, f"part-{self._job}-{_uuid.uuid4().hex}.jsonl.tmp"
+        )
         n = 0
         with open(p, "w") as f:
             for row in it:

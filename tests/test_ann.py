@@ -483,7 +483,11 @@ def test_ivf_cell_radii_matches_numpy(spark):
     for r in rows:
         v = np.asarray(list(r.embedding), dtype=np.float64)
         cu = C[r.centroid_id]
-        cos = float(v @ cu) / max(float(np.linalg.norm(v)), 1e-12)
+        cos = (
+            float(v @ cu)
+            / max(float(np.linalg.norm(v)), 1e-12)
+            / float(np.linalg.norm(cu))
+        )
         by_cell.setdefault(int(r.centroid_id), []).append(
             float(np.arccos(min(1.0, max(-1.0, cos))))
         )
@@ -491,6 +495,13 @@ def test_ivf_cell_radii_matches_numpy(spark):
     assert set(radii) == set(expect)
     for c in expect:
         assert abs(radii[c] - expect[c]) < 1e-9, (c, radii[c], expect[c])
+    # non-unit centroids (e.g. train_centroids_distributed means) must
+    # yield the SAME angles — the cosine divides by the centroid norm
+    # too (ADVICE r11: dot/|e| alone underestimates the angle at cos<0,
+    # which would break the advertised-lossless range bound)
+    radii_scaled = ann.ivf_cell_radii(indexed, [[3.0 * x for x in c] for c in cents])
+    for c in expect:
+        assert abs(radii_scaled[c] - expect[c]) < 1e-9, (c, radii_scaled[c])
 
 
 def test_range_search_matches_full_scan(spark):

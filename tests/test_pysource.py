@@ -92,6 +92,32 @@ def test_pyjsonl_writer_abort_leaves_nothing_visible(spark):
     assert glob.glob(f"{out_dir}/_MANIFEST") == []
 
 
+def test_pyjsonl_sweep_is_job_scoped():
+    """Two concurrent append jobs on one path must not delete each
+    other's in-flight temp files (ADVICE r11): each writer's sweep
+    matches only its own per-job uuid prefix."""
+    import glob
+    import tempfile
+
+    from mcp_server_vector_search_spark.sources.pysource import JsonlSinkWriter
+
+    out_dir = tempfile.mkdtemp(prefix="pyjsonl_concurrent_")
+
+    class _Row:
+        def asDict(self):
+            return {"x": 1}
+
+    a = JsonlSinkWriter({"path": out_dir})
+    b = JsonlSinkWriter({"path": out_dir})
+    msg_a = a.write(iter([_Row()]))  # a's in-flight tmp
+    b.write(iter([_Row()]))  # b's in-flight tmp
+    # b finishes (commit with no surviving messages -> orphan sweep);
+    # a's file must survive, b's own orphan must be gone
+    b.commit([])
+    assert glob.glob(f"{out_dir}/part-{a._job}-*.jsonl.tmp") == [msg_a.path]
+    assert glob.glob(f"{out_dir}/part-{b._job}-*.jsonl.tmp") == []
+
+
 def test_polymorphic_udtf_rejects_bad_arity(spark):
     """The analyze protocol runs at PLAN time: a non-positive n must
     fail resolution (AnalysisException), never reach executors."""
