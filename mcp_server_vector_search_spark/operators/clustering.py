@@ -362,7 +362,12 @@ def q_cluster_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     factorize a top-level ``array<>`` column (the r11 red row), so
     every registered query emits scalar-only output columns
     (enforced tree-wide by tests/test_entry.py)."""
-    out = kmeans_lloyd(spark, sf_dir)
+    return _census_rows(kmeans_lloyd(spark, sf_dir))
+
+
+def _census_rows(out: DataFrame) -> DataFrame:
+    """Driver output contract: posexplode the per-dimension micro-sum
+    array into (cluster_id, n_members, wss_micro, d, sd) scalar rows."""
     return (
         out.select(
             "cluster_id",
@@ -378,6 +383,28 @@ def q_cluster_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sd",
         )
         .orderBy("cluster_id", "d")
+    )
+
+
+GEMM_CENSUS_K = GEMM_WON_MIN_CELLS  # 16 cells: forces the GEMM device
+GEMM_CENSUS_ITERS = 2
+
+
+@register(
+    "cluster_kmeans_gemm_census",
+    oracle=_kmeans_oracle(k=GEMM_CENSUS_K, iters=GEMM_CENSUS_ITERS),
+)
+def q_cluster_kmeans_gemm_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME Lloyd loop at k=16 — at or above GEMM_WON_MIN_CELLS, so
+    every assignment pass dispatches to the Arrow-GEMM device
+    (``_won_gemm``) instead of the interpreted HOF fold.  The DuckDB
+    oracle replays the exact integer semantics in pure SQL, so a green
+    driver row is a VALUE-HASH certificate that the BLAS shortlist +
+    exact-winner-recompute device is bit-identical to the reference
+    fold — the production path (hundreds-to-thousands of cells)
+    certified end to end, not just stress-timed."""
+    return _census_rows(
+        kmeans_lloyd(spark, sf_dir, k=GEMM_CENSUS_K, iters=GEMM_CENSUS_ITERS)
     )
 
 

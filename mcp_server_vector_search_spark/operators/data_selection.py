@@ -448,3 +448,86 @@ LIMIT {PPL_TOP}
 def q_quality_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
     return perplexity_scores(docs)
+
+
+# ---------------------------------------------------------------------------
+# Contrastive hard-negative mining (new in round 12): for each query
+# vector, the nearest neighbors that carry a DIFFERENT label — the
+# training-pair generator for contrastive/embedding fine-tuning (the
+# in-batch-negatives recipe of DPR, Karpukhin et al. 2020,
+# arXiv:2004.04906 §3.2, and sentence-transformers' hard-negative
+# mining).  The reference serves only plain top-k (server.py:85-91);
+# this is the selection pass a pipeline runs OVER that index to build
+# its training set.
+#
+# Scale shape: the query set broadcasts (a few rows), corpus scoring is
+# map-side only, the label-inequality predicate is applied BEFORE the
+# window so excluded rows never enter the shuffle, and the per-query
+# rank prunes to k rows per partition via WindowGroupLimit — the same
+# posture as topk_per_query_batch, which the plan test pins.  At 100 TB
+# the corpus scan dominates; with the IVF cell layout the scan becomes
+# probe-pruned exactly like ann_filtered_topk.
+# ---------------------------------------------------------------------------
+
+HN_QUERIES = 4
+HN_K = 5
+
+
+def mine_hard_negatives(
+    embeddings: DataFrame, queries: DataFrame, k: int = HN_K
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.vector import neo4j_score
+    from .topk import SCORE_DECIMALS
+
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("__qv"),
+    )
+    scored = embeddings.join(
+        F.broadcast(q), F.col("label") != F.col("query_label")
+    ).select(
+        "query_id",
+        "vec_id",
+        F.col("label").alias("neg_label"),
+        F.round(neo4j_score("embedding", "__qv"), SCORE_DECIMALS).alias("score"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "neg_label", "score", "rank")
+    )
+
+
+@register(
+    "mine_hard_negatives",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, label AS query_label, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {HN_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id, e.label AS neg_label,
+         ROUND((1.0 + list_cosine_similarity(e.embedding::DOUBLE[], q.qv)) / 2.0,
+               6) AS score
+  FROM embeddings e JOIN q ON e.label != q.query_label
+),
+ranked AS (
+  SELECT query_id, vec_id, neg_label, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, neg_label, score, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {HN_K}
+""",
+)
+def q_mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard negatives for the HN_QUERIES smallest vec_ids: the top
+    HN_K highest-scoring vectors whose label differs from the query's,
+    Neo4j-normalized scores, (score DESC, vec_id) rank — the exact
+    contrastive-mining slice a trainer would feed back as negatives."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mine_hard_negatives(emb, emb.where(F.col("vec_id") < HN_QUERIES))

@@ -505,7 +505,9 @@ SHOWCASE = [
         "(no join, no Python), and the per-cluster micro-unit sums "
         "reduce map-side before ONE K-key exchange — the shuffle "
         "carries K x (dim+2) longs per executor regardless of table "
-        "size.  Exact BIGINT micro-units make the iteration "
+        "size.  The trailing `Generate` posexplodes the K x dim census "
+        "into driver-hashable scalar rows (output contract, SURVEY "
+        "§5.2).  Exact BIGINT micro-units make the iteration "
         "order-free, so the DuckDB oracle replays all three rounds in "
         "pure SQL and hash-matches bit for bit.",
     ),
@@ -518,6 +520,25 @@ SHOWCASE = [
         "traffic is 64 longs.  Max-norm normalization keeps the "
         "normalizer an order-free integer MAX, which is what lets the "
         "oracle replay every mat-vec round in SQL.",
+    ),
+    (
+        "cluster_kmeans_gemm_census",
+        "The SAME Lloyd census at k=16: assignment dispatches to the "
+        "Arrow-GEMM device (`ArrowEvalPython` feeding the aggregate — "
+        "a BLAS shortlist plus exact-winner integer recompute, 21x "
+        "faster than the interpreted HOF fold at the 200k-vector "
+        "stress tier) while the exchange still carries only K-key "
+        "micro-sums.  The DuckDB oracle hash-certifies the device "
+        "bit-for-bit against the pure-SQL replay.",
+    ),
+    (
+        "mine_hard_negatives",
+        "Contrastive hard-negative mining: the query set broadcasts "
+        "(`BroadcastNestedLoopJoin` with the label-inequality predicate "
+        "applied at the join, before any shuffle), corpus scoring is "
+        "map-side, and the per-query rank prunes to k rows per "
+        "partition via `WindowGroupLimit` — the mining pass shuffles "
+        "(query_id, vec_id, score) triples only, never the vectors.",
     ),
 ]
 

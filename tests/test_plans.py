@@ -523,3 +523,42 @@ def test_aqe_coalesces_oversized_shuffle(spark):
     assert "isFinalPlan=true" in after
     assert "AQEShuffleRead" in after and "coalesced" in after
     assert df.rdd.getNumPartitions() < 50  # 200 static -> a handful
+
+
+def test_hard_negatives_rank_prunes_via_window_group_limit(spark):
+    """The mining pass must broadcast the query side, apply the
+    label-inequality predicate AT the join (before any shuffle), and
+    prune the per-query rank to k rows per partition via
+    WindowGroupLimit — the shuffle carries scored triples, never
+    vectors."""
+    from mcp_server_vector_search_spark.operators.data_selection import (
+        q_mine_hard_negatives,
+    )
+
+    plan = formatted_plan(q_mine_hard_negatives(spark, SF_CORRECTNESS))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_gemm_census_assignment_is_arrow_not_batch_python(spark):
+    """At k=16 the Lloyd census dispatches to the Arrow-GEMM device:
+    exactly one ArrowEvalPython feeding the aggregate, no row-at-a-time
+    BatchEvalPython, no join, and still only the K-key aggregation
+    exchange plus the output sort."""
+    import re as _re
+
+    from mcp_server_vector_search_spark.operators.clustering import (
+        GEMM_CENSUS_ITERS,
+        GEMM_CENSUS_K,
+        kmeans_lloyd,
+    )
+
+    plan = formatted_plan(
+        kmeans_lloyd(spark, SF_CORRECTNESS, k=GEMM_CENSUS_K, iters=GEMM_CENSUS_ITERS)
+    )
+    assert len(_re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan
+    assert len(_re.findall(r"^\(\d+\) Exchange", plan, _re.M)) <= 2
