@@ -48,6 +48,7 @@ def load_all_operators() -> None:
         ann,
         clustering,
         components,
+        coreset,
         curation,
         data_selection,
         dedup,
