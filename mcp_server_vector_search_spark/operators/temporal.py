@@ -242,3 +242,113 @@ def q_timeseries_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "hour_ts")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval overlap join WITHOUT an equi-key (bucket decomposition)
+# ---------------------------------------------------------------------------
+
+OVERLAP_BUCKET_S = 43_200  # 12 h — windows are intra-day, so <= 3 buckets each
+OVERLAP_USER_MOD = 5  # deterministic corpus thinning (user_id % 5 == 0)
+
+
+def _activity_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (user, calendar day) activity window in exact epoch-second
+    longs.  The overlap predicate runs on these truncated longs in BOTH
+    engines (Spark ``cast(ts as long)`` and the oracle's
+    ``FLOOR(date_part('epoch', ts))`` truncate identically for
+    positive epochs), so sub-second precision can never diverge."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id") % OVERLAP_USER_MOD == 0
+    )
+    return (
+        ev.select(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            F.col("ts").cast("long").alias("t"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.min("t").alias("s"), F.max("t").alias("e"))
+        # scalar window identity: epoch-day stays < 1e5 until year 2243
+        .withColumn(
+            "win_id",
+            F.col("user_id") * 100_000
+            + F.datediff("day", F.lit("1970-01-01")),
+        )
+    )
+
+
+@register(
+    "join_interval_overlap_bucketed",
+    oracle=f"""
+WITH w AS (
+  SELECT user_id,
+         CAST(ts AS DATE) AS day,
+         MIN(CAST(FLOOR(date_part('epoch', ts)) AS BIGINT)) AS s,
+         MAX(CAST(FLOOR(date_part('epoch', ts)) AS BIGINT)) AS e
+  FROM events
+  WHERE user_id % {OVERLAP_USER_MOD} = 0
+  GROUP BY 1, 2
+)
+SELECT a.user_id, a.day,
+       CAST(COUNT(b.user_id) AS BIGINT) AS n_concurrent
+FROM w a
+LEFT JOIN w b
+  ON a.s <= b.e AND b.s <= a.e
+ AND (a.user_id <> b.user_id OR a.day <> b.day)
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def q_interval_overlap_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval overlap self-join with NO equi-key — the genomic /
+    concurrency-analysis join shape Spark has no native operator for
+    (join_range_funnel anchors on user_id; here EVERY window may
+    overlap every other).
+
+    The naive plan is a cartesian theta-join: O(N²) at any scale.  The
+    bucket decomposition restores an equi-key: each window explodes to
+    the fixed-width time buckets it touches (``sequence(s DIV W, e DIV
+    W)``), candidates pair ONLY inside a bucket (shuffle key =
+    bucket), and each overlapping pair is counted exactly once — in
+    the bucket containing ``greatest(a.s, b.s)`` (the standard
+    dedup-by-canonical-bucket trick, so no distinct pass is needed).
+    Work is Σ per-bucket concurrency², never N²; a hot bucket is a
+    data-skew fact you salt or narrow W against, and AQE's skew-join
+    split handles it without a rewrite.  The oracle runs the naive
+    theta-join — same answer, different asymptotics.
+    """
+    w = _activity_windows(spark, sf_dir)
+    wd = F.lit(OVERLAP_BUCKET_S)
+    b = w.withColumn(
+        "bucket",
+        F.explode(F.sequence(F.expr("s DIV " + str(OVERLAP_BUCKET_S)),
+                             F.expr("e DIV " + str(OVERLAP_BUCKET_S)))),
+    )
+    a, c = b.alias("a"), b.alias("c")
+    pairs = a.join(
+        c,
+        (F.col("a.bucket") == F.col("c.bucket"))
+        & (F.col("a.s") <= F.col("c.e"))
+        & (F.col("c.s") <= F.col("a.e"))
+        & (F.col("a.win_id") != F.col("c.win_id"))
+        # count the pair once: only in greatest(s_a, s_c)'s bucket
+        & (
+            F.expr("greatest(a.s, c.s) DIV " + str(OVERLAP_BUCKET_S))
+            == F.col("a.bucket")
+        ),
+    )
+    counts = pairs.groupBy(F.col("a.win_id").alias("win_id")).agg(
+        F.count(F.lit(1)).alias("n_concurrent")
+    )
+    return (
+        w.join(counts, "win_id", "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce(F.col("n_concurrent"), F.lit(0))
+            .cast("long")
+            .alias("n_concurrent"),
+        )
+        .orderBy("user_id", "day")
+    )

@@ -94,6 +94,7 @@ ARROW_OK = {
     "multimodal_video_frames",  # real MJPEG-AVI walk + JPEG decode (by design)
     "multimodal_binaryfile_scan",  # real-file corpus decode over mapInPandas (by design)
     "ann_assign_gemm_cells",  # Arrow GEMM assignment IS the certified subject (by design)
+    "cluster_kmeans_gemm_census",  # Arrow GEMM Lloyd assignment IS the certified subject (by design)
     "streaming_stateful_user_totals",  # applyInPandasWithState custom operator (by design)
     "udf_map_in_arrow",  # RecordBatch-level Arrow slot IS the subject (by design)
     "udf_grouped_map_zscore",  # grouped-map applyInPandas demo (by design)
