@@ -1094,3 +1094,190 @@ def q_agg_aqe_coalesced_partitions(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) sketch: mergeable distinct-count AND set
+# intersection — the set operation HLL cannot do
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+
+
+def _kmv_sketch(base: DataFrame, flag: str) -> DataFrame:
+    """K smallest hashes of one side — ``orderBy(h).limit(K)`` compiles
+    to TakeOrderedAndProject: per-partition top-K, then a K-row merge,
+    never a global sort."""
+    return base.where(F.col(flag)).select("h").orderBy("h").limit(KMV_K)
+
+
+def _kmv_oracle() -> str:
+    from ..functions.hashing import duckdb_hex15_to_bigint
+
+    h_sql = duckdb_hex15_to_bigint(
+        "md5('kmv:' || CAST(user_id AS VARCHAR) || ':' || CAST(eday AS VARCHAR))"
+    )
+    return f"""
+WITH days AS (
+  SELECT user_id,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS eday,
+         MAX(event_type = 'purchase') AS in_a,
+         MAX(event_type = 'error') AS in_b
+  FROM events
+  WHERE event_type IN ('purchase', 'error')
+  GROUP BY 1, 2
+),
+base AS (
+  SELECT in_a, in_b, {h_sql} AS h FROM days
+),
+exacts AS (
+  SELECT CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a_exact,
+         CAST(SUM(CASE WHEN in_b THEN 1 ELSE 0 END) AS BIGINT) AS n_b_exact,
+         CAST(SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT) AS inter_exact,
+         CAST(COUNT(*) AS BIGINT) AS union_exact
+  FROM base
+),
+sk_a AS (SELECT h FROM base WHERE in_a ORDER BY h LIMIT {KMV_K}),
+sk_b AS (SELECT h FROM base WHERE in_b ORDER BY h LIMIT {KMV_K}),
+merged AS (
+  SELECT DISTINCT h FROM (SELECT h FROM sk_a UNION ALL SELECT h FROM sk_b)
+  ORDER BY h LIMIT {KMV_K}
+),
+metrics AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS sketch_size,
+         CAST(SUM(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS sketch_agree,
+         CAST(MAX(m.h) AS BIGINT) AS h_k
+  FROM merged m
+  LEFT JOIN sk_a a ON a.h = m.h
+  LEFT JOIN sk_b b ON b.h = m.h
+)
+SELECT CAST({KMV_K} AS BIGINT) AS k,
+       e.n_a_exact, e.n_b_exact, e.inter_exact, e.union_exact,
+       CAST(e.inter_exact * 1000000 // e.union_exact AS BIGINT) AS jaccard_exact_micro,
+       m.sketch_size, m.sketch_agree,
+       CAST(m.sketch_agree * 1000000 // m.sketch_size AS BIGINT) AS jaccard_kmv_micro,
+       CAST(CASE WHEN m.sketch_size < {KMV_K} THEN m.sketch_size
+                 ELSE CAST(FLOOR(({KMV_K - 1}.0e0 * 1152921504606846976.0e0)
+                                 / CAST(m.h_k AS DOUBLE)) AS BIGINT)
+            END AS BIGINT) AS union_est,
+       ABS(CAST(m.sketch_agree * 1000000 // m.sketch_size AS BIGINT)
+           - CAST(e.inter_exact * 1000000 // e.union_exact AS BIGINT)) <= 250000
+         AS kmv_within_bounds
+FROM exacts e CROSS JOIN metrics m
+"""
+
+
+@register("agg_kmv_jaccard_certificate", oracle=_kmv_oracle())
+def agg_kmv_jaccard_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k sketch over two user-day sets (days a user
+    purchased vs days a user hit an error): mergeable distinct-union
+    estimate AND a Jaccard/intersection estimate — the set algebra HLL
+    structurally cannot answer (agg_hll_mergeable_certificate
+    certifies union only).
+
+    Unlike the HLL row (whose sketch internals are engine-private, so
+    only the error bound is certified), the KMV sketch CONTENT is the
+    K smallest portable md5-60 hashes — bit-identical in DuckDB — so
+    the oracle replays the whole sketch pipeline and every estimate is
+    value-hashed, not just bounded.
+
+    Scale shape: the exact side is ONE groupBy(user_id) flag pass +
+    one global agg (no join between the four exact counts); each
+    sketch is a TakeOrderedAndProject (per-partition bottom-K, K-row
+    merge — the treeAggregate shape); the merged sketch is bottom-K of
+    the two K-row sketches, so merging S shards moves S*K longs
+    regardless of corpus size.  The single-row sketch/exact combine is
+    a BroadcastHashJoin on a constant key — never a cartesian.
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "error")
+    )
+    base = (
+        ev.select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("eday"),
+            "event_type",
+        )
+        .groupBy("user_id", "eday")
+        .agg(
+            F.max(F.col("event_type") == "purchase").alias("in_a"),
+            F.max(F.col("event_type") == "error").alias("in_b"),
+        )
+        .withColumn(
+            "h",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("kmv:"),
+                            F.col("user_id").cast("string"),
+                            F.lit(":"),
+                            F.col("eday").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+        )
+    )
+    exacts = base.agg(
+        F.sum(F.col("in_a").cast("long")).alias("n_a_exact"),
+        F.sum(F.col("in_b").cast("long")).alias("n_b_exact"),
+        F.sum((F.col("in_a") & F.col("in_b")).cast("long")).alias("inter_exact"),
+        F.count(F.lit(1)).alias("union_exact"),
+    ).withColumn("one", F.lit(1))
+
+    sk_a = _kmv_sketch(base, "in_a").withColumn("ia", F.lit(1))
+    sk_b = _kmv_sketch(base, "in_b").withColumn("ib", F.lit(1))
+    merged = (
+        sk_a.select("h")
+        .union(sk_b.select("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(KMV_K)
+    )
+    metrics = (
+        merged.join(sk_a, "h", "left")
+        .join(sk_b, "h", "left")
+        .agg(
+            F.count(F.lit(1)).alias("sketch_size"),
+            F.sum(
+                (F.coalesce("ia", F.lit(0)) * F.coalesce("ib", F.lit(0))).cast(
+                    "long"
+                )
+            ).alias("sketch_agree"),
+            F.max("h").alias("h_k"),
+        )
+        .withColumn("one", F.lit(1))
+    )
+
+    out = exacts.join(F.broadcast(metrics), "one").drop("one")
+    k_eff = F.col("sketch_size")
+    jacc_kmv = F.expr(f"sketch_agree * 1000000 DIV sketch_size")
+    jacc_exact = F.expr("inter_exact * 1000000 DIV union_exact")
+    union_est = F.when(
+        k_eff < F.lit(KMV_K), F.col("sketch_size").cast("long")
+    ).otherwise(
+        F.floor(
+            (F.lit(float(KMV_K - 1)) * F.lit(1152921504606846976.0))
+            / F.col("h_k").cast("double")
+        ).cast("long")
+    )
+    return out.select(
+        F.lit(KMV_K).cast("long").alias("k"),
+        "n_a_exact",
+        "n_b_exact",
+        "inter_exact",
+        "union_exact",
+        jacc_exact.cast("long").alias("jaccard_exact_micro"),
+        "sketch_size",
+        "sketch_agree",
+        jacc_kmv.cast("long").alias("jaccard_kmv_micro"),
+        union_est.alias("union_est"),
+        (
+            F.abs(jacc_kmv - jacc_exact) <= F.lit(250_000)
+        ).alias("kmv_within_bounds"),
+    )

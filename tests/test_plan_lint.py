@@ -30,6 +30,7 @@ BNLJ_OK = {
     "vector_scores_all",  # same 1-row query vector
     "vector_distance_library",  # same
     "topk_per_query_batch",  # k-row query batch, broadcast
+    "agg_kmv_jaccard_certificate",  # two single-row certificate frames combine (by design)
     "ann_recall_report",  # exact leg = the same 5-row query-batch cross join
     "semantic_search_hash_embedder",  # 1-row embedded prompt
     "engine_search_e2e",  # 1-row embedded prompt via the facade

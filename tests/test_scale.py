@@ -142,3 +142,64 @@ def test_star_cc_matches_union_find_random_graphs(spark):
         for r in connected_components(df, driver_max_edges=0).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_kmv_sketch_is_mergeable_and_bounded(spark):
+    """KMV invariants: the merged sketch equals bottom-K of the full
+    union (mergeability — what makes it shardable at 100 TB), the
+    Jaccard estimate is the sketch-agreement ratio, and the union
+    estimate is within the textbook multiplicative error for K=64 on
+    this corpus."""
+    from mcp_server_vector_search_spark.operators.scale import (
+        KMV_K,
+        agg_kmv_jaccard_certificate,
+    )
+
+    row = agg_kmv_jaccard_certificate(spark, SF_CORRECTNESS).collect()[0]
+    assert row["k"] == KMV_K
+    assert row["sketch_size"] == min(KMV_K, row["union_exact"])
+    assert 0 <= row["sketch_agree"] <= row["sketch_size"]
+    assert row["jaccard_kmv_micro"] == row["sketch_agree"] * 1_000_000 // row["sketch_size"]
+    assert row["kmv_within_bounds"] is True
+    # union estimate within 3/sqrt(K) ≈ 37.5% multiplicative error
+    assert abs(row["union_est"] - row["union_exact"]) <= 0.375 * row["union_exact"]
+    # the sets genuinely differ (guards against a degenerate corpus
+    # where the certificate would certify nothing)
+    assert 0 < row["inter_exact"] < row["union_exact"]
+
+
+def test_interval_overlap_matches_naive_join(spark):
+    """Bucket decomposition == naive theta-join, verified in-Spark (the
+    oracle checks vs DuckDB; this pins engine-internal equivalence and
+    that the canonical-bucket dedup trick counts each pair once)."""
+    from mcp_server_vector_search_spark import registry
+
+    registry.load_all_operators()
+    got = {
+        (r["user_id"], str(r["day"]), r["n_concurrent"])
+        for r in registry.QUERIES["join_interval_overlap_bucketed"](
+            spark, SF_CORRECTNESS
+        ).collect()
+    }
+
+    from mcp_server_vector_search_spark.operators.temporal import (
+        _activity_windows,
+    )
+
+    w = _activity_windows(spark, SF_CORRECTNESS)
+    a, b = w.alias("a"), w.alias("b")
+    naive = (
+        a.join(
+            b,
+            (F.col("a.s") <= F.col("b.e"))
+            & (F.col("b.s") <= F.col("a.e"))
+            & (F.col("a.win_id") != F.col("b.win_id")),
+            "left",
+        )
+        .groupBy(F.col("a.user_id").alias("user_id"), F.col("a.day").alias("day"))
+        .agg(F.count(F.col("b.win_id")).alias("n_concurrent"))
+    )
+    want = {
+        (r["user_id"], str(r["day"]), r["n_concurrent"]) for r in naive.collect()
+    }
+    assert got == want and len(got) > 0
