@@ -540,6 +540,28 @@ SHOWCASE = [
         "partition via `WindowGroupLimit` — the mining pass shuffles "
         "(query_id, vec_id, score) triples only, never the vectors.",
     ),
+    (
+        "join_interval_overlap_bucketed",
+        "Interval overlap join with NO equi-key: bucket decomposition "
+        "(`Generate` explodes each window to the time buckets it "
+        "touches) restores a hash-joinable key, so the pair join is "
+        "hash-keyed on bucket with the overlap predicate as its "
+        "residual — never a `CartesianProduct`.  At this SF the "
+        "exploded side fits a `BroadcastHashJoin`; at scale both sides "
+        "shuffle on bucket into a sort-merge join, work is Σ "
+        "per-bucket concurrency², and each overlapping pair is counted "
+        "once in the bucket owning greatest(s_a, s_b), so no distinct "
+        "pass follows the join.",
+    ),
+    (
+        "agg_kmv_jaccard_certificate",
+        "KMV bottom-k sketches: each sketch is a "
+        "`TakeOrderedAndProject` (per-partition bottom-K, K-row "
+        "merge), the exact side is one groupBy flag pass + one global "
+        "aggregate, and the single-row sketch/exact combine is a "
+        "bounded 1x1-row join — the shuffle never carries corpus "
+        "rows, only K hashes per shard.",
+    ),
 ]
 
 # Queries whose evidence is the EXECUTED streaming micro-batch plan,
