@@ -404,3 +404,119 @@ def q_quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ok_stopwords", ok_stop)
         .withColumn("keep", ok_words & ok_mean & ok_stop)
     )
+
+
+# ---------------------------------------------------------------------------
+# Preference-pair construction (DPO/RLHF data prep)
+# ---------------------------------------------------------------------------
+
+PREF_PAIRS_PER_LANG = 10
+_PREF_R = 6
+
+
+@register(
+    "build_preference_pairs",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id, lang,
+         ROUND(0.4 * least(1.0, len(string_split(text, ' ')) / 50.0)
+               + 0.3 * (1.0 - len(list_filter(string_split(text, ' '),
+                                  t -> list_contains(['the', 'a'], t)))::DOUBLE
+                              / len(string_split(text, ' ')))
+               + 0.3 * len(list_distinct(string_split(text, ' ')))::DOUBLE
+                       / len(string_split(text, ' ')), {_PREF_R}) AS q
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, lang, q,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY q DESC, doc_id ASC) AS r_best,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY q ASC, doc_id DESC) AS r_worst,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM m
+)
+SELECT b.lang,
+       CAST(b.r_best AS BIGINT) AS pair_rank,
+       b.doc_id AS chosen_doc_id,
+       w.doc_id AS rejected_doc_id,
+       b.q AS chosen_q,
+       w.q AS rejected_q,
+       ROUND(b.q - w.q, {_PREF_R}) AS margin
+FROM ranked b
+JOIN ranked w
+  ON w.lang = b.lang AND w.r_worst = b.r_best
+WHERE b.r_best <= {PREF_PAIRS_PER_LANG}
+  AND b.r_best <= b.n // 2
+ORDER BY b.lang, pair_rank
+""",
+)
+def build_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive preference-pair construction (the DPO/RLHF data-prep
+    shape): within each language, pair the i-th highest-quality
+    document ("chosen") with the i-th lowest ("rejected"), up to
+    PAIRS_PER_LANG pairs and never past the group midpoint (so a
+    document can appear on only one side).
+
+    Scale shape: the top-P and bottom-P sides are SEPARATE single-
+    row_number windows each followed by a ``rank <= P`` filter, which
+    is exactly the shape Catalyst rewrites to `WindowGroupLimit` —
+    per-partition P-row heaps prune each group before any sort
+    materializes (a fused two-rank window defeats the rewrite and
+    sorts every group in full; plan-asserted in tests).  The group
+    sizes needed for the midpoint guard come from a 5-row groupBy that
+    broadcasts.  The quality score is the same engine-portable
+    expression text_quality_scores certifies
+    (functions/text.py::quality_score), so the oracle replays ranking
+    and pairing exactly.
+    """
+    from ..functions import text as T
+
+    m = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.round(T.quality_score(F.col("text")), _PREF_R).alias("q"),
+    )
+    by_lang = W.partitionBy("lang")
+    sizes = m.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    best = (
+        m.withColumn(
+            "r_best",
+            F.row_number().over(by_lang.orderBy(F.desc("q"), F.asc("doc_id"))),
+        )
+        .where(F.col("r_best") <= PREF_PAIRS_PER_LANG)
+        .join(F.broadcast(sizes), "lang")
+        .where(F.col("r_best") <= F.expr("n DIV 2"))
+        .select(
+            "lang",
+            F.col("r_best").cast("long").alias("pair_rank"),
+            F.col("doc_id").alias("chosen_doc_id"),
+            F.col("q").alias("chosen_q"),
+        )
+    )
+    worst = (
+        m.withColumn(
+            "r_worst",
+            F.row_number().over(by_lang.orderBy(F.asc("q"), F.desc("doc_id"))),
+        )
+        .where(F.col("r_worst") <= PREF_PAIRS_PER_LANG)
+        .select(
+            "lang",
+            F.col("r_worst").cast("long").alias("pair_rank"),
+            F.col("doc_id").alias("rejected_doc_id"),
+            F.col("q").alias("rejected_q"),
+        )
+    )
+    return (
+        best.join(worst, ["lang", "pair_rank"])
+        .select(
+            "lang",
+            "pair_rank",
+            "chosen_doc_id",
+            "rejected_doc_id",
+            "chosen_q",
+            "rejected_q",
+            F.round(F.col("chosen_q") - F.col("rejected_q"), _PREF_R).alias(
+                "margin"
+            ),
+        )
+        .orderBy("lang", "pair_rank")
+    )

@@ -203,3 +203,33 @@ def test_interval_overlap_matches_naive_join(spark):
         (r["user_id"], str(r["day"]), r["n_concurrent"]) for r in naive.collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_preference_pairs_invariants(spark):
+    """DPO pair construction: chosen strictly outranks rejected (margin
+    >= 0), the two sides never share a document (midpoint guard), and
+    the rank<=P filters actually compile to WindowGroupLimit (the
+    per-group heap pruning the docstring promises — a fused two-rank
+    window silently loses it)."""
+    from mcp_server_vector_search_spark import registry
+    from mcp_server_vector_search_spark.plans.explain import formatted_plan
+
+    registry.load_all_operators()
+    df = registry.QUERIES["build_preference_pairs"](spark, SF_CORRECTNESS)
+    plan = formatted_plan(df)
+    assert "WindowGroupLimit" in plan
+    rows = df.collect()
+    assert len(rows) > 0
+    chosen = {r["chosen_doc_id"] for r in rows}
+    rejected = {r["rejected_doc_id"] for r in rows}
+    assert chosen.isdisjoint(rejected)
+    assert all(r["margin"] >= 0 for r in rows)
+    assert all(r["chosen_q"] >= r["rejected_q"] for r in rows)
+    # per-lang pair ranks are 1..P without gaps
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for r in rows:
+        per[r["lang"]].append(r["pair_rank"])
+    for lang, ranks in per.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), lang
