@@ -278,6 +278,41 @@ def _activity_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def count_interval_overlaps(
+    w: DataFrame, bucket_s: int = OVERLAP_BUCKET_S
+) -> DataFrame:
+    """Overlap-pair counts for a (win_id, s, e) window table — the
+    bucket-decomposition core (see q_interval_overlap_bucketed for the
+    scale rationale; the 100x tier stress-runs this function on 200k
+    synthetic windows).  Returns (win_id, n_concurrent) for windows
+    with at least one overlap; zero-overlap windows are absent (the
+    caller left-joins + coalesces)."""
+    b = w.select("win_id", "s", "e").withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"s DIV {bucket_s}"), F.expr(f"e DIV {bucket_s}")
+            )
+        ),
+    )
+    a, c = b.alias("a"), b.alias("c")
+    pairs = a.join(
+        c,
+        (F.col("a.bucket") == F.col("c.bucket"))
+        & (F.col("a.s") <= F.col("c.e"))
+        & (F.col("c.s") <= F.col("a.e"))
+        & (F.col("a.win_id") != F.col("c.win_id"))
+        # count the pair once: only in greatest(s_a, s_c)'s bucket
+        & (
+            F.expr(f"greatest(a.s, c.s) DIV {bucket_s}")
+            == F.col("a.bucket")
+        ),
+    )
+    return pairs.groupBy(F.col("a.win_id").alias("win_id")).agg(
+        F.count(F.lit(1)).alias("n_concurrent")
+    )
+
+
 @register(
     "join_interval_overlap_bucketed",
     oracle=f"""
@@ -319,30 +354,8 @@ def q_interval_overlap_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     theta-join — same answer, different asymptotics.
     """
     w = _activity_windows(spark, sf_dir)
-    wd = F.lit(OVERLAP_BUCKET_S)
-    b = w.withColumn(
-        "bucket",
-        F.explode(F.sequence(F.expr("s DIV " + str(OVERLAP_BUCKET_S)),
-                             F.expr("e DIV " + str(OVERLAP_BUCKET_S)))),
-    )
-    a, c = b.alias("a"), b.alias("c")
-    pairs = a.join(
-        c,
-        (F.col("a.bucket") == F.col("c.bucket"))
-        & (F.col("a.s") <= F.col("c.e"))
-        & (F.col("c.s") <= F.col("a.e"))
-        & (F.col("a.win_id") != F.col("c.win_id"))
-        # count the pair once: only in greatest(s_a, s_c)'s bucket
-        & (
-            F.expr("greatest(a.s, c.s) DIV " + str(OVERLAP_BUCKET_S))
-            == F.col("a.bucket")
-        ),
-    )
-    counts = pairs.groupBy(F.col("a.win_id").alias("win_id")).agg(
-        F.count(F.lit(1)).alias("n_concurrent")
-    )
     return (
-        w.join(counts, "win_id", "left")
+        w.join(count_interval_overlaps(w), "win_id", "left")
         .select(
             "user_id",
             "day",

@@ -711,3 +711,80 @@ def test_power_iteration_100x(spark, tiers):
     assert t100 <= LINEAR_SLACK * t10, (
         f"power iteration grew {t100 / t10:.1f}x on 10x data — super-linear"
     )
+
+
+def test_interval_overlap_100x(spark):
+    """Bucketed interval overlap join at 200k synthetic windows (no
+    equi-key).  Gates: (a) planted full-span windows report EXACTLY
+    N+K-1 overlaps each (they intersect everything), (b) bucketed
+    counts equal the naive theta-join at the 10x tier, (c) runtime
+    grows ~linearly from 20k -> 200k windows — the naive join is
+    O(N^2) and would blow the bound by an order of magnitude.
+
+    Windows are deterministic arithmetic (no RNG): starts stride a
+    30-day span by a prime, durations cycle 60..600 s, so expected
+    per-bucket concurrency is ~25 at 200k and pair work is
+    Sigma concurrency^2, not N^2.
+    """
+    from mcp_server_vector_search_spark.operators.temporal import (
+        count_interval_overlaps,
+    )
+
+    SPAN = 30 * 86_400
+    PLANTED = 5
+
+    def windows(n):
+        base = spark.range(n).select(
+            F.col("id").alias("win_id"),
+            ((F.col("id") * 7919) % SPAN).alias("s"),
+        )
+        base = base.select(
+            "win_id", "s", (F.col("s") + 60 + (F.col("win_id") % 541)).alias("e")
+        )
+        planted = spark.range(PLANTED).select(
+            (F.col("id") + n).alias("win_id"),
+            F.lit(0).cast("long").alias("s"),
+            F.lit(SPAN + 86_400).cast("long").alias("e"),
+        )
+        return base.unionByName(planted)
+
+    def run(n):
+        w = windows(n)
+        t0 = time.perf_counter()
+        rows = count_interval_overlaps(w).collect()
+        return {r["win_id"]: r["n_concurrent"] for r in rows}, (
+            time.perf_counter() - t0
+        )
+
+    n10, n100 = 20_000, 200_000
+    got10, t10 = run(n10)
+    got100, t100 = run(n100)
+
+    # (a) planted full-span windows see everything
+    for n, got in ((n10, got10), (n100, got100)):
+        for pid in range(n, n + PLANTED):
+            assert got[pid] == n + PLANTED - 1, (pid, got[pid])
+
+    # (b) bucketed == naive at the 10x tier
+    w = windows(n10)
+    a, b = w.alias("a"), w.alias("b")
+    naive = (
+        a.join(
+            b,
+            (F.col("a.s") <= F.col("b.e"))
+            & (F.col("b.s") <= F.col("a.e"))
+            & (F.col("a.win_id") != F.col("b.win_id")),
+        )
+        .groupBy(F.col("a.win_id").alias("win_id"))
+        .agg(F.count(F.lit(1)).alias("n_concurrent"))
+    )
+    want10 = {r["win_id"]: r["n_concurrent"] for r in naive.collect()}
+    assert got10 == want10
+
+    print(
+        f"SCALE100 interval_overlap t10={t10:.2f}s t100={t100:.2f}s "
+        f"ratio={t100 / t10:.2f} pairs100={sum(got100.values())}"
+    )
+    assert t100 <= LINEAR_SLACK * t10, (
+        f"interval overlap grew {t100 / t10:.1f}x on 10x windows — super-linear"
+    )
