@@ -10,7 +10,7 @@ aggregate (31-key hash agg, map-side combined).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as T
@@ -677,7 +677,9 @@ def _bpe_learn_driver(word_freq: dict[str, int], n_merges: int):
     return merges
 
 
-def _bpe_oracle() -> str | None:
+def _bpe_corpus_freq() -> dict[str, int] | None:
+    """Registration-time word-frequency table over the oracle corpus
+    (the trained-constant device of functions/train.py)."""
     try:
         import pyarrow.parquet as pq
 
@@ -691,10 +693,21 @@ def _bpe_oracle() -> str | None:
         for w in (text or "").split(" "):
             if w:
                 freq[w] = freq.get(w, 0) + 1
+    return freq
+
+
+def _sqlq(s: str) -> str:
+    """SQL-quote a corpus-derived token (escape embedded quotes)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _bpe_oracle() -> str | None:
+    freq = _bpe_corpus_freq()
+    if freq is None:  # pragma: no cover - testdata absent
+        return None
     merges = _bpe_learn_driver(freq, BPE_MERGES)
 
-    def q(s: str) -> str:  # corpus-derived tokens: escape SQL quotes
-        return "'" + s.replace("'", "''") + "'"
+    q = _sqlq
 
     values = ",\n  ".join(
         f"({r}, {q(a)}, {q(b)}, {q(m)}, {n})" for r, a, b, m, n in merges
@@ -725,7 +738,19 @@ def q_tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure-python replication over the same corpus: any divergence in
     pair counting, tie-breaking, or merge order shifts a row."""
     d = load_table(spark, sf_dir, "documents")
-    words = (
+    merges = bpe_train_distributed(_bpe_word_freq_df(d))
+    return spark.createDataFrame(
+        merges, "rank int, left_sym string, right_sym string, merged string, pair_count long"
+    )
+
+
+def _bpe_word_freq_df(d: DataFrame) -> DataFrame:
+    """The corpus-scale stage of BPE training: ONE distributed
+    word-frequency aggregate (map-side-combined hash agg), seeded with
+    the space-separated character sequence.  Checkpointed eagerly —
+    one row per DISTINCT word, the table every merge iteration loops
+    over."""
+    return (
         d.select(F.explode(F.split("text", " ")).alias("word"))
         .where(F.col("word") != "")
         .groupBy("word")
@@ -735,8 +760,15 @@ def q_tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("seq", F.trim("seq"))
         .localCheckpoint(eager=True)  # bounded: one row per distinct word
     )
-    merges = []
-    for rank in range(BPE_MERGES):
+
+
+def bpe_train_distributed(
+    words: DataFrame, n_merges: int = BPE_MERGES
+) -> list[tuple[int, str, str, str, int]]:
+    """The vocabulary-bounded merge loop (see q_tokenizer_bpe_merges
+    for the full contract); returns [(rank, left, right, merged, n)]."""
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(n_merges):
         pairs = (
             words.select(
                 "freq", F.split("seq", " ").alias("a")
@@ -776,8 +808,123 @@ def q_tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ),
         ).localCheckpoint(eager=True)
-    return spark.createDataFrame(
-        merges, "rank int, left_sym string, right_sym string, merged string, pair_count long"
+    return merges
+
+
+# ---------------------------------------------------------------------------
+# BPE ENCODE: applying the trained merges to the corpus — the tokenize
+# pass that follows merge training in every LLM data pipeline (token
+# budgeting, sequence packing, fertility audits all consume it).
+# ---------------------------------------------------------------------------
+
+
+def _bpe_seq0_sql(word_expr: str) -> str:
+    """Double-space char seeding, DuckDB spelling (see _bpe_encode_expr
+    for why the separators are doubled)."""
+    return f"' ' || regexp_replace({word_expr}, '(.)', '\\1  ', 'g')"
+
+
+def _bpe_encode_expr(merges) -> Column:
+    """Chained literal replaces that apply BPE merges in rank order.
+
+    Encoding trick: the symbol sequence is spelled with DOUBLED
+    separators (`` a  b  c ``) so that plain left-to-right
+    non-overlapping ``replace(seq, ' a  b ', ' ab ')`` is EXACTLY the
+    classic BPE merge step — each match consumes one space of each
+    neighbouring double, leaving the single space the next adjacent
+    match needs, so runs like ``abab`` merge both pairs in one pass
+    while overlaps like ``aaaa`` merge left-to-right non-overlapping
+    (asserted equal to the classic per-word merge loop in
+    tests/test_properties.py).  No regex lookaround — the same literal
+    replace exists in DuckDB, keeping the oracle engine-portable (RE2
+    has no lookbehind).  The whole chain is ONE whole-stage-codegen
+    projection over the distinct-word table."""
+    seq = F.concat(F.lit(" "), F.regexp_replace("word", "(.)", "$1  "))
+    for _rank, a, b, m, _n in merges:
+        seq = F.replace(seq, F.lit(f" {a}  {b} "), F.lit(f" {m} "))
+    return seq
+
+
+def _bpe_encode_oracle() -> str | None:
+    freq = _bpe_corpus_freq()
+    if freq is None:  # pragma: no cover - testdata absent
+        return None
+    merges = _bpe_learn_driver(freq, BPE_MERGES)
+    expr = _bpe_seq0_sql("word")
+    for _rank, a, b, m, _n in merges:
+        expr = f"replace({expr}, {_sqlq(f' {a}  {b} ')}, {_sqlq(f' {m} ')})"
+    return f"""
+WITH words AS (
+  SELECT word FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents) t
+  WHERE word <> '' GROUP BY word
+),
+enc AS (
+  SELECT word,
+         CAST(len(list_filter(string_split({expr}, ' '), s -> s <> '')) AS INTEGER) AS n_tok
+  FROM words
+),
+dw AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents
+)
+SELECT dw.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(e.n_tok) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(e.n_tok) AS DOUBLE) / COUNT(*), {R}) AS fertility
+FROM dw JOIN enc e USING (word)
+WHERE dw.word <> ''
+GROUP BY dw.doc_id
+ORDER BY dw.doc_id
+"""
+
+
+@register("tokenizer_bpe_encode", oracle=_bpe_encode_oracle())
+def q_tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply distributed-trained BPE merges to tokenize the corpus:
+    per-document token counts and fertility (tokens per word).
+
+    Production cost split, same as training: the merge table comes from
+    the vocabulary-bounded trainer (bpe_train_distributed), the ENCODE
+    runs once per DISTINCT word — an 8-deep literal-replace chain in a
+    single codegen projection — and the corpus-scale stage is one
+    word-keyed broadcast join + per-doc hash agg.  At 100 TB the vocab
+    table is MBs (bounded by distinct words, not tokens), so the join
+    ships no corpus bytes; encode work is O(vocab), not O(corpus),
+    which is exactly how production tokenizers amortize (word-level
+    memoization).  The oracle replays the identical replace chain in
+    DuckDB with registration-time python-trained merges — the trainer
+    equivalence is already value-hashed by tokenizer_bpe_merges, so any
+    drift in the ENCODE semantics (overlap handling, merge order)
+    shifts a token count."""
+    d = load_table(spark, sf_dir, "documents")
+    merges = bpe_train_distributed(_bpe_word_freq_df(d))
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .distinct()
+    )
+    toks = F.filter(
+        F.split(_bpe_encode_expr(merges), " "), lambda s: s != F.lit("")
+    )
+    enc = words.select("word", F.size(toks).alias("n_tok"))
+    dw = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).where(F.col("word") != "")
+    return (
+        dw.join(F.broadcast(enc), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_tokens",
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("n_words"), R
+            ).alias("fertility"),
+        )
+        .orderBy("doc_id")
     )
 
 

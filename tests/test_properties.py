@@ -293,3 +293,62 @@ def test_temperature_mix_flattens_and_preserves_size(spark):
     ratio_in = max(in_counts.values()) / min(in_counts.values())
     ratio_out = max(out_counts.values()) / min(out_counts.values())
     assert ratio_out < ratio_in or ratio_in == 1.0
+
+
+def test_bpe_encode_chain_equals_classic_merge_loop(spark):
+    """The doubled-separator literal-replace encode (one codegen
+    projection, engine-portable — no lookaround) must tokenize every
+    distinct corpus word EXACTLY like the classic rank-ordered
+    left-to-right non-overlapping merge loop, including adjacent-run
+    (abab) and overlapping (aaaa) shapes."""
+    from mcp_server_vector_search_spark.operators.text_analysis import (
+        _bpe_encode_expr,
+        _bpe_learn_driver,
+        _bpe_word_freq_df,
+        bpe_train_distributed,
+    )
+    from mcp_server_vector_search_spark.sources.tables import load_table
+
+    from .conftest import SF_CORRECTNESS
+
+    d = load_table(spark, SF_CORRECTNESS, "documents")
+    merges = bpe_train_distributed(_bpe_word_freq_df(d))
+    # trainer equivalence (distributed == pure python) on the same corpus
+    freq: dict[str, int] = {}
+    for r in d.select("text").collect():
+        for w in (r["text"] or "").split(" "):
+            if w:
+                freq[w] = freq.get(w, 0) + 1
+    assert merges == _bpe_learn_driver(freq, len(merges))
+
+    toks = F.filter(F.split(_bpe_encode_expr(merges), " "), lambda s: s != F.lit(""))
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .distinct()
+    )
+    # synthetic adversarial shapes alongside the real vocabulary
+    hard = spark.createDataFrame(
+        [("abab",), ("aaaa",), ("baba",), ("x",), ("thethe",)], "word string"
+    )
+    got = {
+        r["word"]: r["t"]
+        for r in words.union(hard).distinct().select("word", toks.alias("t")).collect()
+    }
+
+    def classic(w: str) -> list[str]:
+        s = list(w)
+        for _rank, a, b, _m, _n in merges:
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            s = out
+        return s
+
+    mismatches = {w: (t, classic(w)) for w, t in got.items() if t != classic(w)}
+    assert not mismatches, dict(list(mismatches.items())[:5])
