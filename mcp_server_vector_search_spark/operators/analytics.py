@@ -752,3 +752,82 @@ def q_agg_statistical_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("corr_qty_disc"),
     ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment readout: Welch's unequal-variance t-test per event
+# type — the statistical certificate an event-analytics engine emits
+# for experimentation dashboards.  Deterministic hash-bucket variant
+# assignment (user_id parity), exact integer sufficient statistics.
+# ---------------------------------------------------------------------------
+
+# Shared SQL body executed verbatim by BOTH engines (Spark over a temp
+# view, DuckDB over the parquet view): identical expression text means
+# identical IEEE op order, so the rounded doubles hash bit-for-bit.
+# Sufficient statistics are exact BIGINTs (floor(value*1000) millis):
+# mv <= ~5.6e5 here, mv^2 <= ~3.2e11, so the per-group SS sum stays
+# 2^63-safe up to ~2.9e7 rows per (event_type, variant) cell; past
+# that the accumulator widens to DECIMAL(38,0) with the plan unchanged.
+_WELCH_SQL_BODY = """
+WITH m AS (
+  SELECT event_type,
+         user_id % 2 AS v,
+         CAST(FLOOR(value * 1000) AS BIGINT) AS mv
+  FROM {events}
+),
+g AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN v = 0 THEN mv ELSE 0 END) AS BIGINT) AS s_a,
+         CAST(SUM(CASE WHEN v = 1 THEN mv ELSE 0 END) AS BIGINT) AS s_b,
+         CAST(SUM(CASE WHEN v = 0 THEN mv * mv ELSE 0 END) AS BIGINT) AS ss_a,
+         CAST(SUM(CASE WHEN v = 1 THEN mv * mv ELSE 0 END) AS BIGINT) AS ss_b
+  FROM m
+  GROUP BY event_type
+),
+w AS (
+  SELECT event_type, n_a, n_b,
+         (CAST(s_a AS DOUBLE) / 1000.0) / n_a AS mean_a,
+         (CAST(s_b AS DOUBLE) / 1000.0) / n_b AS mean_b,
+         (CAST(ss_a AS DOUBLE) / 1000000.0
+          - n_a * ((CAST(s_a AS DOUBLE) / 1000.0) / n_a)
+                * ((CAST(s_a AS DOUBLE) / 1000.0) / n_a)) / (n_a - 1) AS var_a,
+         (CAST(ss_b AS DOUBLE) / 1000000.0
+          - n_b * ((CAST(s_b AS DOUBLE) / 1000.0) / n_b)
+                * ((CAST(s_b AS DOUBLE) / 1000.0) / n_b)) / (n_b - 1) AS var_b
+  FROM g
+)
+SELECT event_type, n_a, n_b,
+       ROUND(mean_a, 6) AS mean_a,
+       ROUND(mean_b, 6) AS mean_b,
+       ROUND((mean_a - mean_b) / SQRT(var_a / n_a + var_b / n_b), 6) AS t_stat,
+       ROUND((var_a / n_a + var_b / n_b) * (var_a / n_a + var_b / n_b)
+             / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
+                + (var_b / n_b) * (var_b / n_b) / (n_b - 1)), 6) AS welch_df,
+       ABS((mean_a - mean_b) / SQRT(var_a / n_a + var_b / n_b)) > 1.96
+         AS significant_95
+FROM w
+ORDER BY event_type
+"""
+
+
+@register("stats_ab_welch", oracle=_WELCH_SQL_BODY.format(events="events"))
+def q_stats_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test per event type over a deterministic
+    A/B split (user_id parity — reproducible on any cluster size, any
+    retry, unlike rand() assignment).
+
+    Scale shape: ONE corpus pass — the sufficient statistics (n, sum,
+    sum-of-squares per variant) collapse in a 5-key hash aggregate with
+    map-side partials, so the only exchange is 5 rows x 6 longs no
+    matter the corpus size; every t/df/mean derives from those integers
+    in a final projection.  Cross-engine determinism: both engines run
+    THIS identical SQL text (Spark over a temp view), so every IEEE op
+    sequence matches and the ROUND(6) outputs value-hash exactly; the
+    accumulators are exact milli-unit BIGINTs, immune to partition
+    order.  The Welch form (unequal variances, Satterthwaite df) is the
+    standard experimentation readout; |t| > 1.96 flags ~95% two-sided
+    significance."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("ab_events")
+    return spark.sql(_WELCH_SQL_BODY.format(events="ab_events"))
