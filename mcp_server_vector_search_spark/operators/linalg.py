@@ -198,3 +198,218 @@ def q_linalg_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+# ---------------------------------------------------------------------------
+# Top-2 principal directions via deflation: the second eigenvector of
+# the Gram matrix from power iteration on iterates kept orthogonal to
+# the converged top direction (Hotelling deflation, iterate-side).
+# PCA-whitening / spectral-embedding pipelines need more than one
+# component; this row is the distributed recipe — each extra component
+# re-uses the SAME mat-vec loop plus one driver-side 64-float
+# Gram-Schmidt step per iteration.
+# ---------------------------------------------------------------------------
+
+
+def _matvec_w(pts: DataFrame, v: list[float]) -> list[int]:
+    """One distributed mat-vec round: exact micro dot per row (map-side
+    codegen), 64 exact BIGINT column sums in a single-row reduce."""
+    scored = pts.select("emb", _row_dot_micro(v).alias("su"))
+    agg = scored.groupBy().agg(
+        *[
+            F.sum(
+                F.floor(F.element_at("emb", d + 1) * F.col("su").cast("double"))
+            ).alias(f"w{d}")
+            for d in range(DIM)
+        ]
+    )
+    row = agg.collect()[0]  # bounded: one row of 64 longs
+    return [int(row[f"w{d}"]) for d in range(DIM)]
+
+
+def top2_deflation(
+    spark: SparkSession, sf_dir: str, iters: int = PI_ITERS
+) -> tuple[list[float], list[float], DataFrame]:
+    """Returns (v1, v2, pts): the max-normalized top direction, the
+    deflated second direction, and the projected embeddings frame."""
+    pts = load_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("emb")
+    )
+    v = [1.0] + [0.0] * (DIM - 1)
+    for _ in range(iters):
+        w = _matvec_w(pts, v)
+        wmax = max(abs(x) for x in w)
+        v = [float(x) / float(wmax) for x in w]
+    v1 = v
+    # exact micro norm of v1 — the Gram-Schmidt denominator, order-free
+    v1v1_micro = sum(int(math.floor((x * x) * OUT_SCALE)) for x in v1)
+    u = [0.0, 1.0] + [0.0] * (DIM - 2)
+    for _ in range(iters):
+        w = _matvec_w(pts, u)
+        wmax = max(abs(x) for x in w)
+        y = [float(x) / float(wmax) for x in w]
+        # Gram-Schmidt against v1 on exact micro integers: every float
+        # op below has ONE canonical spelling replayed by the oracle
+        proj_micro = sum(
+            int(math.floor((v1[d] * y[d]) * OUT_SCALE)) for d in range(DIM)
+        )
+        coef = float(proj_micro) / float(v1v1_micro)
+        u = [y[d] - coef * v1[d] for d in range(DIM)]
+    return v1, u, pts
+
+
+def _top2_oracle(iters: int = PI_ITERS) -> str:
+    """Both power-iteration chains in pure SQL: the v-chain is the
+    top-1 oracle's; the u-chain adds, per round, a 64-row exact
+    projection sum and the Gram-Schmidt update with the identical
+    float-op spelling as the driver loop."""
+    blocks = []
+    prev = "v0"
+    for n in range(1, iters + 1):
+        blocks.append(
+            f"""vsu{n} AS MATERIALIZED (
+  SELECT px.vec_id,
+         CAST(SUM(CAST(FLOOR((px.val * v.vd) * 1000000000.0e0) AS BIGINT)) AS BIGINT) AS su
+  FROM px JOIN {prev} v ON v.d = px.d GROUP BY px.vec_id
+),
+vw{n} AS MATERIALIZED (
+  SELECT px.d,
+         CAST(SUM(CAST(FLOOR(px.val * CAST(s.su AS DOUBLE)) AS BIGINT)) AS BIGINT) AS w
+  FROM px JOIN vsu{n} s ON s.vec_id = px.vec_id GROUP BY px.d
+),
+v{n} AS MATERIALIZED (
+  SELECT d, CAST(w AS DOUBLE) / CAST((SELECT MAX(ABS(w)) FROM vw{n}) AS DOUBLE) AS vd
+  FROM vw{n}
+)"""
+        )
+        prev = f"v{n}"
+    vfin = prev
+    blocks.append(
+        f"""vv AS MATERIALIZED (
+  SELECT CAST(SUM(CAST(FLOOR((vd * vd) * 1000000000.0e0) AS BIGINT)) AS BIGINT) AS m
+  FROM {vfin}
+)"""
+    )
+    prev = "u0"
+    for n in range(1, iters + 1):
+        blocks.append(
+            f"""usu{n} AS MATERIALIZED (
+  SELECT px.vec_id,
+         CAST(SUM(CAST(FLOOR((px.val * v.vd) * 1000000000.0e0) AS BIGINT)) AS BIGINT) AS su
+  FROM px JOIN {prev} v ON v.d = px.d GROUP BY px.vec_id
+),
+uw{n} AS MATERIALIZED (
+  SELECT px.d,
+         CAST(SUM(CAST(FLOOR(px.val * CAST(s.su AS DOUBLE)) AS BIGINT)) AS BIGINT) AS w
+  FROM px JOIN usu{n} s ON s.vec_id = px.vec_id GROUP BY px.d
+),
+uy{n} AS MATERIALIZED (
+  SELECT d, CAST(w AS DOUBLE) / CAST((SELECT MAX(ABS(w)) FROM uw{n}) AS DOUBLE) AS vd
+  FROM uw{n}
+),
+up{n} AS MATERIALIZED (
+  SELECT CAST(SUM(CAST(FLOOR((v.vd * y.vd) * 1000000000.0e0) AS BIGINT)) AS BIGINT) AS p
+  FROM {vfin} v JOIN uy{n} y ON y.d = v.d
+),
+u{n} AS MATERIALIZED (
+  SELECT y.d, y.vd - (CAST(p.p AS DOUBLE) / CAST(vv.m AS DOUBLE)) * v.vd AS vd
+  FROM uy{n} y JOIN {vfin} v ON v.d = y.d CROSS JOIN up{n} p CROSS JOIN vv
+)"""
+        )
+        prev = f"u{n}"
+    ufin = prev
+    blocks.append(
+        f"""fsu AS MATERIALIZED (
+  SELECT px.vec_id,
+         CAST(SUM(CAST(FLOOR((px.val * v.vd) * 1000000000.0e0) AS BIGINT)) AS BIGINT) AS su
+  FROM px JOIN {ufin} v ON v.d = px.d GROUP BY px.vec_id
+),
+ray AS MATERIALIZED (
+  SELECT
+    CAST(SUM(CAST(FLOOR(((CAST(su AS DOUBLE) / 1000000000.0e0)
+                         * (CAST(su AS DOUBLE) / 1000000000.0e0)) * 1000000000.0e0) AS BIGINT)) AS BIGINT)
+      AS rayleigh2_micro,
+    CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM fsu
+),
+ortho AS MATERIALIZED (
+  SELECT CAST(SUM(CAST(FLOOR((v.vd * u.vd) * 1000000000.0e0) AS BIGINT)) AS BIGINT) AS o
+  FROM {vfin} v JOIN {ufin} u ON u.d = v.d
+)"""
+    )
+    return f"""
+WITH dims AS (SELECT UNNEST(generate_series(1, {DIM})) AS d),
+-- MATERIALIZED: px is referenced twice per iteration; inlined CTEs
+-- would re-open the parquet view ~20x (fd exhaustion) and re-explode
+-- the corpus per reference
+px AS MATERIALIZED (
+  SELECT e.vec_id, d.d, CAST(e.embedding[d.d] AS DOUBLE) AS val
+  FROM embeddings e CROSS JOIN dims d
+),
+v0 AS (SELECT d, CASE WHEN d = 1 THEN 1.0e0 ELSE 0.0e0 END AS vd FROM dims),
+u0 AS (SELECT d, CASE WHEN d = 2 THEN 1.0e0 ELSE 0.0e0 END AS vd FROM dims),
+{",".join(blocks)}
+SELECT CAST(v.d AS BIGINT) AS d,
+       CAST(FLOOR(v.vd * 1000000000.0e0) AS BIGINT) AS c1_micro_d,
+       CAST(FLOOR(u.vd * 1000000000.0e0) AS BIGINT) AS c2_micro_d,
+       o.o AS ortho_micro,
+       r.rayleigh2_micro, r.n_rows
+FROM {vfin} v JOIN {ufin} u ON u.d = v.d
+CROSS JOIN ortho o CROSS JOIN ray r
+ORDER BY v.d
+"""
+
+
+@register("linalg_top2_deflation", oracle=_top2_oracle())
+def q_linalg_top2_deflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second principal direction by deflated power iteration, 4+4
+    distributed mat-vec rounds — every cross-row reduction an exact
+    BIGINT micro sum (partition-order-free), every driver float op a
+    single canonical IEEE expression the DuckDB oracle replays verbatim
+    over the SAME chained CTEs, so all 64x2 components value-hash bit
+    for bit.
+
+    Output per dimension d: both components in 1e-9 units, plus three
+    scalar certificates — the exact micro v1.v2 (orthogonality: ~0 by
+    construction), the Rayleigh mass of v2 (strictly below v1's — it IS
+    the second direction), and the row count.  Scale: per-iteration
+    driver traffic is 64 longs + 2 scalars; the corpus never shuffles
+    (map-side dots + one single-row reduce per round); k components
+    cost k x iters scans, which production amortizes by persisting the
+    projected column once (same note as the top-1 row)."""
+    v1, v2, pts = top2_deflation(spark, sf_dir)
+    ortho_micro = sum(
+        int(math.floor((v1[d] * v2[d]) * OUT_SCALE)) for d in range(DIM)
+    )
+    e = F.col("su").cast("double") / F.lit(DOT_SCALE)
+    certs = (
+        pts.select(_row_dot_micro(v2).alias("su"))
+        .groupBy()
+        .agg(
+            F.sum(F.floor((e * e) * F.lit(DOT_SCALE))).alias("rayleigh2_micro"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    comp = spark.createDataFrame(
+        [
+            (
+                d + 1,
+                int(math.floor(v1[d] * OUT_SCALE)),
+                int(math.floor(v2[d] * OUT_SCALE)),
+            )
+            for d in range(DIM)
+        ],
+        "d long, c1_micro_d long, c2_micro_d long",
+    )
+    return (
+        comp.crossJoin(certs)
+        .select(
+            "d",
+            "c1_micro_d",
+            "c2_micro_d",
+            F.lit(ortho_micro).cast("long").alias("ortho_micro"),
+            "rayleigh2_micro",
+            "n_rows",
+        )
+        .orderBy("d")
+    )

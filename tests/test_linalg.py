@@ -67,3 +67,33 @@ def test_power_iteration_plan_is_single_row_reduce(spark):
     assert "EvalPython" not in plan and "InPandas" not in plan
     # global agg: partial -> single-partition exchange -> final
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 1
+
+
+def test_top2_deflation_is_orthogonal_second_direction(spark):
+    """v2 must be (a) numerically orthogonal to v1 — the exact micro
+    v1.v2 within quantization of zero — and (b) a genuinely weaker
+    direction: per-unit-length Rayleigh mass strictly below v1's."""
+    from mcp_server_vector_search_spark.operators.linalg import (
+        power_iteration_top_component,
+        top2_deflation,
+    )
+
+    v1, v2, _pts = top2_deflation(spark, SF_CORRECTNESS)
+    dot = sum(a * b for a, b in zip(v1, v2))
+    n1 = sum(a * a for a in v1) ** 0.5
+    n2 = sum(b * b for b in v2) ** 0.5
+    assert abs(dot) / (n1 * n2) < 1e-6, dot
+
+    r1 = power_iteration_top_component(spark, SF_CORRECTNESS).collect()[0]
+    from mcp_server_vector_search_spark import registry
+
+    registry.load_all_operators()
+    row2 = registry.QUERIES["linalg_top2_deflation"](
+        spark, SF_CORRECTNESS
+    ).collect()[0]
+    r1_unit = r1["rayleigh_micro"] / sum(c * c for c in v1)
+    r2_unit = row2["rayleigh2_micro"] / sum(c * c for c in v2)
+    # the corpus spectrum is tight (lambda2/lambda1 ~ 0.91 here);
+    # the invariant is strict ordering, not a wide gap
+    assert r2_unit < r1_unit * 0.999, (r1_unit, r2_unit)
+    assert abs(row2["ortho_micro"]) <= 64, row2["ortho_micro"]

@@ -64,6 +64,14 @@ BNLJ_OK = {
     "dsir_importance_weights",  # 1-row corpus-total scalar over the 64-row bucket table
     "text_collocations_pmi",  # 1-row corpus-total scalar for the PMI denominator
     "ann_index_maintenance_plan",  # 1-row upsert-cut scalar broadcast
+    # non-equi broadcast of the HN_QUERIES-row query set (label !=
+    # query_label): the streamed corpus passes each of 4 broadcast rows
+    # once — bounded side IS the broadcast, same posture as
+    # topk_per_query_batch
+    "mine_hard_negatives",
+    # 64-row component frame x 1-row certificate aggregate: both sides
+    # bounded by DIM/1 regardless of corpus size
+    "linalg_top2_deflation",
 }
 
 # Arrow-batched Python (ArrowEvalPython / MapInPandas /
