@@ -205,3 +205,43 @@ def q_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("comp").alias("component"),
         (F.col("node") == F.col("comp")).cast("int").alias("is_canonical"),
     )
+
+
+@register(
+    "cluster_components_star",
+    oracle=f"""
+WITH RECURSIVE pairs AS ({_NGRAM_ORACLE}),
+edges AS (
+  SELECT a_id AS u, b_id AS v FROM pairs
+  UNION ALL
+  SELECT b_id AS u, a_id AS v FROM pairs
+),
+walk(u, comp) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) AS n
+  UNION
+  SELECT e.v AS u, w.comp FROM walk w JOIN edges e ON e.u = w.u
+)
+SELECT u AS doc_id,
+       MIN(comp) AS component,
+       CAST(u = MIN(comp) AS INTEGER) AS is_canonical
+FROM walk GROUP BY u
+""",
+)
+def q_cluster_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTRIBUTED leg of duplicate-cluster formation, driver-gated:
+    identical semantics to dedup_duplicate_clusters but with the driver
+    union-find shortcut disabled (``driver_max_edges=0``), so the
+    large-star/small-star loop — the only path that exists at 100 TB
+    when the pair table outgrows one machine — is what the value hash
+    certifies, against the same recursive-CTE oracle.  Every half-round
+    is a groupBy-min + join (plain shuffles); rounds are O(log n) even
+    on path graphs; per-round lineage is truncated by localCheckpoint
+    and termination is a two-scalar fingerprint probe, so nothing
+    corpus-sized ever reaches the driver."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    labels = connected_components(pairs, driver_max_edges=0)
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("component"),
+        (F.col("node") == F.col("comp")).cast("int").alias("is_canonical"),
+    )
