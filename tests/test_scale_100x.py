@@ -788,3 +788,50 @@ def test_interval_overlap_100x(spark):
     assert t100 <= LINEAR_SLACK * t10, (
         f"interval overlap grew {t100 / t10:.1f}x on 10x windows — super-linear"
     )
+
+
+def test_components_star_100x(spark):
+    """Distributed large-star/small-star connected components on the
+    adversarial shape: path graphs, where naive min-propagation needs
+    O(path length) rounds but the star alternation needs O(log L).
+    Tiers: 128k -> 1.28M nodes in 1024-node paths (edge count ~= node
+    count).  Gates: EVERY node's label equals its path's minimum id at
+    both tiers (exact, planted by construction), and 10x the edges
+    costs at most LINEAR_SLACK x the time — rounds are log-bounded by
+    the FIXED path length, so the loop must scale with edge volume
+    only."""
+    from mcp_server_vector_search_spark.operators.components import (
+        connected_components,
+    )
+
+    L = 1024
+
+    def run(n_nodes):
+        edges = (
+            spark.range(n_nodes)
+            .where((F.col("id") % L) != L - 1)
+            .select(F.col("id").alias("a_id"), (F.col("id") + 1).alias("b_id"))
+        )
+        t0 = time.perf_counter()
+        labels = connected_components(edges, driver_max_edges=0)
+        bad = labels.where(
+            F.col("comp") != (F.col("node") - F.col("node") % L)
+        ).count()
+        n_labeled = labels.count()
+        dt = time.perf_counter() - t0
+        return bad, n_labeled, dt
+
+    n10, n100 = 131_072, 1_310_720
+    bad10, lab10, t10 = run(n10)
+    bad100, lab100, t100 = run(n100)
+
+    assert bad10 == 0 and lab10 == n10, (bad10, lab10)
+    assert bad100 == 0 and lab100 == n100, (bad100, lab100)
+
+    print(
+        f"SCALE100 components_star t10={t10:.2f}s t100={t100:.2f}s "
+        f"ratio={t100 / t10:.2f} nodes100={lab100}"
+    )
+    assert t100 <= LINEAR_SLACK * t10, (
+        f"star CC grew {t100 / t10:.1f}x on 10x edges — super-linear"
+    )
