@@ -527,3 +527,111 @@ def temperature_replicate(d: DataFrame, plan: dict[str, tuple[int, int]]) -> Dat
         .where(F.col("copies") > 0)
         .withColumn("copy_id", F.explode(F.sequence(F.lit(1), F.col("copies"))))
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget mixture allocation: production mixing briefs are stated
+# in TOKENS ("train on 1T tokens: 60% web, 20% code, ..."), not in
+# document counts — the quota solver is the step between corpus
+# accounting and the replication/keep pass the mix_* rows implement.
+# Largest-remainder (Hamilton) apportionment on exact integers: quotas
+# sum EXACTLY to the target, deterministically.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mix_token_budget",
+    oracle="""
+WITH per_src AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
+  FROM documents
+  GROUP BY source
+),
+tot AS (
+  SELECT source, n_docs, avail_tokens,
+         CAST(SUM(avail_tokens) OVER () AS BIGINT) AS t_total,
+         CAST(SUM(avail_tokens) OVER () // 2 AS BIGINT) AS target
+  FROM per_src
+),
+alloc AS (
+  SELECT source, n_docs, avail_tokens, target,
+         CAST((target * avail_tokens) // t_total AS BIGINT) AS quota_floor,
+         CAST((target * avail_tokens) % t_total AS BIGINT) AS remainder
+  FROM tot
+),
+ranked AS (
+  SELECT *,
+         CAST(target - SUM(quota_floor) OVER () AS BIGINT) AS leftover,
+         ROW_NUMBER() OVER (ORDER BY remainder DESC, source) AS rn
+  FROM alloc
+)
+SELECT source, n_docs, avail_tokens,
+       CAST(quota_floor + CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS quota_tokens,
+       ROUND(CAST(quota_floor + CASE WHEN rn <= leftover THEN 1 ELSE 0 END
+                  AS DOUBLE) / target, 6) AS budget_share
+FROM ranked
+ORDER BY source
+""",
+)
+def q_mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allocate a 50%-of-corpus token budget across sources by
+    largest-remainder apportionment: floor quotas proportional to each
+    source's available tokens, then the leftover units go to the
+    largest fractional remainders (remainder DESC, source ASC
+    tie-break) so quotas sum EXACTLY to the target.
+
+    Scale shape: the only corpus-scale work is one map-side-combined
+    hash agg (per-source doc/token totals, token_count in codegen); the
+    apportionment algebra runs over the n_sources-row frame via
+    unpartitioned windows — bounded by the number of sources, never by
+    the corpus.  All quota math is exact BIGINT (products bounded by
+    target x avail ~ 1e12 here; a 1e13-token corpus widens the product
+    column to DECIMAL(38,0) with the plan unchanged), so the driver
+    value-hash is bit-stable.  The tokens-per-source accounting a real
+    brief would use BPE counts for is certified separately by
+    tokenizer_bpe_encode; this row's subject is the allocator."""
+    from ..functions.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("avail_tokens"),
+    )
+    whole = W.partitionBy()  # n_sources rows: bounded frame by design
+    tot = per_src.select(
+        "source",
+        "n_docs",
+        "avail_tokens",
+        F.sum("avail_tokens").over(whole).alias("t_total"),
+        F.expr("sum(avail_tokens) over () div 2").alias("target"),
+    )
+    alloc = tot.select(
+        "source",
+        "n_docs",
+        "avail_tokens",
+        "target",
+        F.expr("(target * avail_tokens) div t_total").alias("quota_floor"),
+        ((F.col("target") * F.col("avail_tokens")) % F.col("t_total")).alias(
+            "remainder"
+        ),
+    )
+    ranked = alloc.select(
+        "*",
+        (F.col("target") - F.sum("quota_floor").over(whole)).alias("leftover"),
+        F.row_number()
+        .over(whole.orderBy(F.desc("remainder"), F.asc("source")))
+        .alias("rn"),
+    )
+    quota = F.col("quota_floor") + F.when(
+        F.col("rn") <= F.col("leftover"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return ranked.select(
+        "source",
+        "n_docs",
+        "avail_tokens",
+        quota.cast("long").alias("quota_tokens"),
+        F.round(quota.cast("double") / F.col("target"), 6).alias("budget_share"),
+    ).orderBy("source")

@@ -352,3 +352,24 @@ def test_bpe_encode_chain_equals_classic_merge_loop(spark):
 
     mismatches = {w: (t, classic(w)) for w, t in got.items() if t != classic(w)}
     assert not mismatches, dict(list(mismatches.items())[:5])
+
+
+def test_token_budget_quotas_sum_exactly_to_target(spark):
+    """Largest-remainder apportionment's defining invariant: the
+    per-source quotas sum EXACTLY to the integer target (no rounding
+    drift), and every quota stays within 1 unit of its real-valued
+    proportional share."""
+    from mcp_server_vector_search_spark import registry
+
+    registry.load_all_operators()
+    from .conftest import SF_CORRECTNESS
+
+    rows = registry.QUERIES["mix_token_budget"](spark, SF_CORRECTNESS).collect()
+    avail = {r["source"]: r["avail_tokens"] for r in rows}
+    quota = {r["source"]: r["quota_tokens"] for r in rows}
+    t_total = sum(avail.values())
+    target = t_total // 2
+    assert sum(quota.values()) == target
+    for s in avail:
+        exact = target * avail[s] / t_total
+        assert abs(quota[s] - exact) < 1.0, (s, quota[s], exact)
