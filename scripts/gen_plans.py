@@ -554,6 +554,32 @@ SHOWCASE = [
         "pass follows the join.",
     ),
     (
+        "stats_ab_welch",
+        "Welch A/B t-test as ONE corpus pass: the sufficient statistics "
+        "(n, Σmilli, Σmilli² per variant) collapse in a 5-key partial+"
+        "final `HashAggregate` pair, so the only exchange is 5 rows of "
+        "longs no matter the corpus size; every t/df/mean is a final "
+        "projection over those exact integers, and both engines execute "
+        "the IDENTICAL SQL text so the rounded doubles hash bit-for-bit.",
+    ),
+    (
+        "tokenizer_bpe_encode",
+        "BPE tokenization with the production cost split: the 8-deep "
+        "literal-replace encode chain runs once per DISTINCT word (one "
+        "whole-stage-codegen projection over the vocabulary), and the "
+        "corpus-scale stage is a word-keyed `BroadcastHashJoin` + per-doc "
+        "hash agg — encode work is O(vocab), corpus bytes never shuffle.",
+    ),
+    (
+        "mix_token_budget",
+        "Token-budget apportionment: the corpus contributes one map-side-"
+        "combined hash agg (per-source token totals); the largest-"
+        "remainder algebra runs in `Window` operators over the "
+        "n_sources-row frame — a single-partition window is exactly "
+        "right here BECAUSE the frame is bounded by the source count, "
+        "never by the corpus.",
+    ),
+    (
         "agg_kmv_jaccard_certificate",
         "KMV bottom-k sketches: each sketch is a "
         "`TakeOrderedAndProject` (per-partition bottom-K, K-row "
