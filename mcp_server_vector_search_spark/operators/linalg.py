@@ -76,19 +76,7 @@ def power_iteration_top_component(
 
     v = [1.0] + [0.0] * (DIM - 1)
     for _ in range(iters):
-        scored = pts.select("emb", _row_dot_micro(v).alias("su"))
-        agg = scored.groupBy().agg(
-            *[
-                F.sum(
-                    F.floor(
-                        F.element_at("emb", d + 1) * F.col("su").cast("double")
-                    )
-                ).alias(f"w{d}")
-                for d in range(DIM)
-            ]
-        )
-        row = agg.collect()[0]  # bounded: one row of 64 longs
-        w = [int(row[f"w{d}"]) for d in range(DIM)]
+        w = _matvec_w(pts, v)
         wmax = max(abs(x) for x in w)
         # float(w)/float(wmax): one IEEE division on identical integers,
         # bit-equal to the oracle's CAST/CAST quotient
