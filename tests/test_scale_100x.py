@@ -835,3 +835,75 @@ def test_components_star_100x(spark):
     assert t100 <= LINEAR_SLACK * t10, (
         f"star CC grew {t100 / t10:.1f}x on 10x edges — super-linear"
     )
+
+
+def test_bpe_encode_100x(spark, tiers):
+    """BPE tokenize at corpus scale: train 8 merges + encode the vocab
+    + broadcast-join token counts onto 50k -> 500k docs.  The claim
+    under test is the production cost split — encode work is O(vocab),
+    only the word-keyed join and the per-doc agg touch the corpus — so
+    10x the documents must cost ~linear time even though the encode
+    chain itself is unchanged.  Correctness at scale: 200 sampled vocab
+    words at the 100x tier must tokenize EXACTLY like the classic
+    rank-ordered merge loop run in python on the tier's own merges."""
+    from mcp_server_vector_search_spark import registry
+    from mcp_server_vector_search_spark.operators.text_analysis import (
+        _bpe_encode_expr,
+        _bpe_merges_for,
+    )
+
+    registry.load_all_operators()
+    (dir10, _m10), (dir100, _m100) = tiers
+
+    def run(sf_dir):
+        t0 = time.perf_counter()
+        rows = registry.QUERIES["tokenizer_bpe_encode"](spark, sf_dir).collect()
+        dt = time.perf_counter() - t0
+        return rows, dt
+
+    rows10, t10 = run(dir10)
+    rows100, t100 = run(dir100)
+
+    for rows, n_min in ((rows10, 49_000), (rows100, 490_000)):
+        assert len(rows) >= n_min, len(rows)
+        assert all(r["n_tokens"] >= r["n_words"] for r in rows)
+
+    # classic-merge equality on sampled vocabulary at the 100x tier
+    merges = _bpe_merges_for(spark, dir100)
+    toks = F.filter(F.split(_bpe_encode_expr(merges), " "), lambda s: s != F.lit(""))
+    sample = (
+        load_table(spark, dir100, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .distinct()
+        .orderBy(F.xxhash64("word"))
+        .limit(200)
+        .select("word", toks.alias("t"))
+        .collect()
+    )
+
+    def classic(w):
+        s = list(w)
+        for _rank, a, b, _m, _n in merges:
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            s = out
+        return s
+
+    bad = [(r["word"], r["t"], classic(r["word"])) for r in sample
+           if r["t"] != classic(r["word"])]
+    assert not bad, bad[:3]
+
+    print(
+        f"SCALE100 bpe_encode t10={t10:.2f}s t100={t100:.2f}s "
+        f"ratio={t100 / t10:.2f} docs100={len(rows100)}"
+    )
+    assert t100 <= LINEAR_SLACK * t10, (
+        f"bpe encode grew {t100 / t10:.1f}x on 10x docs — super-linear"
+    )
