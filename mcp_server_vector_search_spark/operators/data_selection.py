@@ -531,3 +531,183 @@ def q_mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     contrastive-mining slice a trainer would feed back as negatives."""
     emb = load_table(spark, sf_dir, "embeddings")
     return mine_hard_negatives(emb, emb.where(F.col("vec_id") < HN_QUERIES))
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality/selection classifier: logistic regression trained
+# driver-side on a bounded sample (the CCNet / GPT-3-WebText recipe —
+# a cheap linear model distilled from an expensive quality signal gates
+# what enters the corpus; public method descriptions, e.g. Brown et al.
+# 2020 §A, Wenzek et al. 2020), scored corpus-wide in ONE codegen
+# projection with the weights folded as literals.  The teacher signal
+# here is the Gopher dup-2gram repetition rule (the expensive per-doc
+# bigram statistic quality_repetition_rules certifies); the student
+# sees only UNIGRAM surface features — the row emits teacher verdict
+# and student score side by side, so it doubles as the distillation
+# audit a production pipeline runs before swapping the cheap model in.
+# ---------------------------------------------------------------------------
+
+LR_ITERS = 200
+LR_RATE = 2.0
+LR_MAX_TRAIN = 4096  # FAISS-discipline bounded driver sample
+LR_DUP2_PCT = 3  # teacher: duplicate-2gram fraction >= 3% (median split)
+
+
+def _lr_surface_features(text: str) -> tuple[float, float, float, float]:
+    """Pure-python twin of the engine-side feature expressions: one
+    float division per feature, identical op order, so the trainer sees
+    the exact doubles the scorer will compute."""
+    toks = text.split(" ")  # matches size(split(text, ' ')): keeps empties
+    n_tok = len(toks)
+    stop = sum(1 for t in toks if t in ("the", "a"))
+    return (
+        stop / n_tok,
+        len(set(toks)) / n_tok,
+        min(n_tok, 200) / 200,
+        (len(text) / n_tok) / 10,
+    )
+
+
+def _lr_teacher_label(text: str) -> int:
+    """Pure-python twin of the engine-side teacher rule: duplicate-
+    2gram fraction >= LR_DUP2_PCT%, integer-exact cross-multiplied."""
+    tk = text.split(" ")
+    n2 = len(tk) - 1
+    if n2 < 1:
+        return 0
+    d2 = len({tk[i] + " " + tk[i + 1] for i in range(n2)})
+    return 1 if 100 * (n2 - d2) >= LR_DUP2_PCT * n2 else 0
+
+
+_LR_CACHE: dict[str, tuple[list[float], float]] = {}
+
+
+def _lr_weights(sf_dir: str) -> tuple[list[float], float]:
+    """Deterministic full-batch gradient descent in float64 numpy over
+    the first LR_MAX_TRAIN docs by doc_id.  Registration-time oracle
+    generation and query-time scoring both call THIS function, so at
+    the driver-gate SF the folded literals are bitwise identical."""
+    if sf_dir in _LR_CACHE:
+        return _LR_CACHE[sf_dir]
+    import pyarrow.parquet as pq
+
+    t = (
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .to_pylist()
+    )
+    t.sort(key=lambda r: r["doc_id"])
+    t = t[:LR_MAX_TRAIN]
+    x = np.array([_lr_surface_features(r["text"] or "") for r in t], dtype=np.float64)
+    y = np.array([float(_lr_teacher_label(r["text"] or "")) for r in t], dtype=np.float64)
+    w = np.zeros(x.shape[1], dtype=np.float64)
+    b = 0.0
+    n = float(len(t))
+    for _ in range(LR_ITERS):
+        p = 1.0 / (1.0 + np.exp(-(x @ w + b)))
+        err = p - y
+        w -= LR_RATE * (x.T @ err) / n
+        b -= LR_RATE * float(err.sum()) / n
+    _LR_CACHE[sf_dir] = ([float(v) for v in w], float(b))
+    return _LR_CACHE[sf_dir]
+
+
+def _lr_oracle() -> str | None:
+    try:
+        w, b = _lr_weights(ORACLE_SF_DIR)
+    except Exception:  # pragma: no cover - testdata absent
+        return None
+    from ..functions.train import sql_float
+
+    return f"""
+WITH g AS (
+  SELECT doc_id, text, ws,
+         list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1]) AS g2
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents) s
+),
+f AS (
+  SELECT doc_id,
+         CAST(len(g2) >= 1
+              AND 100 * (len(g2) - len(list_distinct(g2)))
+                  >= {LR_DUP2_PCT} * len(g2) AS INTEGER) AS label,
+         CAST(len(list_filter(ws, t -> t = 'the' OR t = 'a')) AS DOUBLE) / len(ws) AS st,
+         CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS dr,
+         CAST(LEAST(len(ws), 200) AS DOUBLE) / 200 AS lt,
+         (CAST(LENGTH(text) AS DOUBLE) / len(ws)) / 10 AS wl
+  FROM g
+),
+z AS (
+  SELECT doc_id, label,
+         {sql_float(b)} + {sql_float(w[0])} * st + {sql_float(w[1])} * dr
+           + {sql_float(w[2])} * lt + {sql_float(w[3])} * wl AS z
+  FROM f
+)
+SELECT doc_id, label,
+       ROUND(1.0 / (1.0 + EXP(-z)), 6) AS score,
+       CAST(z >= 0.0 AS INTEGER) AS predicted
+FROM z
+ORDER BY doc_id
+"""
+
+
+@register("quality_classifier_lr", oracle=_lr_oracle())
+def q_quality_classifier_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distilled quality classifier: logistic regression fit
+    driver-side (bounded LR_MAX_TRAIN sample, 200 deterministic
+    full-batch GD steps, float64) to imitate the Gopher dup-2gram
+    repetition rule from UNIGRAM-only surface features, then the WHOLE
+    corpus scored in one shuffle-free projection with the weights as
+    literals — teacher label, student score, and student decision side
+    by side (the distillation audit).  The teacher needs the bigram
+    array per doc (in-row zip_with + array_distinct, still no
+    explode/shuffle); the student costs four divisions.
+
+    Cross-engine contract: the four features are one float division
+    each with identical op order in Spark SQL, DuckDB, and the python
+    trainer; the teacher rule is integer-exact cross-multiplication;
+    the decision boundary (predicted) compares the identical double z
+    against 0 — sign is exact — and the sigmoid score rounds at 1e-6,
+    far above any cross-libm EXP ulp.  At 100 TB the trainer still
+    reads LR_MAX_TRAIN rows (a driver constant) and scoring stays
+    embarrassingly parallel map-side work."""
+    w, b = _lr_weights(sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    g2 = F.zip_with(
+        F.slice(ws, 1, F.size(ws) - 1),
+        F.slice(ws, 2, F.size(ws) - 1),
+        lambda a, c: F.concat(a, F.lit(" "), c),
+    )
+    n2 = F.size(g2)
+    d2 = F.size(F.array_distinct(g2))
+    label = (
+        (n2 >= 1) & (100 * (n2 - d2) >= F.lit(LR_DUP2_PCT) * n2)
+    ).cast("int")
+    st = F.size(
+        F.filter(ws, lambda t: (t == F.lit("the")) | (t == F.lit("a")))
+    ).cast("double") / F.size(ws)
+    dr = F.size(F.array_distinct(ws)).cast("double") / F.size(ws)
+    lt = F.least(F.size(ws), F.lit(200)).cast("double") / F.lit(200)
+    wl = (F.length("text").cast("double") / F.size(ws)) / F.lit(10)
+    z = (
+        F.lit(b)
+        + F.lit(w[0]) * st
+        + F.lit(w[1]) * dr
+        + F.lit(w[2]) * lt
+        + F.lit(w[3]) * wl
+    )
+    return (
+        d.select(
+            "doc_id",
+            label.alias("label"),
+            z.alias("z"),
+        )
+        .select(
+            "doc_id",
+            "label",
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))), 6).alias(
+                "score"
+            ),
+            (F.col("z") >= 0.0).cast("int").alias("predicted"),
+        )
+        .orderBy("doc_id")
+    )

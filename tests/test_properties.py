@@ -373,3 +373,27 @@ def test_token_budget_quotas_sum_exactly_to_target(spark):
     for s in avail:
         exact = target * avail[s] / t_total
         assert abs(quota[s] - exact) < 1.0, (s, quota[s], exact)
+
+
+def test_lr_quality_classifier_recovers_teacher_rule(spark):
+    """The distilled LR must genuinely learn the dup-2gram teacher from
+    unigram-only features: accuracy above 0.65 on a ~48%-positive label
+    (majority-class guessing gives ~0.52), BOTH per-class recalls above
+    0.55 (no constant model), calibrated scores."""
+    from mcp_server_vector_search_spark import registry
+
+    registry.load_all_operators()
+    from .conftest import SF_CORRECTNESS
+
+    rows = registry.QUERIES["quality_classifier_lr"](
+        spark, SF_CORRECTNESS
+    ).collect()
+    pos = [r for r in rows if r["label"] == 1]
+    neg = [r for r in rows if r["label"] == 0]
+    assert 0.25 < len(pos) / len(rows) < 0.75  # balanced teacher split
+    acc = sum(1 for r in rows if r["predicted"] == r["label"]) / len(rows)
+    assert acc > 0.65, acc
+    pos_rec = sum(1 for r in pos if r["predicted"] == 1) / len(pos)
+    neg_rec = sum(1 for r in neg if r["predicted"] == 0) / len(neg)
+    assert pos_rec > 0.55 and neg_rec > 0.55, (pos_rec, neg_rec)
+    assert all(0.0 <= r["score"] <= 1.0 for r in rows)
