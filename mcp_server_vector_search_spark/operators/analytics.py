@@ -771,7 +771,10 @@ def q_agg_statistical_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WELCH_SQL_BODY = """
 WITH m AS (
   SELECT event_type,
-         user_id % 2 AS v,
+         -- ((x % 2) + 2) % 2: non-negative for negative ids (both
+         -- engines keep the dividend's sign on %); NULL ids land in
+         -- bucket 0 rather than silently dropping out of both arms
+         ((COALESCE(user_id, 0) % 2) + 2) % 2 AS v,
          CAST(FLOOR(value * 1000) AS BIGINT) AS mv
   FROM {events}
 ),
@@ -787,15 +790,25 @@ g AS (
   GROUP BY event_type
 ),
 w AS (
+  -- guard: a variant cell with fewer than 2 rows has no variance; the
+  -- CASE makes the degenerate output an explicit NULL row on BOTH
+  -- engines (unguarded x/0 is NULL here but Infinity on engines with
+  -- IEEE division, so the guard is also what keeps the hash stable)
   SELECT event_type, n_a, n_b,
-         (CAST(s_a AS DOUBLE) / 1000.0) / n_a AS mean_a,
-         (CAST(s_b AS DOUBLE) / 1000.0) / n_b AS mean_b,
-         (CAST(ss_a AS DOUBLE) / 1000000.0
-          - n_a * ((CAST(s_a AS DOUBLE) / 1000.0) / n_a)
-                * ((CAST(s_a AS DOUBLE) / 1000.0) / n_a)) / (n_a - 1) AS var_a,
-         (CAST(ss_b AS DOUBLE) / 1000000.0
-          - n_b * ((CAST(s_b AS DOUBLE) / 1000.0) / n_b)
-                * ((CAST(s_b AS DOUBLE) / 1000.0) / n_b)) / (n_b - 1) AS var_b
+         CASE WHEN n_a > 1 AND n_b > 1
+              THEN (CAST(s_a AS DOUBLE) / 1000.0) / n_a END AS mean_a,
+         CASE WHEN n_a > 1 AND n_b > 1
+              THEN (CAST(s_b AS DOUBLE) / 1000.0) / n_b END AS mean_b,
+         CASE WHEN n_a > 1 AND n_b > 1
+              THEN (CAST(ss_a AS DOUBLE) / 1000000.0
+                    - n_a * ((CAST(s_a AS DOUBLE) / 1000.0) / n_a)
+                          * ((CAST(s_a AS DOUBLE) / 1000.0) / n_a)) / (n_a - 1)
+         END AS var_a,
+         CASE WHEN n_a > 1 AND n_b > 1
+              THEN (CAST(ss_b AS DOUBLE) / 1000000.0
+                    - n_b * ((CAST(s_b AS DOUBLE) / 1000.0) / n_b)
+                          * ((CAST(s_b AS DOUBLE) / 1000.0) / n_b)) / (n_b - 1)
+         END AS var_b
   FROM g
 )
 SELECT event_type, n_a, n_b,

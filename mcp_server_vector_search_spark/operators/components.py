@@ -61,14 +61,16 @@ def connected_components(
     """
     # Persisted: the count that picks the strategy and the strategy
     # itself both read the (possibly expensive) upstream pair pipeline.
+    # Both branches consume `edges` eagerly (driver collect / eager
+    # localCheckpoint), so unpersisting on exit is always safe.
     edges = edges.transform(scratch_persist)
-    n_edges = edges.count()
-    if n_edges <= driver_max_edges:
-        try:
+    try:
+        n_edges = edges.count()
+        if n_edges <= driver_max_edges:
             return _driver_union_find(edges)
-        finally:
-            edges.unpersist()
-    return _distributed_star(edges, max_iter)
+        return _distributed_star(edges, max_iter)
+    finally:
+        edges.unpersist()
 
 
 def _driver_union_find(edges: DataFrame) -> DataFrame:
@@ -174,9 +176,10 @@ def _distributed_star(edges: DataFrame, max_iter: int) -> DataFrame:
     return labels.groupBy("node").agg(F.min("comp").alias("comp"))
 
 
-@register(
-    "dedup_duplicate_clusters",
-    oracle=f"""
+# One oracle, two registrations: the hybrid row and the forced-star row
+# certify different EXECUTION paths of connected_components against the
+# same recursive-CTE ground truth.
+_CC_ORACLE = f"""
 WITH RECURSIVE pairs AS ({_NGRAM_ORACLE}),
 edges AS (
   SELECT a_id AS u, b_id AS v FROM pairs
@@ -192,14 +195,16 @@ SELECT u AS doc_id,
        MIN(comp) AS component,
        CAST(u = MIN(comp) AS INTEGER) AS is_canonical
 FROM walk GROUP BY u
-""",
-)
-def q_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup clusters from exact n-gram Jaccard pairs; the canonical
-    survivor per cluster is the minimum doc_id (deterministic keep
-    rule, mirrors dedup_exact's MIN(doc_id))."""
+"""
+
+
+def _duplicate_cluster_labels(
+    spark: SparkSession, sf_dir: str, driver_max_edges: int = DRIVER_CC_MAX_EDGES
+) -> DataFrame:
+    """Shared (doc_id, component, is_canonical) projection over the
+    n-gram Jaccard pair set; ``driver_max_edges`` selects the path."""
     pairs = dedup_ngram_jaccard(spark, sf_dir)
-    labels = connected_components(pairs)
+    labels = connected_components(pairs, driver_max_edges=driver_max_edges)
     return labels.select(
         F.col("node").alias("doc_id"),
         F.col("comp").alias("component"),
@@ -207,26 +212,15 @@ def q_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "cluster_components_star",
-    oracle=f"""
-WITH RECURSIVE pairs AS ({_NGRAM_ORACLE}),
-edges AS (
-  SELECT a_id AS u, b_id AS v FROM pairs
-  UNION ALL
-  SELECT b_id AS u, a_id AS v FROM pairs
-),
-walk(u, comp) AS (
-  SELECT u, u FROM (SELECT DISTINCT u FROM edges) AS n
-  UNION
-  SELECT e.v AS u, w.comp FROM walk w JOIN edges e ON e.u = w.u
-)
-SELECT u AS doc_id,
-       MIN(comp) AS component,
-       CAST(u = MIN(comp) AS INTEGER) AS is_canonical
-FROM walk GROUP BY u
-""",
-)
+@register("dedup_duplicate_clusters", oracle=_CC_ORACLE)
+def q_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters from exact n-gram Jaccard pairs; the canonical
+    survivor per cluster is the minimum doc_id (deterministic keep
+    rule, mirrors dedup_exact's MIN(doc_id))."""
+    return _duplicate_cluster_labels(spark, sf_dir)
+
+
+@register("cluster_components_star", oracle=_CC_ORACLE)
 def q_cluster_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DISTRIBUTED leg of duplicate-cluster formation, driver-gated:
     identical semantics to dedup_duplicate_clusters but with the driver
@@ -238,10 +232,4 @@ def q_cluster_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     on path graphs; per-round lineage is truncated by localCheckpoint
     and termination is a two-scalar fingerprint probe, so nothing
     corpus-sized ever reaches the driver."""
-    pairs = dedup_ngram_jaccard(spark, sf_dir)
-    labels = connected_components(pairs, driver_max_edges=0)
-    return labels.select(
-        F.col("node").alias("doc_id"),
-        F.col("comp").alias("component"),
-        (F.col("node") == F.col("comp")).cast("int").alias("is_canonical"),
-    )
+    return _duplicate_cluster_labels(spark, sf_dir, driver_max_edges=0)

@@ -591,12 +591,19 @@ def _lr_weights(sf_dir: str) -> tuple[list[float], float]:
         return _LR_CACHE[sf_dir]
     import pyarrow.parquet as pq
 
-    t = (
-        pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        .to_pylist()
-    )
-    t.sort(key=lambda r: r["doc_id"])
+    # Bounded read: stream row batches and stop at LR_MAX_TRAIN — the
+    # driver never materializes the corpus (at 100 TB this reads a few
+    # row groups, not the table).  Sample = first LR_MAX_TRAIN rows in
+    # file order (deterministic for a given file), sorted by doc_id for
+    # a stable training order.
+    pf = pq.ParquetFile(f"{sf_dir}/documents.parquet")
+    t: list[dict] = []
+    for batch in pf.iter_batches(batch_size=1024, columns=["doc_id", "text"]):
+        t.extend(batch.to_pylist())
+        if len(t) >= LR_MAX_TRAIN:
+            break
     t = t[:LR_MAX_TRAIN]
+    t.sort(key=lambda r: r["doc_id"])
     x = np.array([_lr_surface_features(r["text"] or "") for r in t], dtype=np.float64)
     y = np.array([float(_lr_teacher_label(r["text"] or "")) for r in t], dtype=np.float64)
     w = np.zeros(x.shape[1], dtype=np.float64)

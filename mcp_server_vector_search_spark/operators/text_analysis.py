@@ -645,6 +645,34 @@ def bm25_topk(
 BPE_MERGES = 8
 
 
+def _bpe_merge_once(s: list[str], a: str, b: str) -> list[str]:
+    """One left-to-right non-overlapping merge pass — THE reference
+    semantics every BPE artifact in the tree (distributed trainer,
+    replace-chain encoder, python oracle trainer, tests) must agree
+    with."""
+    out, i = [], 0
+    while i < len(s):
+        if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(s[i])
+            i += 1
+    return out
+
+
+def bpe_apply_merges(word: str, merges) -> list[str]:
+    """Classic rank-ordered BPE application to one word (pure python);
+    the single source of truth the equality tests compare the
+    distributed replace-chain encoder against."""
+    s = list(word)
+    for m in merges:
+        # accept (rank, a, b, merged, n) rows or bare (a, b) pairs
+        a, b = (m[1], m[2]) if len(m) >= 4 else (m[0], m[1])
+        s = _bpe_merge_once(s, a, b)
+    return s
+
+
 def _bpe_learn_driver(word_freq: dict[str, int], n_merges: int):
     """Pure-python BPE replication for the oracle fold: identical pair
     counting (every adjacent occurrence, weighted by word frequency),
@@ -665,15 +693,7 @@ def _bpe_learn_driver(word_freq: dict[str, int], n_merges: int):
         (a, b), n = best
         merges.append((rank, a, b, a + b, n))
         for w in seqs:
-            s, out, i = seqs[w], [], 0
-            while i < len(s):
-                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
-                    out.append(a + b)
-                    i += 2
-                else:
-                    out.append(s[i])
-                    i += 1
-            seqs[w] = out
+            seqs[w] = _bpe_merge_once(seqs[w], a, b)
     return merges
 
 
@@ -770,7 +790,7 @@ def _bpe_word_freq_df(d: DataFrame) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
         # seed symbol sequence: space-separated characters
-        .withColumn("seq", F.regexp_replace("word", "(.)", "$1 "))
+        .withColumn("seq", F.regexp_replace("word", "(?s)(.)", "$1 "))
         .withColumn("seq", F.trim("seq"))
         .localCheckpoint(eager=True)  # bounded: one row per distinct word
     )
@@ -835,7 +855,7 @@ def bpe_train_distributed(
 def _bpe_seq0_sql(word_expr: str) -> str:
     """Double-space char seeding, DuckDB spelling (see _bpe_encode_expr
     for why the separators are doubled)."""
-    return f"' ' || regexp_replace({word_expr}, '(.)', '\\1  ', 'g')"
+    return f"' ' || regexp_replace({word_expr}, '(?s)(.)', '\\1  ', 'g')"
 
 
 def _bpe_encode_expr(merges) -> Column:
@@ -853,7 +873,7 @@ def _bpe_encode_expr(merges) -> Column:
     replace exists in DuckDB, keeping the oracle engine-portable (RE2
     has no lookbehind).  The whole chain is ONE whole-stage-codegen
     projection over the distinct-word table."""
-    seq = F.concat(F.lit(" "), F.regexp_replace("word", "(.)", "$1  "))
+    seq = F.concat(F.lit(" "), F.regexp_replace("word", "(?s)(.)", "$1  "))
     for _rank, a, b, m, _n in merges:
         seq = F.replace(seq, F.lit(f" {a}  {b} "), F.lit(f" {m} "))
     return seq

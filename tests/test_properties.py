@@ -328,29 +328,25 @@ def test_bpe_encode_chain_equals_classic_merge_loop(spark):
         .distinct()
     )
     # synthetic adversarial shapes alongside the real vocabulary
+    # (x\ny: a newline INSIDE a word — the char seed must be dotall)
     hard = spark.createDataFrame(
-        [("abab",), ("aaaa",), ("baba",), ("x",), ("thethe",)], "word string"
+        [("abab",), ("aaaa",), ("baba",), ("x",), ("thethe",), ("x\ny",)],
+        "word string",
     )
     got = {
         r["word"]: r["t"]
         for r in words.union(hard).distinct().select("word", toks.alias("t")).collect()
     }
 
-    def classic(w: str) -> list[str]:
-        s = list(w)
-        for _rank, a, b, _m, _n in merges:
-            out, i = [], 0
-            while i < len(s):
-                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
-                    out.append(a + b)
-                    i += 2
-                else:
-                    out.append(s[i])
-                    i += 1
-            s = out
-        return s
+    from mcp_server_vector_search_spark.operators.text_analysis import (
+        bpe_apply_merges,
+    )
 
-    mismatches = {w: (t, classic(w)) for w, t in got.items() if t != classic(w)}
+    mismatches = {
+        w: (t, bpe_apply_merges(w, merges))
+        for w, t in got.items()
+        if t != bpe_apply_merges(w, merges)
+    }
     assert not mismatches, dict(list(mismatches.items())[:5])
 
 

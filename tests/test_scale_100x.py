@@ -882,22 +882,12 @@ def test_bpe_encode_100x(spark, tiers):
         .collect()
     )
 
-    def classic(w):
-        s = list(w)
-        for _rank, a, b, _m, _n in merges:
-            out, i = [], 0
-            while i < len(s):
-                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
-                    out.append(a + b)
-                    i += 2
-                else:
-                    out.append(s[i])
-                    i += 1
-            s = out
-        return s
+    from mcp_server_vector_search_spark.operators.text_analysis import (
+        bpe_apply_merges,
+    )
 
-    bad = [(r["word"], r["t"], classic(r["word"])) for r in sample
-           if r["t"] != classic(r["word"])]
+    bad = [(r["word"], r["t"], bpe_apply_merges(r["word"], merges))
+           for r in sample if r["t"] != bpe_apply_merges(r["word"], merges)]
     assert not bad, bad[:3]
 
     print(
