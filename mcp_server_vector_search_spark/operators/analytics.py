@@ -761,15 +761,16 @@ def q_agg_statistical_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # assignment (user_id parity), exact integer sufficient statistics.
 # ---------------------------------------------------------------------------
 
-# Shared SQL body executed verbatim by BOTH engines (Spark over a temp
+# Shared SQL executed verbatim by BOTH engines (Spark over a temp
 # view, DuckDB over the parquet view): identical expression text means
 # identical IEEE op order, so the rounded doubles hash bit-for-bit.
 # Sufficient statistics are exact BIGINTs (floor(value*1000) millis):
 # mv <= ~5.6e5 here, mv^2 <= ~3.2e11, so the per-group SS sum stays
 # 2^63-safe up to ~2.9e7 rows per (event_type, variant) cell; past
 # that the accumulator widens to DECIMAL(38,0) with the plan unchanged.
-_WELCH_SQL_BODY = """
-WITH m AS (
+# Split into stats + tail so the streaming row can run the IDENTICAL
+# tail over incrementally-merged statistics.
+_WELCH_STATS_SQL = """m AS (
   SELECT event_type,
          -- ((x % 2) + 2) % 2: non-negative for negative ids (both
          -- engines keep the dividend's sign on %); NULL ids land in
@@ -788,8 +789,9 @@ g AS (
          CAST(SUM(CASE WHEN v = 1 THEN mv * mv ELSE 0 END) AS BIGINT) AS ss_b
   FROM m
   GROUP BY event_type
-),
-w AS (
+)"""
+
+_WELCH_TAIL_SQL = """w AS (
   -- guard: a variant cell with fewer than 2 rows has no variance; the
   -- CASE makes the degenerate output an explicit NULL row on BOTH
   -- engines (unguarded x/0 is NULL here but Infinity on engines with
@@ -809,7 +811,7 @@ w AS (
                     - n_b * ((CAST(s_b AS DOUBLE) / 1000.0) / n_b)
                           * ((CAST(s_b AS DOUBLE) / 1000.0) / n_b)) / (n_b - 1)
          END AS var_b
-  FROM g
+  FROM {stats}
 )
 SELECT event_type, n_a, n_b,
        ROUND(mean_a, 6) AS mean_a,
@@ -825,7 +827,23 @@ ORDER BY event_type
 """
 
 
-@register("stats_ab_welch", oracle=_WELCH_SQL_BODY.format(events="events"))
+def welch_sql(events_rel: str) -> str:
+    """The full batch query: stats CTEs over ``events_rel`` + tail."""
+    return (
+        "WITH "
+        + _WELCH_STATS_SQL.replace("{events}", events_rel)
+        + ",\n"
+        + _WELCH_TAIL_SQL.replace("{stats}", "g")
+    )
+
+
+def welch_tail_sql(stats_rel: str) -> str:
+    """The tail alone, over a relation already holding the per-type
+    sufficient statistics (the streaming row's merged state)."""
+    return "WITH " + _WELCH_TAIL_SQL.replace("{stats}", stats_rel)
+
+
+@register("stats_ab_welch", oracle=welch_sql("events"))
 def q_stats_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch's two-sample t-test per event type over a deterministic
     A/B split (user_id parity — reproducible on any cluster size, any
@@ -843,4 +861,4 @@ def q_stats_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard experimentation readout; |t| > 1.96 flags ~95% two-sided
     significance."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("ab_events")
-    return spark.sql(_WELCH_SQL_BODY.format(events="ab_events"))
+    return spark.sql(welch_sql("ab_events"))

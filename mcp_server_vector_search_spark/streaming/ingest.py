@@ -1465,3 +1465,86 @@ def run_session_stream(spark: SparkSession, sf_dir: str):
     )
     q.awaitTermination()
     return q, name, src, ckpt
+
+
+# ---------------------------------------------------------------------------
+# Seventeenth streaming mechanism row: MERGEABLE SUFFICIENT STATISTICS.
+# The batch Welch certificate (operators/analytics.stats_ab_welch)
+# claims its one-pass aggregate is a set of mergeable integer sums;
+# this row PROVES the merge property mechanically — the corpus arrives
+# in 4 micro-batches, the stateful aggregate merges the per-variant
+# (n, Σmilli, Σmilli²) longs across batches through the state store,
+# and the identical SQL tail over the merged state must value-hash
+# equal to the single-pass batch oracle.  This is the streaming analog
+# of how a 100 TB/day experimentation pipeline keeps live t-statistics:
+# state is 5 rows x 6 longs, never the corpus.
+# ---------------------------------------------------------------------------
+
+
+from ..operators.analytics import welch_sql as _batch_welch_sql  # noqa: E402
+
+_WELCH_BATCH_ORACLE = _batch_welch_sql("events")
+
+
+def _welch_stats_stream_agg(stream: DataFrame) -> DataFrame:
+    v = ((F.coalesce(F.col("user_id"), F.lit(0)) % 2) + 2) % 2
+    mv = F.floor(F.col("value") * 1000).cast("long")
+    m = stream.select("event_type", v.alias("v"), mv.alias("mv"))
+    z = F.lit(0).cast("long")
+    return m.groupBy("event_type").agg(
+        F.sum(F.when(F.col("v") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("v") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("v") == 0, F.col("mv")).otherwise(z)).alias("s_a"),
+        F.sum(F.when(F.col("v") == 1, F.col("mv")).otherwise(z)).alias("s_b"),
+        F.sum(
+            F.when(F.col("v") == 0, F.col("mv") * F.col("mv")).otherwise(z)
+        ).alias("ss_a"),
+        F.sum(
+            F.when(F.col("v") == 1, F.col("mv") * F.col("mv")).otherwise(z)
+        ).alias("ss_b"),
+    )
+
+
+@register("streaming_ab_welch", oracle=_WELCH_BATCH_ORACLE)
+def q_streaming_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch A/B statistics maintained BY A STREAM: events replayed as
+    4 micro-batch files, per-variant sufficient statistics merged
+    incrementally by the stateful aggregate (complete-mode memory
+    sink), then the batch row's IDENTICAL SQL tail computes t/df/means
+    over the merged state — so the driver hashes streaming-merged
+    integers through the same float path as the batch oracle.  Any
+    non-mergeable statistic (a mean kept as a float, a variance
+    accumulated per batch) would shift a value."""
+    import shutil
+    import uuid
+
+    from ..operators.analytics import welch_sql, welch_tail_sql
+
+    spark = spark.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    events = load_table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="welch_src_")
+    # 4 files -> 4 micro-batches at maxFilesPerTrigger=1
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = f"welch_stream_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="welch_ckpt_")
+    q = (
+        _welch_stats_stream_agg(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert data_batches(q) >= 2, "stats must merge across micro-batches"
+    out = spark.sql(welch_tail_sql(name)).localCheckpoint(eager=True)
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out
