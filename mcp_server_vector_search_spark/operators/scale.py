@@ -1281,3 +1281,105 @@ def agg_kmv_jaccard_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(jacc_kmv - jacc_exact) <= F.lit(250_000)
         ).alias("kmv_within_bounds"),
     )
+
+
+# ---------------------------------------------------------------------------
+# AMS F2 sketch (Alon-Matias-Szegedy 1996): the second frequency moment
+# Σ f_x² — the self-join size, THE cardinality a cost-based optimizer
+# wants before picking a join strategy.  32 ±1-sign estimators derived
+# from independent bits of the shared md5-60 hash, each estimator
+# E[(Σ sign_i(x)·f_x)²] = F2; all arithmetic exact BIGINT, the exact F2
+# computed side by side so the row certifies the estimator's error.
+# ---------------------------------------------------------------------------
+
+AMS_K = 32
+
+
+def _ams_oracle() -> str:
+    from ..functions.hashing import duckdb_hex15_to_bigint
+
+    h60 = duckdb_hex15_to_bigint("md5(tok)")
+    cs = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN (h >> {i}) & 1 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS c{i}"
+        for i in range(AMS_K)
+    )
+    est = " + ".join(f"c{i} * c{i}" for i in range(AMS_K))
+    return f"""
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+h AS (SELECT ({h60}) AS h FROM toks),
+s AS (
+  SELECT {cs}
+  FROM h
+),
+ex AS (
+  SELECT CAST(SUM(f * f) AS BIGINT) AS f2_exact,
+         CAST(SUM(f) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct
+  FROM (SELECT COUNT(*) AS f FROM toks GROUP BY tok) t
+)
+SELECT ex.n_tokens, ex.n_distinct, ex.f2_exact,
+       CAST({est} AS BIGINT) AS est_sum,
+       ROUND(CAST({est} AS DOUBLE) / {AMS_K}, 2) AS f2_estimate,
+       ROUND(100.0 * ABS(CAST({est} AS DOUBLE) / {AMS_K} - ex.f2_exact)
+             / ex.f2_exact, 2) AS rel_err_pct
+FROM s CROSS JOIN ex
+"""
+
+
+@register("agg_ams_f2_certificate", oracle=_ams_oracle())
+def q_agg_ams_f2_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second-frequency-moment sketch vs exact, one row: the 32
+    sign-sums collapse in a SINGLE map-side-combined ungrouped
+    aggregate (the exchange is 32 longs regardless of corpus size —
+    the sketch never materializes per-token state), the exact side is
+    one token hash agg, and the 1x1-row combine attaches the
+    certificate.  Signs come from 32 independent bits of the shared
+    md5-60 hash (same cross-engine device as MinHash/KMV), so every
+    sign-sum is an exact BIGINT both engines reproduce bit for bit;
+    estimator variance is ~sqrt(2/32)·F2, and the emitted rel_err_pct
+    certifies the realized error.  Mergeability is plain addition of
+    the 32 longs (the HLL/KMV rows certify the nontrivial merge
+    shapes).  At 100 TB this is the one-pass join-size estimator a
+    planner consults before choosing broadcast vs shuffle."""
+    from ..functions.hashing import md5_hash60
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
+    h = toks.select(md5_hash60(F.col("tok")).alias("h"))
+    sign_sums = h.groupBy().agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 0, 1).otherwise(-1)
+            )
+            .cast("long")
+            .alias(f"c{i}")
+            for i in range(AMS_K)
+        ]
+    )
+    est = None
+    for i in range(AMS_K):
+        term = F.col(f"c{i}") * F.col(f"c{i}")
+        est = term if est is None else est + term
+    ex = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .groupBy()
+        .agg(
+            F.sum(F.col("f") * F.col("f")).alias("f2_exact"),
+            F.sum("f").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+        )
+    )
+    rel = (
+        F.lit(100.0)
+        * F.abs(est.cast("double") / F.lit(AMS_K) - F.col("f2_exact"))
+        / F.col("f2_exact")
+    )
+    return sign_sums.crossJoin(ex).select(
+        "n_tokens",
+        "n_distinct",
+        "f2_exact",
+        est.cast("long").alias("est_sum"),
+        F.round(est.cast("double") / F.lit(AMS_K), 2).alias("f2_estimate"),
+        F.round(rel, 2).alias("rel_err_pct"),
+    )
