@@ -365,3 +365,112 @@ def q_interval_overlap_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Nearest as-of join (pandas merge_asof direction='nearest' +
+# tolerance): each purchase finds the CLOSEST view/click by the same
+# user within 1 hour, in EITHER direction — the attribution-style
+# variant of the backward-only asof_join_latest_order above.  Same
+# scalable spelling: no per-row subquery — one union, one shuffle on
+# the user key, one partition-local sort, and BOTH direction
+# candidates come from the same sorted frame (carry-forward last +
+# carry-backward first), so adding the second direction costs two
+# window columns, not a second shuffle.
+# ---------------------------------------------------------------------------
+
+NEAREST_TOL_US = 3_600 * 1_000_000  # 1 hour
+
+
+@register(
+    "join_asof_nearest_interaction",
+    oracle=f"""
+WITH cand AS (
+  SELECT user_id, ts,
+         MAX(event_id) AS cand_id
+  FROM events WHERE event_type IN ('view', 'click')
+  GROUP BY user_id, ts
+),
+ranked AS (
+  SELECT p.event_id AS purchase_id, p.user_id, c.cand_id,
+         epoch_us(c.ts) - epoch_us(p.ts) AS delta_us,
+         ROW_NUMBER() OVER (PARTITION BY p.event_id
+             ORDER BY ABS(epoch_us(c.ts) - epoch_us(p.ts)) ASC,
+                      CAST(c.ts > p.ts AS INTEGER) ASC,
+                      c.cand_id DESC) AS rn
+  FROM events p
+  JOIN cand c ON c.user_id = p.user_id
+   AND ABS(epoch_us(c.ts) - epoch_us(p.ts)) <= {NEAREST_TOL_US}
+  WHERE p.event_type = 'purchase'
+)
+SELECT p.event_id AS purchase_id, p.user_id,
+       r.cand_id AS nearest_event_id,
+       CAST(r.delta_us AS BIGINT) AS delta_us
+FROM events p
+LEFT JOIN ranked r ON r.purchase_id = p.event_id AND r.rn = 1
+WHERE p.event_type = 'purchase'
+ORDER BY purchase_id
+""",
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-interaction attribution: for every purchase, the same
+    user's closest view/click within NEAREST_TOL_US of either side
+    (|delta| ASC, before-wins-ties, max event_id among equal
+    timestamps), NULL when nothing qualifies.
+
+    Plan: candidates collapse to one row per (user, ts) first (the max
+    event_id is the only possible winner under the tie rule, so the
+    dedup is lossless); the tagged union sorts candidates before
+    purchases at equal ts, making the carry-forward ``last`` the
+    at-or-before candidate and the carry-backward ``first`` the
+    strictly-after candidate; a final CASE picks the closer one inside
+    the tolerance.  Exact integer microsecond deltas both engines —
+    no float time arithmetic anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    cand = (
+        ev.where(F.col("event_type").isin("view", "click"))
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("cand_id"))
+        .select(
+            F.col("user_id").alias("key"),
+            F.col("ts").alias("t"),
+            F.lit(1).alias("is_cand"),
+            "cand_id",
+            F.lit(None).cast("long").alias("purchase_id"),
+        )
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("key"),
+        F.col("ts").alias("t"),
+        F.lit(0).alias("is_cand"),
+        F.lit(None).cast("long").alias("cand_id"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    us = F.unix_micros(F.col("t"))
+    cand_us = F.when(F.col("is_cand") == 1, us)
+    # candidates sort BEFORE purchases at equal t: equal-timestamp
+    # interactions are at-or-before (delta 0), the after leg is strict
+    order = [F.col("t").asc(), F.col("is_cand").desc(), F.col("cand_id").asc()]
+    wb = W.partitionBy("key").orderBy(*order).rowsBetween(W.unboundedPreceding, W.currentRow)
+    wa = W.partitionBy("key").orderBy(*order).rowsBetween(W.currentRow, W.unboundedFollowing)
+    framed = cand.unionByName(purch).select(
+        "*",
+        F.last("cand_id", ignorenulls=True).over(wb).alias("b_id"),
+        F.last(cand_us, ignorenulls=True).over(wb).alias("b_us"),
+        F.first("cand_id", ignorenulls=True).over(wa).alias("a_id"),
+        F.first(cand_us, ignorenulls=True).over(wa).alias("a_us"),
+    )
+    p = framed.where(F.col("is_cand") == 0)
+    db = us - F.col("b_us")  # >= 0
+    da = F.col("a_us") - us  # > 0
+    b_ok = F.col("b_us").isNotNull() & (db <= NEAREST_TOL_US)
+    a_ok = F.col("a_us").isNotNull() & (da <= NEAREST_TOL_US)
+    pick_b = b_ok & (~a_ok | (db <= da))  # tie -> before, like the oracle
+    return p.select(
+        "purchase_id",
+        F.col("key").alias("user_id"),
+        F.when(pick_b, F.col("b_id"))
+        .when(a_ok, F.col("a_id"))
+        .alias("nearest_event_id"),
+        F.when(pick_b, -db).when(a_ok, da).cast("long").alias("delta_us"),
+    ).orderBy("purchase_id")
