@@ -862,3 +862,99 @@ def q_stats_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     significance."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("ab_events")
     return spark.sql(welch_sql("ab_events"))
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance reduction (Deng, Xu, Kohavi, Walker, WSDM 2013 —
+# "Improving the Sensitivity of Online Controlled Experiments"): adjust
+# each user's experiment-period metric by their PRE-period metric,
+# y' = y - theta * (x - x_bar), theta = cov(x,y)/var(x) — the standard
+# trick every experimentation platform runs to shrink A/B confidence
+# intervals.  Same engine contract as stats_ab_welch: exact integer
+# sufficient statistics, one shared SQL text on both engines.
+# ---------------------------------------------------------------------------
+
+_CUPED_SQL = """
+WITH u AS (
+  -- user-level metrics: milli-exact sums floored to whole units, so
+  -- the squared/cross sums below stay far inside BIGINT (x,y <= ~1e5
+  -- per user; ~1e17 pooled headroom at 1e7 users — widen to
+  -- DECIMAL(38,0) past that, plan unchanged)
+  SELECT ((COALESCE(user_id, 0) % 2) + 2) % 2 AS v,
+         CAST(FLOOR(CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                    THEN CAST(FLOOR(value * 1000) AS BIGINT) ELSE 0 END)
+                    AS DOUBLE) / 1000) AS BIGINT) AS x,
+         CAST(FLOOR(CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                    THEN CAST(FLOOR(value * 1000) AS BIGINT) ELSE 0 END)
+                    AS DOUBLE) / 1000) AS BIGINT) AS y
+  FROM {events}
+  GROUP BY user_id
+),
+g AS (
+  SELECT v,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM u
+  GROUP BY v
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n,
+         CAST(SUM(sx) AS BIGINT) AS sx,
+         CAST(SUM(sy) AS BIGINT) AS sy,
+         CAST(SUM(sxy) AS BIGINT) AS sxy,
+         CAST(SUM(sxx) AS BIGINT) AS sxx,
+         CAST(SUM(syy) AS BIGINT) AS syy
+  FROM g
+),
+th AS (
+  -- pooled theta and pooled variances, every op in DOUBLE over the
+  -- exact integers (identical expression text on both engines)
+  SELECT (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS theta,
+         CAST(sx AS DOUBLE) / n AS mean_x_all,
+         (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+           / (n - 1) AS var_y,
+         (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+           / (n - 1) AS var_x,
+         (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+           / (n - 1) AS cov_xy
+  FROM tot
+)
+SELECT g.v AS variant,
+       g.n AS n_users,
+       ROUND(CAST(g.sx AS DOUBLE) / g.n, 6) AS mean_pre,
+       ROUND(CAST(g.sy AS DOUBLE) / g.n, 6) AS mean_post,
+       ROUND(CAST(g.sy AS DOUBLE) / g.n
+             - th.theta * (CAST(g.sx AS DOUBLE) / g.n - th.mean_x_all), 6)
+         AS mean_adjusted,
+       ROUND(th.theta, 6) AS theta,
+       ROUND(100.0 * (1.0 - (th.var_y - 2.0 * th.theta * th.cov_xy
+                             + th.theta * th.theta * th.var_x) / th.var_y), 2)
+         AS var_reduction_pct
+FROM g CROSS JOIN th
+ORDER BY variant
+"""
+
+
+@register("stats_ab_cuped", oracle=_CUPED_SQL.format(events="events"))
+def q_stats_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted A/B readout: pre-period covariate adjustment with
+    pooled theta, per-variant adjusted means, and the realized pooled
+    variance-reduction percentage (the quantity that decides whether
+    the adjustment was worth running).
+
+    Scale shape: TWO hash aggregates — user-level metric rollup (keyed
+    by user, map-side combined) then the 2-key variant rollup; the only
+    data-sized exchange is the user grouping every sessionization
+    already pays.  Cross-engine: same device as stats_ab_welch — exact
+    BIGINT sufficient statistics, one shared SQL text, so theta and the
+    adjusted means hash bit for bit; the variant split is the same
+    sign-safe user-parity rule."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("cuped_events")
+    return spark.sql(_CUPED_SQL.format(events="cuped_events"))
