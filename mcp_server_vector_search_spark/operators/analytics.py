@@ -958,3 +958,56 @@ def q_stats_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign-safe user-parity rule."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("cuped_events")
     return spark.sql(_CUPED_SQL.format(events="cuped_events"))
+
+
+# ---------------------------------------------------------------------------
+# Sample-ratio-mismatch (SRM) guardrail: before reading ANY experiment
+# metric, check that the variant assignment itself is healthy — a
+# 50/50 split whose realized counts deviate beyond chance means the
+# bucketing or logging is broken and every downstream readout is
+# invalid (standard first gate in experimentation platforms; Fabijan
+# et al. 2019 describe the practice).  One-sample chi-square against
+# the expected 1/2 ratio, per event type and overall.
+# ---------------------------------------------------------------------------
+
+_SRM_SQL = """
+WITH m AS (
+  SELECT event_type, ((COALESCE(user_id, 0) % 2) + 2) % 2 AS v
+  FROM {events}
+),
+g AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM m GROUP BY event_type
+),
+a AS (
+  SELECT event_type, n_a, n_b FROM g
+  UNION ALL
+  SELECT 'ALL' AS event_type,
+         CAST(SUM(n_a) AS BIGINT) AS n_a, CAST(SUM(n_b) AS BIGINT) AS n_b
+  FROM g
+)
+SELECT event_type, n_a, n_b,
+       -- chi-square vs expected 50/50: (n_a-n_b)^2 / (n_a+n_b),
+       -- exact integers until the final division
+       ROUND(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b), 6)
+         AS chi2,
+       CAST((n_a - n_b) * (n_a - n_b) > 384 * (n_a + n_b) / 100.0 AS BOOLEAN)
+         AS srm_alarm_95
+FROM a
+ORDER BY event_type
+"""
+
+
+@register("stats_ab_srm_check", oracle=_SRM_SQL.format(events="events"))
+def q_stats_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRM guardrail for the user-parity A/B split: per-event-type and
+    pooled chi-square of the realized variant counts against the
+    designed 50/50 ratio; alarm at the 3.84 one-degree-of-freedom 95%
+    critical value, evaluated as an integer-heavy cross-multiplication
+    so the flag is engine-exact.  One corpus pass, 5-key agg + a 5-row
+    rollup — the cheapest query in the experimentation family, and the
+    one that must run FIRST."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("srm_events")
+    return spark.sql(_SRM_SQL.format(events="srm_events"))

@@ -541,3 +541,66 @@ def q_window_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# Running DISTINCT count over an expanding window — an operator no
+# engine ships directly (COUNT(DISTINCT) OVER (... ROWS UNBOUNDED
+# PRECEDING) is unsupported in Spark and most engines) — rewritten
+# into shuffle-friendly primitives: a first-occurrence flag
+# (row_number over (user, type) == 1) followed by a running SUM of the
+# flag.  State per group is one bit per (user, type), not a distinct
+# set per row — the rewrite that keeps the operator linear at 100 TB.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_running_distinct",
+    oracle="""
+WITH flagged AS (
+  SELECT event_id, user_id, event_type, ts,
+         CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS first_seen
+  FROM events
+)
+SELECT event_id, user_id, event_type,
+       CAST(SUM(first_seen) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS running_distinct_types
+FROM flagged
+ORDER BY event_id
+""",
+)
+def q_window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user, the number of DISTINCT event types seen up to and
+    including each event (ties broken by event_id).  The two windows
+    share the user partitioning, so Catalyst plans ONE exchange on
+    user_id: the (user, type) ranking sorts within partitions, then
+    the running sum reuses the same distribution — no second shuffle,
+    no per-row distinct state."""
+    ev = load_table(spark, sf_dir, "events")
+    w_first = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    first_seen = F.when(F.row_number().over(w_first) == 1, 1).otherwise(0)
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "ts",
+            first_seen.alias("first_seen"),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.sum("first_seen").over(w_run).alias("running_distinct_types"),
+        )
+        .orderBy("event_id")
+    )
