@@ -559,8 +559,9 @@ def q_window_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH flagged AS (
   SELECT event_id, user_id, event_type, ts,
-         CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
-                                      ORDER BY ts, event_id) = 1
+         CASE WHEN LAG(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY event_type, ts, event_id)
+              IS DISTINCT FROM event_type
               THEN 1 ELSE 0 END AS first_seen
   FROM events
 )
@@ -575,19 +576,26 @@ ORDER BY event_id
 )
 def q_window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per user, the number of DISTINCT event types seen up to and
-    including each event (ties broken by event_id).  The two windows
-    share the user partitioning, so Catalyst plans ONE exchange on
-    user_id: the (user, type) ranking sorts within partitions, then
-    the running sum reuses the same distribution — no second shuffle,
-    no per-row distinct state."""
+    including each event (ties broken by event_id).
+
+    The naive first-occurrence flag (row_number over (user, TYPE))
+    partitions by BOTH keys, which Catalyst cannot reuse for the
+    user-keyed running sum — two exchanges.  Spelled instead as a LAG
+    over the user partition sorted by (type, ts, id): the block head
+    of each type run is exactly the type's earliest (ts, id) row, so
+    both windows demand the SAME hash distribution and the plan
+    carries ONE exchange on user_id plus two partition-local sorts
+    (plan-asserted in tests/test_plan_lint.py exchange census)."""
     ev = load_table(spark, sf_dir, "events")
-    w_first = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_first = W.partitionBy("user_id").orderBy("event_type", "ts", "event_id")
     w_run = (
         W.partitionBy("user_id")
         .orderBy("ts", "event_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    first_seen = F.when(F.row_number().over(w_first) == 1, 1).otherwise(0)
+    first_seen = F.when(
+        ~F.lag("event_type").over(w_first).eqNullSafe(F.col("event_type")), 1
+    ).otherwise(0)
     return (
         ev.select(
             "event_id",

@@ -13,6 +13,8 @@ new violation is a test failure, not a silent grandfathering.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from mcp_server_vector_search_spark import registry
@@ -134,3 +136,16 @@ def test_plan_scale_lint(spark, name):
             f"{name}: unexpected Python stage — whitelist it with a "
             "reason if the Python is intentional"
         )
+
+
+def test_running_distinct_single_data_exchange(spark):
+    """window_running_distinct's reason to exist is the one-exchange
+    rewrite (LAG over the user partition instead of a (user, type)
+    ranking): both windows must share a single hashpartitioning
+    exchange — the only other exchange is the output ORDER BY's
+    rangepartitioning."""
+    plan = formatted_plan(
+        registry.QUERIES["window_running_distinct"](spark, SF_CORRECTNESS)
+    )
+    hash_ex = re.findall(r"Exchange hashpartitioning", plan)
+    assert len(hash_ex) == 1, plan[:800]
