@@ -147,5 +147,7 @@ def test_running_distinct_single_data_exchange(spark):
     plan = formatted_plan(
         registry.QUERIES["window_running_distinct"](spark, SF_CORRECTNESS)
     )
-    hash_ex = re.findall(r"Exchange hashpartitioning", plan)
+    # formatted mode renders each Exchange's arguments on its own line
+    hash_ex = re.findall(r"Arguments: hashpartitioning", plan)
     assert len(hash_ex) == 1, plan[:800]
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 2, plan[:800]
