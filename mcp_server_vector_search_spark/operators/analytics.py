@@ -1011,3 +1011,179 @@ def q_stats_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     one that must run FIRST."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("srm_events")
     return spark.sql(_SRM_SQL.format(events="srm_events"))
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence intervals (the production bootstrap for
+# data too large to resample by index — each row enters replicate b
+# with an independent Poisson(1) weight, so one scan serves all
+# replicates; public descriptions e.g. Chamandy et al., "Estimating
+# Uncertainty for Massive Data Streams", Google research 2012).
+# Weights are DERIVED DETERMINISTICALLY from the shared md5-60 hash via
+# the MinHash permutation family, so both engines draw the identical
+# "random" weights and the whole row value-hashes exactly.
+# ---------------------------------------------------------------------------
+
+BOOT_B = 16  # replicates = the shared permutation family's size
+# cumulative Poisson(1) thresholds scaled to the MERSENNE31 hash range
+_POIS_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+]
+
+
+def _boot_thresholds() -> list[int]:
+    from ..functions.hashing import MERSENNE31
+
+    return [int(c * MERSENNE31) for c in _POIS_CDF]
+
+
+def _bootstrap_oracle() -> str:
+    from ..functions.hashing import MINHASH_A, MINHASH_B, MERSENNE31
+    from ..functions.hashing import duckdb_hash60_mod
+
+    t = _boot_thresholds()
+    h = duckdb_hash60_mod("CAST(event_id AS VARCHAR)")
+    w_cols = []
+    for b in range(BOOT_B):
+        u = f"(({MINHASH_A[b]} * h + {MINHASH_B[b]}) % {MERSENNE31})"
+        w = (
+            f"CASE WHEN {u} < {t[0]} THEN 0 WHEN {u} < {t[1]} THEN 1 "
+            f"WHEN {u} < {t[2]} THEN 2 WHEN {u} < {t[3]} THEN 3 "
+            f"WHEN {u} < {t[4]} THEN 4 ELSE 5 END"
+        )
+        w_cols.append(f"{w} AS w{b}")
+    sums = ",\n         ".join(
+        f"CAST(SUM(w{b}) AS BIGINT) AS sw{b},\n"
+        f"         CAST(SUM(w{b} * mv) AS BIGINT) AS swx{b}"
+        for b in range(BOOT_B)
+    )
+    means = ",\n       ".join(
+        f"(CAST(swx{b} AS DOUBLE) / 1000.0) / sw{b} AS m{b}"
+        for b in range(BOOT_B)
+    )
+    msum = " + ".join(f"m{b}" for b in range(BOOT_B))
+    vsum = " + ".join(
+        f"(m{b} - ({msum}) / {BOOT_B}.0) * (m{b} - ({msum}) / {BOOT_B}.0)"
+        for b in range(BOOT_B)
+    )
+    w_block = ",\n         ".join(w_cols)
+    return f"""
+WITH m AS (
+  SELECT event_type,
+         CAST(FLOOR(value * 1000) AS BIGINT) AS mv,
+         {h} AS h
+  FROM events
+),
+wts AS (
+  SELECT event_type, mv,
+         {w_block}
+  FROM m
+),
+g AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(mv) AS BIGINT) AS smv,
+         {sums}
+  FROM wts
+  GROUP BY event_type
+),
+bm AS (
+  SELECT event_type, n,
+       (CAST(smv AS DOUBLE) / 1000.0) / n AS exact_mean,
+       {means}
+  FROM g
+)
+SELECT event_type, n,
+       ROUND(exact_mean, 6) AS exact_mean,
+       ROUND(SQRT(({vsum}) / {BOOT_B - 1}.0), 6) AS boot_se,
+       ROUND(exact_mean - 1.96 * SQRT(({vsum}) / {BOOT_B - 1}.0), 6) AS ci_lo,
+       ROUND(exact_mean + 1.96 * SQRT(({vsum}) / {BOOT_B - 1}.0), 6) AS ci_hi
+FROM bm
+ORDER BY event_type
+"""
+
+
+@register("stats_bootstrap_poisson_ci", oracle=_bootstrap_oracle())
+def q_stats_bootstrap_poisson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type mean with a Poisson-bootstrap 95% CI in ONE
+    corpus pass: each row carries BOOT_B deterministic Poisson(1)
+    weights (inverse-CDF over MinHash permutations of the shared
+    md5-60 row hash — reproducible on any cluster, any retry, any
+    engine, unlike rand()), the per-type aggregate folds all
+    replicates as 2xBOOT_B integer sums, and the standard error is an
+    expression over the BOOT_B mean columns in a FIXED left-to-right
+    order (no float reduction whose order an engine could choose).
+    At 100 TB the exchange stays 5 rows x 34 longs; this is how
+    production systems attach uncertainty to metrics without a second
+    pass or index resampling."""
+    from ..functions.hashing import MERSENNE31, MINHASH_A, MINHASH_B, md5_hash60_mod
+
+    t = _boot_thresholds()
+    ev = load_table(spark, sf_dir, "events")
+    h = md5_hash60_mod(F.col("event_id").cast("string"))
+    base = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("long").alias("mv"),
+        h.alias("h"),
+    )
+    wcols = []
+    for b in range(BOOT_B):
+        u = (F.lit(MINHASH_A[b]) * F.col("h") + F.lit(MINHASH_B[b])) % F.lit(
+            MERSENNE31
+        )
+        w = (
+            F.when(u < t[0], 0)
+            .when(u < t[1], 1)
+            .when(u < t[2], 2)
+            .when(u < t[3], 3)
+            .when(u < t[4], 4)
+            .otherwise(5)
+        )
+        wcols.append(w.alias(f"w{b}"))
+    wts = base.select("event_type", "mv", *wcols)
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("mv").alias("smv"),
+    ]
+    for b in range(BOOT_B):
+        aggs.append(F.sum(F.col(f"w{b}")).cast("long").alias(f"sw{b}"))
+        aggs.append(F.sum(F.col(f"w{b}") * F.col("mv")).alias(f"swx{b}"))
+    g = wts.groupBy("event_type").agg(*aggs)
+    exact_mean = (F.col("smv").cast("double") / F.lit(1000.0)) / F.col("n")
+    bm = g.select(
+        "event_type",
+        "n",
+        exact_mean.alias("exact_mean"),
+        *[
+            (
+                (F.col(f"swx{b}").cast("double") / F.lit(1000.0))
+                / F.col(f"sw{b}")
+            ).alias(f"m{b}")
+            for b in range(BOOT_B)
+        ],
+    )
+    msum = None
+    for b in range(BOOT_B):
+        msum = F.col(f"m{b}") if msum is None else msum + F.col(f"m{b}")
+    # materialize the replicate grand mean once: inlining it into all
+    # 16 squared terms (x3 output columns) balloons the Catalyst tree
+    # ~100x and costs ~15 s of cold codegen for zero runtime benefit
+    bm = bm.select("*", (msum / F.lit(float(BOOT_B))).alias("mbar"))
+    vsum = None
+    for b in range(BOOT_B):
+        term = (F.col(f"m{b}") - F.col("mbar")) * (F.col(f"m{b}") - F.col("mbar"))
+        vsum = term if vsum is None else vsum + term
+    bm = bm.select("*", F.sqrt(vsum / F.lit(float(BOOT_B - 1))).alias("se"))
+    se = F.col("se")
+    return bm.select(
+        "event_type",
+        "n",
+        F.round("exact_mean", 6).alias("exact_mean"),
+        F.round(se, 6).alias("boot_se"),
+        F.round(F.col("exact_mean") - F.lit(1.96) * se, 6).alias("ci_lo"),
+        F.round(F.col("exact_mean") + F.lit(1.96) * se, 6).alias("ci_hi"),
+    ).orderBy("event_type")
