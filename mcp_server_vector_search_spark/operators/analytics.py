@@ -1187,3 +1187,57 @@ def q_stats_bootstrap_poisson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("exact_mean") - F.lit(1.96) * se, 6).alias("ci_lo"),
         F.round(F.col("exact_mean") + F.lit(1.96) * se, 6).alias("ci_hi"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation (recency / frequency / monetary quartiles): the
+# classic customer-analytics rollup — one pass to user-level metrics,
+# then NTILE ranks over the bounded user table.  Exercises NTILE,
+# which no other registered row covers.
+# ---------------------------------------------------------------------------
+
+_RFM_SQL = """
+WITH u AS (
+  SELECT user_id,
+         CAST(MAX(event_id) AS BIGINT) AS last_event_id,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS monetary_milli
+  FROM {events}
+  WHERE event_type = 'purchase'
+  GROUP BY user_id
+),
+scored AS (
+  SELECT user_id, last_event_id, frequency, monetary_milli,
+         NTILE(4) OVER (ORDER BY last_event_id DESC, user_id) AS r_quartile,
+         NTILE(4) OVER (ORDER BY frequency DESC, user_id) AS f_quartile,
+         NTILE(4) OVER (ORDER BY monetary_milli DESC, user_id) AS m_quartile
+  FROM u
+)
+SELECT CAST(r_quartile AS INTEGER) AS r_quartile,
+       CAST(f_quartile AS INTEGER) AS f_quartile,
+       CAST(m_quartile AS INTEGER) AS m_quartile,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(monetary_milli) AS BIGINT) AS segment_milli
+FROM scored
+GROUP BY r_quartile, f_quartile, m_quartile
+ORDER BY r_quartile, f_quartile, m_quartile
+"""
+
+
+@register("events_rfm_segments", oracle=_RFM_SQL.format(events="events"))
+def q_events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation over purchase events: user-level recency
+    (latest event_id — a monotone proxy with deterministic ties,
+    unlike raw timestamps), frequency, and exact milli monetary sums,
+    quartiled by three NTILE windows with (metric DESC, user_id) tie
+    breaks, rolled up to segment sizes.
+
+    Scale shape: the corpus collapses to ONE row per purchasing user
+    in a map-side-combined agg before any window runs; the NTILEs
+    then rank the bounded user table (unpartitioned by design — RFM
+    quartiles are global statements; at 1e9 users you shard by a
+    coarse user-hash band and ntile within band, same plan shape).
+    The identical SQL text runs on both engines, so the quartile cuts
+    — which depend on exact rank arithmetic — hash bit for bit."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("rfm_events")
+    return spark.sql(_RFM_SQL.format(events="rfm_events"))
