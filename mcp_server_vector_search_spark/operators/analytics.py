@@ -912,18 +912,26 @@ tot AS (
 ),
 th AS (
   -- pooled theta and pooled variances, every op in DOUBLE over the
-  -- exact integers (identical expression text on both engines)
-  SELECT (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+  -- exact integers (identical expression text on both engines); the
+  -- CASE guards make degenerate cells (n<2 users, zero pre-period
+  -- variance) explicit NULLs on BOTH engines — unguarded x/0 is NULL
+  -- on Spark but Infinity on IEEE-division engines
+  SELECT CASE WHEN n > 1 AND (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) <> 0.0
+         THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
          / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS theta,
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END AS theta,
          CAST(sx AS DOUBLE) / n AS mean_x_all,
-         (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)
-           / (n - 1) AS var_y,
-         (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
-           / (n - 1) AS var_x,
-         (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
-           / (n - 1) AS cov_xy
+         CASE WHEN n > 1 THEN
+           (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+           / (n - 1) END AS var_y,
+         CASE WHEN n > 1 THEN
+           (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+           / (n - 1) END AS var_x,
+         CASE WHEN n > 1 THEN
+           (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+           / (n - 1) END AS cov_xy
   FROM tot
 )
 SELECT g.v AS variant,
@@ -934,9 +942,10 @@ SELECT g.v AS variant,
              - th.theta * (CAST(g.sx AS DOUBLE) / g.n - th.mean_x_all), 6)
          AS mean_adjusted,
        ROUND(th.theta, 6) AS theta,
-       ROUND(100.0 * (1.0 - (th.var_y - 2.0 * th.theta * th.cov_xy
+       CASE WHEN th.var_y <> 0.0 THEN
+         ROUND(100.0 * (1.0 - (th.var_y - 2.0 * th.theta * th.cov_xy
                              + th.theta * th.theta * th.var_x) / th.var_y), 2)
-         AS var_reduction_pct
+       END AS var_reduction_pct
 FROM g CROSS JOIN th
 ORDER BY variant
 """
@@ -993,7 +1002,9 @@ SELECT event_type, n_a, n_b,
        -- exact integers until the final division
        ROUND(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b), 6)
          AS chi2,
-       CAST((n_a - n_b) * (n_a - n_b) > 384 * (n_a + n_b) / 100.0 AS BOOLEAN)
+       -- truly integer cross-multiplied alarm (100*diff^2 stays BIGINT
+       -- up to ~3e8-row imbalances; widen to DECIMAL(38,0) past that)
+       CAST(100 * (n_a - n_b) * (n_a - n_b) > 384 * (n_a + n_b) AS BOOLEAN)
          AS srm_alarm_95
 FROM a
 ORDER BY event_type
@@ -1062,7 +1073,7 @@ def _bootstrap_oracle() -> str:
         for b in range(BOOT_B)
     )
     means = ",\n       ".join(
-        f"(CAST(swx{b} AS DOUBLE) / 1000.0) / sw{b} AS m{b}"
+        f"CASE WHEN sw{b} > 0 THEN (CAST(swx{b} AS DOUBLE) / 1000.0) / sw{b} END AS m{b}"
         for b in range(BOOT_B)
     )
     msum = " + ".join(f"m{b}" for b in range(BOOT_B))
@@ -1159,9 +1170,13 @@ def q_stats_bootstrap_poisson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         exact_mean.alias("exact_mean"),
         *[
-            (
+            # zero weight-sum guard (P = 0.368^n per replicate for an
+            # n-row cell): an explicit NULL on both engines, where an
+            # unguarded x/0 would be NULL here but Inf under IEEE
+            F.when(
+                F.col(f"sw{b}") > 0,
                 (F.col(f"swx{b}").cast("double") / F.lit(1000.0))
-                / F.col(f"sw{b}")
+                / F.col(f"sw{b}"),
             ).alias(f"m{b}")
             for b in range(BOOT_B)
         ],
@@ -1208,9 +1223,9 @@ WITH u AS (
 ),
 scored AS (
   SELECT user_id, last_event_id, frequency, monetary_milli,
-         NTILE(4) OVER (ORDER BY last_event_id DESC, user_id) AS r_quartile,
-         NTILE(4) OVER (ORDER BY frequency DESC, user_id) AS f_quartile,
-         NTILE(4) OVER (ORDER BY monetary_milli DESC, user_id) AS m_quartile
+         NTILE(4) OVER (ORDER BY last_event_id DESC, user_id NULLS LAST) AS r_quartile,
+         NTILE(4) OVER (ORDER BY frequency DESC, user_id NULLS LAST) AS f_quartile,
+         NTILE(4) OVER (ORDER BY monetary_milli DESC, user_id NULLS LAST) AS m_quartile
   FROM u
 )
 SELECT CAST(r_quartile AS INTEGER) AS r_quartile,

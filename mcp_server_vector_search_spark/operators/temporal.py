@@ -428,7 +428,12 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     no float time arithmetic anywhere."""
     ev = load_table(spark, sf_dir, "events")
     cand = (
+        # NULL-user candidates can never match: the oracle's equi-join
+        # has NULL != NULL semantics, but a window partitionBy would
+        # happily group NULL keys together — drop them here so both
+        # spellings agree (NULL-user purchases still emit a NULL match)
         ev.where(F.col("event_type").isin("view", "click"))
+        .where(F.col("user_id").isNotNull())
         .groupBy("user_id", "ts")
         .agg(F.max("event_id").alias("cand_id"))
         .select(

@@ -1487,21 +1487,19 @@ _WELCH_BATCH_ORACLE = _batch_welch_sql("events")
 
 
 def _welch_stats_stream_agg(stream: DataFrame) -> DataFrame:
-    v = ((F.coalesce(F.col("user_id"), F.lit(0)) % 2) + 2) % 2
-    mv = F.floor(F.col("value") * 1000).cast("long")
-    m = stream.select("event_type", v.alias("v"), mv.alias("mv"))
-    z = F.lit(0).cast("long")
-    return m.groupBy("event_type").agg(
-        F.sum(F.when(F.col("v") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
-        F.sum(F.when(F.col("v") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
-        F.sum(F.when(F.col("v") == 0, F.col("mv")).otherwise(z)).alias("s_a"),
-        F.sum(F.when(F.col("v") == 1, F.col("mv")).otherwise(z)).alias("s_b"),
-        F.sum(
-            F.when(F.col("v") == 0, F.col("mv") * F.col("mv")).otherwise(z)
-        ).alias("ss_a"),
-        F.sum(
-            F.when(F.col("v") == 1, F.col("mv") * F.col("mv")).otherwise(z)
-        ).alias("ss_b"),
+    """The batch row's _WELCH_STATS_SQL executed over a STREAMING temp
+    view — one source of truth for the sufficient-statistics text, so
+    the 'identical tail over identical stats' claim can never drift
+    between the batch and streaming spellings."""
+    import uuid
+
+    from ..operators.analytics import _WELCH_STATS_SQL
+
+    spark = stream.sparkSession
+    view = f"welch_stream_in_{uuid.uuid4().hex[:8]}"
+    stream.createOrReplaceTempView(view)
+    return spark.sql(
+        "WITH " + _WELCH_STATS_SQL.replace("{events}", view) + " SELECT * FROM g"
     )
 
 
@@ -1518,7 +1516,7 @@ def q_streaming_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import uuid
 
-    from ..operators.analytics import welch_sql, welch_tail_sql
+    from ..operators.analytics import welch_tail_sql
 
     spark = spark.newSession()
     spark.conf.set("spark.sql.shuffle.partitions", "8")
