@@ -778,6 +778,10 @@ _WELCH_STATS_SQL = """m AS (
          ((COALESCE(user_id, 0) % 2) + 2) % 2 AS v,
          CAST(FLOOR(value * 1000) AS BIGINT) AS mv
   FROM {events}
+  -- NULL metrics are excluded from BOTH n and the sums: without this
+  -- filter n counts the row while SUM drops its NULL mv, biasing the
+  -- means and potentially driving the corrected variance negative
+  WHERE value IS NOT NULL
 ),
 g AS (
   SELECT event_type,
@@ -816,12 +820,21 @@ _WELCH_TAIL_SQL = """w AS (
 SELECT event_type, n_a, n_b,
        ROUND(mean_a, 6) AS mean_a,
        ROUND(mean_b, 6) AS mean_b,
-       ROUND((mean_a - mean_b) / SQRT(var_a / n_a + var_b / n_b), 6) AS t_stat,
-       ROUND((var_a / n_a + var_b / n_b) * (var_a / n_a + var_b / n_b)
-             / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
-                + (var_b / n_b) * (var_b / n_b) / (n_b - 1)), 6) AS welch_df,
-       ABS((mean_a - mean_b) / SQRT(var_a / n_a + var_b / n_b)) > 1.96
-         AS significant_95
+       -- zero-variance guard: a constant-valued cell has
+       -- var_a/n_a + var_b/n_b = 0, and x/0 is NULL on Spark (non-ANSI)
+       -- but Inf/NaN on IEEE-division engines — the explicit CASE keeps
+       -- the degenerate output NULL on BOTH engines
+       CASE WHEN var_a / n_a + var_b / n_b > 0 THEN
+         ROUND((mean_a - mean_b) / SQRT(var_a / n_a + var_b / n_b), 6)
+       END AS t_stat,
+       CASE WHEN var_a / n_a + var_b / n_b > 0 THEN
+         ROUND((var_a / n_a + var_b / n_b) * (var_a / n_a + var_b / n_b)
+               / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
+                  + (var_b / n_b) * (var_b / n_b) / (n_b - 1)), 6)
+       END AS welch_df,
+       CASE WHEN var_a / n_a + var_b / n_b > 0 THEN
+         ABS((mean_a - mean_b) / SQRT(var_a / n_a + var_b / n_b)) > 1.96
+       END AS significant_95
 FROM w
 ORDER BY event_type
 """
@@ -1036,13 +1049,20 @@ def q_stats_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 BOOT_B = 16  # replicates = the shared permutation family's size
-# cumulative Poisson(1) thresholds scaled to the MERSENNE31 hash range
+# cumulative Poisson(1) thresholds scaled to the MERSENNE31 hash range.
+# Eight terms: the ELSE branch (weight 8) absorbs only the P(X >= 8)
+# ~1.1e-6 tail, so the inverse-CDF weights are Poisson(1) to within
+# ~1e-6 total mass (a 5-term table left ~5.9e-4 of rows truncated at 5,
+# a visible systematic under-weighting).
 _POIS_CDF = [
     0.36787944117144233,
     0.7357588823428847,
     0.9196986029286058,
     0.9810118431238462,
     0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+    0.9999897508033253,
 ]
 
 
@@ -1064,7 +1084,8 @@ def _bootstrap_oracle() -> str:
         w = (
             f"CASE WHEN {u} < {t[0]} THEN 0 WHEN {u} < {t[1]} THEN 1 "
             f"WHEN {u} < {t[2]} THEN 2 WHEN {u} < {t[3]} THEN 3 "
-            f"WHEN {u} < {t[4]} THEN 4 ELSE 5 END"
+            f"WHEN {u} < {t[4]} THEN 4 WHEN {u} < {t[5]} THEN 5 "
+            f"WHEN {u} < {t[6]} THEN 6 WHEN {u} < {t[7]} THEN 7 ELSE 8 END"
         )
         w_cols.append(f"{w} AS w{b}")
     sums = ",\n         ".join(
@@ -1088,6 +1109,9 @@ WITH m AS (
          CAST(FLOOR(value * 1000) AS BIGINT) AS mv,
          {h} AS h
   FROM events
+  -- keep n and the weighted sums over the same row set (a NULL value
+  -- would be counted by n but dropped by SUM, biasing every replicate)
+  WHERE value IS NOT NULL
 ),
 wts AS (
   SELECT event_type, mv,
@@ -1136,7 +1160,7 @@ def q_stats_bootstrap_poisson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _boot_thresholds()
     ev = load_table(spark, sf_dir, "events")
     h = md5_hash60_mod(F.col("event_id").cast("string"))
-    base = ev.select(
+    base = ev.where(F.col("value").isNotNull()).select(
         "event_type",
         F.floor(F.col("value") * 1000).cast("long").alias("mv"),
         h.alias("h"),
@@ -1152,7 +1176,10 @@ def q_stats_bootstrap_poisson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             .when(u < t[2], 2)
             .when(u < t[3], 3)
             .when(u < t[4], 4)
-            .otherwise(5)
+            .when(u < t[5], 5)
+            .when(u < t[6], 6)
+            .when(u < t[7], 7)
+            .otherwise(8)
         )
         wcols.append(w.alias(f"w{b}"))
     wts = base.select("event_type", "mv", *wcols)

@@ -584,26 +584,41 @@ _LR_CACHE: dict[str, tuple[list[float], float]] = {}
 
 def _lr_weights(sf_dir: str) -> tuple[list[float], float]:
     """Deterministic full-batch gradient descent in float64 numpy over
-    the first LR_MAX_TRAIN docs by doc_id.  Registration-time oracle
+    the LR_MAX_TRAIN LOWEST doc_ids.  Registration-time oracle
     generation and query-time scoring both call THIS function, so at
     the driver-gate SF the folded literals are bitwise identical."""
     if sf_dir in _LR_CACHE:
         return _LR_CACHE[sf_dir]
-    import pyarrow.parquet as pq
+    import heapq
 
-    # Bounded read: stream row batches and stop at LR_MAX_TRAIN — the
-    # driver never materializes the corpus (at 100 TB this reads a few
-    # row groups, not the table).  Sample = first LR_MAX_TRAIN rows in
-    # file order (deterministic for a given file), sorted by doc_id for
-    # a stable training order.
-    pf = pq.ParquetFile(f"{sf_dir}/documents.parquet")
-    t: list[dict] = []
-    for batch in pf.iter_batches(batch_size=1024, columns=["doc_id", "text"]):
-        t.extend(batch.to_pylist())
-        if len(t) >= LR_MAX_TRAIN:
-            break
-    t = t[:LR_MAX_TRAIN]
+    import pyarrow.dataset as pads
+
+    # Sample = the LR_MAX_TRAIN lowest doc_ids — a DATA-DEFINED rule, so
+    # the trained constants (and hence the registered oracle) survive a
+    # rewrite of the same logical corpus with a different row-group or
+    # file layout; pyarrow.dataset also reads multi-file datasets the
+    # same way load_table does.  Pass 1 streams ONLY the doc_id column
+    # through a bounded max-heap (O(LR_MAX_TRAIN) driver memory); pass 2
+    # re-reads just the selected rows with the predicate pushed to
+    # row-group stats.  At 100 TB pass 1 is a single-column scan — if
+    # even that is too much, the threshold becomes a precomputed
+    # pipeline constant with the rest unchanged.
+    ds = pads.dataset(f"{sf_dir}/documents.parquet", format="parquet")
+    heap: list = []  # max-heap via negation: the LR_MAX_TRAIN smallest ids
+    for batch in ds.to_batches(columns=["doc_id"], batch_size=8192):
+        for v in batch.column("doc_id").to_pylist():
+            if v is None:
+                continue
+            if len(heap) < LR_MAX_TRAIN:
+                heapq.heappush(heap, -v)
+            elif -heap[0] > v:
+                heapq.heapreplace(heap, -v)
+    cutoff = -heap[0]
+    t = ds.to_table(
+        columns=["doc_id", "text"], filter=pads.field("doc_id") <= cutoff
+    ).to_pylist()
     t.sort(key=lambda r: r["doc_id"])
+    t = t[:LR_MAX_TRAIN]  # guard: duplicate doc_ids at the cutoff
     x = np.array([_lr_surface_features(r["text"] or "") for r in t], dtype=np.float64)
     y = np.array([float(_lr_teacher_label(r["text"] or "")) for r in t], dtype=np.float64)
     w = np.zeros(x.shape[1], dtype=np.float64)
@@ -659,8 +674,8 @@ ORDER BY doc_id
 @register("quality_classifier_lr", oracle=_lr_oracle())
 def q_quality_classifier_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distilled quality classifier: logistic regression fit
-    driver-side (bounded LR_MAX_TRAIN sample, 200 deterministic
-    full-batch GD steps, float64) to imitate the Gopher dup-2gram
+    driver-side (bounded sample = the LR_MAX_TRAIN lowest doc_ids, 200
+    deterministic full-batch GD steps, float64) to imitate the Gopher dup-2gram
     repetition rule from UNIGRAM-only surface features, then the WHOLE
     corpus scored in one shuffle-free projection with the weights as
     literals — teacher label, student score, and student decision side
