@@ -407,10 +407,22 @@ def udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
     LOGIC, not bulk arithmetic — a vectorizable fold belongs in a
     grouped-agg pandas UDF (``udaf_grouped_geomean``).  The input is a
     deterministic quarter of events: enough rows to cross every Arrow
-    batch boundary, without timing 1M Python calls per bench run."""
+    batch boundary, without timing 1M Python calls per bench run.
+
+    Column pruning is MANUAL here: Catalyst cannot prune through an
+    opaque TABLE() argument (eval's field usage is invisible to the
+    optimizer), so passing all six event columns pays per-row Row
+    construction for four unused fields — including the map-typed
+    ``props``, the most expensive to convert.  Selecting only the two
+    consumed columns cut the r13 steady-state from ~2.7 s to ~2.3 s;
+    the residual floor is per-row Arrow-Row conversion at the
+    PARTITION BY key's parallelism (5 event types = 5 active
+    partitions), which is intrinsic to the row-at-a-time UDTF contract
+    (the r10-r12 2.10->3.29 s "drift" was this floor plus run-to-run
+    variance, not a plan change)."""
     load_table(spark, sf_dir, "events").where(
         F.pmod("event_id", F.lit(4)) == 0
-    ).createOrReplaceTempView("__udtf_events")
+    ).select("event_type", "value").createOrReplaceTempView("__udtf_events")
     spark.udtf.register("partition_summary_udtf", _PartitionSummaryUDTF)
     return spark.sql(
         """

@@ -77,14 +77,23 @@ def test_maxsim_exact_term_docs_score_full(spark):
 
 
 def test_maxsim_dedups_tokens_before_embed(spark):
-    """Per-doc token dedup happens map-side (array_distinct inside the
-    explode input — no shuffle) BEFORE the Arrow UDF, so repeated
-    tokens in a document never pay a second embed call; and the
-    per-doc reduction runs as a partial_max map-side combine."""
+    """The embed + sims factor through the token VOCABULARY: per-doc
+    dedup is map-side (array_distinct inside the explode input), the
+    Arrow UDF runs only on the distinct-token table (under the
+    broadcast), the (doc, token) stream joins it map-side with ZERO
+    shuffles of its own, and the per-doc reduction runs as a
+    partial_max map-side combine."""
     docs = load_table(spark, SF_CORRECTNESS, "documents")
     plan = LI.maxsim_topk(docs)._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan, "token embed must be Arrow-batched"
     assert "array_distinct" in plan, "map-side token dedup missing"
     assert "partial_max" in plan, "map-side combine missing"
-    # exactly ONE exchange: the per-doc rollup (the dedup costs none)
-    assert plan.count("Exchange") == 1, plan.count("Exchange")
+    assert "BroadcastHashJoin" in plan, "vocab sims must join map-side"
+    # the Arrow embed runs on the vocab INSIDE the broadcast build side,
+    # never over the doc-token stream
+    bcast_subtree = plan.split("BroadcastExchange", 1)[1]
+    assert "ArrowEvalPython" in bcast_subtree, "embed must be vocab-side"
+    # exactly TWO hash exchanges: the vocab distinct (tiny) and the
+    # per-doc rollup — the heavy doc-token stream itself never shuffles
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("BroadcastExchange") == 1, plan
