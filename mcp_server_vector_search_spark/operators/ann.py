@@ -155,11 +155,26 @@ def assignment_gemm(centroids: list[list[float]]) -> F.Column:
     return nearest("embedding")
 
 
+# cells × dim above which the interpreted HOF cost dominates even at
+# modest cell counts: Catalyst evaluates the lambda PER ARRAY ELEMENT,
+# so per-row cost is cells × dim interpreted ops — 16 cells × 64 dims
+# over 200k rows measured ~45 s/pass at the 100x tier (the lifecycle
+# stress row's whole budget) where the GEMM does it in ~2 s.
+GEMM_ASSIGN_MIN_WORK = 1024
+
+
 def assignment_col(centroids: list[list[float]]) -> F.Column:
     """The assignment dispatcher: the pure-JVM literal expression below
-    the GEMM threshold (no Python in the plan, bitwise oracle parity),
-    the Arrow GEMM at production cell counts."""
-    if len(centroids) >= GEMM_ASSIGN_MIN_CELLS:
+    the GEMM thresholds (no Python in the plan), the Arrow GEMM at
+    production cell counts OR when cells × dim makes the interpreted
+    HOF the bottleneck.  Oracle agreement under GEMM is rounding-borne
+    (sims rounded at ASSIGN_DECIMALS on both engines — the dim-1536
+    driver-gated rows certify the device end to end)."""
+    dim = len(centroids[0]) if centroids else 0
+    if (
+        len(centroids) >= GEMM_ASSIGN_MIN_CELLS
+        or len(centroids) * dim >= GEMM_ASSIGN_MIN_WORK
+    ):
         return assignment_gemm(centroids)
     return assignment_expr(centroids)
 

@@ -41,7 +41,7 @@ from .ann import (
     NPROBE,
     TRAIN_SAMPLE,
     _sample_vectors,
-    assignment_expr,
+    assignment_col,
     nearest_centroids,
     replace_partitions,
     train_centroids,
@@ -296,7 +296,7 @@ def q_ann_lifecycle_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # build: the pre-churn layout
     base = emb.select(
-        "vec_id", "embedding", assignment_expr(cents).alias("centroid_id")
+        "vec_id", "embedding", assignment_col(cents).alias("centroid_id")
     )
     layout = tempfile.mkdtemp(prefix="ivf_churn_")
     base.repartition("centroid_id").write.mode("overwrite").partitionBy(
@@ -328,7 +328,7 @@ def q_ann_lifecycle_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.reverse("embedding").alias("embedding")
     )
     new_assigned = updated.select(
-        "vec_id", "embedding", assignment_expr(cents).alias("centroid_id")
+        "vec_id", "embedding", assignment_col(cents).alias("centroid_id")
     )
     old_cells = stored.where(F.col("vec_id") >= cut).select("centroid_id").distinct()
     up_cells = sorted(
@@ -372,7 +372,7 @@ def q_ann_lifecycle_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("embedding"),
     )
     scratch = effective.select(
-        "vec_id", "embedding", assignment_expr(cents).alias("centroid_id")
+        "vec_id", "embedding", assignment_col(cents).alias("centroid_id")
     )
     expected = _pruned_topk(scratch, probes, qvec).collect()
     got = churned.collect()
