@@ -77,6 +77,7 @@ def load_all_operators() -> None:
         tpch_wave4,
         tpch_wave5,
         vsearch_extra,
+        web_curation,
         windows,
     )
     from .sources import formats, layout, multimodal, pysource  # noqa: F401

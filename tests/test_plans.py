@@ -562,3 +562,40 @@ def test_gemm_census_assignment_is_arrow_not_batch_python(spark):
     assert "BatchEvalPython" not in plan
     assert "Join" not in plan
     assert len(_re.findall(r"^\(\d+\) Exchange", plan, _re.M)) <= 2
+
+
+def test_url_curation_plan_shapes(spark):
+    """The URL family's scale contract: canonicalization is a pure
+    projection (zero exchanges), domain caps pay exactly ONE exchange
+    (window + rollup share the domain partitioning), and the blocklist
+    rollup's verdict predicate stays in the scan-side projection."""
+    from mcp_server_vector_search_spark.operators.web_curation import (
+        q_curation_domain_caps,
+        q_curation_url_blocklist,
+        q_curation_url_canonicalize,
+    )
+
+    canon = (
+        q_curation_url_canonicalize(spark, SF_CORRECTNESS)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert canon.count("Exchange hashpartitioning") == 0, canon
+    caps = (
+        q_curation_domain_caps(spark, SF_CORRECTNESS)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert caps.count("Exchange hashpartitioning") == 1, caps
+    block = (
+        q_curation_url_blocklist(spark, SF_CORRECTNESS)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert block.count("Exchange hashpartitioning") == 1, block
+    # no Python anywhere in the family — pure codegen'd SQL
+    for p in (canon, caps, block):
+        assert "EvalPython" not in p
