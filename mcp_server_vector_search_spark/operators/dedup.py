@@ -1524,3 +1524,104 @@ def q_dedup_incremental_substring(spark: SparkSession, sf_dir: str) -> DataFrame
         "doc_id", "s", (F.col("s") + SPAN_K - 1).alias("e")
     )
     return merged_span_stats(spans)
+
+
+# ---------------------------------------------------------------------------
+# dedup_lines_crossdoc — LINE-level dedup (RefinedWeb §3.3 / Falcon,
+# Penedo et al. 2023, public: drop lines that repeat across >= N
+# documents — boilerplate headers, navigation, license blurbs — while
+# keeping the documents themselves).  Complements the doc-level
+# (minhash/simhash) and span-level (dedup_substring_spans) rows: the
+# unit here is the LINE, counted by how many DISTINCT documents it
+# appears in.  The synthetic corpus has no newlines, so a "line" is
+# synthesized deterministically as each consecutive LINE_TOKENS-token
+# window (both engines derive the identical segmentation).
+# ---------------------------------------------------------------------------
+
+LINE_TOKENS = 8
+LINE_DUP_MIN_DOCS = 3  # a line in >= this many distinct docs is boilerplate
+
+
+def doc_lines(docs: DataFrame, width: int = LINE_TOKENS) -> DataFrame:
+    """(doc_id, line): consecutive ``width``-token windows (the last
+    one ragged).  The transform's per-element work is one slice +
+    array_join — interpreted, but there are only ceil(tokens/width)
+    elements per doc, so total interpreted ops stay O(tokens), unlike
+    the per-token-times-k gram HOF the 100x tier banned."""
+    ws = F.split(F.col("text"), " ")
+    n_lines = F.ceil(F.size(ws) / F.lit(float(width))).cast("int")
+    lines_arr = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(F.slice(ws, i * width + 1, width), " "),
+    )
+    return docs.select("doc_id", F.explode(lines_arr).alias("line"))
+
+
+def line_dedup_stats(docs: DataFrame, min_docs: int = LINE_DUP_MIN_DOCS) -> DataFrame:
+    """Per-doc line-dedup report: total lines, lines flagged as
+    cross-doc boilerplate (present in >= min_docs DISTINCT docs), and
+    the token count that survives the scrub.
+
+    Scale shape: the line stream shuffles ONCE on the line key for the
+    distinct-doc count; the flagged-set join back is the same key (no
+    re-shuffle of the counted side), and at production scale the
+    flagged set is tiny relative to the corpus so AQE turns the probe
+    into a broadcast; the final per-doc rollup is the only other
+    exchange.  Every count is an exact integer — hash-stable."""
+    lines = doc_lines(docs)
+    counts = lines.groupBy("line").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    flagged = lines.join(counts, "line").select(
+        "doc_id",
+        (F.col("n_docs") >= min_docs).alias("dup"),
+        F.size(F.split(F.col("line"), " ")).alias("n_toks"),
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(F.col("dup"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_lines"),
+            F.sum(F.when(F.col("dup"), 0).otherwise(F.col("n_toks")))
+            .cast("long")
+            .alias("n_kept_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_LINE_DEDUP_ORACLE = f"""
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+lines AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, CAST(ceil(len(w) / {float(LINE_TOKENS)}) AS BIGINT)),
+                i -> array_to_string(w[(i*{LINE_TOKENS}+1):(i*{LINE_TOKENS}+{LINE_TOKENS})], ' '))) AS line
+  FROM ws
+),
+counts AS (
+  SELECT line, COUNT(DISTINCT doc_id) AS n_docs FROM lines GROUP BY line
+),
+flagged AS (
+  SELECT l.doc_id, (c.n_docs >= {LINE_DUP_MIN_DOCS}) AS dup,
+         len(string_split(l.line, ' ')) AS n_toks
+  FROM lines l JOIN counts c ON l.line = c.line
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines,
+       CAST(SUM(CASE WHEN dup THEN 0 ELSE n_toks END) AS BIGINT) AS n_kept_tokens
+FROM flagged GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("dedup_lines_crossdoc", oracle=_LINE_DEDUP_ORACLE)
+def q_dedup_lines_crossdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document line dedup (the RefinedWeb/Falcon scrub): flag
+    every line appearing in >= LINE_DUP_MIN_DOCS distinct documents
+    and report, per doc, how many lines were flagged and how many
+    tokens survive.  The oracle replays the identical segmentation and
+    thresholds declaratively; at the gate SF 17 lines cross the
+    threshold, so the flags are exercised, not vacuous."""
+    return line_dedup_stats(load_table(spark, sf_dir, "documents"))

@@ -897,3 +897,45 @@ def test_bpe_encode_100x(spark, tiers):
     assert t100 <= LINEAR_SLACK * t10, (
         f"bpe encode grew {t100 / t10:.1f}x on 10x docs — super-linear"
     )
+
+
+def test_line_dedup_100x(spark, tiers):
+    """Line-level dedup at 500k docs with a planted-recall gate: every
+    planted EXACT duplicate doc must have 100% of its lines flagged at
+    min_docs=2 (its twin contributes every line), and runtime stays
+    inside the linear bound of the 10x tier."""
+    from mcp_server_vector_search_spark.operators.dedup import (
+        line_dedup_stats,
+    )
+
+    def run(sf_dir):
+        t0 = time.perf_counter()
+        rows = line_dedup_stats(
+            load_table(spark, sf_dir, "documents"), min_docs=2
+        ).collect()
+        return rows, time.perf_counter() - t0
+
+    rows10, t10 = run(tiers[0][0])
+    rows100, t100 = run(tiers[1][0])
+    for rows, (sf_dir, meta) in ((rows10, tiers[0]), (rows100, tiers[1])):
+        stats = {r["doc_id"]: r for r in rows}
+        planted = {b for _, b in meta["exact_pairs"]} | {
+            a for a, _ in meta["exact_pairs"]
+        }
+        missed = [
+            d
+            for d in planted
+            if stats[d]["n_dup_lines"] != stats[d]["n_lines"]
+        ]
+        assert not missed, (
+            f"{len(missed)} planted exact-dup docs with unflagged lines"
+        )
+        # flagged lines drop tokens: planted docs keep zero tokens
+        assert all(stats[d]["n_kept_tokens"] == 0 for d in planted)
+    print(
+        f"SCALE100 line-dedup t10={t10:.2f}s t100={t100:.2f}s "
+        f"ratio={t100 / t10:.2f} planted={len({b for _, b in tiers[1][1]['exact_pairs']})}"
+    )
+    assert t100 <= LINEAR_SLACK * t10, (
+        f"line dedup grew {t100 / t10:.1f}x on 10x data — super-linear"
+    )
