@@ -1132,3 +1132,239 @@ def q_text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), F.asc("bigram"))
         .limit(PMI_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# UNIGRAM-LM tokenizer training (SentencePiece's unigram model, Kudo
+# 2018, public) — the missing half of the tokenizer family (BPE merge
+# train/encode above): seed a piece inventory from word substrings,
+# then hard-EM (Viterbi E-step, count-renormalizing M-step) over the
+# DISTINCT-WORD table.  Same production cost split as BPE: the only
+# corpus-scale pass is the word-frequency aggregate; every EM pass is
+# bounded by vocabulary, and the per-iteration exchange is <= |pieces|
+# integer rows.  Same trained-constant oracle discipline as
+# Lloyd/power-iteration: the registration-time pure-python replication
+# runs the IDENTICAL seed selection, Viterbi tie-breaks, and count
+# updates, so any drift in segmentation or EM bookkeeping shifts a row.
+# ---------------------------------------------------------------------------
+
+UNIGRAM_MAXLEN = 4  # max piece length in the seed inventory
+UNIGRAM_MULTI = 24  # multi-char pieces kept (all single chars always kept)
+UNIGRAM_ITERS = 3  # hard-EM rounds
+UNIGRAM_REPORT = 30  # final rows reported (count DESC, piece ASC)
+
+
+def _viterbi_segment(word: str, logp: dict[str, float], maxlen: int = UNIGRAM_MAXLEN):
+    """Best segmentation of ``word`` under piece log-probs: maximize
+    the logprob sum; ties prefer FEWER pieces, then the longer last
+    piece at each DP cell (smaller split point) — a total order, so
+    the distributed E-step and the python replication cannot diverge.
+    Single-char pieces are always in the vocab, so every word
+    segments."""
+    import math
+
+    n = len(word)
+    NEG = -math.inf
+    score = [NEG] * (n + 1)
+    npieces = [0] * (n + 1)
+    back = [0] * (n + 1)
+    score[0] = 0.0
+    for i in range(1, n + 1):
+        bs, bp, bj = NEG, 0, -1
+        for j in range(max(0, i - maxlen), i):
+            if score[j] == NEG:
+                continue
+            lp = logp.get(word[j:i])
+            if lp is None:
+                continue
+            s = score[j] + lp
+            p = npieces[j] + 1
+            if bj < 0 or s > bs or (s == bs and (p < bp or (p == bp and j < bj))):
+                bs, bp, bj = s, p, j
+        score[i], npieces[i], back[i] = bs, bp, bj
+    pieces: list[str] = []
+    i = n
+    while i > 0:
+        j = back[i]
+        pieces.append(word[j:i])
+        i = j
+    return pieces[::-1]
+
+
+def _unigram_em_rounds(
+    vocab: dict[str, int],
+    count_pass,
+    iters: int = UNIGRAM_ITERS,
+) -> dict[str, int]:
+    """The driver-replayed EM loop shared by the distributed trainer
+    and the python replication: ``count_pass(logp)`` returns the
+    piece→weighted-count map of Viterbi-segmenting every word under
+    ``logp``; the M-step is count renormalization (implicit — only
+    ratios enter the next E-step, so integer counts ARE the state)."""
+    import math
+
+    for _ in range(iters):
+        total = sum(vocab.values())
+        logp = {p: math.log(n / total) for p, n in vocab.items() if n > 0}
+        fresh = count_pass(logp)
+        vocab = {p: int(fresh.get(p, 0)) for p in vocab}
+    return vocab
+
+
+def _unigram_seed_vocab(
+    singles: list[tuple[str, int]], multis_top: list[tuple[str, int]]
+) -> dict[str, int]:
+    """Seed inventory: ALL single chars (guarantees segmentability)
+    plus the top UNIGRAM_MULTI multi-char substrings by
+    (count DESC, piece ASC)."""
+    vocab = {p: n for p, n in singles}
+    for p, n in sorted(multis_top, key=lambda kv: (-kv[1], kv[0]))[:UNIGRAM_MULTI]:
+        vocab[p] = n
+    return vocab
+
+
+def unigram_train_distributed(
+    words: DataFrame, iters: int = UNIGRAM_ITERS
+) -> list[tuple[int, str, int, float]]:
+    """Distributed unigram-LM training over the (word, freq) table;
+    returns [(rank, piece, count, prob)] — the trained constant.
+
+    Stage shape: substring seeding is one JVM flatten/transform explode
+    + hash agg over the distinct-word table; the single-char side
+    collects bounded by the ALPHABET and the multi-char side through a
+    TakeOrdered top-k (never a full collect); each EM round is one
+    Arrow-batched Viterbi pass over the words (piece probs folded into
+    the closure — <= alphabet+UNIGRAM_MULTI floats) whose output
+    exchange is <= |pieces| integer rows.  At 100 TB every stage after
+    the word-frequency aggregate is bounded by vocabulary."""
+    import pandas as pd  # noqa: F401 — pandas_udf signature
+
+    subs = words.select(
+        "freq",
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(1, length(word)), s -> "
+                f"transform(sequence(1, least({UNIGRAM_MAXLEN}, length(word) - s + 1)), "
+                f"l -> substring(word, s, l))))"
+            )
+        ).alias("piece"),
+    )
+    cnts = (
+        subs.groupBy("piece")
+        .agg(F.sum("freq").cast("long").alias("n"))
+        .localCheckpoint(eager=True)  # bounded: one row per distinct substring
+    )
+    singles = [
+        (r["piece"], int(r["n"]))
+        for r in cnts.where(F.length("piece") == 1).collect()  # bounded: alphabet
+    ]
+    multis = [
+        (r["piece"], int(r["n"]))
+        for r in cnts.where(F.length("piece") > 1)
+        .orderBy(F.desc("n"), F.asc("piece"))
+        .limit(UNIGRAM_MULTI)
+        .collect()  # bounded: UNIGRAM_MULTI rows via TakeOrdered
+    ]
+    vocab = _unigram_seed_vocab(singles, multis)
+
+    def count_pass(logp: dict[str, float]) -> dict[str, int]:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("array<string>")
+        def seg(col):
+            from mcp_server_vector_search_spark.operators.text_analysis import (
+                _viterbi_segment,
+            )
+
+            return col.map(lambda w: _viterbi_segment(w, logp))
+
+        rows = (
+            words.select("freq", F.explode(seg("word")).alias("piece"))
+            .groupBy("piece")
+            .agg(F.sum("freq").cast("long").alias("n"))
+            .collect()  # bounded: <= |pieces| rows
+        )
+        return {r["piece"]: int(r["n"]) for r in rows}
+
+    vocab = _unigram_em_rounds(vocab, count_pass, iters)
+    return _unigram_report(vocab)
+
+
+def _unigram_report(vocab: dict[str, int]) -> list[tuple[int, str, int, float]]:
+    total = sum(vocab.values())
+    kept = sorted(
+        ((p, n) for p, n in vocab.items() if n > 0), key=lambda kv: (-kv[1], kv[0])
+    )[:UNIGRAM_REPORT]
+    return [(rank, p, n, n / total) for rank, (p, n) in enumerate(kept)]
+
+
+def _unigram_learn_driver(word_freq: dict[str, int], iters: int = UNIGRAM_ITERS):
+    """Pure-python replication for the oracle: identical seeding
+    (every substring occurrence weighted by word freq), identical
+    top-multi selection, identical Viterbi + EM bookkeeping."""
+    seed: dict[str, int] = {}
+    for w, f in word_freq.items():
+        L = len(w)
+        for s in range(L):
+            for l in range(1, min(UNIGRAM_MAXLEN, L - s) + 1):
+                p = w[s : s + l]
+                seed[p] = seed.get(p, 0) + f
+    singles = [(p, n) for p, n in seed.items() if len(p) == 1]
+    multis = [(p, n) for p, n in seed.items() if len(p) > 1]
+    vocab = _unigram_seed_vocab(singles, multis)
+
+    def count_pass(logp: dict[str, float]) -> dict[str, int]:
+        fresh: dict[str, int] = {}
+        for w, f in word_freq.items():
+            for piece in _viterbi_segment(w, logp):
+                fresh[piece] = fresh.get(piece, 0) + f
+        return fresh
+
+    vocab = _unigram_em_rounds(vocab, count_pass, iters)
+    return _unigram_report(vocab)
+
+
+def _unigram_oracle() -> str | None:
+    freq = _bpe_corpus_freq()
+    if freq is None:  # pragma: no cover - testdata absent
+        return None
+    from ..functions.train import sql_float
+
+    rows = _unigram_learn_driver(freq)
+    q = _sqlq
+    values = ",\n  ".join(
+        f"({r}, {q(p)}, {n}, {sql_float(pr)})" for r, p, n, pr in rows
+    )
+    return f"""
+SELECT CAST(rank AS INTEGER) AS rank, piece,
+       CAST(em_count AS BIGINT) AS em_count,
+       CAST(prob AS DOUBLE) AS prob
+FROM (VALUES
+  {values}
+) AS t(rank, piece, em_count, prob)
+ORDER BY rank
+"""
+
+
+_UNIGRAM_CACHE: dict[str, list[tuple[int, str, int, float]]] = {}
+
+
+@register("tokenizer_unigram_train", oracle=_unigram_oracle())
+def q_tokenizer_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SentencePiece-style unigram-LM training (Kudo 2018): substring
+    seed inventory → hard EM (Arrow-batched Viterbi E-step, count
+    M-step) over the distinct-word table — reported as the top pieces
+    with EM counts and final probabilities.  The distributed trainer
+    and the registration-time python replication share every decision
+    function (seed selection, Viterbi tie-breaks, EM rounds), so the
+    row value-hashes exactly; probabilities divide the same exact
+    integers in the same CPython driver on both sides."""
+    if sf_dir not in _UNIGRAM_CACHE:
+        d = load_table(spark, sf_dir, "documents")
+        _UNIGRAM_CACHE[sf_dir] = unigram_train_distributed(
+            _bpe_word_freq_df(d).select("word", "freq")
+        )
+    return spark.createDataFrame(
+        _UNIGRAM_CACHE[sf_dir],
+        "rank int, piece string, em_count long, prob double",
+    ).orderBy("rank")

@@ -393,3 +393,61 @@ def test_lr_quality_classifier_recovers_teacher_rule(spark):
     neg_rec = sum(1 for r in neg if r["predicted"] == 0) / len(neg)
     assert pos_rec > 0.55 and neg_rec > 0.55, (pos_rec, neg_rec)
     assert all(0.0 <= r["score"] <= 1.0 for r in rows)
+
+
+@settings(
+    max_examples=50, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(
+    st.text(alphabet="abcd", min_size=1, max_size=8),
+    st.dictionaries(
+        st.text(alphabet="abcd", min_size=2, max_size=4),
+        st.integers(min_value=1, max_value=100),
+        max_size=10,
+    ),
+)
+def test_unigram_viterbi_matches_bruteforce(word, multi_counts):
+    """Classic-loop parity for the unigram trainer's segmenter: the DP
+    must return the segmentation the exhaustive enumeration picks under
+    the identical objective and tie-breaks (max logprob sum, then fewer
+    pieces, then longer-last-piece / smaller split point, compared
+    right-to-left like the DP's per-cell decision)."""
+    import math
+
+    from mcp_server_vector_search_spark.operators.text_analysis import (
+        UNIGRAM_MAXLEN,
+        _viterbi_segment,
+    )
+
+    # vocab: every single char (guaranteed segmentability) + the drawn
+    # multi-char pieces, with positive counts
+    vocab = {c: 5 for c in "abcd"}
+    vocab.update(multi_counts)
+    total = sum(vocab.values())
+    logp = {p: math.log(n / total) for p, n in vocab.items()}
+
+    def enumerate_segs(w):
+        if not w:
+            yield []
+            return
+        for ln in range(1, min(UNIGRAM_MAXLEN, len(w)) + 1):
+            head = w[:ln]
+            if head in logp:
+                for rest in enumerate_segs(w[ln:]):
+                    yield [head] + rest
+
+    def key(seg):
+        # mirror the DP: score desc, n_pieces asc, then prefer the
+        # longer piece at each position from the END (the DP fixes its
+        # tie-breaks per suffix cell, i.e. right-to-left)
+        score = sum(logp[p] for p in seg)
+        lens_from_end = tuple(-len(p) for p in reversed(seg))
+        return (-score, len(seg), lens_from_end)
+
+    best = min(enumerate_segs(word), key=key)
+    got = _viterbi_segment(word, logp)
+    assert "".join(got) == word
+    assert sum(logp[p] for p in got) == pytest.approx(
+        sum(logp[p] for p in best), abs=0
+    )
+    assert got == best, (got, best)
