@@ -461,3 +461,68 @@ def q_semantic_search_mini_transformer(
         ],
         "n_docs bigint, dims_ok boolean, units_ok boolean, k int, scores_desc boolean",
     ).localCheckpoint(eager=True)
+
+
+# ---------------------------------------------------------------------------
+# embed_throughput_batch — the LARGE-BATCH model-embed throughput
+# certificate (VERDICT r12 task 9): the full documents table through
+# model_embedder's Arrow path with the real mini-transformer weights,
+# certified in ONE aggregate so the bench timing profiles exactly one
+# distributed embed pass (semantic_search_mini_transformer certifies
+# the serve path but runs three actions over a persisted corpus).
+# Embedding VALUES are not hashed — BLAS dispatch shifts the last
+# float32 bit between driver and workers — so the certificate is
+# structural: every document embedded, every vector dim-64 and
+# unit-norm, full-corpus coverage proven by the exact n_chars sum.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embed_throughput_batch",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       TRUE AS dims_ok,
+       TRUE AS units_ok,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+""",
+)
+def q_embed_throughput_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-scale real-model embed: one Arrow-batched pass of the
+    mini transformer (multi-head attention, GELU FFN, masked pooling)
+    over every document, folded into a single aggregate — n_docs,
+    dim check, unit-norm check, and the exact character sum that ties
+    the certificate to the whole corpus (a skipped or duplicated
+    partition shifts it).
+
+    Scale shape: the model loads ONCE per worker (model_embedder's
+    process-level cache keyed by cache_key) and the scan streams
+    through the pandas UDF in Arrow batches; the certificate aggregate
+    is map-side combined into one row, so the job's cost IS the embed
+    throughput — at 100 TB this is the canonical embarrassingly
+    parallel pass, bounded by model FLOPs per token, not by any
+    shuffle."""
+    from ..functions import mini_transformer as MT
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = docs.select(
+        "n_chars", MT.mini_transformer_embedder()(F.col("text")).alias("embedding")
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda a, x: a + x.cast("double") * x.cast("double"),
+        )
+    )
+    out = emb.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum(F.when(F.size("embedding") != MT.DIM, 1).otherwise(0)) == 0).alias(
+            "dims_ok"
+        ),
+        (F.sum(F.when(F.abs(norm - 1.0) > 1e-4, 1).otherwise(0)) == 0).alias(
+            "units_ok"
+        ),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+    return out
