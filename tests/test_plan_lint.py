@@ -92,6 +92,7 @@ ARROW_OK = {
     "semantic_search_hash_embedder",
     "semantic_search_dim1536",  # distributed 1536-dim Arrow embed IS the subject (by design)
     "semantic_search_maxsim",  # distributed token embed (Arrow) IS the subject (by design)
+    "embed_throughput_batch",  # the Arrow real-model embed pass IS the subject (by design)
     "ann_ivf_dim1536",  # 1536-dim Arrow embed + GEMM assignment: both Python stages ARE the subject
     "ann_hnsw_dim1536",  # same 1536-dim Arrow embed + GEMM stages; probes picked by the graph descent
     "engine_search_e2e",
