@@ -200,7 +200,7 @@ def build_ivf_index(
     ``write_ivf_index`` to get the partition-pruned layout.
     """
     centroids = train_centroids(_sample_vectors(embeddings), n_centroids, seed)
-    assigned = embeddings.withColumn("centroid_id", assignment_expr(centroids))
+    assigned = embeddings.withColumn("centroid_id", assignment_col(centroids))
     return assigned, centroids
 
 
@@ -836,7 +836,7 @@ def q_ann_ivf_upsert_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).first()["c"]
 
     base = emb.select(
-        "vec_id", "embedding", assignment_expr(cents).alias("centroid_id")
+        "vec_id", "embedding", assignment_col(cents).alias("centroid_id")
     )
     layout = tempfile.mkdtemp(prefix="ivf_upsert_")
     base.repartition("centroid_id").write.mode("overwrite").partitionBy(
@@ -847,7 +847,7 @@ def q_ann_ivf_upsert_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.reverse("embedding").alias("embedding")
     )
     new_assigned = updated.select(
-        "vec_id", "embedding", assignment_expr(cents).alias("centroid_id")
+        "vec_id", "embedding", assignment_col(cents).alias("centroid_id")
     )
     stored = spark.read.parquet(layout)
     old_cells = (

@@ -55,7 +55,7 @@ from .ann import (
     IVF_SEED,
     N_CENTROIDS,
     NPROBE,
-    assignment_expr,
+    assignment_col,
     nearest_centroids,
     train_centroids,
 )
@@ -154,7 +154,7 @@ def load_or_build_ivfpq_index(
     books = _train_residual_codebooks(vecs, cents)
     unit = emb.select(
         "vec_id",
-        assignment_expr(cents).alias("centroid_id"),
+        assignment_col(cents).alias("centroid_id"),
         l2_normalize("embedding").alias("__unit"),
     )
     resid = unit.select(

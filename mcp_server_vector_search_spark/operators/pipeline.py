@@ -326,7 +326,7 @@ def pipeline_index_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pipeline's INDEX stage: the deduped TRAIN split's canonical
     documents join their embeddings and are assigned to IVF cells with
     the SAME quantizer expression the ANN indexes use
-    (operators/ann.assignment_expr, trained on the same bounded sorted
+    (operators/ann.assignment_col, trained on the same bounded sorted
     sample) — per-cell occupancy out.  Composes gates→splits→dedup→
     embed-index end to end with an exact oracle (the trained-constant
     device of the ANN family chained onto the pipeline fragment).
@@ -339,7 +339,7 @@ def pipeline_index_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline runs.
     """
     from ..functions.train import load_sorted_vectors  # noqa: F401 (parity doc)
-    from ..operators.ann import assignment_expr, load_or_build_ivf_index
+    from ..operators.ann import assignment_col, load_or_build_ivf_index
 
     kept = (
         pipeline_build_corpus(spark, sf_dir)
@@ -352,7 +352,7 @@ def pipeline_index_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     # centroids ARE the retrain result, minus the per-call collect+fit
     _, cents = load_or_build_ivf_index(spark, sf_dir)
     assigned = emb.join(kept, "vec_id").withColumn(
-        "centroid_id", assignment_expr(cents)
+        "centroid_id", assignment_col(cents)
     )
     return assigned.groupBy("centroid_id").agg(
         F.count(F.lit(1)).alias("n_vectors"),

@@ -1033,7 +1033,7 @@ def q_ann_index_maintenance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition list the upsert's delete-and-append must touch.  The
     oracle recomputes both assignments and every flag from scratch."""
     from .ann import N_CENTROIDS as _N  # noqa: F401  (documented above)
-    from .ann import UPSERT_FRACTION, assignment_expr, build_ivf_index
+    from .ann import UPSERT_FRACTION, assignment_col, build_ivf_index
 
     emb = load_table(spark, sf_dir, "embeddings")
     _, cents = build_ivf_index(emb)
@@ -1049,13 +1049,13 @@ def q_ann_index_maintenance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") >= F.col("c")).cast("int").alias("upd"),
     )
     assigned_new = eff.select(
-        "vec_id", assignment_expr(cents).alias("centroid_id"), "upd"
+        "vec_id", assignment_col(cents).alias("centroid_id"), "upd"
     )
     assigned_old = eff.select(
         "vec_id",
         F.col("embedding_old").alias("embedding"),
         "upd",
-    ).select("vec_id", assignment_expr(cents).alias("centroid_id"), "upd")
+    ).select("vec_id", assignment_col(cents).alias("centroid_id"), "upd")
     return maintenance_plan(assigned_old, assigned_new)
 
 

@@ -108,6 +108,13 @@ ARROW_OK = {
     "multimodal_video_frames",  # real MJPEG-AVI walk + JPEG decode (by design)
     "multimodal_binaryfile_scan",  # real-file corpus decode over mapInPandas (by design)
     "ann_assign_gemm_cells",  # Arrow GEMM assignment IS the certified subject (by design)
+    # r13: assignment_col dispatches to the Arrow GEMM when cells × dim
+    # >= GEMM_ASSIGN_MIN_WORK; at the fixture's 16 cells × 64 dims the
+    # IVF-family rows below now carry the GEMM stage intentionally
+    "ann_index_maintenance_plan",  # GEMM-dispatched cell assignment (by design)
+    "ann_index_stats",  # GEMM-dispatched cell assignment (by design)
+    "pipeline_index_cells",  # GEMM-dispatched cell assignment (by design)
+    "semdedup_prune",  # GEMM-dispatched cell assignment (by design)
     "cluster_kmeans_gemm_census",  # Arrow GEMM Lloyd assignment IS the certified subject (by design)
     "streaming_stateful_user_totals",  # applyInPandasWithState custom operator (by design)
     "udf_map_in_arrow",  # RecordBatch-level Arrow slot IS the subject (by design)
