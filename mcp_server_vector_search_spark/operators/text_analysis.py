@@ -1225,9 +1225,10 @@ def _unigram_seed_vocab(
 
 def unigram_train_distributed(
     words: DataFrame, iters: int = UNIGRAM_ITERS
-) -> list[tuple[int, str, int, float]]:
+) -> dict[str, int]:
     """Distributed unigram-LM training over the (word, freq) table;
-    returns [(rank, piece, count, prob)] — the trained constant.
+    returns the final EM piece→count vocabulary — the trained constant
+    (_unigram_report renders the registered row's view of it).
 
     Stage shape: substring seeding is one JVM flatten/transform explode
     + hash agg over the distinct-word table; the single-char side
@@ -1286,8 +1287,7 @@ def unigram_train_distributed(
         )
         return {r["piece"]: int(r["n"]) for r in rows}
 
-    vocab = _unigram_em_rounds(vocab, count_pass, iters)
-    return _unigram_report(vocab)
+    return _unigram_em_rounds(vocab, count_pass, iters)
 
 
 def _unigram_report(vocab: dict[str, int]) -> list[tuple[int, str, int, float]]:
@@ -1320,8 +1320,7 @@ def _unigram_learn_driver(word_freq: dict[str, int], iters: int = UNIGRAM_ITERS)
                 fresh[piece] = fresh.get(piece, 0) + f
         return fresh
 
-    vocab = _unigram_em_rounds(vocab, count_pass, iters)
-    return _unigram_report(vocab)
+    return _unigram_em_rounds(vocab, count_pass, iters)
 
 
 def _unigram_oracle() -> str | None:
@@ -1330,7 +1329,7 @@ def _unigram_oracle() -> str | None:
         return None
     from ..functions.train import sql_float
 
-    rows = _unigram_learn_driver(freq)
+    rows = _unigram_report(_unigram_learn_driver(freq))
     q = _sqlq
     values = ",\n  ".join(
         f"({r}, {q(p)}, {n}, {sql_float(pr)})" for r, p, n, pr in rows
@@ -1346,7 +1345,19 @@ ORDER BY rank
 """
 
 
-_UNIGRAM_CACHE: dict[str, list[tuple[int, str, int, float]]] = {}
+# Memoized per corpus directory: the EM vocabulary is a trained
+# constant of the corpus (same discipline as the BPE merge cache), so
+# the train and encode rows share one training run per sf_dir.
+_UNIGRAM_CACHE: dict[str, dict[str, int]] = {}
+
+
+def _unigram_vocab_for(spark: SparkSession, sf_dir: str) -> dict[str, int]:
+    if sf_dir not in _UNIGRAM_CACHE:
+        d = load_table(spark, sf_dir, "documents")
+        _UNIGRAM_CACHE[sf_dir] = unigram_train_distributed(
+            _bpe_word_freq_df(d).select("word", "freq")
+        )
+    return _UNIGRAM_CACHE[sf_dir]
 
 
 @register("tokenizer_unigram_train", oracle=_unigram_oracle())
@@ -1359,12 +1370,94 @@ def q_tokenizer_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     function (seed selection, Viterbi tie-breaks, EM rounds), so the
     row value-hashes exactly; probabilities divide the same exact
     integers in the same CPython driver on both sides."""
-    if sf_dir not in _UNIGRAM_CACHE:
-        d = load_table(spark, sf_dir, "documents")
-        _UNIGRAM_CACHE[sf_dir] = unigram_train_distributed(
-            _bpe_word_freq_df(d).select("word", "freq")
-        )
     return spark.createDataFrame(
-        _UNIGRAM_CACHE[sf_dir],
+        _unigram_report(_unigram_vocab_for(spark, sf_dir)),
         "rank int, piece string, em_count long, prob double",
     ).orderBy("rank")
+
+
+def _unigram_encode_logp(vocab: dict[str, int]) -> dict[str, float]:
+    import math
+
+    total = sum(vocab.values())
+    return {p: math.log(n / total) for p, n in vocab.items() if n > 0}
+
+
+def _unigram_encode_oracle() -> str | None:
+    freq = _bpe_corpus_freq()
+    if freq is None:  # pragma: no cover - testdata absent
+        return None
+    logp = _unigram_encode_logp(_unigram_learn_driver(freq))
+    q = _sqlq
+    values = ",\n  ".join(
+        f"({q(w)}, {len(_viterbi_segment(w, logp))})" for w in sorted(freq)
+    )
+    return f"""
+WITH enc(word, n_tok) AS (VALUES
+  {values}
+),
+dw AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents
+)
+SELECT dw.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(e.n_tok) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(e.n_tok) AS DOUBLE) / COUNT(*), {R}) AS fertility
+FROM dw JOIN enc e USING (word)
+WHERE dw.word <> ''
+GROUP BY dw.doc_id
+ORDER BY dw.doc_id
+"""
+
+
+@register("tokenizer_unigram_encode", oracle=_unigram_encode_oracle())
+def q_tokenizer_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the distributed-trained unigram LM to tokenize the corpus:
+    per-document token counts and fertility, the Viterbi counterpart of
+    ``tokenizer_bpe_encode``.
+
+    Production cost split, same as BPE encode: segmentation runs once
+    per DISTINCT word (one Arrow-batched Viterbi pass over the
+    vocabulary-bounded word table, the trained logp folded into the
+    closure), and the corpus-scale stage is a word-keyed broadcast
+    join + per-doc hash agg — encode work is O(vocab), not O(corpus).
+    The oracle replays the identical Viterbi under the replication-
+    trained logp as a VALUES join; the trainer equivalence is already
+    value-hashed by tokenizer_unigram_train, so this row isolates the
+    ENCODE semantics (segmentation, per-word memoization, the join)."""
+    import pandas as pd  # noqa: F401
+
+    from pyspark.sql.functions import pandas_udf
+
+    logp = _unigram_encode_logp(_unigram_vocab_for(spark, sf_dir))
+
+    @pandas_udf("int")
+    def n_tok(col):
+        from mcp_server_vector_search_spark.operators.text_analysis import (
+            _viterbi_segment,
+        )
+
+        return col.map(lambda w: len(_viterbi_segment(w, logp)))
+
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .distinct()
+    )
+    enc = words.select("word", n_tok("word").alias("n_tok"))
+    dw = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).where(F.col("word") != "")
+    return (
+        dw.join(F.broadcast(enc), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum("n_tok").cast("double") / F.count(F.lit(1)), R
+            ).alias("fertility"),
+        )
+        .orderBy("doc_id")
+    )
