@@ -233,3 +233,100 @@ def q_cluster_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     and termination is a two-scalar fingerprint probe, so nothing
     corpus-sized ever reaches the driver."""
     return _duplicate_cluster_labels(spark, sf_dir, driver_max_edges=0)
+
+
+# ---------------------------------------------------------------------------
+# dedup_cluster_keep_best — the KEEP DECISION over near-dup clusters:
+# production pipelines don't keep the minimum doc_id, they keep the
+# highest-QUALITY member of each duplicate cluster (RefinedWeb/C4
+# practice: among near-identical pages, retain the cleanest extraction)
+# and drop the rest.  Composes the exact-oracled cluster labels above
+# with the engine's quality score (functions/text.py::quality_score —
+# the same expression text_quality_scores and build_preference_pairs
+# certify), so the whole keep decision is declaratively replayable.
+# ---------------------------------------------------------------------------
+
+_KEEP_R = 6  # quality rounding (matches build_preference_pairs)
+
+_KEEP_BEST_ORACLE = f"""
+WITH RECURSIVE pairs AS ({{_ngram}}),
+edges AS (
+  SELECT a_id AS u, b_id AS v FROM pairs
+  UNION ALL
+  SELECT b_id AS u, a_id AS v FROM pairs
+),
+walk(u, comp) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) AS n
+  UNION
+  SELECT e.v AS u, w.comp FROM walk w JOIN edges e ON e.u = w.u
+),
+labels AS (SELECT u AS doc_id, MIN(comp) AS component FROM walk GROUP BY u),
+q AS (
+  SELECT doc_id,
+         ROUND(0.4 * least(1.0, len(string_split(text, ' ')) / 50.0)
+               + 0.3 * (1.0 - len(list_filter(string_split(text, ' '),
+                                  t -> list_contains(['the', 'a'], t)))::DOUBLE
+                              / len(string_split(text, ' ')))
+               + 0.3 * len(list_distinct(string_split(text, ' ')))::DOUBLE
+                       / len(string_split(text, ' ')), {_KEEP_R}) AS q
+  FROM documents
+),
+m AS (
+  SELECT l.component, l.doc_id, q.q,
+         ROW_NUMBER() OVER (PARTITION BY l.component
+                            ORDER BY q.q DESC, l.doc_id) AS rn
+  FROM labels l JOIN q USING (doc_id)
+)
+SELECT CAST(component AS BIGINT) AS component,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(MAX(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS kept_doc_id,
+       CAST(MAX(CASE WHEN rn = 1 THEN q END) AS DOUBLE) AS kept_q,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+FROM m GROUP BY component ORDER BY component
+"""
+
+
+@register(
+    "dedup_cluster_keep_best",
+    oracle=_KEEP_BEST_ORACLE.replace("{_ngram}", _NGRAM_ORACLE),
+)
+def q_dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-based survivor selection per near-dup cluster: cluster
+    the verified n-gram Jaccard pairs (the same distributed-star path
+    cluster_components_star certifies), score every member with the
+    engine's quality heuristic, keep the (quality DESC, doc_id ASC)
+    argmax, and report per cluster: size, the kept doc, its quality,
+    and the drop count.
+
+    Scale shape: the cluster labels cost what CC costs (O(log n)
+    star rounds over the PAIR set — never the corpus); the quality
+    score is one codegen projection; the survivor pick is a
+    WindowGroupLimit-eligible rank-1 filter... spelled as a rank
+    aggregate here because the drop COUNT needs the full membership —
+    one window + rollup sharing the component partitioning."""
+    from pyspark.sql import Window as W
+
+    from ..functions import text as T
+    from ..sources.tables import load_table
+
+    labels = _duplicate_cluster_labels(spark, sf_dir, driver_max_edges=0)
+    q = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.round(T.quality_score(F.col("text")), _KEEP_R).alias("q")
+    )
+    m = labels.select("doc_id", "component").join(q, "doc_id")
+    ranked = m.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("component").orderBy(F.desc("q"), F.asc("doc_id"))
+        ),
+    )
+    return (
+        ranked.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("kept_doc_id"),
+            F.max(F.when(F.col("rn") == 1, F.col("q"))).alias("kept_q"),
+            (F.count(F.lit(1)) - 1).cast("long").alias("n_dropped"),
+        )
+        .orderBy("component")
+    )
