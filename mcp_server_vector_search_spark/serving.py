@@ -177,18 +177,65 @@ def serve_stdio(
             stdout.flush()
 
 
-def main() -> None:
-    """CLI entry: serve the testdata documents corpus over stdio —
-    the Spark analog of reference ``__main__`` (server.py:129-136)."""
+def parse_args(argv: Optional[list] = None):
+    """CLI flag parity with the reference entry point
+    (reference ``__init__.py:10-16``: argparse over
+    db-url/username/password/database/api-key, each falling back to an
+    env var).  The Spark engine has no database connection or remote
+    API, so the meaningful flags map onto their Spark analogs — the
+    corpus location and session sizing — while the reference's exact
+    flag names are accepted (and ignored with a warning) so a launcher
+    written for the reference binary starts this one unchanged.  Flag >
+    env > default precedence matches the reference."""
+    import argparse
     import os
 
+    parser = argparse.ArgumentParser(description="Spark Vector Search MCP Server")
+    parser.add_argument(
+        "--corpus-dir",
+        default=None,
+        help="parquet corpus directory (env SPARK_GRAFT_SF_DIR)",
+    )
+    parser.add_argument(
+        "--cpus", default=None, type=int, help="local cores (env SPARK_GRAFT_CPUS)"
+    )
+    # reference-parity flags: accepted so reference launchers work;
+    # meaningless without Neo4j/OpenAI, so they only warn
+    for flag, help_txt in (
+        ("--db-url", "ignored (reference parity; no database here)"),
+        ("--username", "ignored (reference parity)"),
+        ("--password", "ignored (reference parity)"),
+        ("--database", "ignored (reference parity)"),
+        ("--api-key", "ignored (reference parity; embeds run in-process)"),
+    ):
+        parser.add_argument(flag, default=None, help=help_txt)
+    args = parser.parse_args(argv)
+    for name in ("db_url", "username", "password", "database", "api_key"):
+        if getattr(args, name) is not None:
+            print(
+                f"# --{name.replace('_', '-')} accepted for reference parity "
+                "but unused by the Spark engine",
+                file=sys.stderr,
+            )
+    args.corpus_dir = args.corpus_dir or os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"
+    )
+    return args
+
+
+def main(argv: Optional[list] = None) -> None:
+    """CLI entry: serve a documents corpus over stdio — the Spark
+    analog of reference ``__main__`` (server.py:129-136), with the
+    reference's argparse surface (``__init__.py:10-16``; note the
+    reference's own entry is broken — SURVEY §3.3 — so parity here
+    means honoring the documented flags, not the crash)."""
     from .engine import corpus_from_documents
     from .session import get_spark
     from .sources.tables import load_table
 
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    spark = get_spark(app_name="mcp-serving")
-    corpus = corpus_from_documents(load_table(spark, sf_dir, "documents"))
+    args = parse_args(argv)
+    spark = get_spark(app_name="mcp-serving", cpus=args.cpus)
+    corpus = corpus_from_documents(load_table(spark, args.corpus_dir, "documents"))
     serve_stdio(SparkVectorSearch(corpus))
 
 

@@ -179,3 +179,35 @@ def test_stdio_subprocess_round_trip():
     call = by_id[3]["result"]
     assert call["isError"] is False
     assert len(json.loads(call["content"][0]["text"])) == 3
+
+
+def test_cli_flags_reference_parity(capsys):
+    """The reference's documented flags (__init__.py:10-16) must be
+    ACCEPTED — a launcher written for the reference binary starts this
+    server unchanged — while the Spark-meaningful flags win over env."""
+    import os
+
+    from mcp_server_vector_search_spark.serving import parse_args
+
+    args = parse_args(
+        [
+            "--db-url", "bolt://x", "--username", "u", "--password", "p",
+            "--database", "d", "--api-key", "k",
+            "--corpus-dir", "/tmp/somewhere", "--cpus", "4",
+        ]
+    )
+    assert args.corpus_dir == "/tmp/somewhere"
+    assert args.cpus == 4
+    warned = capsys.readouterr().err
+    for f in ("--db-url", "--username", "--password", "--database", "--api-key"):
+        assert f in warned
+    # env fallback for the corpus dir
+    old = os.environ.get("SPARK_GRAFT_SF_DIR")
+    os.environ["SPARK_GRAFT_SF_DIR"] = "/tmp/envdir"
+    try:
+        assert parse_args([]).corpus_dir == "/tmp/envdir"
+    finally:
+        if old is None:
+            os.environ.pop("SPARK_GRAFT_SF_DIR", None)
+        else:
+            os.environ["SPARK_GRAFT_SF_DIR"] = old
