@@ -330,3 +330,117 @@ def q_dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component")
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_pagerank_integer — link-graph centrality for corpus curation
+# (the Common Crawl precedent: harmonic/PageRank centrality ranks
+# hosts before extraction; public description in "The Web as a graph"
+# / CC's cc-webgraph tooling).  The corpus has no link column, so a
+# citation graph is SYNTHESIZED deterministically from doc_id (three
+# hash out-links per doc, self-loops dropped) — both engines derive
+# the identical graph.  Ranks are EXACT SCALED INTEGERS with floor
+# division (every contribution floor(85·r / (100·deg)) is a double
+# division of exactly-representable integers — bit-identical IEEE on
+# both engines — then floored back to BIGINT), so the whole 4-round
+# computation is order-independent and value-hashes exactly: no float
+# summation ambiguity, the trap plain-double PageRank has.
+# ---------------------------------------------------------------------------
+
+PAGERANK_START = 1_000_000_000  # per-node integer mass at round 0
+PAGERANK_ROUNDS = 4
+PAGERANK_TOP = 20
+
+
+def _pagerank_iter_sql(prev: str, nxt: str) -> str:
+    """One exact-integer PageRank round as a CTE pair: damped base +
+    floor-divided neighbor contributions (dangling mass intentionally
+    dropped — the decision is documented, identical on both engines)."""
+    return f"""{nxt} AS (
+  SELECT n.node,
+         CAST({15 * PAGERANK_START // 100} + COALESCE(SUM(
+           CAST(FLOOR((85.0 * p.r) / (100.0 * g.d)) AS BIGINT)), 0) AS BIGINT) AS r
+  FROM nodes n
+  LEFT JOIN edges e ON e.dst = n.node
+  LEFT JOIN {prev} p ON p.node = e.src
+  LEFT JOIN deg g ON g.src = e.src
+  GROUP BY n.node
+)"""
+
+
+def _pagerank_sql(documents: str) -> str:
+    iters = ",\n".join(
+        _pagerank_iter_sql(f"r{i}", f"r{i + 1}") for i in range(PAGERANK_ROUNDS)
+    )
+    return f"""
+WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM {documents}),
+nodes AS (SELECT doc_id AS node FROM {documents}),
+edges AS (
+  SELECT src, dst FROM (
+    SELECT d.doc_id AS src,
+           ((d.doc_id * 31 + js.j * 17 + 7) % nn.n) AS dst
+    FROM {documents} d
+    CROSS JOIN nn
+    CROSS JOIN (VALUES (0), (1), (2)) AS js(j)
+  ) t WHERE src <> dst
+),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src),
+r0 AS (SELECT node, CAST({PAGERANK_START} AS BIGINT) AS r FROM nodes),
+{iters}
+SELECT node AS doc_id, r AS rank_scaled
+FROM r{PAGERANK_ROUNDS}
+ORDER BY rank_scaled DESC, doc_id
+LIMIT {PAGERANK_TOP}
+"""
+
+
+@register("graph_pagerank_integer", oracle=_pagerank_sql("documents"))
+def q_graph_pagerank_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer PageRank over the synthesized citation graph:
+    four damped rounds of the SAME iteration SQL text the oracle runs
+    (the Welch device for the iteration body), top-PAGERANK_TOP by
+    final mass.  Every quantity is an exact BIGINT — the per-edge
+    contribution is floor((85·r)/(100·deg)), a double division of
+    exactly-representable integers (bit-identical IEEE on both
+    engines) floored back — so partial-sum order cannot shift a value.
+
+    Scale shape: the edge and degree tables MATERIALIZE ONCE
+    (localCheckpoint — corpus-sized, executor storage, the standard
+    iterative-graph discipline; Catalyst would otherwise inline the
+    edge CTE into every round, recomputing it 2×rounds times), then
+    each round is one dst-keyed shuffle with map-side integer partial
+    sums — Pregel's message-passing round without the framework.  The
+    1-row corpus count folds in as a literal; dangling mass is
+    intentionally dropped (documented, identical on both engines)."""
+    from ..sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    n = d.count()  # bounded: 1 driver scalar (the corpus count)
+    d.createOrReplaceTempView("__pr_docs")
+    spark.sql(
+        f"""
+        SELECT src, dst FROM (
+          SELECT d.doc_id AS src,
+                 ((d.doc_id * 31 + js.j * 17 + 7) % {n}) AS dst
+          FROM __pr_docs d
+          CROSS JOIN (VALUES (0), (1), (2)) AS js(j)
+        ) t WHERE src <> dst
+        """
+    ).localCheckpoint(eager=True).createOrReplaceTempView("edges")
+    spark.sql(
+        "SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src"
+    ).localCheckpoint(eager=True).createOrReplaceTempView("deg")
+    iters = ",\n".join(
+        _pagerank_iter_sql(f"r{i}", f"r{i + 1}") for i in range(PAGERANK_ROUNDS)
+    )
+    return spark.sql(
+        f"""
+WITH nodes AS (SELECT doc_id AS node FROM __pr_docs),
+r0 AS (SELECT doc_id AS node, CAST({PAGERANK_START} AS BIGINT) AS r FROM __pr_docs),
+{iters}
+SELECT node AS doc_id, r AS rank_scaled
+FROM r{PAGERANK_ROUNDS}
+ORDER BY rank_scaled DESC, doc_id
+LIMIT {PAGERANK_TOP}
+"""
+    )
