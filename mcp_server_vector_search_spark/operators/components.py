@@ -350,6 +350,18 @@ def q_dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 PAGERANK_START = 1_000_000_000  # per-node integer mass at round 0
 PAGERANK_ROUNDS = 4
 PAGERANK_TOP = 20
+PAGERANK_HUBS = 97  # every doc's third link lands on a hub (skewed in-degree)
+
+# The synthesized out-links, one expression string used VERBATIM by
+# both engines ({n} = corpus count): two hash links spread mass, the
+# third concentrates on doc_id % PAGERANK_HUBS — a skewed in-degree
+# distribution, the realistic web-graph shape (hubs accumulate mass,
+# and the dst-keyed shuffle sees the skew AQE's skew-join handling is
+# for).
+_PAGERANK_DST_EXPR = (
+    f"CASE WHEN js.j = 2 THEN d.doc_id % {PAGERANK_HUBS} "
+    "ELSE (d.doc_id * 31 + js.j * 17 + 7) % {n} END"
+)
 
 
 def _pagerank_iter_sql(prev: str, nxt: str) -> str:
@@ -372,13 +384,14 @@ def _pagerank_sql(documents: str) -> str:
     iters = ",\n".join(
         _pagerank_iter_sql(f"r{i}", f"r{i + 1}") for i in range(PAGERANK_ROUNDS)
     )
+    dst = _PAGERANK_DST_EXPR.replace("{n}", "nn.n")
     return f"""
 WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM {documents}),
 nodes AS (SELECT doc_id AS node FROM {documents}),
 edges AS (
   SELECT src, dst FROM (
     SELECT d.doc_id AS src,
-           ((d.doc_id * 31 + js.j * 17 + 7) % nn.n) AS dst
+           ({dst}) AS dst
     FROM {documents} d
     CROSS JOIN nn
     CROSS JOIN (VALUES (0), (1), (2)) AS js(j)
@@ -421,7 +434,7 @@ def q_graph_pagerank_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"""
         SELECT src, dst FROM (
           SELECT d.doc_id AS src,
-                 ((d.doc_id * 31 + js.j * 17 + 7) % {n}) AS dst
+                 ({_PAGERANK_DST_EXPR.replace("{n}", str(n))}) AS dst
           FROM __pr_docs d
           CROSS JOIN (VALUES (0), (1), (2)) AS js(j)
         ) t WHERE src <> dst
