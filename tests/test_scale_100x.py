@@ -939,3 +939,40 @@ def test_line_dedup_100x(spark, tiers):
     assert t100 <= LINEAR_SLACK * t10, (
         f"line dedup grew {t100 / t10:.1f}x on 10x data — super-linear"
     )
+
+
+def test_pagerank_100x(spark, tiers):
+    """Exact-integer PageRank at 500k docs / 1.5M edges: the hub
+    structure must dominate (every top-20 node is one of the 97 hubs),
+    the computation is bit-deterministic (two runs, identical rows),
+    and runtime stays inside the linear bound of the 10x tier."""
+    from mcp_server_vector_search_spark.operators.components import (
+        PAGERANK_HUBS,
+        q_graph_pagerank_integer,
+    )
+
+    def run(sf_dir):
+        t0 = time.perf_counter()
+        rows = q_graph_pagerank_integer(spark, sf_dir).collect()
+        return rows, time.perf_counter() - t0
+
+    rows10, t10 = run(tiers[0][0])
+    rows100, t100 = run(tiers[1][0])
+    for rows in (rows10, rows100):
+        assert len(rows) == 20
+        assert all(r["doc_id"] < PAGERANK_HUBS for r in rows), (
+            "a non-hub node outranked the hubs"
+        )
+        ranks = [r["rank_scaled"] for r in rows]
+        assert ranks == sorted(ranks, reverse=True)
+    rows100b, _ = run(tiers[1][0])
+    assert [tuple(r) for r in rows100b] == [tuple(r) for r in rows100], (
+        "integer PageRank must be bit-deterministic across runs"
+    )
+    print(
+        f"SCALE100 pagerank t10={t10:.2f}s t100={t100:.2f}s "
+        f"ratio={t100 / t10:.2f}"
+    )
+    assert t100 <= LINEAR_SLACK * t10, (
+        f"pagerank grew {t100 / t10:.1f}x on 10x data — super-linear"
+    )
