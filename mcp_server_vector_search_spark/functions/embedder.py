@@ -219,3 +219,22 @@ def model_embedder(
         return pd.Series(list(arr))
 
     return embed
+
+
+def token_unit(token: str, dim: int = 32) -> list:
+    """Unit token vector with PURE-SEQUENTIAL normalization: the
+    md5-seeded generator is bit-stable on every process (no BLAS), and
+    the norm folds left-to-right in float64 — so driver replication and
+    Arrow workers produce identical bytes.  Lives in this LIGHT module
+    so the maxsim vocab UDF's worker-side import costs ~0 s instead of
+    the ~7 s registration-time oracle replication that importing
+    operators.late_interaction triggers (the cause of the r13 bench's
+    bimodal semantic_search_maxsim timings)."""
+    import math
+
+    raw = [float(x) for x in _token_vector(token, dim)]
+    acc = 0.0
+    for x in raw:
+        acc += x * x
+    nrm = math.sqrt(acc)
+    return [x / nrm for x in raw] if nrm > 0 else raw

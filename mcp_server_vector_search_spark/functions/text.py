@@ -176,3 +176,45 @@ def bag_signature(text: Column) -> Column:
     Groups word-order permutations of the same vocabulary together —
     the cheapest near-dup normalization."""
     return F.array_join(F.array_sort(F.array_distinct(tokens(text))), " ")
+
+
+# Unigram-LM Viterbi segmenter — lives in this LIGHT module so the
+# trainer's worker-side E-step UDF imports ~0 s of code instead of the
+# operator module's registration-time oracle replication (~0.9 s per
+# fresh worker).  Default maxlen mirrors operators.text_analysis.
+# UNIGRAM_MAXLEN (4); callers pass it explicitly anyway.
+def _viterbi_segment(word: str, logp: dict[str, float], maxlen: int = 4):
+    """Best segmentation of ``word`` under piece log-probs: maximize
+    the logprob sum; ties prefer FEWER pieces, then the longer last
+    piece at each DP cell (smaller split point) — a total order, so
+    the distributed E-step and the python replication cannot diverge.
+    Single-char pieces are always in the vocab, so every word
+    segments."""
+    import math
+
+    n = len(word)
+    NEG = -math.inf
+    score = [NEG] * (n + 1)
+    npieces = [0] * (n + 1)
+    back = [0] * (n + 1)
+    score[0] = 0.0
+    for i in range(1, n + 1):
+        bs, bp, bj = NEG, 0, -1
+        for j in range(max(0, i - maxlen), i):
+            if score[j] == NEG:
+                continue
+            lp = logp.get(word[j:i])
+            if lp is None:
+                continue
+            s = score[j] + lp
+            p = npieces[j] + 1
+            if bj < 0 or s > bs or (s == bs and (p < bp or (p == bp and j < bj))):
+                bs, bp, bj = s, p, j
+        score[i], npieces[i], back[i] = bs, bp, bj
+    pieces: list[str] = []
+    i = n
+    while i > 0:
+        j = back[i]
+        pieces.append(word[j:i])
+        i = j
+    return pieces[::-1]

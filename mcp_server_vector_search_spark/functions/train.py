@@ -76,3 +76,33 @@ def sql_float(v: float) -> str:
     """One bit-exact DuckDB DOUBLE literal (see :func:`sql_floats`)."""
     r = repr(float(v))
     return r if ("e" in r or "E" in r) else r + "e0"
+
+
+def seq_dot(a: Sequence[float], b: Sequence[float]) -> float:
+    """Left-to-right sequential double summation — the evaluation order
+    of ``functions.vector.dot``'s ``F.aggregate`` fold, so driver-side
+    replications are bit-identical to the JVM's.  Lives HERE (a light
+    module) rather than in an operator module so worker-side UDF code
+    can reach it without paying an operator module's registration-time
+    oracle generation on first import (measured: importing
+    operators.lifecycle in a fresh worker costs ~6 s of trained-constant
+    replication; this module imports in ~0.1 s)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def round6(v: float) -> float:
+    """Decimal-exact HALF_UP at 6 decimals — Spark's ``F.round``
+    semantics.  ``np.round`` scales by 1e6 and rounds half-to-even on
+    the SCALED double, which can disagree with decimal HALF_UP exactly
+    at boundary ties; every oracle replication must share ONE rounding
+    definition with the JVM query path.  Lives here (light module) so
+    operator modules can reach it without importing each other at
+    oracle-generation time (the late_interaction → vsearch_extra → ann
+    circular-import trap)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-6)
+    return float(Decimal(repr(float(v))).quantize(q, rounding=ROUND_HALF_UP))

@@ -1101,7 +1101,11 @@ def _recall_report_expected() -> list[tuple[int, int]] | None:
     """(query_id, ann_hits) per report query, replicated in numpy:
     same trained centroids, same rounded-argmax assignment, same
     nprobe selection, same rounded-score/vec_id tie-breaks."""
-    from .vsearch_extra import _round6_arr  # shared HALF_UP-at-6
+    from ..functions.train import round6  # light; avoids the operator
+    # module import cycle (vsearch_extra's top imports this module)
+
+    def _round6_arr(a):
+        return np.vectorize(round6, otypes=[np.float64])(a)
 
     try:
         ids, x = load_sorted_vectors(ORACLE_SF_DIR)

@@ -38,20 +38,16 @@ rollup.
 
 from __future__ import annotations
 
-import math
-
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.embedder import _token_vector
 from ..functions.vector import dot, matrix_lit
 from ..registry import register
 from ..sources.tables import load_table
 
-__all__ = ["maxsim_topk", "token_unit", "query_token_matrix"]
+__all__ = ["maxsim_topk", "token_unit", "query_token_matrix", "token_unit_udf_factory"]
 
 MAXSIM_DIM = 32
 MAXSIM_DOC_TOKENS = 32  # first-N truncation, the ColBERT doc_maxlen knob
@@ -61,33 +57,31 @@ SIM_DECIMALS = 6
 
 
 def _round6(v: float) -> float:
-    from .vsearch_extra import _round6 as shared
+    from ..functions.train import round6  # light; no operator-module pull
 
-    return shared(v)
-
-
-def token_unit(tok: str, dim: int = MAXSIM_DIM) -> list[float]:
-    """Unit token vector with PURE-SEQUENTIAL normalization: the
-    md5-seeded generator is bit-stable on every process (no BLAS), and
-    the norm folds left-to-right in float64 — so driver replication
-    and Arrow workers produce identical bytes (the skew measured in
-    test_mini_transformer_real_model_end_to_end comes from BLAS
-    kernels, which this path never touches)."""
-    raw = [float(x) for x in _token_vector(tok, dim)]
-    acc = 0.0
-    for x in raw:
-        acc += x * x
-    nrm = math.sqrt(acc)
-    return [x / nrm for x in raw] if nrm > 0 else raw
+    return round6(v)
 
 
-@F.pandas_udf(T.ArrayType(T.DoubleType()))
-def token_unit_udf(toks: pd.Series) -> pd.Series:
-    from mcp_server_vector_search_spark.operators.late_interaction import (
-        token_unit,
-    )
+# token_unit moved to functions.embedder (light-import home): the vocab
+# UDF below is pickled as a CLOSURE (by value), and its worker-side body
+# imports only functions.embedder (~0 s) — a top-level UDF here would
+# pickle by module reference and force every fresh worker through this
+# module's ~7 s registration-time oracle replication (the r13 bench's
+# bimodal maxsim timings, 0.5 s vs 8 s depending on which worker the
+# 31-row vocab task landed on).
+from ..functions.embedder import token_unit  # noqa: E402
 
-    return toks.map(lambda t: token_unit(t))
+
+def token_unit_udf_factory():
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _token_unit_udf(toks: pd.Series) -> pd.Series:
+        from mcp_server_vector_search_spark.functions.embedder import (
+            token_unit as tu,
+        )
+
+        return toks.map(lambda t: tu(t))
+
+    return _token_unit_udf
 
 
 def query_token_matrix(query: str = MAXSIM_QUERY) -> list[list[float]]:
@@ -125,7 +119,7 @@ def maxsim_topk(
     vsims = (
         toks.select("tok")
         .distinct()
-        .withColumn("vec", token_unit_udf("tok"))
+        .withColumn("vec", token_unit_udf_factory()("tok"))
         .select(
             "tok",
             F.transform(
@@ -154,7 +148,7 @@ def _maxsim_expected() -> list[tuple[int, float]] | None:
     """Registration-time replication: identical token vectors,
     identical sequential dot fold, identical HALF_UP rounding."""
     from ..functions.train import ORACLE_SF_DIR
-    from .lifecycle import _seq_dot
+    from ..functions.train import seq_dot as _seq_dot
 
     try:
         import pyarrow.parquet as pq

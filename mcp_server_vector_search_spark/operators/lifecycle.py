@@ -68,14 +68,10 @@ def _embed_1536(text: str) -> np.ndarray:
     return embed_text_driver(text, OPENAI_EMBED_DIM, _TOKEN_CACHE)
 
 
-def _seq_dot(a, b) -> float:
-    """Left-to-right sequential double summation — the evaluation order
-    of ``functions.vector.dot``'s ``F.aggregate`` fold, so the folded
-    scores are bit-identical to the JVM's."""
-    acc = 0.0
-    for x, y in zip(a, b):
-        acc += float(x) * float(y)
-    return acc
+# _seq_dot moved to functions.train.seq_dot (light-import home) —
+# re-exported here because tests and sibling modules import it by this
+# name; see seq_dot's docstring for the worker-import-cost rationale.
+from ..functions.train import seq_dot as _seq_dot  # noqa: E402
 
 
 def _score_round6(doc_vec, query_vec) -> float:

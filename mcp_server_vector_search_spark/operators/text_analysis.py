@@ -1154,41 +1154,12 @@ UNIGRAM_ITERS = 3  # hard-EM rounds
 UNIGRAM_REPORT = 30  # final rows reported (count DESC, piece ASC)
 
 
-def _viterbi_segment(word: str, logp: dict[str, float], maxlen: int = UNIGRAM_MAXLEN):
-    """Best segmentation of ``word`` under piece log-probs: maximize
-    the logprob sum; ties prefer FEWER pieces, then the longer last
-    piece at each DP cell (smaller split point) — a total order, so
-    the distributed E-step and the python replication cannot diverge.
-    Single-char pieces are always in the vocab, so every word
-    segments."""
-    import math
+# _viterbi_segment moved to functions.text (light worker-import home);
+# re-exported here because tests and the oracle replication import it
+# by this module path.
+from ..functions.text import _viterbi_segment  # noqa: E402
 
-    n = len(word)
-    NEG = -math.inf
-    score = [NEG] * (n + 1)
-    npieces = [0] * (n + 1)
-    back = [0] * (n + 1)
-    score[0] = 0.0
-    for i in range(1, n + 1):
-        bs, bp, bj = NEG, 0, -1
-        for j in range(max(0, i - maxlen), i):
-            if score[j] == NEG:
-                continue
-            lp = logp.get(word[j:i])
-            if lp is None:
-                continue
-            s = score[j] + lp
-            p = npieces[j] + 1
-            if bj < 0 or s > bs or (s == bs and (p < bp or (p == bp and j < bj))):
-                bs, bp, bj = s, p, j
-        score[i], npieces[i], back[i] = bs, bp, bj
-    pieces: list[str] = []
-    i = n
-    while i > 0:
-        j = back[i]
-        pieces.append(word[j:i])
-        i = j
-    return pieces[::-1]
+
 
 
 def _unigram_em_rounds(
@@ -1273,7 +1244,7 @@ def unigram_train_distributed(
 
         @pandas_udf("array<string>")
         def seg(col):
-            from mcp_server_vector_search_spark.operators.text_analysis import (
+            from mcp_server_vector_search_spark.functions.text import (
                 _viterbi_segment,
             )
 
@@ -1433,7 +1404,7 @@ def q_tokenizer_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("int")
     def n_tok(col):
-        from mcp_server_vector_search_spark.operators.text_analysis import (
+        from mcp_server_vector_search_spark.functions.text import (
             _viterbi_segment,
         )
 

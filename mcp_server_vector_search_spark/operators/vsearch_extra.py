@@ -483,17 +483,10 @@ def _unit(x: np.ndarray) -> np.ndarray:
     return x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
 
 
-def _round6(v: float) -> float:
-    """Decimal-exact HALF_UP at SCORE_DECIMALS — Spark's ``F.round``
-    semantics.  ``np.round`` scales by 1e6 and rounds half-to-even on
-    the SCALED double, which can disagree with decimal HALF_UP exactly
-    at pool-boundary ties; since pool membership is decided by Spark's
-    rounding on the query path and by this function in the oracle
-    generator, the two must share one rounding definition."""
-    from decimal import ROUND_HALF_UP, Decimal
-
-    q = Decimal(1).scaleb(-SCORE_DECIMALS)
-    return float(Decimal(repr(float(v))).quantize(q, rounding=ROUND_HALF_UP))
+# _round6 moved to functions.train.round6 (light-import home, and it
+# breaks the late_interaction → vsearch_extra → ann oracle-generation
+# import cycle); re-exported under the family's historical name.
+from ..functions.train import round6 as _round6  # noqa: E402
 
 
 def _round6_arr(a: np.ndarray) -> np.ndarray:
