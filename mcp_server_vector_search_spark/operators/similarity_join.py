@@ -355,3 +355,120 @@ def q_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded side exactly — candidate blocks, an eval set, a re-rank pool —
     and doubles as the recall oracle for the approximate paths."""
     return gemm_cosine_pairs(load_table(spark, sf_dir, "embeddings"), SIM_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# Block-SHUFFLED exact similarity join — the fully distributed form.
+# gemm_cosine_pairs above streams broadcast-sized build slices through
+# the DRIVER (bounded memory, but O(corpus) driver traffic — the one
+# honest 100 TB caveat the round-12 review recorded against this
+# module).  This variant never collects a vector: both sides are hash-
+# bucketed into row blocks, the block-pair grid is materialized by an
+# explode-based replication (each A row ships to every B block and
+# vice versa — the inherent SUMMA-style replication of exact all-pairs;
+# no CartesianProduct operator anywhere), and cogroup(applyInPandas)
+# runs ONE dgemm per (A-block, B-block) group.
+# ---------------------------------------------------------------------------
+
+SHUFFLE_BLOCK_ROWS = 2048  # ~1 MB of dim-64 float64 rows per block side
+
+
+def gemm_cosine_pairs_shuffled(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    inclusive: bool = False,
+    decimals: int = SCORE_DECIMALS,
+    block_rows: int = SHUFFLE_BLOCK_ROWS,
+) -> DataFrame:
+    """Exact cosine self-join pairs (a < b) via a block-shuffled dgemm
+    grid — no driver-side collect of either side.
+
+    Each row lands in block ``pmod(xxhash64(id), NB)``; the A side
+    replicates each row to every B-block id and the B side to every
+    A-block id, so cogroup key (i, j) holds exactly A-block i × B-block
+    j, scored with one dgemm.  An unordered pair (x, y), x<y, appears
+    only in group (blk(x), blk(y)) under the a<b mask — each pair is
+    emitted exactly once, no post-dedup.  Shuffle volume is NB copies
+    of each side: the O(n²/B) replication exact all-pairs always pays,
+    carried by the cluster's shuffle fabric instead of the driver NIC.
+    Rounding/threshold are applied JVM-side with ``F.round``, matching
+    the oracle's HALF_UP; the kernel pre-filters with a one-ulp margin
+    exactly like the broadcast-sliced kernel."""
+    spark = embeddings.sparkSession
+    base = embeddings.select(id_col, "embedding")
+    n = base.count()  # bounded: 1 driver scalar
+    if not n:
+        return (
+            spark.createDataFrame([], f"a_id long, b_id long, cos_sim double")
+        )
+    nb = max(1, math.ceil(n / block_rows))
+    blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(nb)).cast("int")
+    grid = F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias("other")
+    a = base.select(F.col(id_col).alias("id"), "embedding", blk.alias("blk"), grid)
+    # the right side gets DISTINCT column names: a self-cogroup whose two
+    # children share attribute ids silently prunes the right side down to
+    # its grouping keys (observed on 4.1.2 — the pandas function then sees
+    # only ['other', 'blk']); renaming forces fresh attributes
+    b = base.select(
+        F.col(id_col).alias("rid"),
+        F.col("embedding").alias("remb"),
+        grid,
+        blk.alias("rblk"),
+    )
+    margin = threshold - 10.0 ** (-decimals)
+
+    def score_block(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame({"a_id": [], "b_id": [], "__raw": []})
+        a_ids = left["id"].to_numpy(dtype=np.int64)
+        b_ids = right["rid"].to_numpy(dtype=np.int64)
+        A = np.stack(left["embedding"].to_numpy()).astype(np.float64)
+        B = np.stack(right["remb"].to_numpy()).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = (A @ B.T) / np.outer(
+                np.linalg.norm(A, axis=1), np.linalg.norm(B, axis=1)
+            )
+        mask = (
+            (a_ids[:, None] < b_ids[None, :]) & np.isfinite(sims) & (sims > margin)
+        )
+        ai, bi = np.nonzero(mask)
+        return pd.DataFrame(
+            {"a_id": a_ids[ai], "b_id": b_ids[bi], "__raw": sims[ai, bi]}
+        )
+
+    pairs = (
+        a.groupby("blk", "other")
+        .cogroup(b.groupby("other", "rblk"))
+        .applyInPandas(
+            lambda _key, l, r: score_block(l, r),
+            "a_id long, b_id long, __raw double",
+        )
+        .withColumn("cos_sim", F.round("__raw", decimals))
+    )
+    keep = F.col("cos_sim") >= threshold if inclusive else F.col("cos_sim") > threshold
+    return pairs.where(keep).select("a_id", "b_id", "cos_sim")
+
+
+@register(
+    "similarity_join_blocked_shuffle",
+    oracle=f"""
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]),
+             {SCORE_DECIMALS}) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]),
+            {SCORE_DECIMALS}) > {SIM_THRESHOLD}
+""",
+)
+def q_similarity_join_blocked_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME exact pair set as similarity_join_threshold, produced by
+    the fully distributed block-shuffled grid instead of driver-streamed
+    broadcast slices — the form that holds when the build side outgrows
+    what any driver should ever collect.  Two different physical
+    strategies against one oracle; the broadcast-sliced twin remains
+    the right plan when one side IS bounded (an eval set, a re-rank
+    pool)."""
+    return gemm_cosine_pairs_shuffled(
+        load_table(spark, sf_dir, "embeddings"), SIM_THRESHOLD
+    )
