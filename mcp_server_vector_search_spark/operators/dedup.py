@@ -1625,3 +1625,90 @@ def q_dedup_lines_crossdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholds declaratively; at the gate SF 17 lines cross the
     threshold, so the flags are exercised, not vacuous."""
     return line_dedup_stats(load_table(spark, sf_dir, "documents"))
+
+
+# --- incremental line-level dedup (store-probe, rolling-ingest form) --------
+
+LINE_INCR_MIN_DOCS = 2  # a new doc's line matching >= this many CORPUS docs
+
+
+@register(
+    "dedup_incremental_lines",
+    oracle=f"""
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+lines AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, CAST(ceil(len(w) / {float(LINE_TOKENS)}) AS BIGINT)),
+                i -> array_to_string(w[(i*{LINE_TOKENS}+1):(i*{LINE_TOKENS}+{LINE_TOKENS})], ' '))) AS line
+  FROM ws
+),
+cut AS (SELECT CAST(FLOOR({INCR_NEW_FRACTION} * MAX(doc_id)) AS BIGINT) AS c FROM documents),
+store AS (
+  SELECT line, COUNT(DISTINCT doc_id) AS n_docs
+  FROM lines, cut WHERE doc_id < cut.c GROUP BY line
+),
+probe AS (
+  SELECT l.doc_id,
+         (s.n_docs >= {LINE_INCR_MIN_DOCS}) AS dup,
+         len(string_split(l.line, ' ')) AS n_toks
+  FROM lines l CROSS JOIN cut LEFT JOIN store s ON l.line = s.line
+  WHERE l.doc_id >= cut.c
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines,
+       CAST(SUM(CASE WHEN dup THEN 0 ELSE n_toks END) AS BIGINT) AS n_kept_tokens
+FROM probe GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def q_dedup_incremental_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental line-level boilerplate scrub: the new batch's lines
+    probe the CORPUS line store (per-line distinct-doc counts — the
+    persisted artifact of a rolling ingest, same build-once discipline
+    as the fingerprint/gram stores in dedup_incremental_exact/
+    dedup_incremental_substring); a new doc's line is flagged when the
+    STORE already attests LINE_INCR_MIN_DOCS distinct corpus docs.
+    Only corpus→new sharing counts — lines two new docs share are the
+    batch operator's problem (dedup_lines_crossdoc).  Completes the
+    incremental family's symmetry: exact / minhash / substring / LINE.
+
+    Scale shape: the store reduces to one line-keyed count aggregate
+    built once per ingest epoch; the probe is the small side by
+    construction, so the store never re-shuffles at probe time (AQE
+    broadcasts the batch's line set or shuffles just the matching
+    store partitions); the per-new-doc rollup is the only other
+    exchange."""
+    d = load_table(spark, sf_dir, "documents")
+    cut = d.agg(
+        F.floor(F.lit(INCR_NEW_FRACTION) * F.max("doc_id")).cast("long").alias("c")
+    )
+    lines = doc_lines(d).crossJoin(F.broadcast(cut))  # 1-row scalar broadcast
+    store = (
+        lines.where(F.col("doc_id") < F.col("c"))
+        .groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+    )
+    probe = (
+        lines.where(F.col("doc_id") >= F.col("c"))
+        .join(store, "line", "left")
+        .select(
+            "doc_id",
+            (F.coalesce(F.col("n_docs"), F.lit(0)) >= LINE_INCR_MIN_DOCS).alias(
+                "dup"
+            ),
+            F.size(F.split(F.col("line"), " ")).alias("n_toks"),
+        )
+    )
+    return (
+        probe.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(F.col("dup"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_lines"),
+            F.sum(F.when(F.col("dup"), 0).otherwise(F.col("n_toks")))
+            .cast("long")
+            .alias("n_kept_tokens"),
+        )
+        .orderBy("doc_id")
+    )
