@@ -221,7 +221,15 @@ def model_embedder(
     return embed
 
 
-def token_unit(token: str, dim: int = 32) -> list:
+# The late-interaction family's token dimension — single-sourced HERE
+# (the light module both the vocab UDF and the driver replication
+# import) so the query token matrix and the doc token vectors cannot
+# silently desync (r13 advisor: a hardcoded dim=32 default next to a
+# separate MAXSIM_DIM would truncate dot() via zip on a future change).
+MAXSIM_DIM = 32
+
+
+def token_unit(token: str, dim: int = MAXSIM_DIM) -> list:
     """Unit token vector with PURE-SEQUENTIAL normalization: the
     md5-seeded generator is bit-stable on every process (no BLAS), and
     the norm folds left-to-right in float64 — so driver replication and

@@ -106,3 +106,36 @@ def round6(v: float) -> float:
 
     q = Decimal(1).scaleb(-6)
     return float(Decimal(repr(float(v))).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def round6_arr(a) -> "np.ndarray":
+    """Vectorized ``round6`` — decimal-exact HALF_UP at 6 decimals over
+    a numpy array, at GEMM-compatible speed (r13 advisor, medium):
+    ``assignment_gemm`` previously used ``np.round`` (half-to-even on
+    the SCALED binary double), which can disagree with the JVM
+    ``F.round`` / ``assignment_expr`` twin exactly at 0.5e-6 rounding
+    boundaries — the discrepancy ``round6``'s own docstring warns
+    about.
+
+    Fast path: binary half-away-from-zero on ``a * 1e6`` (floor(s+0.5)
+    for s ≥ 0, ceil(s−0.5) below), which equals decimal HALF_UP
+    everywhere except where the binary-scaled value and the decimal
+    expansion of the double's shortest repr straddle a .5 boundary.
+    Those candidates — |frac(s) − 0.5| inside a generous guard band
+    (the true repr-vs-binary gap is < 1 ulp of s ≈ 2e-10 at |a| ≤ 1;
+    the band is 1e-6) — are re-rounded through the exact per-element
+    Decimal path, so the result is bit-equal to ``round6`` / Spark's
+    ``F.round`` for EVERY element while the band (empirically ~1e-6 of
+    elements) bounds the slow path."""
+    a = np.asarray(a, dtype=np.float64)
+    s = a * 1e6
+    out = np.where(s >= 0.0, np.floor(s + 0.5), np.ceil(s - 0.5)) / 1e6
+    frac = s - np.floor(s)
+    sus = np.abs(frac - 0.5) < 1e-6
+    if sus.any():
+        flat = out.reshape(-1)
+        src = a.reshape(-1)
+        for i in np.nonzero(sus.reshape(-1))[0]:
+            flat[i] = round6(float(src[i]))
+        out = flat.reshape(a.shape)
+    return out

@@ -135,11 +135,17 @@ def assignment_gemm(centroids: list[list[float]]) -> F.Column:
     cells × 200k rows did not finish in 30 min; the GEMM path does the
     same assignment in seconds).  This is FAISS's own shape: coarse
     assignment is a BLAS matmul.  Semantics match ``assignment_expr``
-    — unit centroids, sims rounded at ASSIGN_DECIMALS, first maximum
-    (= lowest cell id) on ties — up to float summation order, which
-    the rounding absorbs away from exact ties; the scale tests assert
-    agreement on the fixtures.  Dispatch via ``assignment_col``."""
+    — unit centroids, sims rounded at ASSIGN_DECIMALS with the SAME
+    decimal HALF_UP definition as the JVM ``F.round``
+    (``train.round6_arr``; r13 advisor — ``np.round``'s half-to-even
+    on the scaled binary double can flip a boundary tie), first
+    maximum (= lowest cell id) on ties — up to float summation order,
+    which the rounding absorbs away from exact ties; the scale tests
+    assert agreement on the fixtures.  Dispatch via
+    ``assignment_col``."""
     from pyspark.sql.functions import pandas_udf
+
+    from ..functions.train import round6_arr
 
     C = np.asarray(centroids, dtype=np.float64)
 
@@ -149,7 +155,7 @@ def assignment_gemm(centroids: list[list[float]]) -> F.Column:
             return pd.Series([], dtype="int32")
         V = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
         nrm = np.maximum(np.linalg.norm(V, axis=1), 1e-12)
-        sims = np.round((V @ C.T) / nrm[:, None], ASSIGN_DECIMALS)
+        sims = round6_arr((V @ C.T) / nrm[:, None])
         return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
 
     return nearest("embedding")
@@ -1101,11 +1107,9 @@ def _recall_report_expected() -> list[tuple[int, int]] | None:
     """(query_id, ann_hits) per report query, replicated in numpy:
     same trained centroids, same rounded-argmax assignment, same
     nprobe selection, same rounded-score/vec_id tie-breaks."""
-    from ..functions.train import round6  # light; avoids the operator
-    # module import cycle (vsearch_extra's top imports this module)
-
-    def _round6_arr(a):
-        return np.vectorize(round6, otypes=[np.float64])(a)
+    from ..functions.train import round6_arr as _round6_arr  # light;
+    # avoids the operator module import cycle (vsearch_extra's top
+    # imports this module)
 
     try:
         ids, x = load_sorted_vectors(ORACLE_SF_DIR)
@@ -1115,7 +1119,8 @@ def _recall_report_expected() -> list[tuple[int, int]] | None:
     C = np.asarray(cents, dtype=np.float64)
     X = np.asarray(x, dtype=np.float64)
     U = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    assign = np.argmax(np.round(U @ C.T, ASSIGN_DECIMALS), axis=1)
+    # replicates assignment_gemm → must share its HALF_UP rounding
+    assign = np.argmax(_round6_arr(U @ C.T), axis=1)
     ids_arr = np.asarray(ids, dtype=np.int64)
     out = []
     for qid in range(REPORT_QUERIES):

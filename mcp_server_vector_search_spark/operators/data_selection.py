@@ -613,11 +613,19 @@ def _lr_weights(sf_dir: str) -> tuple[list[float], float]:
                 heapq.heappush(heap, -v)
             elif -heap[0] > v:
                 heapq.heapreplace(heap, -v)
+    if not heap:  # empty corpus: zero weights, never a driver row
+        _LR_CACHE[sf_dir] = ([0.0] * len(_lr_surface_features("")), 0.0)
+        return _LR_CACHE[sf_dir]
     cutoff = -heap[0]
     t = ds.to_table(
         columns=["doc_id", "text"], filter=pads.field("doc_id") <= cutoff
     ).to_pylist()
-    t.sort(key=lambda r: r["doc_id"])
+    # (doc_id, text) — the second key makes the truncation below
+    # layout-independent even when doc_ids DUPLICATE at the cutoff
+    # (a bare doc_id sort is stable on read order, which is exactly
+    # the file/row-group dependence this two-pass rule exists to
+    # remove; r13 advisor)
+    t.sort(key=lambda r: (r["doc_id"], r["text"] or ""))
     t = t[:LR_MAX_TRAIN]  # guard: duplicate doc_ids at the cutoff
     x = np.array([_lr_surface_features(r["text"] or "") for r in t], dtype=np.float64)
     y = np.array([float(_lr_teacher_label(r["text"] or "")) for r in t], dtype=np.float64)

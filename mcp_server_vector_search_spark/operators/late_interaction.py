@@ -49,7 +49,11 @@ from ..sources.tables import load_table
 
 __all__ = ["maxsim_topk", "token_unit", "query_token_matrix", "token_unit_udf_factory"]
 
-MAXSIM_DIM = 32
+# single-sourced in functions.embedder next to token_unit (r13 advisor:
+# two separate dim constants would silently desync the query token
+# matrix from the doc token vectors); re-exported under the family name
+from ..functions.embedder import MAXSIM_DIM  # noqa: E402
+
 MAXSIM_DOC_TOKENS = 32  # first-N truncation, the ColBERT doc_maxlen knob
 MAXSIM_QUERY = "spark window query join"
 MAXSIM_K = 10

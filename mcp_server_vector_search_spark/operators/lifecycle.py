@@ -32,10 +32,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.embedder import OPENAI_EMBED_DIM, embed_text_driver, hash_embedder
-from ..functions.train import ORACLE_SF_DIR, load_sorted_vectors, sql_float, sql_floats
+from ..functions.train import (
+    ORACLE_SF_DIR,
+    load_sorted_vectors,
+    round6_arr,
+    sql_float,
+    sql_floats,
+)
 from ..functions.vector import dim_check, neo4j_score, vector_lit
 from ..registry import register
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 from .ann import (
     ASSIGN_DECIMALS,
     NPROBE,
@@ -117,7 +123,9 @@ def _corpus_1536():
     C = np.asarray(cents, dtype=np.float64)
     V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
     nrm = np.maximum(np.linalg.norm(V, axis=1), 1e-12)
-    assign = np.argmax(np.round((V @ C.T) / nrm[:, None], ASSIGN_DECIMALS), axis=1)
+    # replicates the distributed assignment_gemm path, so it must share
+    # its rounding (decimal HALF_UP round6_arr, not np.round — r13 advisor)
+    assign = np.argmax(round6_arr((V @ C.T) / nrm[:, None]), axis=1)
     _CORPUS_1536_CACHE = (ids, vecs, cents, assign)
     return _CORPUS_1536_CACHE
 
@@ -177,7 +185,12 @@ def q_semantic_search_dim1536(spark: SparkSession, sf_dir: str) -> DataFrame:
     the registration-time driver-side replication of the identical
     math — a mismatch at any stage (UDF batching, float32 cast, fold
     order, rounding) shifts a score or an id."""
-    docs = load_table(spark, sf_dir, "documents")
+    # spread BEFORE the 1536-dim Arrow embed: the sf* corpora are one
+    # parquet file -> one input split, so without it the family's
+    # heaviest stage (embed + GEMM assign over every doc) ran on ONE
+    # core (the r10->r13 bench drift of these rows); a wide 100 TB scan
+    # passes through spread() untouched
+    docs = spread(load_table(spark, sf_dir, "documents"))
     embed = hash_embedder(OPENAI_EMBED_DIM)
     qcol = vector_lit([float(v) for v in _embed_1536(PROMPT_1536)])
     emb = docs.select("doc_id", embed(F.col("text")).alias("embedding"))
@@ -447,7 +460,12 @@ def q_ann_ivf_dim1536(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents, probes, _expected = _IVF1536
     from .ann import assignment_gemm
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread BEFORE the 1536-dim Arrow embed: the sf* corpora are one
+    # parquet file -> one input split, so without it the family's
+    # heaviest stage (embed + GEMM assign over every doc) ran on ONE
+    # core (the r10->r13 bench drift of these rows); a wide 100 TB scan
+    # passes through spread() untouched
+    docs = spread(load_table(spark, sf_dir, "documents"))
     embed = hash_embedder(OPENAI_EMBED_DIM)
     qcol = vector_lit([float(v) for v in _embed_1536(PROMPT_1536)])
     emb = docs.select("doc_id", embed(F.col("text")).alias("embedding"))
@@ -540,7 +558,12 @@ def q_ann_hnsw_dim1536(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents, probes, _expected = _HNSW1536
     from .ann import assignment_gemm
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread BEFORE the 1536-dim Arrow embed: the sf* corpora are one
+    # parquet file -> one input split, so without it the family's
+    # heaviest stage (embed + GEMM assign over every doc) ran on ONE
+    # core (the r10->r13 bench drift of these rows); a wide 100 TB scan
+    # passes through spread() untouched
+    docs = spread(load_table(spark, sf_dir, "documents"))
     embed = hash_embedder(OPENAI_EMBED_DIM)
     qcol = vector_lit([float(v) for v in _embed_1536(PROMPT_1536)])
     emb = docs.select("doc_id", embed(F.col("text")).alias("embedding"))

@@ -489,8 +489,8 @@ def _unit(x: np.ndarray) -> np.ndarray:
 from ..functions.train import round6 as _round6  # noqa: E402
 
 
-def _round6_arr(a: np.ndarray) -> np.ndarray:
-    return np.vectorize(_round6, otypes=[np.float64])(a)
+# vectorized twin — the shared fast exact-HALF_UP implementation
+from ..functions.train import round6_arr as _round6_arr  # noqa: E402
 
 
 def mmr_select(

@@ -13,10 +13,16 @@ The synthetic corpus has no URL column, so one is SYNTHESIZED
 deterministically from (doc_id, source) with the messiness the
 canonicalizer must handle: upper/lower-cased schemes and hosts, a
 ``www.`` prefix on half the hosts, ``utm_*`` tracking parameters in
-both leading and trailing positions, and fragments.  The derivation
-and every downstream step are ONE shared SQL text executed verbatim by
-both engines (the Welch device, operators/analytics.py), so the rows
-value-hash exactly.
+leading, trailing, AND repeated (two-per-URL, straddling a kept param)
+positions, and fragments.  The derivation and every downstream step
+share ONE SQL text (the Welch device, operators/analytics.py) up to a
+single per-engine hole: DuckDB's ``regexp_replace`` replaces only the
+FIRST match unless passed the ``'g'`` option, while Spark's always
+replaces ALL matches and has no options argument (its 4th arg is a
+position) — so the utm-strip call takes ``{g}`` = ``''`` on Spark and
+``, 'g'`` on the oracle side, and the synthesized URLs carry repeated
+utm params so the gate actually exercises the global semantics
+(r13 advisor finding).
 
 Cross-engine notes: regex character classes (``[.]``, ``[?]``) instead
 of backslash escapes (Spark SQL string-literal escaping differs from
@@ -52,14 +58,22 @@ _URL_SQL = """u AS (
                  THEN '?utm_source=feed&page=' || CAST(doc_id % 7 AS STRING)
                  WHEN doc_id % 4 = 1
                  THEN '?page=' || CAST(doc_id % 7 AS STRING) || '&utm_campaign=x'
+                 WHEN doc_id % 4 = 2
+                 THEN '?utm_source=feed&page=' || CAST(doc_id % 7 AS STRING)
+                      || '&utm_campaign=x'
                  ELSE '' END
          || CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END AS url
   FROM {documents}
 )"""
 
 # --- canonicalization: parse → normalize → reassemble ------------------------
-# scheme/host lowercased, www. stripped, utm_* params dropped (leading
-# or trailing), fragment dropped; path and surviving params preserved.
+# scheme/host lowercased, www. stripped, utm_* params dropped (leading,
+# trailing, repeated), fragment dropped; path and surviving params
+# preserved.  {g} is the ONLY per-engine hole in the shared text: ''
+# on Spark (regexp_replace is always global), ", 'g'" on DuckDB
+# (first-match-only by default — r13 advisor finding).  The other two
+# regexp_replace calls ('^www[.]', '^&') are ^-anchored, so at most
+# one match exists and first-only vs global agree.
 _CANON_SQL = """c AS (
   SELECT doc_id, source, lang, n_chars, url,
          LOWER(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
@@ -69,7 +83,7 @@ _CANON_SQL = """c AS (
          regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
          regexp_replace(
            regexp_extract(url, '[?]([^#]*)', 1),
-           '(^|&)utm_[a-z]+=[^&]*', '') AS q0
+           '(^|&)utm_[a-z]+=[^&]*', ''{g}) AS q0
   FROM u
 ),
 canon AS (
@@ -87,7 +101,15 @@ def _with_views(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     load_table(spark, sf_dir, "documents").createOrReplaceTempView(
         "__url_docs"
     )
-    return spark.sql(sql.replace("{documents}", "__url_docs"))
+    return spark.sql(
+        sql.replace("{documents}", "__url_docs").replace("{g}", "")
+    )
+
+
+def _oracle_text(sql: str) -> str:
+    """The DuckDB instantiation of the shared text: same tables, plus
+    the 'g' option in the utm-strip hole (see _CANON_SQL)."""
+    return sql.replace("{documents}", "documents").replace("{g}", ", 'g'")
 
 
 _CANONICALIZE_SQL = f"""
@@ -101,7 +123,7 @@ ORDER BY doc_id
 
 @register(
     "curation_url_canonicalize",
-    oracle=_CANONICALIZE_SQL.replace("{documents}", "documents"),
+    oracle=_oracle_text(_CANONICALIZE_SQL),
 )
 def q_curation_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization as a pure projection: parse the raw URL
@@ -141,7 +163,7 @@ ORDER BY domain
 
 @register(
     "curation_domain_caps",
-    oracle=_DOMAIN_CAPS_SQL.replace("{documents}", "documents"),
+    oracle=_oracle_text(_DOMAIN_CAPS_SQL),
 )
 def q_curation_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain document caps (RefinedWeb §3.1: a few giant domains
@@ -191,7 +213,7 @@ ORDER BY domain
 
 @register(
     "curation_url_blocklist",
-    oracle=_BLOCKLIST_SQL.replace("{documents}", "documents"),
+    oracle=_oracle_text(_BLOCKLIST_SQL),
 )
 def q_curation_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocklist filter over canonical URLs: drop documents whose

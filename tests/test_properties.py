@@ -451,3 +451,44 @@ def test_unigram_viterbi_matches_bruteforce(word, multi_counts):
         sum(logp[p] for p in best), abs=0
     )
     assert got == best, (got, best)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1.0, max_value=1.0, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=64,
+    )
+)
+def test_round6_arr_bit_equal_to_round6(values):
+    """round6_arr (the GEMM assignment's rounding, r13 advisor medium)
+    must be bit-equal to the scalar Decimal HALF_UP round6 — i.e. to
+    Spark's F.round — for every element, including the boundary ties
+    where np.round's half-to-even on the scaled binary double flips."""
+    from mcp_server_vector_search_spark.functions.train import round6, round6_arr
+
+    arr = round6_arr(np.asarray(values, dtype=np.float64))
+    for v, got in zip(values, arr.tolist()):
+        assert got == round6(float(v)), (v, got, round6(float(v)))
+
+
+def test_round6_arr_boundary_ties_and_shape():
+    """Hand-picked .5e-6 boundary cases: exact decimal halves (where
+    HALF_UP rounds away from zero but np.round goes to even), repr-vs-
+    binary straddles, negatives, and 2-D shape preservation."""
+    from mcp_server_vector_search_spark.functions.train import round6, round6_arr
+
+    cases = [
+        0.0000005, -0.0000005, 0.0000015, -0.0000015,
+        0.1234565, 0.9999995, -0.9999995, 0.5, -0.5, 0.0,
+        1.0, -1.0, 0.12345649999999999, 0.1234565000000001,
+    ]
+    got = round6_arr(np.asarray(cases))
+    for v, g in zip(cases, got.tolist()):
+        assert g == round6(v), (v, g, round6(v))
+    m = round6_arr(np.asarray([[0.0000005, -1.0], [0.25, 0.1234565]]))
+    assert m.shape == (2, 2)
+    assert m[0, 0] == round6(0.0000005)
