@@ -1455,6 +1455,123 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_span_stats(load_table(spark, sf_dir, "documents"))
 
 
+def doc_gram_fingerprints(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
+    """(doc_id, s, h): a 64-bit Rabin-Karp fingerprint per k-token
+    window, built ENTIRELY map-side with ``mapInPandas`` — no token
+    explode, no doc_id window, no gram string ever materialized.
+
+    The exact form (``doc_grams``) pays two wide exchanges before any
+    dup is found: the posexplode+window shuffles every TOKEN by doc_id
+    to build gram strings, and the dup aggregate then shuffles every
+    GRAM STRING (~60 B/row).  At the 100x tier (24M grams) those two
+    constants are the whole runtime.  This form tokenizes inside the
+    scan task, siphashes each batch's tokens ONCE
+    (``pd.util.hash_array`` — keyed siphash with a fixed key, so
+    workers agree across processes and platforms), and rolls
+    positional 64-bit combines over each doc's token-hash array with
+    numpy wraparound arithmetic — per-doc cost is ~k vectorized ops.
+    Downstream shuffles carry 20 B/row instead of gram text.
+
+    Collisions: two different grams sharing a fingerprint add a FALSE
+    dup span with probability ~n²/2⁻⁶⁵ (n = corpus grams) — the
+    standard Lee-et-al-scale trade (their suffix-array production
+    pipeline likewise dedups on hashed grams); there are NO false
+    negatives, so recall gates are unaffected.  The driver row
+    certifies the trade honestly: the oracle is the EXACT string-gram
+    SQL, so a green value-hash proves the fingerprint path reproduced
+    exact results on the gate corpus."""
+    import numpy as np
+    import pandas as pd
+
+    M = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd multiplier
+
+    def gen(batches):
+        for pdf in batches:
+            ids_out: list = []
+            s_out: list = []
+            h_out: list = []
+            tok_lists = [
+                (int(i), (t or "").split(" "))
+                for i, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            flat = [t for _, toks in tok_lists for t in toks]
+            if not flat:
+                continue
+            # hash each DISTINCT token once, then gather: corpora have
+            # small vocabularies relative to token count, so factorize
+            # (a hash-table pass) + siphash of the uniques is ~2x the
+            # speed of siphashing every occurrence — and bit-identical,
+            # because the hash is still of the token string itself
+            codes, uniques = pd.factorize(
+                np.asarray(flat, dtype=object), sort=False
+            )
+            th = pd.util.hash_array(np.asarray(uniques, dtype=object))[codes]
+            off = 0
+            for doc_id, toks in tok_lists:
+                n = len(toks)
+                if n >= k:
+                    acc = th[off : off + n - k + 1].copy()
+                    for j in range(1, k):
+                        acc = acc * M + th[off + j : off + j + n - k + 1]
+                    m = n - k + 1
+                    ids_out.append(np.full(m, doc_id, dtype=np.int64))
+                    s_out.append(np.arange(1, m + 1, dtype=np.int32))
+                    h_out.append(acc.view(np.int64))
+                off += n
+            if ids_out:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(ids_out),
+                        "s": np.concatenate(s_out),
+                        "h": np.concatenate(h_out),
+                    }
+                )
+
+    # spread() first: the generator is pure map-side CPU, so its
+    # parallelism is the SCAN's split count (3 splits at the 100x tier
+    # = 3 of 32 cores busy); wide production scans pass through
+    return spread(docs.select("doc_id", "text")).mapInPandas(
+        gen, "doc_id long, s int, h long"
+    )
+
+
+def substring_span_stats_fp(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
+    """Fingerprinted repeated-span statistics — same output contract as
+    ``substring_span_stats``, one narrow shuffle instead of three wide
+    ones: the map-side fingerprint stream is hashed ONCE by ``h``, a
+    frame-less window computes the cross-doc flag (min(doc_id) ≠
+    max(doc_id) — a single-pass exact rewrite of ``COUNT(DISTINCT
+    doc_id) > 1``) without a second pass over the grams, and only the
+    matched spans reach the islands merge.  At 100 TB the shuffle
+    payload is 20 B/gram vs the exact form's tokenized text + gram
+    strings — the difference between a re-shuffle of the corpus and a
+    re-shuffle of fixed-width keys."""
+    from pyspark.sql import Window as W
+
+    g = doc_gram_fingerprints(docs, k)
+    wh = W.partitionBy("h")
+    spans = (
+        g.withColumn(
+            "xdoc", F.min("doc_id").over(wh) != F.max("doc_id").over(wh)
+        )
+        .where(F.col("xdoc"))
+        .select("doc_id", "s", (F.col("s") + k - 1).alias("e"))
+    )
+    return merged_span_stats(spans)
+
+
+@register("dedup_substring_spans_fp", oracle=SUBSTRING_SPAN_ORACLE)
+def q_dedup_substring_spans_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale form of ``dedup_substring_spans``: identical span
+    statistics computed over 64-bit Rabin-Karp gram fingerprints (see
+    ``doc_gram_fingerprints`` for the design and the collision trade).
+    Registered against the SAME exact string-gram oracle — the green
+    hash is the certificate that the fingerprint path reproduces the
+    exact answer on the gate corpus, the honesty split the ANN family
+    uses for its recall gates."""
+    return substring_span_stats_fp(load_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # dedup_incremental_substring — the rolling-ingest form: which spans of
 # TODAY's documents already exist in the accumulated corpus?  Completes

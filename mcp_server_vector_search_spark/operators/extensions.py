@@ -414,12 +414,21 @@ def udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
     optimizer), so passing all six event columns pays per-row Row
     construction for four unused fields — including the map-typed
     ``props``, the most expensive to convert.  Selecting only the two
-    consumed columns cut the r13 steady-state from ~2.7 s to ~2.3 s;
-    the residual floor is per-row Arrow-Row conversion at the
-    PARTITION BY key's parallelism (5 event types = 5 active
-    partitions), which is intrinsic to the row-at-a-time UDTF contract
-    (the r10-r12 2.10->3.29 s "drift" was this floor plus run-to-run
-    variance, not a plan change)."""
+    consumed columns cut the r13 steady-state from ~2.7 s to ~2.3 s.
+
+    Floor measurement (r14, pinned): sf0.1 input is 25,000 rows; the
+    identical pure-Python fold over the same tuples takes 0.02 s, so
+    the whole cost is the runner's per-row Arrow→Row conversion:
+    ~0.09 ms/row warm-JVM (2.2-2.3 s), ~2.5x that in a cold JVM
+    (6.0 s standalone min-of-3 — the source of the committed-record
+    scatter, NOT a plan change; the plan is two exchanges and has
+    been since r10).  AQE coalesces the PARTITION BY shuffle to one
+    ~1.2 MB partition at this SF, so the fold is also serial locally
+    (disabling coalescing measures 2.24 s / 5-way; at production row
+    counts the same plan exceeds minPartitionSize and parallelizes by
+    itself).  The floor is intrinsic to the row-at-a-time UDTF
+    contract — a vectorizable fold belongs in a grouped-agg pandas
+    UDF, which is exactly what ``udaf_grouped_geomean`` certifies."""
     load_table(spark, sf_dir, "events").where(
         F.pmod("event_id", F.lit(4)) == 0
     ).select("event_type", "value").createOrReplaceTempView("__udtf_events")

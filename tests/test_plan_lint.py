@@ -88,6 +88,7 @@ ARROW_OK = {
     "udtf_tokenize",
     "udtf_polymorphic_schema",  # Arrow UDTF with plan-time analyze (by design)
     "udtf_table_argument",  # Arrow UDTF over TABLE() partitions (by design)
+    "dedup_substring_spans_fp",  # map-side Rabin-Karp gram fingerprints (mapInPandas) ARE the subject
     "similarity_join_threshold",
     "dedup_embedding_cosine",
     "semantic_search_hash_embedder",

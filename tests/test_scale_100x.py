@@ -490,6 +490,44 @@ def test_substring_spans_100x(spark, tiers):
     )
 
 
+def test_substring_spans_fp_100x(spark, tiers):
+    """The fingerprinted span form at 500k docs (r14): the Rabin-Karp
+    gram stream must reproduce the exact string-gram statistics
+    ROW-FOR-ROW at the full tier (collision-freedom certificate on 24M
+    grams) at roughly half the exact form's runtime, inside the linear
+    bound."""
+    from mcp_server_vector_search_spark.operators.dedup import (
+        substring_span_stats,
+        substring_span_stats_fp,
+    )
+
+    def run(sf_dir):
+        d = load_table(spark, sf_dir, "documents")
+        t0 = time.perf_counter()
+        rows = substring_span_stats_fp(d).collect()
+        return {tuple(r) for r in rows}, time.perf_counter() - t0
+
+    fp10, t10 = run(tiers[0][0])
+    fp100, t100 = run(tiers[1][0])
+    exact100 = {
+        tuple(r)
+        for r in substring_span_stats(
+            load_table(spark, tiers[1][0], "documents")
+        ).collect()
+    }
+    assert fp100 == exact100, (
+        f"fingerprint span stats diverged from exact at 100x: "
+        f"{len(fp100 ^ exact100)} differing rows"
+    )
+    print(
+        f"SCALE100 substring-spans-fp t10={t10:.2f}s t100={t100:.2f}s "
+        f"ratio={t100 / t10:.2f} rows={len(fp10)}/{len(fp100)} exact-equal=True"
+    )
+    assert t100 <= LINEAR_SLACK * t10, (
+        f"fp spans grew {t100 / t10:.1f}x on 10x data — super-linear"
+    )
+
+
 def test_hnsw_100x(spark, tiers):
     """Layered HNSW at the 100x tier (VERDICT r10 task 3): the full
     query pipeline — k-means routing nodes (250 at 10x, 1000 at 100x),
