@@ -457,3 +457,161 @@ ORDER BY rank_scaled DESC, doc_id
 LIMIT {PAGERANK_TOP}
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_pagerank_incremental — the rolling-ingest form of the exact-
+# integer PageRank above, completing the incremental family (exact,
+# MinHash, substring, line) for the graph operator: stored ranks over
+# the accumulated OLD graph are WARM-START seeds, a new document batch
+# arrives with its out-links, and the update replays HALF the full
+# rebuild's rounds over the merged edge set instead of recomputing
+# from uniform mass.  Warm-starting from the previous stationary
+# estimate is the standard rolling-crawl discipline (each crawl
+# perturbs the graph locally; restarting iteration from the stored
+# vector converges in a fraction of the cold rounds).  Everything
+# stays exact scaled integers, so the 6 chained rounds (4 store + 2
+# incremental) value-hash across engines like the full row.
+# ---------------------------------------------------------------------------
+
+PAGERANK_INCR_FRACTION = 0.8  # cut = 0.8 · max(doc_id), the family convention
+PAGERANK_INCR_ROUNDS = 2
+
+
+def _pagerank_iter_sql_t(
+    prev: str, nxt: str, nodes: str, edges: str, deg: str
+) -> str:
+    """One exact-integer round parameterized over the graph tables —
+    the incremental form runs the SAME text against (nodes_all,
+    edges_all, deg_all) that the store build runs against the old
+    graph."""
+    return f"""{nxt} AS (
+  SELECT n.node,
+         CAST({15 * PAGERANK_START // 100} + COALESCE(SUM(
+           CAST(FLOOR((85.0 * p.r) / (100.0 * g.d)) AS BIGINT)), 0) AS BIGINT) AS r
+  FROM {nodes} n
+  LEFT JOIN {edges} e ON e.dst = n.node
+  LEFT JOIN {prev} p ON p.node = e.src
+  LEFT JOIN {deg} g ON g.src = e.src
+  GROUP BY n.node
+)"""
+
+
+# the old corpus's edges are self-contained (dst mod the OLD count, so
+# the stored graph never referenced documents that did not exist yet);
+# the new batch's edges are mod the FULL count and may land anywhere —
+# including the hub ids, which sit in the old graph (< PAGERANK_HUBS).
+_PAGERANK_INCR_GRAPH_SQL = f"""
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM {{documents}}),
+cut AS (SELECT CAST(FLOOR({PAGERANK_INCR_FRACTION} * MAX(doc_id)) AS BIGINT) AS c
+        FROM {{documents}}),
+old_docs AS (SELECT doc_id FROM {{documents}}, cut WHERE doc_id < cut.c),
+new_docs AS (SELECT doc_id FROM {{documents}}, cut WHERE doc_id >= cut.c),
+edges_old AS (
+  SELECT src, dst FROM (
+    SELECT d.doc_id AS src,
+           (CASE WHEN js.j = 2 THEN d.doc_id % {PAGERANK_HUBS}
+                 ELSE (d.doc_id * 31 + js.j * 17 + 7) % cut.c END) AS dst
+    FROM old_docs d
+    CROSS JOIN cut
+    CROSS JOIN (VALUES (0), (1), (2)) AS js(j)
+  ) t WHERE src <> dst
+),
+edges_new AS (
+  SELECT src, dst FROM (
+    SELECT d.doc_id AS src,
+           (CASE WHEN js.j = 2 THEN d.doc_id % {PAGERANK_HUBS}
+                 ELSE (d.doc_id * 31 + js.j * 17 + 7) % nn.n END) AS dst
+    FROM new_docs d
+    CROSS JOIN nn
+    CROSS JOIN (VALUES (0), (1), (2)) AS js(j)
+  ) t WHERE src <> dst
+),
+edges_all AS (SELECT * FROM edges_old UNION ALL SELECT * FROM edges_new),
+deg_old AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges_old GROUP BY src),
+deg_all AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges_all GROUP BY src),
+nodes_old AS (SELECT doc_id AS node FROM old_docs),
+nodes_all AS (SELECT doc_id AS node FROM {{documents}})"""
+
+
+def _pagerank_incr_tail_sql() -> str:
+    """Store build (4 cold rounds over the old graph) + warm-start
+    seed + incremental rounds over the merged graph + the top-K
+    projection — shared verbatim by both engines."""
+    store = ",\n".join(
+        _pagerank_iter_sql_t(
+            f"s{i}", f"s{i + 1}", "nodes_old", "edges_old", "deg_old"
+        )
+        for i in range(PAGERANK_ROUNDS)
+    )
+    incr = ",\n".join(
+        _pagerank_iter_sql_t(
+            f"i{i}", f"i{i + 1}", "nodes_all", "edges_all", "deg_all"
+        )
+        for i in range(PAGERANK_INCR_ROUNDS)
+    )
+    return f"""s0 AS (SELECT node, CAST({PAGERANK_START} AS BIGINT) AS r FROM nodes_old),
+{store},
+i0 AS (
+  SELECT n.node, COALESCE(s.r, CAST({PAGERANK_START} AS BIGINT)) AS r
+  FROM nodes_all n LEFT JOIN s{PAGERANK_ROUNDS} s ON s.node = n.node
+),
+{incr}
+SELECT node AS doc_id, r AS rank_scaled
+FROM i{PAGERANK_INCR_ROUNDS}
+ORDER BY rank_scaled DESC, doc_id
+LIMIT {PAGERANK_TOP}"""
+
+
+def _pagerank_incr_sql(documents: str) -> str:
+    return (
+        "\nWITH "
+        + _PAGERANK_INCR_GRAPH_SQL.replace("{documents}", documents)
+        + ",\n"
+        + _pagerank_incr_tail_sql()
+        + "\n"
+    )
+
+
+@register("graph_pagerank_incremental", oracle=_pagerank_incr_sql("documents"))
+def q_graph_pagerank_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-ingest PageRank: 4 stored rounds over the OLD graph
+    (doc_id < 0.8·max — in production the persisted artifact of the
+    last crawl's run, rebuilt here so the gate corpus is
+    self-contained, the ``dedup_incremental_exact`` discipline), then
+    the new batch's edges merge in and ONLY ``PAGERANK_INCR_ROUNDS``
+    warm-started rounds run over the union — half the cold rebuild,
+    which is the entire point of keeping the rank store.
+
+    Scale shape: all three graph tables (old edges, new edges, their
+    union's degrees) MATERIALIZE ONCE via localCheckpoint exactly like
+    the full row; each incremental round is one dst-keyed shuffle with
+    map-side BIGINT partial sums.  The store rounds touch only the old
+    graph — at a real crawl cadence they are a table read, so the
+    incremental cost is 2 shuffles over |E_all| instead of 4, and the
+    new batch's edge derivation is the only scan of new data."""
+    from ..sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("__pri_docs")
+    graph = _PAGERANK_INCR_GRAPH_SQL.replace("{documents}", "__pri_docs")
+    for name in ("edges_old", "edges_new", "edges_all", "deg_old", "deg_all"):
+        spark.sql(
+            f"WITH {graph}\nSELECT * FROM {name}"
+        ).localCheckpoint(eager=True).createOrReplaceTempView(f"__pri_{name}")
+    body = (
+        _pagerank_incr_tail_sql()
+        .replace("edges_old", "__pri_edges_old")
+        .replace("edges_all", "__pri_edges_all")
+        .replace("deg_old", "__pri_deg_old")
+        .replace("deg_all", "__pri_deg_all")
+    )
+    return spark.sql(
+        f"""
+WITH cut AS (SELECT CAST(FLOOR({PAGERANK_INCR_FRACTION} * MAX(doc_id)) AS BIGINT) AS c
+             FROM __pri_docs),
+nodes_old AS (SELECT doc_id AS node FROM __pri_docs, cut WHERE doc_id < cut.c),
+nodes_all AS (SELECT doc_id AS node FROM __pri_docs),
+{body}
+"""
+    )

@@ -641,15 +641,13 @@ def _lr_weights(sf_dir: str) -> tuple[list[float], float]:
     return _LR_CACHE[sf_dir]
 
 
-def _lr_oracle() -> str | None:
-    try:
-        w, b = _lr_weights(ORACLE_SF_DIR)
-    except Exception:  # pragma: no cover - testdata absent
-        return None
+def _lr_z_sql(w, b) -> str:
+    """The shared oracle prefix (g/f/z CTEs: teacher label + student
+    logit over the trained literals) — single source for the scoring
+    row and the calibration sweep so the arithmetic cannot drift."""
     from ..functions.train import sql_float
 
-    return f"""
-WITH g AS (
+    return f"""g AS (
   SELECT doc_id, text, ws,
          list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1]) AS g2
   FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents) s
@@ -670,7 +668,16 @@ z AS (
          {sql_float(b)} + {sql_float(w[0])} * st + {sql_float(w[1])} * dr
            + {sql_float(w[2])} * lt + {sql_float(w[3])} * wl AS z
   FROM f
-)
+)"""
+
+
+def _lr_oracle() -> str | None:
+    try:
+        w, b = _lr_weights(ORACLE_SF_DIR)
+    except Exception:  # pragma: no cover - testdata absent
+        return None
+    return f"""
+WITH {_lr_z_sql(w, b)}
 SELECT doc_id, label,
        ROUND(1.0 / (1.0 + EXP(-z)), 6) AS score,
        CAST(z >= 0.0 AS INTEGER) AS predicted
@@ -679,28 +686,10 @@ ORDER BY doc_id
 """
 
 
-@register("quality_classifier_lr", oracle=_lr_oracle())
-def q_quality_classifier_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distilled quality classifier: logistic regression fit
-    driver-side (bounded sample = the LR_MAX_TRAIN lowest doc_ids, 200
-    deterministic full-batch GD steps, float64) to imitate the Gopher dup-2gram
-    repetition rule from UNIGRAM-only surface features, then the WHOLE
-    corpus scored in one shuffle-free projection with the weights as
-    literals — teacher label, student score, and student decision side
-    by side (the distillation audit).  The teacher needs the bigram
-    array per doc (in-row zip_with + array_distinct, still no
-    explode/shuffle); the student costs four divisions.
-
-    Cross-engine contract: the four features are one float division
-    each with identical op order in Spark SQL, DuckDB, and the python
-    trainer; the teacher rule is integer-exact cross-multiplication;
-    the decision boundary (predicted) compares the identical double z
-    against 0 — sign is exact — and the sigmoid score rounds at 1e-6,
-    far above any cross-libm EXP ulp.  At 100 TB the trainer still
-    reads LR_MAX_TRAIN rows (a driver constant) and scoring stays
-    embarrassingly parallel map-side work."""
-    w, b = _lr_weights(sf_dir)
-    d = load_table(spark, sf_dir, "documents")
+def _lr_label_z_cols(w, b):
+    """(teacher label, student logit) as JVM columns over ``text`` —
+    the DataFrame twin of ``_lr_z_sql``, shared by the scoring row and
+    the calibration sweep."""
     ws = F.split(F.col("text"), " ")
     g2 = F.zip_with(
         F.slice(ws, 1, F.size(ws) - 1),
@@ -725,6 +714,32 @@ def q_quality_classifier_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(w[2]) * lt
         + F.lit(w[3]) * wl
     )
+    return label, z
+
+
+@register("quality_classifier_lr", oracle=_lr_oracle())
+def q_quality_classifier_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distilled quality classifier: logistic regression fit
+    driver-side (bounded sample = the LR_MAX_TRAIN lowest doc_ids, 200
+    deterministic full-batch GD steps, float64) to imitate the Gopher dup-2gram
+    repetition rule from UNIGRAM-only surface features, then the WHOLE
+    corpus scored in one shuffle-free projection with the weights as
+    literals — teacher label, student score, and student decision side
+    by side (the distillation audit).  The teacher needs the bigram
+    array per doc (in-row zip_with + array_distinct, still no
+    explode/shuffle); the student costs four divisions.
+
+    Cross-engine contract: the four features are one float division
+    each with identical op order in Spark SQL, DuckDB, and the python
+    trainer; the teacher rule is integer-exact cross-multiplication;
+    the decision boundary (predicted) compares the identical double z
+    against 0 — sign is exact — and the sigmoid score rounds at 1e-6,
+    far above any cross-libm EXP ulp.  At 100 TB the trainer still
+    reads LR_MAX_TRAIN rows (a driver constant) and scoring stays
+    embarrassingly parallel map-side work."""
+    w, b = _lr_weights(sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    label, z = _lr_label_z_cols(w, b)
     return (
         d.select(
             "doc_id",
@@ -740,4 +755,92 @@ def q_quality_classifier_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("z") >= 0.0).cast("int").alias("predicted"),
         )
         .orderBy("doc_id")
+    )
+
+
+# --- quality_classifier_calibration — the threshold sweep ---------------------
+
+CALIB_THR_PCTS = tuple(range(5, 100, 5))  # 5%..95% in 5-point steps
+
+
+def _calib_logits() -> list[tuple[int, float]]:
+    """(threshold %, logit literal) pairs: score ≥ t ⟺ z ≥ ln(t/(1−t))
+    because the sigmoid is monotone — sweeping on z avoids re-deriving
+    the rounded score and keeps every comparison a raw-double ≥ against
+    a shared literal (sign-exact on both engines)."""
+    import math
+
+    return [(p, math.log((p / 100.0) / (1.0 - p / 100.0))) for p in CALIB_THR_PCTS]
+
+
+def _calib_oracle() -> str | None:
+    try:
+        w, b = _lr_weights(ORACLE_SF_DIR)
+    except Exception:  # pragma: no cover - testdata absent
+        return None
+    from ..functions.train import sql_float
+
+    values = ",\n    ".join(
+        f"({p}, {sql_float(L)})" for p, L in _calib_logits()
+    )
+    return f"""
+WITH {_lr_z_sql(w, b)},
+t(thr_pct, lgt) AS (VALUES
+    {values}
+)
+SELECT t.thr_pct,
+       CAST(SUM(CASE WHEN z.z >= t.lgt AND z.label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       CAST(SUM(CASE WHEN z.z >= t.lgt AND z.label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       CAST(SUM(CASE WHEN z.z < t.lgt AND z.label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       CAST(SUM(CASE WHEN z.z < t.lgt AND z.label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+FROM z CROSS JOIN t
+GROUP BY t.thr_pct
+ORDER BY t.thr_pct
+"""
+
+
+@register("quality_classifier_calibration", oracle=_calib_oracle())
+def q_quality_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration sweep for the distilled quality classifier: the
+    exact confusion matrix (TP/FP/FN/TN vs the Gopher-rule teacher) at
+    every 5-point score threshold — the table an operator reads to
+    PICK the production cut instead of shipping the classifier with an
+    arbitrary 0.5 (fastText-quality-filter practice: the threshold is
+    chosen against a held-out teacher sweep, not assumed).
+
+    Determinism: score ≥ t ⟺ z ≥ logit(t) (sigmoid monotone), so each
+    decision is a raw-double comparison against a registration-time
+    logit literal shared by both engines — no rounding anywhere, all
+    outputs exact BIGINT counts.
+
+    Scale shape: one scan computes (label, z); the 19 thresholds ride
+    an in-row posexplode of a literal array (no join, no extra scan —
+    19× row fan-out of two doubles), and the rollup is a 19-key hash
+    aggregate with map-side partials.  At 100 TB this is the same one
+    pass the scoring row pays, plus a constant fan-out."""
+    w, b = _lr_weights(sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    label, z = _lr_label_z_cols(w, b)
+    thr = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(p).alias("thr_pct"), F.lit(L).alias("lgt")
+                )
+                for p, L in _calib_logits()
+            ]
+        )
+    )
+    base = d.select(label.alias("label"), z.alias("z"), thr.alias("t"))
+    pred = F.col("z") >= F.col("t.lgt")
+    pos = F.col("label") == 1
+    return (
+        base.groupBy(F.col("t.thr_pct").alias("thr_pct"))
+        .agg(
+            F.sum((pred & pos).cast("long")).alias("tp"),
+            F.sum((pred & ~pos).cast("long")).alias("fp"),
+            F.sum((~pred & pos).cast("long")).alias("fn"),
+            F.sum((~pred & ~pos).cast("long")).alias("tn"),
+        )
+        .orderBy("thr_pct")
     )

@@ -229,3 +229,84 @@ def q_curation_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     domains becomes a broadcast semi-join against the same canonical
     host key this row derives."""
     return _with_views(spark, sf_dir, _BLOCKLIST_SQL)
+
+
+# ---------------------------------------------------------------------------
+# curation_url_dedup_snapshots — document-level fuzzy-URL dedup across
+# crawl SNAPSHOTS, the row that joins the curation family (canonical-
+# URL key) to the dedup family (keep-newest survivor selection).  A
+# re-crawl fetches the same page under a cosmetically different URL
+# (scheme case, dropped www, different tracking params, fragment);
+# canonicalization collapses the variants onto one key and the newer
+# snapshot's copy supersedes the stored one — CCNet/RefinedWeb's
+# cross-dump URL dedup shape.  The second snapshot is SYNTHESIZED:
+# every doc_id % 3 = 0 page is re-crawled under variant-B messiness
+# (mixed-case scheme, no www, upper-cased host, utm_medium tracking)
+# that canonicalizes to the SAME canonical_url as its variant-A form.
+# Snapshots ride a composite id (uid = doc_id·2 + snapshot) so the
+# shared canon text needs no extra column; ORDER BY uid DESC inside
+# the canonical-url window makes the re-crawl the survivor.
+# ---------------------------------------------------------------------------
+
+_URL2_SQL = """u2 AS (
+  SELECT doc_id * 2 AS doc_id, source, lang, n_chars, url FROM u0
+  UNION ALL
+  SELECT doc_id * 2 + 1, source, lang, n_chars,
+         'HttpS'
+         || '://'
+         || UPPER(CASE WHEN doc_id % 5 < 2 THEN UPPER(source) ELSE source END)
+         || '.EXAMPLE.COM/docs/' || CAST(doc_id AS STRING)
+         || CASE WHEN doc_id % 4 < 3
+                 THEN '?utm_medium=email&page=' || CAST(doc_id % 7 AS STRING)
+                 ELSE '?utm_medium=email' END
+         || '#top' AS url
+  FROM {documents}
+  WHERE doc_id % 3 = 0
+)"""
+
+_SNAPSHOT_DEDUP_SQL = f"""
+WITH {_URL_SQL.replace("u AS (", "u0 AS (")},
+{_URL2_SQL},
+u AS (SELECT doc_id, source, lang, n_chars, url FROM u2),
+{_CANON_SQL},
+ranked AS (
+  SELECT host, doc_id, canonical_url,
+         ROW_NUMBER() OVER (PARTITION BY canonical_url ORDER BY doc_id DESC)
+           AS rn
+  FROM canon
+)
+SELECT host AS domain,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_recrawled,
+       CAST(COUNT(DISTINCT canonical_url) AS BIGINT) AS n_canonical,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_superseded,
+       CAST(SUM(CASE WHEN rn = 1 AND doc_id % 2 = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept_from_recrawl
+FROM ranked
+GROUP BY host
+ORDER BY domain
+"""
+
+
+@register(
+    "curation_url_dedup_snapshots",
+    oracle=_oracle_text(_SNAPSHOT_DEDUP_SQL),
+)
+def q_curation_url_dedup_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot URL dedup: canonicalize BOTH snapshots' URLs with
+    the family's shared canon text, window by canonical_url with the
+    newer snapshot ranked first, and report per domain how many stored
+    copies a re-crawl superseded.  The invariants the gate certifies:
+    every re-crawled page collapses onto its stored variant's
+    canonical key (n_canonical = n_urls − n_superseded) and the
+    survivor is always the snapshot-1 copy (n_kept_from_recrawl =
+    n_recrawled = n_superseded per domain).
+
+    Scale shape: the union and canonicalization are scan-side
+    projections; ONE window exchange on canonical_url (each group ≤ 2
+    rows — the skew-free best case for a dedup key) and the ≤|domains|
+    rollup.  At a real crawl cadence the stored side is the persisted
+    canonical table, so only the new snapshot pays the projection."""
+    return _with_views(spark, sf_dir, _SNAPSHOT_DEDUP_SQL)

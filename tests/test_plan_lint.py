@@ -63,6 +63,7 @@ BNLJ_OK = {
     "dedup_incremental_minhash",  # same 1-row corpus-cut scalar broadcast
     "dedup_incremental_substring",  # same 1-row corpus-cut scalar broadcast
     "dedup_incremental_lines",  # same 1-row corpus-cut scalar broadcast
+    "graph_pagerank_incremental",  # same 1-row corpus-cut/count scalar broadcast (edge derivation)
     "agg_hll_mergeable_certificate",  # 1-row exact × 1-row union-estimate
     "agg_ams_f2_certificate",  # 1-row sign-sums × 1-row exact-F2 combine
     "stats_ab_cuped",  # 2-row variant frame × 1-row pooled-theta scalar
