@@ -450,6 +450,40 @@ SHOWCASE = [
         "by string append without re-planning cost.",
     ),
     (
+        "dedup_substring_spans_fp",
+        "The scale form of the span operator (r14): gram FINGERPRINTS "
+        "build entirely map-side (`MapInPandas` over the spread scan — "
+        "no token explode, no doc_id window, no gram string), so the "
+        "only wide exchange in the whole plan is the 20-byte "
+        "(h, doc_id, s) hash partitioning under the frame-less "
+        "min≠max window; the islands merge then touches only matched "
+        "spans.  Compare with the exact form's three wide stages "
+        "below.",
+    ),
+    (
+        "graph_pagerank_incremental",
+        "Rolling PageRank: the old graph's 4 stored rounds and the 2 "
+        "warm-started incremental rounds all read LOCAL-CHECKPOINTED "
+        "edge/degree tables (`Scan ExistingRDD` — derived once, never "
+        "re-derived per round), and every round is one dst-keyed "
+        "exchange with map-side BIGINT partial sums.",
+    ),
+    (
+        "quality_classifier_calibration",
+        "The 19-threshold confusion sweep is ONE scan: thresholds ride "
+        "an in-row `Generate explode` of a literal array (no join "
+        "against a threshold table), and the rollup is a 19-key hash "
+        "aggregate with partial aggregation pushed map-side.",
+    ),
+    (
+        "curation_url_dedup_snapshots",
+        "Cross-snapshot URL dedup: both snapshots' URL derivations and "
+        "the canonicalization are scan-side projections under one "
+        "union; the plan pays exactly one exchange for the "
+        "canonical_url window (groups ≤ 2 rows) plus the per-domain "
+        "rollup.",
+    ),
+    (
         "dedup_substring_spans",
         "Repeated-substring spans without suffix arrays: grams build as "
         "WINDOW LEADs over the exploded tokens (JVM `Window` operator — "
