@@ -245,3 +245,42 @@ def test_substring_spans_known_plant(spark):
     }
     # 10-token shared run -> 3 overlapping 8-gram spans, one region of 10
     assert got == {1: (3, 1, 10), 2: (3, 1, 10)}
+
+
+def test_substring_spans_fp_matches_exact_and_handles_edges(spark):
+    """The fingerprint form must reproduce the exact form row-for-row on
+    the planted fixture, and the map-side generator must survive the
+    edge shapes the exact form's explode handles implicitly: NULL text,
+    empty text, docs shorter than the gram width, and a doc that is
+    EXACTLY one gram long (boundary of the rolling window)."""
+    from mcp_server_vector_search_spark.operators.dedup import (
+        SPAN_K,
+        doc_gram_fingerprints,
+        substring_span_stats,
+        substring_span_stats_fp,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(10))
+    exact_gram = " ".join(f"e{i}" for i in range(SPAN_K))
+    rows = [
+        (1, f"a1 a2 {shared} a3"),
+        (2, f"b1 {shared} b2 b3 b4"),
+        (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),
+        (4, None),
+        (5, ""),
+        (6, "short doc"),
+        (7, exact_gram),  # exactly one gram
+        (8, exact_gram),  # duplicated single-gram doc
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {tuple(r) for r in substring_span_stats(docs).collect()}
+    b = {tuple(r) for r in substring_span_stats_fp(docs).collect()}
+    assert a == b
+    got = {r["doc_id"]: tuple(r)[1:] for r in substring_span_stats_fp(docs).collect()}
+    assert got[7] == (1, 1, SPAN_K) and got[8] == (1, 1, SPAN_K)
+    # generator-level edges: doc 4 (NULL) and 5 ('') yield no grams but
+    # must not error; doc 7 yields exactly one gram at s=1
+    g = {
+        (r["doc_id"], r["s"]) for r in doc_gram_fingerprints(docs).collect()
+    }
+    assert (7, 1) in g and not any(d in (4, 5, 6) for d, _ in g)
