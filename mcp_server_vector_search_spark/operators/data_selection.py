@@ -208,6 +208,137 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# dedup_incremental_semdedup — the rolling-ingest form of SemDeDup,
+# completing the incremental family (exact, MinHash, substring, lines,
+# PageRank — and now embedding-level): which vectors of TODAY's batch
+# are semantic near-duplicates of the ACCUMULATED corpus?  The store is
+# the corpus's IVF layout (quantizer + cell-assigned survivors — the
+# same persisted artifact the ANN serve path reads); the new batch is
+# assigned to cells with the STORED centroids (no retraining at ingest,
+# the production contract) and scored only against the stored vectors
+# sharing its cell.  Only old→new duplication counts — batch-internal
+# dups are the batch operator's job (dedup_incremental_substring's
+# convention).
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_INCR_FRACTION = 0.8  # cut = 0.8 · max(vec_id), family convention
+
+
+def _incr_semdedup_oracle() -> str | None:
+    try:
+        ids, x = load_sorted_vectors(ORACLE_SF_DIR)
+    except Exception:  # pragma: no cover - testdata absent
+        return None
+    cut = int(SEMDEDUP_INCR_FRACTION * max(ids))
+    old = [list(v) for i, v in zip(ids, x) if i < cut]
+    cents = train_centroids(old[:TRAIN_SAMPLE])
+    return f"""
+WITH {ivf_assign_sql(cents)},
+pairs AS (
+  SELECT b.vec_id, b.centroid_id,
+         ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]),
+               {ASSIGN_DECIMALS}) AS sim
+  FROM assign a JOIN assign b
+    ON a.centroid_id = b.centroid_id
+   AND a.vec_id < {cut} AND b.vec_id >= {cut}
+)
+SELECT vec_id, centroid_id,
+       COUNT(*) AS n_dup_partners,
+       MAX(sim) AS max_sim
+FROM pairs
+WHERE sim >= {SEMDEDUP_T}
+GROUP BY vec_id, centroid_id
+ORDER BY vec_id
+"""
+
+
+@register("dedup_incremental_semdedup", oracle=_incr_semdedup_oracle())
+def q_dedup_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup: assign BOTH sides with the stored
+    quantizer (trained on the OLD corpus's deterministic sample — at a
+    real cadence a table read, rebuilt here so the gate corpus is
+    self-contained), then per cell one asymmetric numpy GEMM scores
+    new × stored and reports each new vector's stored near-partners.
+
+    Scale shape: the store is never re-shuffled at probe time beyond
+    its own cell key (the layout it is already persisted under); the
+    new batch pays one assignment projection and rides the same
+    centroid_id exchange.  Per-cell work is |new ∩ cell| × |old ∩
+    cell| — bounded because cells track corpus growth — and the GEMM
+    replaces interpreted per-pair lambdas exactly like
+    ``semdedup_dropped_gemm``."""
+    import pandas as pd
+
+    from .ann import _sample_vectors, assignment_col
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    cut_row = emb.agg(
+        F.floor(F.lit(SEMDEDUP_INCR_FRACTION) * F.max("vec_id"))
+        .cast("long")
+        .alias("c")
+    ).first()
+    cut = int(cut_row["c"])
+    old_emb = emb.where(F.col("vec_id") < cut)
+    cents = train_centroids(_sample_vectors(old_emb, TRAIN_SAMPLE))
+    assigned = emb.select(
+        "vec_id",
+        "embedding",
+        assignment_col(cents).alias("centroid_id"),
+        (F.col("vec_id") >= cut).alias("is_new"),
+    )
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "vec_id": pd.Series([], dtype="int64"),
+                "centroid_id": pd.Series([], dtype="int32"),
+                "n_dup_partners": pd.Series([], dtype="int64"),
+                "max_sim": pd.Series([], dtype="float64"),
+            }
+        )
+        new = pdf[pdf["is_new"]]
+        old = pdf[~pdf["is_new"]]
+        if new.empty or old.empty:
+            return empty
+        nid = new["vec_id"].to_numpy(dtype=np.int64)
+        N = np.stack([np.asarray(v, dtype=np.float64) for v in new["embedding"]])
+        O = np.stack([np.asarray(v, dtype=np.float64) for v in old["embedding"]])
+        N /= np.maximum(np.linalg.norm(N, axis=1, keepdims=True), 1e-12)
+        O /= np.maximum(np.linalg.norm(O, axis=1, keepdims=True), 1e-12)
+        from ..functions.train import round6_arr
+
+        S = round6_arr(N @ O.T)
+        hit = S >= SEMDEDUP_T
+        cnt = hit.sum(axis=1)
+        keep = cnt > 0
+        if not keep.any():
+            return empty
+        smax = np.where(hit, S, -np.inf).max(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": nid[keep],
+                "centroid_id": np.full(
+                    int(keep.sum()), int(pdf["centroid_id"].iloc[0]), dtype=np.int32
+                ),
+                "n_dup_partners": cnt[keep].astype("int64"),
+                "max_sim": smax[keep].astype("float64"),
+            }
+        )
+
+    return (
+        assigned.groupBy("centroid_id")
+        .applyInPandas(
+            score,
+            schema=(
+                "vec_id long, centroid_id int, "
+                "n_dup_partners long, max_sim double"
+            ),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # DSIR: hashed-n-gram importance weights vs a target distribution
 # ---------------------------------------------------------------------------
 

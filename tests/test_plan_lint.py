@@ -118,6 +118,7 @@ ARROW_OK = {
     "ann_index_stats",  # GEMM-dispatched cell assignment (by design)
     "pipeline_index_cells",  # GEMM-dispatched cell assignment (by design)
     "semdedup_prune",  # GEMM-dispatched cell assignment (by design)
+    "dedup_incremental_semdedup",  # GEMM assignment + per-cell new x stored GEMM (by design)
     "tokenizer_unigram_encode",  # Arrow Viterbi over the distinct-word table IS the subject
     "cluster_kmeans_gemm_census",  # Arrow GEMM Lloyd assignment IS the certified subject (by design)
     "streaming_stateful_user_totals",  # applyInPandasWithState custom operator (by design)
