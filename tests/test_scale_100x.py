@@ -490,6 +490,43 @@ def test_substring_spans_100x(spark, tiers):
     )
 
 
+def test_incremental_semdedup_100x(spark, tiers):
+    """The store-probe incremental SemDeDup at 200k vectors: new-batch
+    vectors (vec_id ≥ 0.8·max) probe the stored corpus's cells with
+    the STORED quantizer; every planted near-identical pair that
+    crosses the cut must be recovered (same-cell co-assignment of
+    cos≈0.999 twins), inside the linear bound."""
+    from mcp_server_vector_search_spark.operators.data_selection import (
+        q_dedup_incremental_semdedup,
+    )
+
+    (d10, meta10), (d100, meta100) = tiers
+    t0 = time.perf_counter()
+    q_dedup_incremental_semdedup(spark, d10).count()
+    t10 = time.perf_counter() - t0
+
+    cut = (
+        load_table(spark, d100, "embeddings")
+        .agg(F.floor(0.8 * F.max("vec_id")).cast("long"))
+        .first()[0]
+    )
+    t0 = time.perf_counter()
+    rows = q_dedup_incremental_semdedup(spark, d100).collect()
+    t100 = time.perf_counter() - t0
+    flagged = {r["vec_id"] for r in rows}
+    crossing = {b for a, b in meta100["vec_pairs"] if a < cut <= b}
+    recall = len(crossing & flagged) / len(crossing)
+    print(
+        f"SCALE100 incremental-semdedup t10={t10:.1f}s t100={t100:.1f}s "
+        f"ratio={t100 / t10:.2f} recall={recall:.3f} "
+        f"flagged={len(flagged)} crossing={len(crossing)}"
+    )
+    assert recall >= 0.95, f"planted crossing-pair recall {recall:.3f}"
+    assert t100 <= LINEAR_SLACK * t10, (
+        f"incremental SemDeDup grew {t100 / t10:.1f}x on 10x data"
+    )
+
+
 def test_substring_spans_fp_100x(spark, tiers):
     """The fingerprinted span form at 500k docs (r14): the Rabin-Karp
     gram stream must reproduce the exact string-gram statistics
