@@ -233,3 +233,58 @@ def test_preference_pairs_invariants(spark):
         per[r["lang"]].append(r["pair_rank"])
     for lang, ranks in per.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), lang
+
+
+def test_incremental_pagerank_warm_start_tracks_cold_rebuild(spark):
+    """The rolling form's claim is that 2 warm-started rounds over the
+    merged graph track a 4-round cold rebuild of the SAME graph.  Gate:
+    the two top-20 hub sets agree on at least 18/20 members at the
+    correctness SF (the skewed in-degree hubs dominate both), and the
+    warm form ranks every one of its top-20 by descending exact mass."""
+    from mcp_server_vector_search_spark.operators.components import (
+        PAGERANK_ROUNDS,
+        _pagerank_incr_sql,
+        _pagerank_iter_sql_t,
+        q_graph_pagerank_incremental,
+    )
+
+    warm = q_graph_pagerank_incremental(spark, SF_CORRECTNESS).collect()
+    ranks = [r["rank_scaled"] for r in warm]
+    assert ranks == sorted(ranks, reverse=True)
+    # cold rebuild: 4 uniform-start rounds over the identical merged
+    # graph (reuse the registered row's shared SQL, swapping the
+    # warm-start seed for uniform mass over nodes_all)
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM '{SF_CORRECTNESS}/documents.parquet'"
+    )
+    sql = _pagerank_incr_sql("documents")
+    # replace the warm seed: i0 becomes uniform over ALL nodes and the
+    # incremental chain is extended to the cold rebuild's full depth
+    cold_iters = ",\n".join(
+        _pagerank_iter_sql_t(
+            f"c{i}", f"c{i + 1}", "nodes_all", "edges_all", "deg_all"
+        )
+        for i in range(PAGERANK_ROUNDS)
+    )
+    head, _sep, _tail = sql.partition("s0 AS (")
+    cold_sql = (
+        head
+        + f"""c0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes_all),
+{cold_iters}
+SELECT node AS doc_id, r AS rank_scaled
+FROM c{PAGERANK_ROUNDS}
+ORDER BY rank_scaled DESC, doc_id
+LIMIT 20
+"""
+    )
+    cold = con.sql(cold_sql).fetchall()
+    warm_ids = {r["doc_id"] for r in warm}
+    cold_ids = {r[0] for r in cold}
+    overlap = len(warm_ids & cold_ids)
+    assert overlap >= 18, (
+        f"warm-start top-20 diverged from cold rebuild: {overlap}/20"
+    )
