@@ -615,3 +615,125 @@ nodes_all AS (SELECT doc_id AS node FROM __pri_docs),
 {body}
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_hits_integer — HITS hubs-and-authorities (Kleinberg 1999) over
+# the same synthesized citation graph, the query-dependent complement
+# of PageRank's global centrality: authorities accumulate incoming hub
+# mass, hubs accumulate the authority of what they point AT — the
+# curation signal that separates "pointed-to reference pages" from
+# "link-farm pages that point at references".  Classic HITS L2-
+# normalizes between rounds (float, order-sensitive); this form keeps
+# the family's exact-integer discipline with a FIXED-RADIX rescale:
+# each alternation sums BIGINT masses and downshifts contributions by
+# floor(x / 1000.0) — a double division of exactly-representable
+# integers (bit-identical IEEE on both engines) floored back, so the
+# two-alternation computation is order-independent, overflow-safe at
+# any corpus size (masses stay ≤ ~1e10 at 1M docs), and value-hashes
+# exactly.  Rank ORDER equals classic HITS up to the rescale's
+# truncation, which the gate makes explicit rather than hiding float
+# drift.
+# ---------------------------------------------------------------------------
+
+HITS_START = 1_000_000  # per-node integer hub mass at round 0
+HITS_RADIX = 1000.0  # inter-step downshift (floor(x / radix))
+HITS_TOP = 20
+
+
+def _hits_tail_sql() -> str:
+    """Two hub↔authority alternations + the top-K authority projection,
+    parameterized over (nodes, edges) — shared verbatim by both
+    engines (the Welch device)."""
+    return f"""h0 AS (SELECT node, CAST({HITS_START} AS BIGINT) AS h FROM nodes),
+a1 AS (
+  SELECT n.node, CAST(COALESCE(SUM(h0.h), 0) AS BIGINT) AS a
+  FROM nodes n
+  LEFT JOIN edges e ON e.dst = n.node
+  LEFT JOIN h0 ON h0.node = e.src
+  GROUP BY n.node
+),
+h1 AS (
+  SELECT n.node, CAST(COALESCE(SUM(
+    CAST(FLOOR(a1.a / {HITS_RADIX}) AS BIGINT)), 0) AS BIGINT) AS h
+  FROM nodes n
+  LEFT JOIN edges e ON e.src = n.node
+  LEFT JOIN a1 ON a1.node = e.dst
+  GROUP BY n.node
+),
+a2 AS (
+  SELECT n.node, CAST(COALESCE(SUM(
+    CAST(FLOOR(h1.h / {HITS_RADIX}) AS BIGINT)), 0) AS BIGINT) AS a
+  FROM nodes n
+  LEFT JOIN edges e ON e.dst = n.node
+  LEFT JOIN h1 ON h1.node = e.src
+  GROUP BY n.node
+),
+h2 AS (
+  SELECT n.node, CAST(COALESCE(SUM(
+    CAST(FLOOR(a2.a / {HITS_RADIX}) AS BIGINT)), 0) AS BIGINT) AS h
+  FROM nodes n
+  LEFT JOIN edges e ON e.src = n.node
+  LEFT JOIN a2 ON a2.node = e.dst
+  GROUP BY n.node
+)
+SELECT a2.node AS doc_id, a2.a AS authority_scaled, h2.h AS hub_scaled
+FROM a2 JOIN h2 ON h2.node = a2.node
+ORDER BY authority_scaled DESC, doc_id
+LIMIT {HITS_TOP}"""
+
+
+def _hits_sql(documents: str) -> str:
+    dst = _PAGERANK_DST_EXPR.replace("{n}", "nn.n")
+    return f"""
+WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM {documents}),
+nodes AS (SELECT doc_id AS node FROM {documents}),
+edges AS (
+  SELECT src, dst FROM (
+    SELECT d.doc_id AS src,
+           ({dst}) AS dst
+    FROM {documents} d
+    CROSS JOIN nn
+    CROSS JOIN (VALUES (0), (1), (2)) AS js(j)
+  ) t WHERE src <> dst
+),
+{_hits_tail_sql()}
+"""
+
+
+@register("graph_hits_integer", oracle=_hits_sql("documents"))
+def q_graph_hits_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer HITS over the synthesized citation graph: two
+    hub↔authority alternations of the SAME SQL text the oracle runs,
+    top-HITS_TOP by final authority mass with the hub score alongside.
+
+    Scale shape: the edge table MATERIALIZES ONCE (localCheckpoint,
+    the iterative-graph discipline the PageRank row established); each
+    alternation is one key-partitioned shuffle — dst-keyed for the
+    authority sum, src-keyed for the hub sum — with map-side BIGINT
+    partial aggregation.  The skewed in-degree hubs are exactly the
+    AQE-visible skew PageRank's row documents; authorities concentrate
+    on the same 97 hub ids, hubs stay near-uniform (every doc emits 3
+    links), and the gate hashes both columns."""
+    from ..sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    n = d.count()  # bounded: 1 driver scalar (the corpus count)
+    d.createOrReplaceTempView("__hits_docs")
+    spark.sql(
+        f"""
+        SELECT src, dst FROM (
+          SELECT d.doc_id AS src,
+                 ({_PAGERANK_DST_EXPR.replace("{n}", str(n))}) AS dst
+          FROM __hits_docs d
+          CROSS JOIN (VALUES (0), (1), (2)) AS js(j)
+        ) t WHERE src <> dst
+        """
+    ).localCheckpoint(eager=True).createOrReplaceTempView("__hits_edges")
+    body = _hits_tail_sql().replace(" edges ", " __hits_edges ")
+    return spark.sql(
+        f"""
+WITH nodes AS (SELECT doc_id AS node FROM __hits_docs),
+{body}
+"""
+    )
