@@ -1075,6 +1075,43 @@ def test_line_dedup_100x(spark, tiers):
     )
 
 
+def test_triangles_100x(spark, tiers):
+    """The degree-ordered triangle census at 500k docs / ~1.5M edges:
+    the orientation's whole claim is that WEDGE count (the join's
+    work) grows ~linearly with the graph even though the hubs' raw
+    in-degrees grow 10x — an id-oriented naive form would enumerate
+    (n/97)² wedges per hub, a 100x blow-up per tier step.  Gates:
+    wedge growth inside the linear bound, runtime inside the linear
+    bound, and bit-determinism across runs."""
+    from mcp_server_vector_search_spark.operators.components import (
+        q_graph_triangle_count,
+    )
+
+    def run(sf_dir):
+        t0 = time.perf_counter()
+        row = q_graph_triangle_count(spark, sf_dir).collect()[0]
+        return row, time.perf_counter() - t0
+
+    r10, t10 = run(tiers[0][0])
+    r100, t100 = run(tiers[1][0])
+    r100b, _ = run(tiers[1][0])
+    assert tuple(r100b) == tuple(r100), "triangle census must be deterministic"
+    wedge_ratio = r100["n_wedges"] / max(r10["n_wedges"], 1)
+    print(
+        f"SCALE100 triangles t10={t10:.2f}s t100={t100:.2f}s "
+        f"ratio={t100 / t10:.2f} tri={r10['n_triangles']}/{r100['n_triangles']} "
+        f"wedges={r10['n_wedges']}/{r100['n_wedges']} "
+        f"wedge_ratio={wedge_ratio:.1f}"
+    )
+    assert wedge_ratio <= LINEAR_SLACK, (
+        f"wedge count grew {wedge_ratio:.0f}x on 10x edges — the "
+        f"orientation is not bounding the hub fan-out"
+    )
+    assert t100 <= LINEAR_SLACK * t10, (
+        f"triangle census grew {t100 / t10:.1f}x on 10x data"
+    )
+
+
 def test_pagerank_100x(spark, tiers):
     """Exact-integer PageRank at 500k docs / 1.5M edges: the hub
     structure must dominate (every top-20 node is one of the 97 hubs),
