@@ -492,3 +492,33 @@ def test_round6_arr_boundary_ties_and_shape():
     m = round6_arr(np.asarray([[0.0000005, -1.0], [0.25, 0.1234565]]))
     assert m.shape == (2, 2)
     assert m[0, 0] == round6(0.0000005)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from([f"t{i}" for i in range(12)]),
+            min_size=0,
+            max_size=30,
+        ),
+        min_size=2,
+        max_size=24,
+    )
+)
+def test_span_fingerprints_equal_exact_on_random_corpora(spark, docs):
+    """The fingerprinted span operator must reproduce the exact
+    string-gram operator row-for-row on arbitrary small corpora — a
+    12-token vocabulary over up to 24 docs makes shared 8-gram runs
+    (and within-doc repeats, the nd=1 exclusion case) common, probing
+    the dup logic far beyond the planted fixture."""
+    from mcp_server_vector_search_spark.operators.dedup import (
+        substring_span_stats,
+        substring_span_stats_fp,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(tuple(r) for r in substring_span_stats(df).collect())
+    b = sorted(tuple(r) for r in substring_span_stats_fp(df).collect())
+    assert a == b
