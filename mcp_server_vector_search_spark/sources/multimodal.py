@@ -921,6 +921,91 @@ def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AUDIO_FP_ORACLE = f"""
+WITH samples AS (
+  SELECT d.doc_id, t.i,
+         ((d.doc_id * 37 + t.i * 17) % 4001) - 2000 AS s
+  FROM documents d,
+       UNNEST(range(0, 800 + d.doc_id % 400)) AS t(i)
+),
+frames AS (
+  SELECT doc_id, CAST(i // {AUDIO_FRAME} AS INTEGER) AS frame_idx,
+         CAST(SUM(s * s) AS BIGINT) AS energy
+  FROM samples GROUP BY doc_id, i // {AUDIO_FRAME}
+),
+bits AS (
+  SELECT doc_id, frame_idx, energy,
+         LEAD(energy) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS nxt
+  FROM frames
+),
+fp AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS INTEGER) AS n_frames,
+         CAST(COALESCE(SUM(CASE WHEN nxt IS NOT NULL AND nxt > energy
+                                THEN CAST(POW(2, frame_idx) AS BIGINT)
+                                ELSE 0 END), 0) AS BIGINT) AS fingerprint
+  FROM bits GROUP BY doc_id
+)
+SELECT n_frames, fingerprint,
+       CAST(COUNT(*) AS BIGINT) AS n_clips,
+       CAST(MIN(doc_id) AS BIGINT) AS representative_doc_id
+FROM fp
+GROUP BY n_frames, fingerprint
+ORDER BY n_frames, fingerprint
+"""
+
+
+@register("multimodal_audio_fingerprint_dedup", oracle=AUDIO_FP_ORACLE)
+def q_multimodal_audio_fingerprint_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Audio fingerprint dedup census over REAL WAV files — the
+    Haitsma-Kalker robust-hash shape reduced to the features this
+    fixture\'s waveform model supports (per-frame energy instead of
+    per-band spectral energy; a real front end swaps FBANK into the
+    same slot): bit k = energy rose from frame k to k+1, bits packed
+    into one BIGINT per clip, clips grouped by (n_frames,
+    fingerprint).  Each bucket is a near-duplicate audio group with
+    its representative clip — the audio twin of the image family\'s
+    pHash dedup row.
+
+    Scale shape: decode + frame + fingerprint are ONE Arrow map pass
+    per clip (the existing audio front end plus a per-doc window over
+    ≤6 frames); the census is a ≤|buckets|-key hash aggregate with
+    map-side partials.  Exact integers end to end — the oracle
+    recomputes every frame energy straight from the waveform model,
+    so a wrong RIFF field, byte order, frame boundary, or bit-pack
+    order breaks the hash."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = audio_frame_features(attach_wav_payload(docs))
+    w = W.partitionBy("doc_id").orderBy("frame_idx")
+    bits = frames.withColumn("nxt", F.lead("energy").over(w))
+    fp = bits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_frames"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("nxt").isNotNull() & (F.col("nxt") > F.col("energy")),
+                    # shiftleft() needs a literal bit count in the
+                    # python API; the SQL form takes the column
+                    F.expr("shiftleft(CAST(1 AS BIGINT), frame_idx)"),
+                ).otherwise(F.lit(0).cast("long"))
+            ),
+            F.lit(0).cast("long"),
+        ).alias("fingerprint"),
+    )
+    return (
+        fp.groupBy("n_frames", "fingerprint")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clips"),
+            F.min("doc_id").cast("long").alias("representative_doc_id"),
+        )
+        .orderBy("n_frames", "fingerprint")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Real VIDEO path: MJPEG frames in an AVI container (functions/avi.py).
 # Frame model extends the image model with a per-frame term:

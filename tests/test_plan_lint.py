@@ -108,6 +108,7 @@ ARROW_OK = {
     "multimodal_phash_mixed",  # PNG/PGM/JPEG dispatch + DCT hash (by design)
     "multimodal_jpeg_roundtrip",  # real baseline-JPEG encode+decode (by design)
     "multimodal_audio_features",  # real WAV decode + frame features (by design)
+    "multimodal_audio_fingerprint_dedup",  # same real WAV decode front end (by design)
     "multimodal_video_frames",  # real MJPEG-AVI walk + JPEG decode (by design)
     "multimodal_binaryfile_scan",  # real-file corpus decode over mapInPandas (by design)
     "ann_assign_gemm_cells",  # Arrow GEMM assignment IS the certified subject (by design)
