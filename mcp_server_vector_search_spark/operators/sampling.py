@@ -635,3 +635,67 @@ def q_mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         quota.cast("long").alias("quota_tokens"),
         F.round(quota.cast("double") / F.col("target"), 6).alias("budget_share"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# mix_interleave_roundrobin — deterministic TRAINING-ORDER construction.
+# A shuffled-but-balanced epoch order matters as much as the mixture
+# itself: consecutive batches from one source make gradients locally
+# biased (the reason T5/GPT pipelines globally shuffle shards and
+# interleave sources).  RNG shuffles are retry-unstable; this row
+# builds the order DETERMINISTICALLY: rank docs within their source by
+# a seeded hash (the in-source shuffle), then take one doc per source
+# per round (rank-major, source-minor) — a perfect round-robin until a
+# source exhausts, after which the survivors keep alternating.
+# ---------------------------------------------------------------------------
+
+_INTERLEAVE_SQL = """
+WITH ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY md5(CAST(doc_id AS STRING)), doc_id
+         ) AS rnk
+  FROM {documents}
+),
+ordered AS (
+  SELECT doc_id, source, rnk,
+         ROW_NUMBER() OVER (ORDER BY rnk, source, doc_id) AS pos
+  FROM ranked
+),
+adj AS (
+  SELECT source,
+         LAG(source) OVER (ORDER BY pos) AS prev_source
+  FROM ordered
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(SUM(CASE WHEN source = prev_source THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_adjacent_same_source
+FROM adj
+"""
+
+
+@register(
+    "mix_interleave_roundrobin",
+    oracle=_INTERLEAVE_SQL.replace("{documents}", "documents"),
+)
+def q_mix_interleave_roundrobin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-robin source interleave with its balance certificate: the
+    output row proves the constructed training order never places two
+    same-source docs adjacently while every source still has docs
+    remaining (``n_adjacent_same_source`` counts ONLY the tail where
+    exhausted sources force repeats — near zero on a balanced corpus).
+    The in-source order is an md5-of-doc_id rank: a deterministic
+    shuffle, bit-stable under retries and engine-shared (both engines'
+    md5 hex sorts identically).
+
+    Scale shape, stated honestly: a training order is a TOTAL order,
+    so the position assignment is a global sort — at 100 TB that is
+    the range-partitioned sort-before-write every shard-shuffling
+    exporter pays once per epoch (pipeline_export_packed's shape), not
+    a per-query cost; the within-source rank is one source-keyed
+    window before it.  The certificate aggregation itself is one pass
+    over the ordered stream."""
+    d = load_table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("__il_docs")
+    return spark.sql(_INTERLEAVE_SQL.replace("{documents}", "__il_docs"))
