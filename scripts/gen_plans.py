@@ -461,6 +461,36 @@ SHOWCASE = [
         "below.",
     ),
     (
+        "graph_hits_integer",
+        "Exact-integer HITS: the edge table scans once from its "
+        "localCheckpoint (`Scan ExistingRDD`); each hub<->authority "
+        "alternation is one key-partitioned exchange (dst-keyed for "
+        "authority, src-keyed for hub) with map-side BIGINT partials — "
+        "no float normalization stage anywhere.",
+    ),
+    (
+        "graph_triangle_count",
+        "Degree-ordered triangle census: the wedge and closure joins "
+        "are plain hash joins on vertex ids; the (degree, id) "
+        "orientation that bounds the wedge fan-out is a projection, "
+        "not an extra shuffle.  Wedge count measured to grow exactly "
+        "10.0x on 10x edges at the stress tier.",
+    ),
+    (
+        "multimodal_audio_fingerprint_dedup",
+        "Audio fingerprint dedup: ONE Arrow decode pass (the WAV "
+        "front end), a per-doc <=6-row window for the bit pack, and a "
+        "bucket-key hash aggregate — the fingerprint never leaves the "
+        "JVM once packed.",
+    ),
+    (
+        "mix_interleave_roundrobin",
+        "Training-order interleave: one source-keyed window (the "
+        "in-source md5 rank), one global range-partitioned sort (the "
+        "total order IS the product), and a single-pass adjacency "
+        "certificate over the ordered stream.",
+    ),
+    (
         "graph_pagerank_incremental",
         "Rolling PageRank: the old graph's 4 stored rounds and the 2 "
         "warm-started incremental rounds all read LOCAL-CHECKPOINTED "
