@@ -526,11 +526,14 @@ SHOWCASE = [
     (
         "ann_hnsw_dim1536",
         "The graph-descent ANN at the reference's 1536 dims: the probe "
-        "set chosen by the layered walk arrives as an `IN` filter over "
-        "the GEMM-assigned node ids, and the final k rows compile to "
-        "`TakeOrderedAndProject` — the descent (driver-side, bounded "
-        "node set) never appears in the distributed plan, exactly like "
-        "HNSW's resident upper layers at 100 TB.",
+        "set chosen by the layered walk arrives as a PartitionFilters "
+        "entry over the cached cell-partitioned layout (r14: the "
+        "corpus embed + GEMM assignment moved to the build-once "
+        "artifact, so the query plan is a pruned scan + "
+        "`TakeOrderedAndProject` with NO Python stage) — the descent "
+        "(driver-side, bounded node set) never appears in the "
+        "distributed plan, exactly like HNSW's resident upper layers "
+        "at 100 TB.",
     ),
     (
         "engine_search_warm_cache",
