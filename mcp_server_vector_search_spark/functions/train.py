@@ -126,12 +126,18 @@ def round6_arr(a) -> "np.ndarray":
     the band is 1e-6) — are re-rounded through the exact per-element
     Decimal path, so the result is bit-equal to ``round6`` / Spark's
     ``F.round`` for EVERY element while the band (empirically ~1e-6 of
-    elements) bounds the slow path."""
+    elements) bounds the slow path.
+
+    The band is sized per-element as max(1e-6, 8·ulp(s)) (r14 advisor):
+    the fixed 1e-6 alone is only valid while ulp(s)/2 < 1e-6, i.e.
+    |a| ≲ 8e3 — scaling with ``np.spacing`` keeps the no-missed-ties
+    guarantee for any magnitude a future caller passes."""
     a = np.asarray(a, dtype=np.float64)
     s = a * 1e6
     out = np.where(s >= 0.0, np.floor(s + 0.5), np.ceil(s - 0.5)) / 1e6
     frac = s - np.floor(s)
-    sus = np.abs(frac - 0.5) < 1e-6
+    band = np.maximum(1e-6, 8.0 * np.spacing(np.abs(s)))
+    sus = np.abs(frac - 0.5) < band
     if sus.any():
         flat = out.reshape(-1)
         src = a.reshape(-1)

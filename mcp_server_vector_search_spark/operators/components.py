@@ -595,7 +595,10 @@ def q_graph_pagerank_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     d.createOrReplaceTempView("__pri_docs")
     graph = _PAGERANK_INCR_GRAPH_SQL.replace("{documents}", "__pri_docs")
-    for name in ("edges_old", "edges_new", "edges_all", "deg_old", "deg_all"):
+    # edges_new is NOT checkpointed: the tail SQL reads only the four
+    # views below (edges_all's CTE re-derives the new batch inline), so
+    # materializing it was a wasted job per invocation (r14 advisor).
+    for name in ("edges_old", "edges_all", "deg_old", "deg_all"):
         spark.sql(
             f"WITH {graph}\nSELECT * FROM {name}"
         ).localCheckpoint(eager=True).createOrReplaceTempView(f"__pri_{name}")
@@ -641,15 +644,17 @@ HITS_RADIX = 1000.0  # inter-step downshift (floor(x / radix))
 HITS_TOP = 20
 
 
-def _hits_tail_sql() -> str:
+def _hits_tail_sql(edges: str = "edges") -> str:
     """Two hub↔authority alternations + the top-K authority projection,
-    parameterized over (nodes, edges) — shared verbatim by both
-    engines (the Welch device)."""
+    parameterized over the edges relation NAME (the
+    ``_pagerank_iter_sql_t`` discipline — no post-hoc text surgery on
+    the rendered SQL; r14 advisor) — shared verbatim by both engines
+    (the Welch device)."""
     return f"""h0 AS (SELECT node, CAST({HITS_START} AS BIGINT) AS h FROM nodes),
 a1 AS (
   SELECT n.node, CAST(COALESCE(SUM(h0.h), 0) AS BIGINT) AS a
   FROM nodes n
-  LEFT JOIN edges e ON e.dst = n.node
+  LEFT JOIN {edges} e ON e.dst = n.node
   LEFT JOIN h0 ON h0.node = e.src
   GROUP BY n.node
 ),
@@ -657,7 +662,7 @@ h1 AS (
   SELECT n.node, CAST(COALESCE(SUM(
     CAST(FLOOR(a1.a / {HITS_RADIX}) AS BIGINT)), 0) AS BIGINT) AS h
   FROM nodes n
-  LEFT JOIN edges e ON e.src = n.node
+  LEFT JOIN {edges} e ON e.src = n.node
   LEFT JOIN a1 ON a1.node = e.dst
   GROUP BY n.node
 ),
@@ -665,7 +670,7 @@ a2 AS (
   SELECT n.node, CAST(COALESCE(SUM(
     CAST(FLOOR(h1.h / {HITS_RADIX}) AS BIGINT)), 0) AS BIGINT) AS a
   FROM nodes n
-  LEFT JOIN edges e ON e.dst = n.node
+  LEFT JOIN {edges} e ON e.dst = n.node
   LEFT JOIN h1 ON h1.node = e.src
   GROUP BY n.node
 ),
@@ -673,7 +678,7 @@ h2 AS (
   SELECT n.node, CAST(COALESCE(SUM(
     CAST(FLOOR(a2.a / {HITS_RADIX}) AS BIGINT)), 0) AS BIGINT) AS h
   FROM nodes n
-  LEFT JOIN edges e ON e.src = n.node
+  LEFT JOIN {edges} e ON e.src = n.node
   LEFT JOIN a2 ON a2.node = e.dst
   GROUP BY n.node
 )
@@ -730,7 +735,7 @@ def q_graph_hits_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t WHERE src <> dst
         """
     ).localCheckpoint(eager=True).createOrReplaceTempView("__hits_edges")
-    body = _hits_tail_sql().replace(" edges ", " __hits_edges ")
+    body = _hits_tail_sql(edges="__hits_edges")
     return spark.sql(
         f"""
 WITH nodes AS (SELECT doc_id AS node FROM __hits_docs),
@@ -757,13 +762,13 @@ WITH nodes AS (SELECT doc_id AS node FROM __hits_docs),
 TRIANGLE_HUB_IDS = PAGERANK_HUBS  # triangles touching ids < this are "hub" rows
 
 
-def _triangle_tail_sql() -> str:
+def _triangle_tail_sql(edges: str = "edges") -> str:
     """Undirected canonicalization → degree-ordered orientation →
     wedge join → closure join → one-row census.  Parameterized over
-    ``edges`` (the directed synthesized links); shared verbatim by
-    both engines."""
+    the edges relation NAME (no post-hoc text surgery; r14 advisor);
+    shared verbatim by both engines."""
     return f"""und AS (
-  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM edges
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM {edges}
 ),
 deg AS (
   SELECT x AS node, CAST(COUNT(*) AS BIGINT) AS d FROM (
@@ -844,5 +849,5 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t WHERE src <> dst
         """
     ).localCheckpoint(eager=True).createOrReplaceTempView("__tri_edges")
-    body = _triangle_tail_sql().replace("FROM edges", "FROM __tri_edges")
+    body = _triangle_tail_sql(edges="__tri_edges")
     return spark.sql(f"WITH {body}")

@@ -1465,12 +1465,16 @@ def doc_gram_fingerprints(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
     to build gram strings, and the dup aggregate then shuffles every
     GRAM STRING (~60 B/row).  At the 100x tier (24M grams) those two
     constants are the whole runtime.  This form tokenizes inside the
-    scan task, siphashes each batch's tokens ONCE
-    (``pd.util.hash_array`` — keyed siphash with a fixed key, so
-    workers agree across processes and platforms), and rolls
-    positional 64-bit combines over each doc's token-hash array with
-    numpy wraparound arithmetic — per-doc cost is ~k vectorized ops.
-    Downstream shuffles carry 20 B/row instead of gram text.
+    scan task, hashes each batch's DISTINCT tokens once with a
+    SELF-CONTAINED keyed hash (stdlib ``hashlib.blake2b`` over the
+    token's utf-8 bytes, 8-byte digest — environment-independent by
+    construction, so heterogeneous pandas/numpy versions across
+    workers cannot silently disagree; r14 advisor replaced
+    ``pd.util.hash_array``, whose siphash is a pandas-internal
+    implementation detail), and rolls positional 64-bit combines over
+    each doc's token-hash array with numpy wraparound arithmetic —
+    per-doc cost is ~k vectorized ops.  Downstream shuffles carry
+    20 B/row instead of gram text.
 
     Collisions: two different grams sharing a fingerprint add a FALSE
     dup span with probability ~n²/2⁻⁶⁵ (n = corpus grams) — the
@@ -1480,10 +1484,30 @@ def doc_gram_fingerprints(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
     certifies the trade honestly: the oracle is the EXACT string-gram
     SQL, so a green value-hash proves the fingerprint path reproduced
     exact results on the gate corpus."""
+    import hashlib
+
     import numpy as np
     import pandas as pd
 
     M = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd multiplier
+    KEY = b"spark-graft-span-fp-v1"  # fixed key: all workers agree
+
+    def _hash_uniques(uniques) -> np.ndarray:
+        """64-bit keyed blake2b per distinct token — O(vocab), not
+        O(tokens), thanks to the factorize gather below."""
+        return np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.blake2b(
+                        str(u).encode("utf-8"), digest_size=8, key=KEY
+                    ).digest(),
+                    "little",
+                )
+                for u in uniques
+            ),
+            dtype=np.uint64,
+            count=len(uniques),
+        )
 
     def gen(batches):
         for pdf in batches:
@@ -1499,13 +1523,14 @@ def doc_gram_fingerprints(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
                 continue
             # hash each DISTINCT token once, then gather: corpora have
             # small vocabularies relative to token count, so factorize
-            # (a hash-table pass) + siphash of the uniques is ~2x the
-            # speed of siphashing every occurrence — and bit-identical,
-            # because the hash is still of the token string itself
+            # (a hash-table pass) + hashing only the uniques keeps the
+            # per-token cost at a vectorized gather — and the result is
+            # identical to hashing every occurrence, because the hash
+            # is still of the token string itself
             codes, uniques = pd.factorize(
                 np.asarray(flat, dtype=object), sort=False
             )
-            th = pd.util.hash_array(np.asarray(uniques, dtype=object))[codes]
+            th = _hash_uniques(uniques)[codes]
             off = 0
             for doc_id, toks in tok_lists:
                 n = len(toks)

@@ -469,10 +469,19 @@ def _load_or_build_1536_layout(
     # quantizer, so their layouts are byte-identical — the flat-probe
     # vs graph-descent difference is entirely in WHICH cells they read.
     del kind
+    # The centroid VALUES are part of the cache identity: a caller with
+    # a different quantizer (or a change to the assignment math — bump
+    # the version token for that) must miss and rebuild, not read a
+    # layout whose cell ids were assigned against other centroids.
+    cents_tag = _hashlib.md5(
+        np.asarray(cents, dtype=np.float32).tobytes()
+    ).hexdigest()[:12]
     root = (
         _Path(_INDEX_CACHE_ROOT).parent
         / "idx1536"
-        / _hashlib.md5(f"{sf_dir}:{IVF1536_CELLS}:v1".encode()).hexdigest()[:12]
+        / _hashlib.md5(
+            f"{sf_dir}:{IVF1536_CELLS}:{cents_tag}:v1".encode()
+        ).hexdigest()[:12]
     )
     meta, data = root / "ok", root / "data"
     if not meta.exists():
