@@ -1684,19 +1684,109 @@ LINE_TOKENS = 8
 LINE_DUP_MIN_DOCS = 3  # a line in >= this many distinct docs is boilerplate
 
 
-def doc_lines(docs: DataFrame, width: int = LINE_TOKENS) -> DataFrame:
-    """(doc_id, line): consecutive ``width``-token windows (the last
-    one ragged).  The transform's per-element work is one slice +
-    array_join — interpreted, but there are only ceil(tokens/width)
-    elements per doc, so total interpreted ops stay O(tokens), unlike
-    the per-token-times-k gram HOF the 100x tier banned."""
-    ws = F.split(F.col("text"), " ")
-    n_lines = F.ceil(F.size(ws) / F.lit(float(width))).cast("int")
-    lines_arr = F.transform(
-        F.sequence(F.lit(0), n_lines - 1),
-        lambda i: F.array_join(F.slice(ws, i * width + 1, width), " "),
+def doc_line_hashes(docs: DataFrame, width: int = LINE_TOKENS) -> DataFrame:
+    """(doc_id, h, n_toks): a 64-bit fingerprint per synthesized line
+    (consecutive ``width``-token non-overlapping windows, the last one
+    ragged) plus the line's token count — the ``doc_gram_fingerprints``
+    discipline applied to LINES (r15).  The line text never exists at
+    all: tokens are blake2-hashed once per DISTINCT token (factorize +
+    gather), each window's fingerprint is a positional uint64 fold of
+    its token hashes (stride ``width``, so windows never overlap), and
+    the window LENGTH is folded in last so a ragged tail can only
+    collide with an equal-length window by hash accident.  Every
+    downstream exchange carries a 20 B (doc_id, h, n_toks) row instead
+    of ~60 B of line text — r15 profiling showed the interpreted
+    slice+array_join+xxhash64 HOF construction was ~20 us/line and the
+    whole super-linear constant of the 100x tier row (4.99x standalone
+    at r14; even a single bare count over the HOF stream ran 72 s at
+    500k docs).
+
+    Collisions: two different lines sharing a fingerprint can only ADD
+    a flag (false positive) with probability ~n²·2⁻⁶⁵ — the same
+    Lee-et-al-scale trade the span fp form documents; there are NO
+    false negatives, and the driver row's oracle remains the EXACT
+    string-keyed SQL, so a green value-hash proves the fingerprint
+    path reproduced exact results on the gate corpus."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    M = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd multiplier
+    KEY = b"spark-graft-line-fp-v1"  # fixed key: all workers agree
+
+    def _hash_uniques(uniques) -> np.ndarray:
+        return np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.blake2b(
+                        str(u).encode("utf-8"), digest_size=8, key=KEY
+                    ).digest(),
+                    "little",
+                )
+                for u in uniques
+            ),
+            dtype=np.uint64,
+            count=len(uniques),
+        )
+
+    def gen(batches):
+        for pdf in batches:
+            ids_out: list = []
+            h_out: list = []
+            t_out: list = []
+            tok_lists = [
+                (int(i), (t or "").split(" "))
+                for i, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            flat = [t for _, toks in tok_lists for t in toks]
+            if not flat:
+                continue
+            codes, uniques = pd.factorize(
+                np.asarray(flat, dtype=object), sort=False
+            )
+            th = _hash_uniques(uniques)[codes]
+            off = 0
+            for doc_id, toks in tok_lists:
+                n = len(toks)
+                nf = n // width  # full windows
+                rem = n - nf * width  # ragged-tail token count
+                m = nf + (1 if rem else 0)
+                hs = np.empty(m, dtype=np.uint64)
+                if nf:
+                    arr = th[off : off + nf * width].reshape(nf, width)
+                    acc = arr[:, 0].copy()
+                    for j in range(1, width):
+                        acc = acc * M + arr[:, j]
+                    hs[:nf] = acc
+                if rem:
+                    tail = th[off + nf * width : off + n]
+                    acc_t = tail[:1].copy()
+                    for j in range(1, rem):
+                        acc_t = acc_t * M + tail[j : j + 1]
+                    hs[nf] = acc_t[0]
+                lens = np.full(m, width, dtype=np.uint64)
+                if rem:
+                    lens[m - 1] = rem
+                hs = hs * M + lens  # fold the window length in last
+                ids_out.append(np.full(m, doc_id, dtype=np.int64))
+                h_out.append(hs.view(np.int64))
+                t_out.append(lens.astype(np.int32))
+                off += n
+            if ids_out:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(ids_out),
+                        "h": np.concatenate(h_out),
+                        "n_toks": np.concatenate(t_out),
+                    }
+                )
+
+    # spread() first: pure map-side CPU whose parallelism is otherwise
+    # the scan's split count (doc_gram_fingerprints discipline)
+    return spread(docs.select("doc_id", "text")).mapInPandas(
+        gen, "doc_id long, h long, n_toks int"
     )
-    return docs.select("doc_id", F.explode(lines_arr).alias("line"))
 
 
 def line_dedup_stats(docs: DataFrame, min_docs: int = LINE_DUP_MIN_DOCS) -> DataFrame:
@@ -1704,20 +1794,28 @@ def line_dedup_stats(docs: DataFrame, min_docs: int = LINE_DUP_MIN_DOCS) -> Data
     cross-doc boilerplate (present in >= min_docs DISTINCT docs), and
     the token count that survives the scrub.
 
-    Scale shape: the line stream shuffles ONCE on the line key for the
-    distinct-doc count; the flagged-set join back is the same key (no
-    re-shuffle of the counted side), and at production scale the
-    flagged set is tiny relative to the corpus so AQE turns the probe
-    into a broadcast; the final per-doc rollup is the only other
-    exchange.  Every count is an exact integer — hash-stable."""
-    lines = doc_lines(docs)
-    counts = lines.groupBy("line").agg(
-        F.countDistinct("doc_id").alias("n_docs")
-    )
-    flagged = lines.join(counts, "line").select(
-        "doc_id",
-        (F.col("n_docs") >= min_docs).alias("dup"),
-        F.size(F.split(F.col("line"), " ")).alias("n_toks"),
+    Scale shape (r15 narrow-key rewrite): ONE pass of the map-side
+    fingerprint generator, ONE exchange of the 20 B fingerprint rows on
+    the 8-byte key, where a dense_rank + frame-less max window pair
+    (same partitioning — Spark plans them over a single exchange, the
+    running-distinct rewrite from operators/windows.py) computes the
+    exact distinct-doc count without a second pass or a join back; the
+    per-doc rollup is the only other exchange.  The line TEXT never
+    leaves the scan task.  Every count is an exact integer —
+    hash-stable.  Per-key window buffering is bounded by docs-per-line
+    (max 1,282 at the 100x tier; pathological boilerplate spills, it
+    does not fail)."""
+    from pyspark.sql import Window as W
+
+    lines = doc_line_hashes(docs)
+    w1 = W.partitionBy("h").orderBy("doc_id")
+    w2 = W.partitionBy("h")
+    flagged = (
+        lines.withColumn("dr", F.dense_rank().over(w1))
+        .withColumn("n_docs", F.max("dr").over(w2))
+        .select(
+            "doc_id", (F.col("n_docs") >= min_docs).alias("dup"), "n_toks"
+        )
     )
     return (
         flagged.groupBy("doc_id")
@@ -1814,31 +1912,39 @@ def q_dedup_incremental_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch operator's problem (dedup_lines_crossdoc).  Completes the
     incremental family's symmetry: exact / minhash / substring / LINE.
 
-    Scale shape: the store reduces to one line-keyed count aggregate
-    built once per ingest epoch; the probe is the small side by
-    construction, so the store never re-shuffles at probe time (AQE
-    broadcasts the batch's line set or shuffles just the matching
-    store partitions); the per-new-doc rollup is the only other
-    exchange."""
+    Scale shape: the store reduces to one FINGERPRINT-keyed count
+    aggregate built once per ingest epoch (8-byte keys — the line text
+    never leaves the scan task, r15 narrow-key rewrite); only the
+    store rows already AT the threshold probe the batch, so the
+    attested-key side is tiny and AQE broadcasts it; the per-new-doc
+    rollup is the only other exchange."""
     d = load_table(spark, sf_dir, "documents")
     cut = d.agg(
         F.floor(F.lit(INCR_NEW_FRACTION) * F.max("doc_id")).cast("long").alias("c")
     )
-    lines = doc_lines(d).crossJoin(F.broadcast(cut))  # 1-row scalar broadcast
-    store = (
+    # the fingerprint stream materializes ONCE (localCheckpoint) so the
+    # store build and the probe both read the 20 B rows, not a second
+    # pass of the Python generator — in production this table IS the
+    # persisted store artifact, so the checkpoint models the real shape
+    lines = (
+        doc_line_hashes(d)
+        .crossJoin(F.broadcast(cut))  # 1-row scalar
+        .localCheckpoint(eager=True)
+    )
+    attested = (
         lines.where(F.col("doc_id") < F.col("c"))
-        .groupBy("line")
+        .groupBy("h")
         .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= LINE_INCR_MIN_DOCS)
+        .select("h", F.lit(True).alias("dup0"))
     )
     probe = (
         lines.where(F.col("doc_id") >= F.col("c"))
-        .join(store, "line", "left")
+        .join(attested, "h", "left")
         .select(
             "doc_id",
-            (F.coalesce(F.col("n_docs"), F.lit(0)) >= LINE_INCR_MIN_DOCS).alias(
-                "dup"
-            ),
-            F.size(F.split(F.col("line"), " ")).alias("n_toks"),
+            F.coalesce(F.col("dup0"), F.lit(False)).alias("dup"),
+            "n_toks",
         )
     )
     return (
