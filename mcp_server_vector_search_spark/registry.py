@@ -80,5 +80,11 @@ def load_all_operators() -> None:
         web_curation,
         windows,
     )
-    from .sources import formats, layout, multimodal, pysource  # noqa: F401
+    from .sources import (  # noqa: F401
+        avro_source,
+        formats,
+        layout,
+        multimodal,
+        pysource,
+    )
     from .streaming import ingest, stateful  # noqa: F401
