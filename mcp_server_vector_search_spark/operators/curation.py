@@ -520,3 +520,201 @@ def build_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "pair_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# text_blocklist_multiscan — Aho-Corasick multi-pattern blocklist scan
+# (Aho & Corasick 1975; the RefinedWeb/Falcon NSFW-wordlist stage,
+# Penedo et al. 2023 §3.1): N patterns matched in ONE pass over each
+# document, O(text + matches) regardless of pattern count — the
+# contrast with `text_redact_patterns`, whose single compiled regex
+# alternation re-scans per alternate inside the regex engine and
+# degrades as the list grows to production blocklist sizes (thousands
+# of terms).  Patterns carry severity classes; the report is per-doc
+# per-class occurrence counts for every doc that matched anything.
+#
+# Match semantics: ALL occurrences, including nested dictionary
+# suffixes ("ast" fires inside every "fast sort" hit — the case a
+# per-pattern loop needs N passes for).  Every pattern is verified
+# BORDER-FREE at import (no proper prefix equals a suffix), which
+# makes self-overlapping matches impossible — so the AC total equals
+# the oracle's per-pattern non-overlapping REPLACE count, and the
+# DuckDB gate is exact, not approximate.
+# ---------------------------------------------------------------------------
+
+# (pattern, severity class): phrases block, words flag, sub-word
+# fragments probe (fragments cross token boundaries — the case a
+# tokenize-and-join wordlist scan cannot express)
+BLOCKLIST_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("slow scan", "block"),
+    ("merge batch", "block"),
+    ("fast sort", "block"),
+    ("key agg", "block"),
+    ("dup", "flag"),
+    ("slow", "flag"),
+    ("big", "flag"),
+    ("can", "probe"),
+    ("ust", "probe"),
+    ("ast", "probe"),
+    ("ream", "probe"),
+)
+
+
+def _border_free(p: str) -> bool:
+    """True when no proper prefix of p is also a suffix — the condition
+    under which matches of p cannot overlap each other, making
+    AC's all-occurrences count equal REPLACE's non-overlapping count."""
+    return not any(p[:b] == p[len(p) - b :] for b in range(1, len(p)))
+
+
+assert all(_border_free(p) for p, _ in BLOCKLIST_PATTERNS), (
+    "blocklist patterns must be border-free for oracle equality"
+)
+
+
+def build_aho_corasick(
+    patterns: tuple[tuple[str, str], ...],
+) -> tuple[list[dict], list[int], list[tuple[int, ...]]]:
+    """(goto, fail, out): the classic automaton.  ``out[s]`` is the
+    PRE-MERGED tuple of pattern indexes ending at state s INCLUDING
+    dictionary suffixes (merged along failure links at build time), so
+    the scan emits matches in O(1) amortized per hit."""
+    from collections import deque
+
+    goto: list[dict] = [{}]
+    out: list[list[int]] = [[]]
+    for idx, (p, _cls) in enumerate(patterns):
+        s = 0
+        for ch in p:
+            nxt = goto[s].get(ch)
+            if nxt is None:
+                nxt = len(goto)
+                goto.append({})
+                out.append([])
+                goto[s][ch] = nxt
+            s = nxt
+        out[s].append(idx)
+    fail = [0] * len(goto)
+    dq = deque()
+    for s in goto[0].values():
+        dq.append(s)
+    while dq:
+        r = dq.popleft()
+        for ch, s in goto[r].items():
+            dq.append(s)
+            f = fail[r]
+            while f and ch not in goto[f]:
+                f = fail[f]
+            cand = goto[f].get(ch, 0)
+            fail[s] = cand if cand != s else 0
+            out[s] = out[s] + out[fail[s]]  # dictionary-suffix merge
+    return goto, fail, [tuple(o) for o in out]
+
+
+def ac_scan_counts(
+    text: str, goto: list[dict], fail: list[int], out: list[tuple[int, ...]], n: int
+) -> list[int]:
+    """Per-pattern occurrence counts for one document — one pass."""
+    counts = [0] * n
+    s = 0
+    for ch in text:
+        while s and ch not in goto[s]:
+            s = fail[s]
+        s = goto[s].get(ch, 0)
+        if out[s]:
+            for idx in out[s]:
+                counts[idx] += 1
+    return counts
+
+
+def _blocklist_oracle() -> str:
+    vals = ",\n    ".join(
+        f"('{p}', '{c}')" for p, c in BLOCKLIST_PATTERNS
+    )
+    return f"""
+WITH pats(p, cls) AS (VALUES
+    {vals}),
+hits AS (
+  SELECT d.doc_id, p.cls,
+         CAST((LENGTH(d.text) - LENGTH(REPLACE(d.text, p.p, ''))) // LENGTH(p.p) AS BIGINT) AS cnt
+  FROM documents d CROSS JOIN pats p
+)
+SELECT doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_matches,
+       CAST(SUM(CASE WHEN cls = 'block' THEN cnt ELSE 0 END) AS BIGINT) AS n_block,
+       CAST(SUM(CASE WHEN cls = 'flag' THEN cnt ELSE 0 END) AS BIGINT) AS n_flag,
+       CAST(SUM(CASE WHEN cls = 'probe' THEN cnt ELSE 0 END) AS BIGINT) AS n_probe,
+       CAST(SUM(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_patterns_hit
+FROM hits
+GROUP BY doc_id
+HAVING SUM(cnt) > 0
+ORDER BY doc_id
+"""
+
+
+@register("text_blocklist_multiscan", oracle=_blocklist_oracle())
+def q_text_blocklist_multiscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document scanned against the full blocklist in ONE pass
+    (Aho-Corasick over mapInPandas): per matched doc, total
+    occurrences, per-class occurrence counts, and the count of
+    distinct patterns hit.  The oracle recomputes each pattern's count
+    INDEPENDENTLY via REPLACE arithmetic — N separate passes — so a
+    missed nested hit, a failure-link bug, or an off-by-one at a
+    pattern boundary shifts a count and breaks the value hash.
+
+    Scale shape: the automaton builds ONCE driver-side (a few hundred
+    states for this list; production blocklists of 10k terms build in
+    ~ms and ship via closure broadcast like the trained constants in
+    data_selection.py) and the scan is pure map-side CPU over the text
+    column — no shuffle until the tiny matched-docs projection sorts.
+    Growing the pattern list leaves the scan cost FLAT (one automaton
+    step per char), which is the whole argument vs the regex
+    alternation in `text_redact_patterns`."""
+    from ..sources.tables import spread
+
+    goto, fail, out = build_aho_corasick(BLOCKLIST_PATTERNS)
+    classes = [c for _, c in BLOCKLIST_PATTERNS]
+    n_pat = len(BLOCKLIST_PATTERNS)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                counts = ac_scan_counts(text or "", goto, fail, out, n_pat)
+                total = sum(counts)
+                if not total:
+                    continue
+                by_cls = {"block": 0, "flag": 0, "probe": 0}
+                for c, cls in zip(counts, classes):
+                    by_cls[cls] += c
+                rows.append(
+                    (
+                        int(doc_id),
+                        total,
+                        by_cls["block"],
+                        by_cls["flag"],
+                        by_cls["probe"],
+                        sum(1 for c in counts if c),
+                    )
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "doc_id",
+                        "n_matches",
+                        "n_block",
+                        "n_flag",
+                        "n_probe",
+                        "n_patterns_hit",
+                    ],
+                )
+
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return docs.mapInPandas(
+        gen,
+        "doc_id long, n_matches long, n_block long, n_flag long, "
+        "n_probe long, n_patterns_hit long",
+    ).orderBy("doc_id")

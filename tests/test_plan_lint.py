@@ -91,6 +91,7 @@ ARROW_OK = {
     "udtf_table_argument",  # Arrow UDTF over TABLE() partitions (by design)
     "dedup_substring_spans_fp",  # map-side Rabin-Karp gram fingerprints (mapInPandas) ARE the subject
     "dedup_lines_crossdoc",  # map-side line fingerprints (mapInPandas, r15) ARE the subject
+    "text_blocklist_multiscan",  # the Aho-Corasick one-pass scan (mapInPandas, r15) IS the subject
     "dedup_incremental_lines",  # same line-fingerprint generator feeding the store/probe split
     "similarity_join_threshold",
     "dedup_embedding_cosine",
