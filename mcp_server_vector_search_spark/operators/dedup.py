@@ -1960,3 +1960,179 @@ def q_dedup_incremental_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_lsh_scurve_certificate — the (b, r) parameter-selection
+# certificate every production near-dedup exposes (Leskovec/Rajaraman/
+# Ullman, Mining of Massive Datasets ch. 3): at band geometry (b, r)
+# a pair with Jaccard s shares >= 1 full band with probability
+# P(s) = 1 - (1 - s^r)^b — the S-curve whose knee is the pipeline's
+# effective threshold.  This row MEASURES the deployed geometry's
+# curve instead of trusting it: every document gets a MUTATED TWIN
+# with a controlled fraction of token positions replaced by
+# per-(doc, position) marker tokens (mutation level = doc_id mod 10,
+# so the corpus sweeps the whole similarity range deterministically),
+# the pair's EXACT Jaccard bins it (pure integer math — div(10·|∩|,
+# |∪|)), and the banding verdict comes from the PRODUCTION signature
+# expression (`minhash_sig_expr`) applied to both texts.  Theory
+# enters as a registration-time literal (round6 of the closed form at
+# each bin midpoint) joined by bin — never engine-evaluated POWER(),
+# whose libm rounding Spark and DuckDB do not share.
+# ---------------------------------------------------------------------------
+
+LSH_SCURVE_LEVELS = 10  # mutation levels: doc_id % 10 positions-in-10 replaced
+
+
+def _scurve_theory_rows() -> tuple[tuple[int, float], ...]:
+    """(bin, round6(P at bin midpoint)) for bins 0..10; bin 10 is the
+    exact-equality bin (s = 1), where P = 1 identically."""
+    from ..functions.train import round6
+
+    rows = []
+    for b in range(11):
+        s = 1.0 if b == 10 else (b + 0.5) / 10.0
+        rows.append((b, round6(1.0 - (1.0 - s**BAND_ROWS) ** N_BANDS)))
+    return tuple(rows)
+
+
+def _scurve_oracle() -> str:
+    theory_vals = ",\n    ".join(
+        f"({b}, {p!r})" for b, p in _scurve_theory_rows()
+    )
+    sig_exprs = ",\n         ".join(
+        f"MIN(({MINHASH_A[i]} * hm + {MINHASH_B[i]}) % {MERSENNE31}) AS s{i}"
+        for i in range(N_MINHASH)
+    )
+    band_conds = " OR ".join(
+        "("
+        + " AND ".join(
+            f"o.s{i} = t.s{i}"
+            for i in range(bi * BAND_ROWS, (bi + 1) * BAND_ROWS)
+        )
+        + ")"
+        for bi in range(N_BANDS)
+    )
+    return f"""
+WITH theory(bin, theory_p6) AS (VALUES
+    {theory_vals}),
+ws AS (
+  SELECT doc_id, string_split(text, ' ') AS w, doc_id % {LSH_SCURVE_LEVELS} AS m
+  FROM documents
+),
+twin AS (
+  SELECT doc_id,
+         array_to_string(list_transform(range(1, len(w) + 1),
+           k -> CASE WHEN ((k - 1) * 31 + doc_id) % {LSH_SCURVE_LEVELS} < m
+                     THEN 'zz' || CAST(doc_id AS VARCHAR) || '_' || CAST(k - 1 AS VARCHAR)
+                     ELSE w[CAST(k AS INTEGER)] END), ' ') AS ttext
+  FROM ws
+),
+otoks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+ttoks AS (SELECT DISTINCT doc_id, unnest(string_split(ttext, ' ')) AS tok FROM twin),
+jac AS (
+  SELECT o.doc_id,
+         (SELECT COUNT(*) FROM ttoks t
+          WHERE t.doc_id = o.doc_id AND t.tok IN
+            (SELECT tok FROM otoks x WHERE x.doc_id = o.doc_id)) AS i,
+         (SELECT COUNT(*) FROM (
+            SELECT tok FROM otoks x WHERE x.doc_id = o.doc_id
+            UNION SELECT tok FROM ttoks t WHERE t.doc_id = o.doc_id) u) AS u
+  FROM (SELECT DISTINCT doc_id FROM documents) o
+),
+ohm AS (SELECT doc_id, {duckdb_hash60_mod('tok')} AS hm FROM otoks),
+thm AS (SELECT doc_id, {duckdb_hash60_mod('tok')} AS hm FROM ttoks),
+osig AS (SELECT doc_id, {sig_exprs} FROM ohm GROUP BY doc_id),
+tsig AS (SELECT doc_id, {sig_exprs} FROM thm GROUP BY doc_id),
+pairs AS (
+  SELECT j.doc_id,
+         CAST((10 * j.i) // j.u AS INTEGER) AS bin,
+         CASE WHEN {band_conds} THEN 1 ELSE 0 END AS collide
+  FROM jac j
+  JOIN osig o ON o.doc_id = j.doc_id
+  JOIN tsig t ON t.doc_id = j.doc_id
+)
+SELECT p.bin,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(p.collide) AS BIGINT) AS n_collide,
+       th.theory_p6
+FROM pairs p JOIN theory th ON th.bin = p.bin
+GROUP BY p.bin, th.theory_p6
+ORDER BY p.bin
+"""
+
+
+@register("dedup_lsh_scurve_certificate", oracle=_scurve_oracle())
+def q_dedup_lsh_scurve_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deployed MinHash band geometry's measured S-curve: per
+    exact-Jaccard bin, how many (document, mutated-twin) pairs exist
+    and how many share >= 1 full band under the PRODUCTION signature
+    expression, alongside the closed-form collision probability at the
+    bin midpoint.  tests/test_dedup.py::test_scurve_* assert the
+    empirical rates track the curve (near-zero below the knee, 1.0 at
+    the equality bin) — the quantitative justification for (b, r) =
+    ({N_BANDS}, {BAND_ROWS}) that a recall gate alone cannot give.
+
+    Scale shape: the twin derivation and both signature folds are
+    row-local projections on ONE scan (no self-join — each doc pairs
+    with its own twin); the only exchange is the 11-key bin rollup.
+    At 100 TB this is exactly the shape of a production geometry
+    audit: a single pass over a sample shard, constant-size output."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = (F.col("doc_id") % LSH_SCURVE_LEVELS).cast("long")
+    ws = F.split(F.col("text"), " ")
+    idx = F.sequence(F.lit(0), F.size(ws) - 1)
+    twin_toks = F.zip_with(
+        ws,
+        idx,
+        lambda t, k: F.when(
+            ((k.cast("long") * 31 + F.col("doc_id")) % LSH_SCURVE_LEVELS) < m,
+            F.concat(
+                F.lit("zz"),
+                F.col("doc_id").cast("string"),
+                F.lit("_"),
+                k.cast("string"),
+            ),
+        ).otherwise(t),
+    )
+    aset = F.array_distinct(ws)
+    tset = F.array_distinct(twin_toks)
+    inter = F.size(F.array_intersect(aset, tset)).cast("long")
+    union = F.size(F.array_union(aset, tset)).cast("long")
+    pairs = docs.select(
+        F.col("doc_id"),
+        (F.lit(10) * inter).alias("i10"),
+        union.alias("u"),
+        minhash_sig_expr(F.col("text")).alias("osig"),
+        minhash_sig_expr(F.array_join(twin_toks, " ")).alias("tsig"),
+    ).select(
+        "doc_id",
+        # integer DIV keeps the bin exact on both engines (a double
+        # divide could land 5.999... when u divides 10·i evenly)
+        F.expr("CAST(i10 DIV u AS INT)").alias("bin"),
+        "osig",
+        "tsig",
+    )
+    band_eq = [
+        reduce(
+            lambda a, c: a & c,
+            [
+                F.get("osig", i) == F.get("tsig", i)
+                for i in range(bi * BAND_ROWS, (bi + 1) * BAND_ROWS)
+            ],
+        )
+        for bi in range(N_BANDS)
+    ]
+    collide = reduce(lambda a, c: a | c, band_eq)
+    binned = (
+        pairs.withColumn("collide", F.when(collide, 1).otherwise(0))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("collide").cast("long").alias("n_collide"),
+        )
+    )
+    theory = docs.sparkSession.createDataFrame(
+        list(_scurve_theory_rows()), "bin int, theory_p6 double"
+    )
+    return binned.join(theory, "bin").orderBy("bin")

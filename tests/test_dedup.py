@@ -284,3 +284,59 @@ def test_substring_spans_fp_matches_exact_and_handles_edges(spark):
         (r["doc_id"], r["s"]) for r in doc_gram_fingerprints(docs).collect()
     }
     assert (7, 1) in g and not any(d in (4, 5, 6) for d, _ in g)
+
+
+def test_scurve_tracks_theory(spark):
+    """The measured band-collision rate per exact-Jaccard bin must
+    track the closed-form S-curve at the deployed (b, r): near-zero
+    below the knee, within binomial noise around it, exactly 1.0 at
+    the equality bin (identical sets give identical signatures by
+    construction, so anything else is a signature bug)."""
+    rows = {
+        r["bin"]: r
+        for r in dedup.q_dedup_lsh_scurve_certificate(
+            spark, SF_CORRECTNESS
+        ).collect()
+    }
+    assert rows, "no bins produced"
+    # equality bin: deterministic, not statistical
+    assert rows[10]["n_collide"] == rows[10]["n_pairs"]
+    # below the knee the curve is ~0: allow a stray collision per bin
+    for b in range(0, 5):
+        if b in rows:
+            r = rows[b]
+            assert r["n_collide"] <= max(1, 0.1 * r["n_pairs"]), (
+                f"bin {b}: {r['n_collide']}/{r['n_pairs']} collides — "
+                f"far above theory {r['theory_p6']}"
+            )
+    # around/above the knee the rate must be clearly nonzero and the
+    # empirical rate must not fall 4x under theory (binomial slack on
+    # tens of pairs)
+    for b in (7, 8):
+        if b in rows:
+            r = rows[b]
+            rate = r["n_collide"] / r["n_pairs"]
+            assert rate >= r["theory_p6"] / 4, (
+                f"bin {b}: rate {rate:.3f} vs theory {r['theory_p6']}"
+            )
+    # monotone trend: pooled rate above bin 6 exceeds pooled rate below bin 5
+    hi = [rows[b] for b in rows if b >= 7]
+    lo = [rows[b] for b in rows if b <= 4]
+    hi_rate = sum(r["n_collide"] for r in hi) / max(1, sum(r["n_pairs"] for r in hi))
+    lo_rate = sum(r["n_collide"] for r in lo) / max(1, sum(r["n_pairs"] for r in lo))
+    assert hi_rate > lo_rate + 0.2
+
+
+def test_scurve_theory_literal_matches_closed_form():
+    """The registration-time literal IS the closed form at the bin
+    midpoints (bin 10 pinned at s=1) under the shared round6."""
+    from mcp_server_vector_search_spark.functions.train import round6
+    from mcp_server_vector_search_spark.operators.dedup import (
+        BAND_ROWS,
+        N_BANDS,
+        _scurve_theory_rows,
+    )
+
+    for b, p in _scurve_theory_rows():
+        s = 1.0 if b == 10 else (b + 0.5) / 10.0
+        assert p == round6(1.0 - (1.0 - s**BAND_ROWS) ** N_BANDS)
