@@ -670,11 +670,24 @@ def q_text_blocklist_multiscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     Growing the pattern list leaves the scan cost FLAT (one automaton
     step per char), which is the whole argument vs the regex
     alternation in `text_redact_patterns`."""
+    return blocklist_scan(
+        load_table(spark, sf_dir, "documents"), BLOCKLIST_PATTERNS
+    )
+
+
+def blocklist_scan(
+    docs: DataFrame, patterns: tuple[tuple[str, str], ...]
+) -> DataFrame:
+    """The distributed one-pass scan for any (pattern, class) list —
+    the registered row binds ``BLOCKLIST_PATTERNS``; the 100x tier
+    binds a tier-vocabulary list (the subject is the automaton and the
+    map-side pass, not a specific wordlist)."""
     from ..sources.tables import spread
 
-    goto, fail, out = build_aho_corasick(BLOCKLIST_PATTERNS)
-    classes = [c for _, c in BLOCKLIST_PATTERNS]
-    n_pat = len(BLOCKLIST_PATTERNS)
+    assert all(_border_free(p) for p, _ in patterns)
+    goto, fail, out = build_aho_corasick(patterns)
+    classes = [c for _, c in patterns]
+    n_pat = len(patterns)
 
     def gen(batches):
         import pandas as pd
@@ -712,8 +725,8 @@ def q_text_blocklist_multiscan(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ],
                 )
 
-    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
-    return docs.mapInPandas(
+    spread_docs = spread(docs.select("doc_id", "text"))
+    return spread_docs.mapInPandas(
         gen,
         "doc_id long, n_matches long, n_block long, n_flag long, "
         "n_probe long, n_patterns_hit long",

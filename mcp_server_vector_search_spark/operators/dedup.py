@@ -343,7 +343,14 @@ def minhash_sig_expr(text_col) -> F.Column:
     no state) — shared by the batch signature builder and the streaming
     ingest probe (streaming/ingest.py), so batch≡stream equivalence
     holds by construction."""
-    hms = F.transform(F.array_distinct(tokens(text_col)), lambda t: md5_hash60_mod(t))
+    return minhash_sig_expr_elems(F.array_distinct(tokens(text_col)))
+
+
+def minhash_sig_expr_elems(elems) -> F.Column:
+    """The same one-pass 16-permutation fold over an arbitrary DISTINCT
+    string-element array — the plain row binds distinct tokens; the
+    weighted row binds the tf-expanded elements (r15)."""
+    hms = F.transform(elems, lambda t: md5_hash60_mod(t))
     a_lit = F.expr("array(" + ",".join(f"{a}L" for a in MINHASH_A) + ")")
     b_lit = F.expr("array(" + ",".join(f"{b}L" for b in MINHASH_B) + ")")
     idx = F.sequence(F.lit(0), F.lit(N_MINHASH - 1))
@@ -2136,3 +2143,167 @@ def q_dedup_lsh_scurve_certificate(spark: SparkSession, sf_dir: str) -> DataFram
         list(_scurve_theory_rows()), "bin int, theory_p6 double"
     )
     return binned.join(theory, "bin").orderBy("bin")
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_weighted — INTEGER-WEIGHTED MinHash near-dedup (weighted
+# Jaccard over (token, term-frequency) bags), the production upgrade to
+# the distinct-token row: plain MinHash treats "a a a b" and "a b" as
+# identical sets, so boilerplate-heavy or repetition-padded documents
+# collapse onto their vocabulary and false-merge.  Weighted Jaccard
+# J_w = Σ_t min(tf_a, tf_b) / Σ_t max(tf_a, tf_b) keeps multiplicity.
+#
+# Scheme: the REPLICATION trick for integer weights (the exact special
+# case of consistent weighted sampling — Haveliwala/Gionis/Indyk-style
+# expansion): token t with tf = k expands to elements t#1..t#k, and
+# plain Jaccard over the expansions EQUALS weighted Jaccard over the
+# bags (the pair shares exactly min(tf_a, tf_b) copies of t; the union
+# holds max).  So the existing exact-integer md5 MinHash machinery —
+# same 16 permutations, same band geometry, same salted bucket join —
+# applies unchanged, both engines stay bit-identical (no ICWS
+# log/exp/gamma floats), and the verify stage is pure integer
+# arithmetic: Σmin from the shared-token join, Σmax = n_a + n_b − Σmin
+# from per-doc token totals (no outer join needed).
+# ---------------------------------------------------------------------------
+
+WJ_T_NUM, WJ_T_DEN = 9, 10  # verify threshold: weighted Jaccard >= 9/10, exact
+
+
+def weighted_elements_expr(text_col) -> F.Column:
+    """tf-expanded element array, row-local: per distinct token, tf
+    copies tagged #1..#tf.  The inner tf count is an O(n) filter per
+    distinct token (n ≈ 60 tokens/doc ⇒ ~2.4k interpreted ops per doc
+    — scan-local, no shuffle, no Python)."""
+    ws = tokens(text_col)
+    return F.flatten(
+        F.transform(
+            F.array_distinct(ws),
+            lambda t: F.transform(
+                F.sequence(
+                    F.lit(1), F.size(F.filter(ws, lambda x: x == t))
+                ),
+                lambda i: F.concat(t, F.lit("#"), i.cast("string")),
+            ),
+        )
+    )
+
+
+def _minhash_weighted_oracle() -> str:
+    sig_exprs = ",\n         ".join(
+        f"MIN(({MINHASH_A[i]} * hm + {MINHASH_B[i]}) % {MERSENNE31}) AS s{i}"
+        for i in range(N_MINHASH)
+    )
+    band_conds = " OR ".join(
+        "("
+        + " AND ".join(
+            f"a.s{i} = b.s{i}"
+            for i in range(bi * BAND_ROWS, (bi + 1) * BAND_ROWS)
+        )
+        + ")"
+        for bi in range(N_BANDS)
+    )
+    return f"""
+WITH tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+  ) GROUP BY doc_id, tok
+),
+expd AS (
+  SELECT doc_id,
+         tok || '#' || CAST(unnest(range(1, tf + 1)) AS VARCHAR) AS elem
+  FROM tf
+),
+hm AS (SELECT doc_id, {duckdb_hash60_mod('elem')} AS hm FROM expd),
+sigs AS (SELECT doc_id, {sig_exprs} FROM hm GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+  WHERE {band_conds}
+),
+tot AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+num AS (
+  SELECT c.a_id, c.b_id, SUM(LEAST(x.tf, y.tf)) AS num
+  FROM cand c
+  JOIN tf x ON x.doc_id = c.a_id
+  JOIN tf y ON y.doc_id = c.b_id AND y.tok = x.tok
+  GROUP BY c.a_id, c.b_id
+)
+SELECT n.a_id, n.b_id,
+       CAST(n.num AS BIGINT) AS sum_min,
+       CAST(ta.n + tb.n - n.num AS BIGINT) AS sum_max
+FROM num n
+JOIN tot ta ON ta.doc_id = n.a_id
+JOIN tot tb ON tb.doc_id = n.b_id
+WHERE {WJ_T_DEN} * n.num >= {WJ_T_NUM} * (ta.n + tb.n - n.num)
+ORDER BY n.a_id, n.b_id
+"""
+
+
+@register("dedup_minhash_weighted", oracle=_minhash_weighted_oracle())
+def dedup_minhash_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-Jaccard near-dedup, exact end to end: tf-expanded
+    MinHash signatures band into the SAME salted LSH bucket join as the
+    plain row, and surviving candidates verify with pure integer
+    arithmetic — Σmin(tf) from the shared-token join, Σmax = n_a + n_b
+    − Σmin from the per-doc totals, pass iff {WJ_T_DEN}·Σmin ≥
+    {WJ_T_NUM}·Σmax.  Output is the passing pairs with their exact
+    (Σmin, Σmax) — integers, hash-stable, no float anywhere.
+
+    Scale shape: the expansion is row-local (tf copies of each distinct
+    token, still ~|tokens| elements per doc), the signature fold stays
+    one pass, candidates come from the banded bucket join (never
+    all-pairs), and the verify joins the tf table — keyed by doc_id, so
+    AQE plans the small candidate side as the broadcast probe."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = tokens(F.col("text"))
+    sigs = docs.select(
+        "doc_id",
+        minhash_sig_expr_elems(weighted_elements_expr(F.col("text"))).alias(
+            "sigs"
+        ),
+    )
+    cand = lsh_candidate_pairs(sigs).select("a_id", "b_id")
+    tf = (
+        docs.select("doc_id", F.explode(ws).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    tot = docs.select("doc_id", F.size(ws).cast("long").alias("n"))
+    num = (
+        cand.join(tf.withColumnRenamed("doc_id", "a_id"), "a_id")
+        .join(
+            tf.withColumnRenamed("doc_id", "b_id").withColumnRenamed(
+                "tf", "tf_b"
+            ),
+            ["b_id", "tok"],
+        )
+        .groupBy("a_id", "b_id")
+        .agg(F.sum(F.least("tf", "tf_b")).alias("num"))
+    )
+    return (
+        num.join(
+            tot.withColumnRenamed("doc_id", "a_id").withColumnRenamed(
+                "n", "na"
+            ),
+            "a_id",
+        )
+        .join(
+            tot.withColumnRenamed("doc_id", "b_id").withColumnRenamed(
+                "n", "nb"
+            ),
+            "b_id",
+        )
+        .where(
+            F.lit(WJ_T_DEN) * F.col("num")
+            >= F.lit(WJ_T_NUM) * (F.col("na") + F.col("nb") - F.col("num"))
+        )
+        .select(
+            "a_id",
+            "b_id",
+            F.col("num").cast("long").alias("sum_min"),
+            (F.col("na") + F.col("nb") - F.col("num"))
+            .cast("long")
+            .alias("sum_max"),
+        )
+        .orderBy("a_id", "b_id")
+    )

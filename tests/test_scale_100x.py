@@ -1147,3 +1147,102 @@ def test_pagerank_100x(spark, tiers):
     assert t100 <= LINEAR_SLACK * t10, (
         f"pagerank grew {t100 / t10:.1f}x on 10x data — super-linear"
     )
+
+
+def test_kcore_100x(spark, tiers):
+    """K-core peel at 500k docs / ~1.5M varied-degree edges: the
+    bounded synchronized peel must still CONVERGE (the output-embedded
+    certificate: min core degree >= K), the core must be non-vacuous,
+    and runtime stays inside the linear bound.  The removal cascade at
+    this scale is front-loaded (125k + 62k nodes in two rounds —
+    measured at design time with DuckDB), so the early-exit saves the
+    four no-op rounds."""
+    from mcp_server_vector_search_spark.operators.components import (
+        KCORE_K,
+        q_graph_kcore_membership,
+    )
+
+    def run(sf_dir):
+        t0 = time.perf_counter()
+        rows = q_graph_kcore_membership(spark, sf_dir).collect()
+        return rows, time.perf_counter() - t0
+
+    rows10, t10 = run(tiers[0][0])
+    rows100, t100 = run(tiers[1][0])
+    for rows, n_docs in ((rows10, 50_000), (rows100, 500_000)):
+        mind = min(r["core_degree"] for r in rows)
+        assert mind >= KCORE_K, f"peel did not converge: min degree {mind}"
+        assert 0 < len(rows) < n_docs, "vacuous core"
+    print(
+        f"SCALE100 kcore t10={t10:.2f}s t100={t100:.2f}s "
+        f"ratio={t100 / t10:.2f} core10={len(rows10)} core100={len(rows100)}"
+    )
+    assert t100 <= LINEAR_SLACK * t10, (
+        f"k-core peel grew {t100 / t10:.1f}x on 10x data"
+    )
+
+
+def test_blocklist_multiscan_100x(spark, tiers):
+    """Aho-Corasick one-pass scan at 500k docs: a tier-vocabulary
+    pattern list (words, a phrase, and sub-word fragments that cross
+    token boundaries), counts spot-checked against the brute-force
+    all-occurrences reference on a 200-doc sample, runtime inside the
+    linear bound."""
+    from mcp_server_vector_search_spark.operators.curation import (
+        blocklist_scan,
+    )
+
+    patterns = (
+        ("w17 t", "block"),  # phrase fragment crossing a token boundary
+        ("w23 the", "block"),
+        ("w111", "flag"),
+        ("w42", "flag"),
+        ("0 w", "probe"),  # digit-boundary fragment
+        ("9 the", "probe"),
+    )
+
+    def run(sf_dir):
+        t0 = time.perf_counter()
+        rows = blocklist_scan(
+            load_table(spark, sf_dir, "documents"), patterns
+        ).collect()
+        return rows, time.perf_counter() - t0
+
+    rows10, t10 = run(tiers[0][0])
+    rows100, t100 = run(tiers[1][0])
+    assert rows100, "no matches at the tier — vacuous pattern list"
+
+    # brute-force spot check on a deterministic 200-doc sample
+    def brute(text):
+        total = 0
+        hit = 0
+        for p, _ in patterns:
+            c, i = 0, text.find(p)
+            while i != -1:
+                c += 1
+                i = text.find(p, i + 1)
+            total += c
+            hit += 1 if c else 0
+        return total, hit
+
+    got = {r["doc_id"]: (r["n_matches"], r["n_patterns_hit"]) for r in rows100}
+    sample = (
+        load_table(spark, tiers[1][0], "documents")
+        .where((F.col("doc_id") % 2500) == 0)
+        .select("doc_id", "text")
+        .collect()
+    )
+    assert len(sample) >= 150
+    for r in sample:
+        total, hit = brute(r["text"])
+        want = (total, hit) if total else None
+        assert got.get(r["doc_id"]) == want, (
+            f"doc {r['doc_id']}: scan {got.get(r['doc_id'])} != brute {want}"
+        )
+    print(
+        f"SCALE100 blocklist t10={t10:.2f}s t100={t100:.2f}s "
+        f"ratio={t100 / t10:.2f} matched10={len(rows10)} matched100={len(rows100)}"
+    )
+    assert t100 <= LINEAR_SLACK * t10, (
+        f"blocklist scan grew {t100 / t10:.1f}x on 10x docs"
+    )
