@@ -1002,3 +1002,141 @@ def q_graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         if removed == 0:
             break
     return spark.sql(_kcore_final_sql_t(cur))
+
+
+# ---------------------------------------------------------------------------
+# split_cluster_atomic — NEAR-DUP-cluster-atomic train/val/test split.
+# split_fp_atomic (pipeline.py) makes EXACT-content leakage impossible
+# by keying the split cell on the content fingerprint; but two docs
+# that are near-duplicates (one edit apart) still carry different
+# fingerprints and can straddle the train/eval fence — exactly the
+# leakage near-dedup exists to catch.  This row closes that hole: the
+# split cell is keyed on the CONNECTED-COMPONENT representative of the
+# verified n-gram-Jaccard near-dup graph, so every member of a near-dup
+# cluster — and transitively, every chain of near-dups — lands in one
+# split by construction.  Docs in no near-dup pair are their own
+# singleton cluster.  The output embeds the honest audit: per split,
+# the count of near-dup edge ENDPOINTS whose partner sits in a
+# different split (pinned at 0 by the oracle).
+# ---------------------------------------------------------------------------
+
+_CLUSTER_SPLIT_ORACLE_T = """
+WITH RECURSIVE pairs AS ({ngram}),
+edges AS (
+  SELECT a_id AS u, b_id AS v FROM pairs
+  UNION ALL
+  SELECT b_id AS u, a_id AS v FROM pairs
+),
+walk(u, comp) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) AS n
+  UNION
+  SELECT e.v AS u, w.comp FROM walk w JOIN edges e ON e.u = w.u
+),
+labels AS (SELECT u AS doc_id, MIN(comp) AS component FROM walk GROUP BY u),
+alldocs AS (
+  SELECT d.doc_id, COALESCE(l.component, d.doc_id) AS comp
+  FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+),
+assigned AS (
+  SELECT doc_id, comp,
+         CASE WHEN cell < {train} THEN 'train'
+              WHEN cell < {val} THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT *, CAST(('0x' || substr(md5(CAST(comp AS VARCHAR)), 1, 2)) AS INTEGER)
+                AS cell
+    FROM alldocs
+  )
+),
+leak_ep AS (
+  SELECT x.split, COUNT(*) AS n
+  FROM edges e
+  JOIN assigned x ON x.doc_id = e.u
+  JOIN assigned y ON y.doc_id = e.v
+  WHERE x.split <> y.split
+  GROUP BY x.split
+)
+SELECT a.split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT a.comp) AS BIGINT) AS n_clusters,
+       CAST(COALESCE(MAX(le.n), 0) AS BIGINT) AS n_leak_endpoints
+FROM assigned a LEFT JOIN leak_ep le ON le.split = a.split
+GROUP BY a.split
+ORDER BY a.split
+"""
+
+
+@register(
+    "split_cluster_atomic",
+    oracle=_CLUSTER_SPLIT_ORACLE_T.format(
+        ngram=_NGRAM_ORACLE, train=204, val=230
+    ),
+)
+def q_split_cluster_atomic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split by near-dup cluster: CC labels from the
+    distributed star loop (the certified cluster_components_star path),
+    singleton fallback comp = doc_id, split cell =
+    md5(component)[0:2] against the same 204/230 train/val cell
+    thresholds the id-keyed split uses (sampling.py), and a built-in
+    cross-split edge audit that the oracle pins at zero.
+
+    Scale shape: CC costs O(log n) star rounds over the PAIR set; the
+    split assignment is one hash projection over (doc_id, comp) — no
+    document bytes move; the audit is two id-keyed joins of the edge
+    list against the assignment (AQE broadcasts the 3-row leak side of
+    the final stats join)."""
+    from .sampling import SPLIT_TRAIN_CELLS, SPLIT_VAL_CELLS
+
+    from ..sources.tables import load_table
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("a_id", "b_id")
+    pairs = pairs.localCheckpoint()  # CC + audit both read it; one materialization
+    labels = connected_components(pairs, driver_max_edges=0).select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    alldocs = docs.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("component", "doc_id").alias("comp")
+    )
+    cell = F.conv(
+        F.substring(F.md5(F.col("comp").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    assigned = alldocs.select(
+        "doc_id",
+        "comp",
+        F.when(cell < SPLIT_TRAIN_CELLS, "train")
+        .when(cell < SPLIT_VAL_CELLS, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    edges = pairs.unionAll(
+        pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
+    )
+    leak_ep = (
+        edges.join(
+            assigned.select(F.col("doc_id").alias("a_id"), F.col("split").alias("sa")),
+            "a_id",
+        )
+        .join(
+            assigned.select(F.col("doc_id").alias("b_id"), F.col("split").alias("sb")),
+            "b_id",
+        )
+        .where(F.col("sa") != F.col("sb"))
+        .groupBy(F.col("sa").alias("split"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("comp").cast("long").alias("n_clusters"),
+        )
+        .join(leak_ep, "split", "left")
+        .select(
+            "split",
+            "n_docs",
+            "n_clusters",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_leak_endpoints"),
+        )
+        .orderBy("split")
+    )

@@ -472,3 +472,155 @@ def q_similarity_join_blocked_shuffle(spark: SparkSession, sf_dir: str) -> DataF
     return gemm_cosine_pairs_shuffled(
         load_table(spark, sf_dir, "embeddings"), SIM_THRESHOLD
     )
+
+
+# ---------------------------------------------------------------------------
+# knn_graph_blocked — EXACT k-nearest-neighbor graph over the embedding
+# corpus: for every vector, its k most-cosine-similar neighbors.  The
+# kNN graph is the substrate half the semantic-curation stack stands on
+# (SemDeDup's cluster neighborhoods, NN-descent seeds, graph-ANN entry
+# points, kNN-classifier label propagation) — the similarity-JOIN rows
+# answer "which pairs exceed t"; this answers "who are each row's top
+# k", which no threshold can emulate when density varies across the
+# space.
+#
+# Physical shape: the SAME block-shuffled SUMMA grid as
+# gemm_cosine_pairs_shuffled (no driver collect, one dgemm per block
+# pair), but each block-pair emits only its PARTIAL top-k per A row —
+# k·NB candidates per row instead of n — and one row_number window over
+# a_id merges partials into the global top-k.  Partial-then-merge is
+# safe because selection uses one strict total order, applied in BOTH
+# stages: (cos_sim rounded HALF_UP at 6 decimals DESC, nbr_id ASC).
+# Rounding happens INSIDE the kernel via round6_arr (bit-equal to
+# F.round / the oracle's ROUND), so the kernel's composite integer sort
+# key and the window's ORDER BY agree exactly — no float-order drift
+# between the prune and the merge.
+#
+# At 100 TB the exact form is the evaluation reference (recall ground
+# truth on a sampled slice); the corpus-scale kNN-graph path is the ANN
+# family (IVF/HNSW batch top-k) whose recall these exact rows certify.
+# ---------------------------------------------------------------------------
+
+KNN_K = 5
+KNN_BLOCK_ROWS = 512  # smaller than SHUFFLE_BLOCK_ROWS so the grid is
+# exercised (nb=4, 16 block pairs) even at the 2k-vector bench SF
+
+
+def knn_graph_blocked(
+    embeddings: DataFrame,
+    k: int = KNN_K,
+    id_col: str = "vec_id",
+    block_rows: int = KNN_BLOCK_ROWS,
+    decimals: int = SCORE_DECIMALS,
+) -> DataFrame:
+    """Exact directed kNN graph (a_id, nbr_id, cos_sim, rnk) with
+    rnk = 1..k per a_id, ties broken by smaller nbr_id.  Self-pairs and
+    non-finite scores (zero-norm vectors) are excluded on both engines."""
+    from ..functions.train import round6_arr
+
+    spark = embeddings.sparkSession
+    base = embeddings.select(id_col, "embedding")
+    n = base.count()  # bounded: 1 driver scalar (block-count sizing)
+    if not n:
+        return spark.createDataFrame(
+            [], "a_id long, nbr_id long, cos_sim double, rnk long"
+        )
+    nb = max(1, math.ceil(n / block_rows))
+    blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(nb)).cast("int")
+    grid = F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias("other")
+    a = base.select(F.col(id_col).alias("id"), "embedding", blk.alias("blk"), grid)
+    b = base.select(
+        F.col(id_col).alias("rid"),
+        F.col("embedding").alias("remb"),
+        grid,
+        blk.alias("rblk"),
+    )
+    sentinel = np.iinfo(np.int64).max
+
+    def topk_block(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame({"a_id": [], "nbr_id": [], "cos_sim": []})
+        a_ids = left["id"].to_numpy(dtype=np.int64)
+        b_ids = right["rid"].to_numpy(dtype=np.int64)
+        assert b_ids.size == 0 or (0 <= b_ids.min() and b_ids.max() < 1 << 32)
+        A = np.stack(left["embedding"].to_numpy()).astype(np.float64)
+        B = np.stack(right["remb"].to_numpy()).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = (A @ B.T) / np.outer(
+                np.linalg.norm(A, axis=1), np.linalg.norm(B, axis=1)
+            )
+        sims = round6_arr(np.where(np.isfinite(sims), sims, np.nan))
+        valid = np.isfinite(sims) & (a_ids[:, None] != b_ids[None, :])
+        # strict-total-order composite key: smaller key = better neighbor
+        # (higher rounded sim, then smaller nbr_id); sims are exact
+        # multiples of 1e-6 after round6_arr so the 1e6 scale is integral
+        sim_int = np.rint(np.where(valid, sims, -2.0) * 1e6).astype(np.int64)
+        key = np.where(
+            valid,
+            (1_000_000 - sim_int) * (1 << 32) + b_ids[None, :],
+            sentinel,
+        )
+        kk = min(k, key.shape[1])
+        idx = np.argpartition(key, kk - 1, axis=1)[:, :kk]
+        part = np.take_along_axis(key, idx, axis=1)
+        idx = np.take_along_axis(idx, np.argsort(part, axis=1), axis=1)
+        keep = np.take_along_axis(valid, idx, axis=1)
+        ai, ki = np.nonzero(keep)
+        bi = idx[ai, ki]
+        return pd.DataFrame(
+            {
+                "a_id": a_ids[ai],
+                "nbr_id": b_ids[bi],
+                "cos_sim": sims[ai, bi],
+            }
+        )
+
+    from pyspark.sql.window import Window
+
+    partials = (
+        a.groupby("blk", "other")
+        .cogroup(b.groupby("other", "rblk"))
+        .applyInPandas(
+            lambda _key, l, r: topk_block(l, r),
+            "a_id long, nbr_id long, cos_sim double",
+        )
+    )
+    w = Window.partitionBy("a_id").orderBy(
+        F.col("cos_sim").desc(), F.col("nbr_id").asc()
+    )
+    return (
+        partials.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("a_id", "nbr_id", "cos_sim", F.col("rnk").cast("long").alias("rnk"))
+        .orderBy("a_id", "rnk")
+    )
+
+
+@register(
+    "knn_graph_exact",
+    oracle=f"""
+WITH sims AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS nbr_id,
+         ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]),
+               {SCORE_DECIMALS}) AS cos_sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE isfinite(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]))
+),
+ranked AS (
+  SELECT a_id, nbr_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cos_sim DESC, nbr_id) AS rnk
+  FROM sims
+)
+SELECT a_id, nbr_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {KNN_K}
+ORDER BY a_id, rnk
+""",
+)
+def q_knn_graph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact kNN graph over the embeddings table — block-shuffled
+    partial-top-k grid + one a_id window merge; the reference's Neo4j
+    vector index answers the 1-query form of this
+    (reference server.py:61-88 top_k retrieval); the graph form is the
+    batch "every row is a query" generalization the curation stack
+    needs."""
+    return knn_graph_blocked(load_table(spark, sf_dir, "embeddings"))

@@ -288,3 +288,27 @@ LIMIT 20
     assert overlap >= 18, (
         f"warm-start top-20 diverged from cold rebuild: {overlap}/20"
     )
+
+
+def test_knn_graph_multiblock_matches_single_block(spark):
+    """The partial-top-k prune must be invisible: a grid forced to many
+    tiny blocks (block_rows=7 → 72 block-pairs at sf0.001) returns the
+    IDENTICAL graph to the single-block run, where no pruning happens.
+    This is the safety argument for partial-then-merge — one strict
+    total order in both stages — exercised on a degenerate geometry the
+    registered row never hits."""
+    from mcp_server_vector_search_spark.operators.similarity_join import (
+        knn_graph_blocked,
+    )
+
+    emb = load_table(spark, SF_CORRECTNESS.replace("sf0.01", "sf0.001"), "embeddings")
+    tiny = knn_graph_blocked(emb, k=3, block_rows=7).collect()
+    single = knn_graph_blocked(emb, k=3, block_rows=1 << 30).collect()
+    assert [tuple(r) for r in tiny] == [tuple(r) for r in single]
+    n = emb.count()
+    per_node = {}
+    for r in tiny:
+        assert r["a_id"] != r["nbr_id"]
+        per_node.setdefault(r["a_id"], []).append(r["rnk"])
+    assert len(per_node) == n
+    assert all(sorted(v) == [1, 2, 3] for v in per_node.values())
