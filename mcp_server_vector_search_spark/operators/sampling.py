@@ -699,3 +699,112 @@ def q_mix_interleave_roundrobin(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     d.createOrReplaceTempView("__il_docs")
     return spark.sql(_INTERLEAVE_SQL.replace("{documents}", "__il_docs"))
+
+
+# ---------------------------------------------------------------------------
+# batch_padding_audit — the PADDING ledger for length-bucketed dynamic
+# batching, pack_sequences_cumsum's inference-side sibling: packing
+# concatenates documents (no padding, for pretraining); serving and
+# eval batch SEPARATE sequences and pad each batch to its longest
+# member.  The standard mitigation is length bucketing — route each doc
+# to a 64-token-wide length bucket, batch within the bucket in
+# deterministic hash order — and the number a pipeline operator owes
+# its operator is the WASTE: padded minus actual tokens per bucket, the
+# quantity bucketing exists to shrink.
+#
+# Cross-engine care: the bucket cap is pure integer arithmetic
+# (((n + 63) div 64) * 64) — NOT power-of-two via log2, whose
+# libm-vs-libm last-ulp drift at exact powers of two would flip a
+# ceil() between engines.
+# ---------------------------------------------------------------------------
+
+PAD_BUCKET_W = 64  # bucket width in tokens
+PAD_BATCH = 16  # sequences per batch
+
+
+@register(
+    "batch_padding_audit",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         len(string_split(text, ' ')) AS n_tok,
+         ((len(string_split(text, ' ')) + {PAD_BUCKET_W - 1}) // {PAD_BUCKET_W})
+           * {PAD_BUCKET_W} AS bucket_cap,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+batched AS (
+  SELECT source, bucket_cap, n_tok,
+         (ROW_NUMBER() OVER (PARTITION BY source, bucket_cap ORDER BY h, doc_id)
+          - 1) // {PAD_BATCH} AS batch_id
+  FROM toks
+),
+per_batch AS (
+  SELECT source, bucket_cap, batch_id,
+         COUNT(*) AS n_docs, MAX(n_tok) AS max_tok,
+         CAST(SUM(n_tok) AS BIGINT) AS actual_tok
+  FROM batched GROUP BY source, bucket_cap, batch_id
+)
+SELECT source,
+       CAST(bucket_cap AS BIGINT) AS bucket_cap,
+       CAST(COUNT(*) AS BIGINT) AS n_batches,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(actual_tok) AS BIGINT) AS actual_tokens,
+       CAST(SUM(n_docs * max_tok) AS BIGINT) AS padded_tokens,
+       ROUND(1.0 - SUM(actual_tok) / CAST(SUM(n_docs * max_tok) AS DOUBLE), 6)
+         AS waste_frac
+FROM per_batch
+GROUP BY source, bucket_cap
+ORDER BY source, bucket_cap
+""",
+)
+def q_batch_padding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (source, bucket) padding ledger: batches of {PAD_BATCH} in
+    hash order within each 64-token length bucket, each batch padded to
+    its own max — report batch count, actual vs padded tokens, and the
+    waste fraction bucketing leaves on the table.
+
+    Scale shape: ONE window exchange keyed (source, bucket_cap) — the
+    salt the per-source packing window already relies on, so no bucket
+    concentrates a corpus — then two hash aggregates that reuse the
+    window's partitioning (no further exchange)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    bucket = (
+        F.expr(
+            f"((size(split(text, ' ')) + {PAD_BUCKET_W - 1}) div {PAD_BUCKET_W})"
+            f" * {PAD_BUCKET_W}"
+        )
+    ).cast("long")
+    h = F.md5(F.col("doc_id").cast("string"))
+    toks = d.select(
+        "doc_id", "source", n_tok.alias("n_tok"), bucket.alias("bucket_cap"), h.alias("h")
+    )
+    batched = toks.select(
+        "source",
+        "bucket_cap",
+        "n_tok",
+        F.expr(f"(row_number() over (partition by source, bucket_cap "
+               f"order by h, doc_id) - 1) div {PAD_BATCH}").alias("batch_id"),
+    )
+    per_batch = batched.groupBy("source", "bucket_cap", "batch_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("n_tok").alias("max_tok"),
+        F.sum("n_tok").cast("long").alias("actual_tok"),
+    )
+    return (
+        per_batch.groupBy("source", "bucket_cap")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_batches"),
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("actual_tok").cast("long").alias("actual_tokens"),
+            F.sum(F.col("n_docs") * F.col("max_tok")).cast("long").alias("padded_tokens"),
+            F.round(
+                F.lit(1.0)
+                - F.sum("actual_tok")
+                / F.sum(F.col("n_docs") * F.col("max_tok")).cast("double"),
+                6,
+            ).alias("waste_frac"),
+        )
+        .orderBy("source", "bucket_cap")
+    )

@@ -1432,3 +1432,128 @@ def q_tokenizer_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# text_entropy_chars — per-document character-distribution entropy, the
+# compressibility proxy every large web-curation pipeline runs (the
+# MassiveText/RefinedWeb "gibberish and boilerplate both have abnormal
+# entropy" gate: machine-generated keyboard mash scores HIGH, template
+# boilerplate and repeated-char padding score LOW).  Exact Shannon
+# entropy over character UNIGRAMS and BIGRAMS — not a zlib ratio, which
+# no SQL engine can replay — plus the bigram/unigram ratio that
+# approximates a first-order Markov redundancy measure.
+#
+# Scale shape: the (doc_id, gram) census is the module's standard
+# exploded aggregate (map-side combined; gram cardinality per doc is
+# bounded by text length), the per-doc entropy fold is a second hash
+# agg on doc_id sharing no corpus-wide state, and nothing leaves
+# codegen except the two exchanges.  At 100 TB this is the same plan —
+# both aggs key on doc_id(+gram), so AQE splits skew from a pathological
+# giant doc without code changes.
+# ---------------------------------------------------------------------------
+
+ENTROPY_MIN_LEN = 2  # docs shorter than one bigram are out of domain
+
+
+@register(
+    "text_entropy_chars",
+    oracle=f"""
+WITH doms AS (
+  SELECT doc_id, text, len(text) AS n
+  FROM documents WHERE len(text) >= {ENTROPY_MIN_LEN}
+),
+uni AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM (
+    SELECT doc_id, unnest(list_transform(range(1, n + 1),
+                                         i -> substr(text, i, 1))) AS g
+    FROM doms
+  ) GROUP BY doc_id, g
+),
+bi AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM (
+    SELECT doc_id, unnest(list_transform(range(1, n),
+                                         i -> substr(text, i, 2))) AS g
+    FROM doms
+  ) GROUP BY doc_id, g
+),
+utot AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS t,
+                CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS d
+         FROM uni GROUP BY doc_id),
+btot AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS t FROM bi GROUP BY doc_id),
+hu AS (
+  SELECT u.doc_id, MAX(ut.n) AS n_chars, MAX(ut.d) AS n_distinct_chars,
+         -SUM((u.c / ut.t) * log2(u.c / ut.t)) AS h1
+  FROM uni u JOIN utot ut ON ut.doc_id = u.doc_id GROUP BY u.doc_id
+),
+hb AS (
+  SELECT b.doc_id, -SUM((b.c / bt.t) * log2(b.c / bt.t)) AS h2
+  FROM bi b JOIN btot bt ON bt.doc_id = b.doc_id GROUP BY b.doc_id
+)
+SELECT hu.doc_id, hu.n_chars, hu.n_distinct_chars,
+       ROUND(hu.h1, {R}) AS h1_bits,
+       ROUND(hb.h2, {R}) AS h2_bits,
+       ROUND(hb.h2 - hu.h1, {R}) AS markov_gain_bits
+FROM hu JOIN hb ON hb.doc_id = hu.doc_id
+ORDER BY hu.doc_id
+""",
+)
+def q_text_entropy_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character unigram/bigram Shannon entropy per document plus the
+    first-order gain H2 − H1 (≈ conditional next-char entropy): the
+    three-number compressibility profile that separates natural prose
+    (H1 ≈ 4 bits, positive gain) from mash (high H1, gain ≈ H1) and
+    padding (H1 → 0).
+
+    The window-in-aggregate spelling the oracle uses is flattened here
+    into two hash aggregates per gram order (census, then the p·log2 p
+    fold) — same numbers, and Spark keeps both stages in codegen."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.length("text") >= ENTROPY_MIN_LEN)
+        .select("doc_id", "text", F.length("text").alias("n"))
+    )
+
+    def gram_census(width: int) -> DataFrame:
+        grams = F.expr(
+            f"transform(sequence(1, n - {width - 1}), i -> substring(text, i, {width}))"
+        )
+        return (
+            docs.select("doc_id", F.explode(grams).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    def entropy_fold(census: DataFrame, h_name: str) -> DataFrame:
+        # -Σ (c/T) log2 (c/T) = log2 T − (Σ c·log2 c)/T would be one
+        # pass, but the DOUBLE association order would differ from the
+        # oracle's p·log2 p term sum; keep the shared term shape via a
+        # two-agg plan (total join then fold) on both engines.
+        t = census.groupBy("doc_id").agg(F.sum("c").cast("double").alias("t"))
+        return (
+            census.join(t, "doc_id")
+            .groupBy("doc_id")
+            .agg(
+                F.sum("c").cast("long").alias(f"__n_{h_name}"),
+                F.count(F.lit(1)).cast("long").alias(f"__d_{h_name}"),
+                (-F.sum(
+                    (F.col("c") / F.col("t").cast("double"))
+                    * F.log2(F.col("c") / F.col("t").cast("double"))
+                )).alias(h_name)
+            )
+        )
+
+    hu = entropy_fold(gram_census(1), "h1")
+    hb = entropy_fold(gram_census(2), "h2")
+    return (
+        hu.join(hb, "doc_id")
+        .select(
+            "doc_id",
+            F.col("__n_h1").alias("n_chars"),
+            F.col("__d_h1").alias("n_distinct_chars"),
+            F.round("h1", R).alias("h1_bits"),
+            F.round("h2", R).alias("h2_bits"),
+            F.round(F.col("h2") - F.col("h1"), R).alias("markov_gain_bits"),
+        )
+        .orderBy("doc_id")
+    )
