@@ -506,34 +506,42 @@ KNN_BLOCK_ROWS = 512  # smaller than SHUFFLE_BLOCK_ROWS so the grid is
 # exercised (nb=4, 16 block pairs) even at the 2k-vector bench SF
 
 
-def knn_graph_blocked(
-    embeddings: DataFrame,
+def _knn_partials(
+    queries: DataFrame,
+    corpus: DataFrame,
     k: int = KNN_K,
     id_col: str = "vec_id",
     block_rows: int = KNN_BLOCK_ROWS,
-    decimals: int = SCORE_DECIMALS,
 ) -> DataFrame:
-    """Exact directed kNN graph (a_id, nbr_id, cos_sim, rnk) with
-    rnk = 1..k per a_id, ties broken by smaller nbr_id.  Self-pairs and
-    non-finite scores (zero-norm vectors) are excluded on both engines."""
+    """Per-query PARTIAL top-k candidates (a_id, nbr_id, cos_sim) from
+    the block-shuffled grid — queries and corpus may be the same table
+    (the self-kNN graph) or different (the incremental probe).  Each
+    (query-block, corpus-block) cogroup emits its block-local top-k per
+    query row under the strict total order (rounded sim DESC, nbr_id
+    ASC); a downstream row_number window under the SAME order merges
+    partials exactly."""
     from ..functions.train import round6_arr
 
-    spark = embeddings.sparkSession
-    base = embeddings.select(id_col, "embedding")
-    n = base.count()  # bounded: 1 driver scalar (block-count sizing)
-    if not n:
-        return spark.createDataFrame(
-            [], "a_id long, nbr_id long, cos_sim double, rnk long"
-        )
-    nb = max(1, math.ceil(n / block_rows))
-    blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(nb)).cast("int")
-    grid = F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias("other")
-    a = base.select(F.col(id_col).alias("id"), "embedding", blk.alias("blk"), grid)
-    b = base.select(
+    spark = queries.sparkSession
+    qbase = queries.select(id_col, "embedding")
+    cbase = corpus.select(id_col, "embedding")
+    qn = qbase.count()  # bounded: 2 driver scalars (block-count sizing)
+    cn = cbase.count()
+    if not qn or not cn:
+        return spark.createDataFrame([], "a_id long, nbr_id long, cos_sim double")
+    nbq = max(1, math.ceil(qn / block_rows))
+    nbc = max(1, math.ceil(cn / block_rows))
+    a = qbase.select(
+        F.col(id_col).alias("id"),
+        "embedding",
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(nbq)).cast("int").alias("blk"),
+        F.explode(F.sequence(F.lit(0), F.lit(nbc - 1))).alias("other"),
+    )
+    b = cbase.select(
         F.col(id_col).alias("rid"),
         F.col("embedding").alias("remb"),
-        grid,
-        blk.alias("rblk"),
+        F.explode(F.sequence(F.lit(0), F.lit(nbq - 1))).alias("other"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(nbc)).cast("int").alias("rblk"),
     )
     sentinel = np.iinfo(np.int64).max
 
@@ -575,9 +583,7 @@ def knn_graph_blocked(
             }
         )
 
-    from pyspark.sql.window import Window
-
-    partials = (
+    return (
         a.groupby("blk", "other")
         .cogroup(b.groupby("other", "rblk"))
         .applyInPandas(
@@ -585,6 +591,13 @@ def knn_graph_blocked(
             "a_id long, nbr_id long, cos_sim double",
         )
     )
+
+
+def _knn_rank_merge(partials: DataFrame, k: int) -> DataFrame:
+    """Merge partial candidate sets into the global top-k per a_id —
+    the same strict total order the block kernel pruned under."""
+    from pyspark.sql.window import Window
+
     w = Window.partitionBy("a_id").orderBy(
         F.col("cos_sim").desc(), F.col("nbr_id").asc()
     )
@@ -593,6 +606,20 @@ def knn_graph_blocked(
         .where(F.col("rnk") <= k)
         .select("a_id", "nbr_id", "cos_sim", F.col("rnk").cast("long").alias("rnk"))
         .orderBy("a_id", "rnk")
+    )
+
+
+def knn_graph_blocked(
+    embeddings: DataFrame,
+    k: int = KNN_K,
+    id_col: str = "vec_id",
+    block_rows: int = KNN_BLOCK_ROWS,
+) -> DataFrame:
+    """Exact directed kNN graph (a_id, nbr_id, cos_sim, rnk) with
+    rnk = 1..k per a_id, ties broken by smaller nbr_id.  Self-pairs and
+    non-finite scores (zero-norm vectors) are excluded on both engines."""
+    return _knn_rank_merge(
+        _knn_partials(embeddings, embeddings, k, id_col, block_rows), k
     )
 
 
@@ -624,3 +651,72 @@ def q_knn_graph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch "every row is a query" generalization the curation stack
     needs."""
     return knn_graph_blocked(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# knn_graph_incremental — kNN-graph MAINTENANCE under ingest, the
+# store-probe member of the incremental family (exact / minhash /
+# substring / lines / semdedup convention: cut = 0.8 · max id, old =
+# the store, new = the arriving batch).  A nightly rebuild of the full
+# graph is O(n²); the incremental contract is O(n·|Δ|): existing rows
+# can only change where a NEW vector displaces a stored neighbor, so
+# the union of (stored top-k) ∪ (old × Δ partial top-k) provably
+# contains each old row's true post-ingest top-k, and new rows pay one
+# Δ × corpus probe.  One rank merge over the union yields a graph
+# BIT-EQUAL to the from-scratch rebuild — which is exactly what the
+# oracle runs (the same full-corpus SQL as knn_graph_exact), so the
+# equivalence is hash-certified, not asserted.
+# ---------------------------------------------------------------------------
+
+KNN_INCR_FRACTION = 0.8  # cut = 0.8 · max(vec_id), family convention
+
+
+@register(
+    "knn_graph_incremental",
+    oracle=f"""
+WITH sims AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS nbr_id,
+         ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]),
+               {SCORE_DECIMALS}) AS cos_sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE isfinite(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]))
+),
+ranked AS (
+  SELECT a_id, nbr_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cos_sim DESC, nbr_id) AS rnk
+  FROM sims
+)
+SELECT a_id, nbr_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {KNN_K}
+ORDER BY a_id, rnk
+""",
+)
+def q_knn_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental kNN-graph update: stored graph rows + an old × Δ
+    partial probe + a Δ × corpus probe, merged by one rank window —
+    certified equal to the full rebuild by sharing knn_graph_exact's
+    oracle text.  (The stored old-graph artifact is rebuilt here so the
+    gate corpus is self-contained — the incremental-semdedup
+    convention; at a real cadence it is a table read.)
+
+    Scale shape: the Δ × corpus grid replicates only the BATCH across
+    corpus blocks (nbq = ⌈|Δ|/B⌉ grid rows per corpus block — the
+    store itself is never all-pairs'd again), and the old × Δ probe's
+    corpus-side replication factor is ⌈|Δ|/B⌉, usually 1: per-ingest
+    work is O(n·|Δ|/B) dgemm flops vs the rebuild's O(n²/B)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cut = int(
+        emb.agg(
+            F.floor(F.lit(KNN_INCR_FRACTION) * F.max("vec_id"))
+            .cast("long")
+            .alias("c")
+        ).first()["c"]
+    )
+    old = emb.where(F.col("vec_id") < cut)
+    delta = emb.where(F.col("vec_id") >= cut)
+    stored = knn_graph_blocked(old).select("a_id", "nbr_id", "cos_sim")
+    probe_old = _knn_partials(old, delta)
+    probe_new = _knn_partials(delta, emb)
+    return _knn_rank_merge(
+        stored.unionAll(probe_old).unionAll(probe_new), KNN_K
+    )
