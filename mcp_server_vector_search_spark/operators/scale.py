@@ -1383,3 +1383,77 @@ def q_agg_ams_f2_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(est.cast("double") / F.lit(AMS_K), 2).alias("f2_estimate"),
         F.round(rel, 2).alias("rel_err_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_weighted_quantiles — exact TOKEN-weighted length quantiles per
+# source: "the median token lives in a document of length X" — the
+# statistic that actually sets max_seq_len / pack capacity (doc-count
+# quantiles understate it badly: a few long docs carry most tokens).
+# Exact lower weighted quantile, all-integer: smallest n_tok whose
+# running token mass reaches q of the source total, with the quantile
+# fraction kept as num/den so NO float enters the comparison — the
+# engines cannot drift.  Both windows and the final rollup share one
+# source-keyed exchange.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_weighted_quantiles",
+    oracle="""
+WITH t AS (
+  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+),
+c AS (
+  SELECT source, n_tok,
+         SUM(n_tok) OVER (PARTITION BY source ORDER BY n_tok, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cumw,
+         SUM(n_tok) OVER (PARTITION BY source) AS totw
+  FROM t
+)
+SELECT source,
+       CAST(MIN(CASE WHEN 2 * cumw >= totw THEN n_tok END) AS BIGINT)
+         AS p50_tok_weighted,
+       CAST(MIN(CASE WHEN 10 * cumw >= 9 * totw THEN n_tok END) AS BIGINT)
+         AS p90_tok_weighted,
+       CAST(MAX(totw) AS BIGINT) AS total_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM c GROUP BY source ORDER BY source
+""",
+)
+def q_agg_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted p50/p90 of doc token length per source, weight =
+    the token count itself.  One running-sum window ordered (n_tok,
+    doc_id), one frame-less total window on the same partitioning, one
+    rollup — a single exchange end to end; at 100 TB the per-source
+    ordering is the only sort and it is per-shard parallel."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    t = d.select("source", "doc_id", n_tok.alias("n_tok"))
+    w_run = (
+        W.partitionBy("source")
+        .orderBy("n_tok", "doc_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    c = t.select(
+        "source",
+        "n_tok",
+        F.sum("n_tok").over(w_run).alias("cumw"),
+        F.sum("n_tok").over(W.partitionBy("source")).alias("totw"),
+    )
+    return (
+        c.groupBy("source")
+        .agg(
+            F.min(F.when(2 * F.col("cumw") >= F.col("totw"), F.col("n_tok")))
+            .cast("long")
+            .alias("p50_tok_weighted"),
+            F.min(
+                F.when(10 * F.col("cumw") >= 9 * F.col("totw"), F.col("n_tok"))
+            )
+            .cast("long")
+            .alias("p90_tok_weighted"),
+            F.max("totw").cast("long").alias("total_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+        .orderBy("source")
+    )

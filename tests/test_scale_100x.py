@@ -1246,3 +1246,42 @@ def test_blocklist_multiscan_100x(spark, tiers):
     assert t100 <= LINEAR_SLACK * t10, (
         f"blocklist scan grew {t100 / t10:.1f}x on 10x docs"
     )
+
+
+def test_knn_graph_100x(spark, tiers):
+    """Exact kNN graph at the 200k-vector tier: like the blocked
+    similarity join, pair WORK grows 100x when rows grow 10x (the grid
+    runs 49² cogroup dgemm tasks at block_rows=4096), so the bound is
+    work-linear / 2.  Quality gates: every vector gets exactly k
+    neighbors, and each of the 2,000 planted near-identical pairs
+    (cos ≈ 0.999, above the σ=0.1 cluster spread) appears in BOTH
+    members' neighbor lists — checked distributed via a join, never by
+    collecting the 1M-row graph."""
+    from mcp_server_vector_search_spark.operators.similarity_join import (
+        knn_graph_blocked,
+    )
+
+    def run(sf_dir, meta, n_vec):
+        e = load_table(spark, sf_dir, "embeddings")
+        t0 = time.perf_counter()
+        g = knn_graph_blocked(e, k=5, block_rows=4096).localCheckpoint()
+        n_rows = g.count()
+        t = time.perf_counter() - t0
+        assert n_rows == n_vec * 5, f"{n_rows} != {n_vec}*5"
+        pairs = {tuple(sorted(p)) for p in meta["vec_pairs"]}
+        both = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+        pdf = spark.createDataFrame(both, "a_id long, nbr_id long")
+        hit = g.join(pdf, ["a_id", "nbr_id"]).count()
+        return hit, 2 * len(pairs), t
+
+    hit10, want10, t10 = run(tiers[0][0], tiers[0][1], 20_000)
+    hit100, want100, t100 = run(tiers[1][0], tiers[1][1], 200_000)
+    assert hit10 == want10, f"10x: planted partner in top-5 {hit10}/{want10}"
+    assert hit100 == want100, f"100x: planted partner in top-5 {hit100}/{want100}"
+    print(
+        f"SCALE100 knn-graph t10={t10:.2f}s t100={t100:.2f}s "
+        f"ratio={t100 / t10:.2f} (pair-work grew 100x)"
+    )
+    assert t100 <= 50.0 * t10, (
+        f"knn graph grew {t100 / t10:.1f}x on 100x pair-work"
+    )
