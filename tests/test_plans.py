@@ -599,3 +599,63 @@ def test_url_curation_plan_shapes(spark):
     # no Python anywhere in the family — pure codegen'd SQL
     for p in (canon, caps, block):
         assert "EvalPython" not in p
+
+
+def test_entropy_chars_stays_in_codegen(spark):
+    """The char-gram censuses and both entropy folds are pure JVM hash
+    aggregates — no Python stage anywhere, every exchange keyed on
+    doc_id(+gram) so a giant doc is AQE-splittable skew, not a
+    single-partition cliff."""
+    from mcp_server_vector_search_spark.operators.text_analysis import (
+        q_text_entropy_chars,
+    )
+
+    plan = formatted_plan(q_text_entropy_chars(spark, SF_CORRECTNESS))
+    assert "EvalPython" not in plan
+    assert "SinglePartition" not in plan
+    assert re.search(r"hashpartitioning\(doc_id#\d+L, g#", plan)
+
+
+def test_padding_audit_single_hash_exchange(spark):
+    """One (source, bucket_cap) exchange feeds the batching window AND
+    both rollups — the downstream groupBys key on supersets/subsets of
+    the window partitioning, so Catalyst must not re-shuffle."""
+    from mcp_server_vector_search_spark.operators.sampling import (
+        q_batch_padding_audit,
+    )
+
+    plan = formatted_plan(q_batch_padding_audit(spark, SF_CORRECTNESS))
+    assert "EvalPython" not in plan
+    assert "SinglePartition" not in plan
+    hashes = set(re.findall(r"hashpartitioning\([^)]*\)", plan))
+    assert len(hashes) == 1 and "bucket_cap" in next(iter(hashes))
+
+
+def test_weighted_quantiles_single_hash_exchange(spark):
+    """Running-sum window, frame-less total window, and the rollup all
+    share ONE source-keyed exchange."""
+    from mcp_server_vector_search_spark.operators.scale import (
+        q_agg_weighted_quantiles,
+    )
+
+    plan = formatted_plan(q_agg_weighted_quantiles(spark, SF_CORRECTNESS))
+    assert "EvalPython" not in plan
+    assert "SinglePartition" not in plan
+    hashes = set(re.findall(r"hashpartitioning\([^)]*\)", plan))
+    assert len(hashes) == 1 and "source" in next(iter(hashes))
+
+
+def test_knn_graph_grid_shape(spark):
+    """The kNN grid must be the cogrouped dgemm (block-pair keys on
+    both sides), never a CartesianProduct, and the merge window keys on
+    a_id — partition-parallel, not single-partition."""
+    from mcp_server_vector_search_spark.operators.similarity_join import (
+        q_knn_graph_exact,
+    )
+
+    plan = formatted_plan(q_knn_graph_exact(spark, SF_CORRECTNESS))
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+    assert re.search(r"hashpartitioning\(blk#\d+, other#", plan)
+    assert re.search(r"hashpartitioning\(a_id#\d+L", plan)
