@@ -1546,3 +1546,104 @@ def q_streaming_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Streaming kNN-graph maintenance through the gate: the stream-side
+# sibling of knn_graph_incremental (operators/similarity_join.py).
+# Vectors arrive in micro-batches; each epoch probes batch × batch,
+# batch × store and store × batch with the SAME partial-top-k grid
+# kernel the batch graph uses, appends the partial candidates, and
+# appends the batch into the store.  Because every unordered pair is
+# probed in the epoch where its LATER member arrives, and the partial
+# sets are pruned under the one strict total order, the rank merge
+# over all appended partials is BIT-EQUAL to the from-scratch batch
+# graph — certified by sharing knn_graph_exact's oracle text.
+# ---------------------------------------------------------------------------
+
+
+def _knn_stream_oracle() -> str:
+    from ..operators.similarity_join import KNN_K, SCORE_DECIMALS
+
+    return f"""
+WITH sims AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS nbr_id,
+         ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]),
+               {SCORE_DECIMALS}) AS cos_sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE isfinite(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]))
+),
+ranked AS (
+  SELECT a_id, nbr_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cos_sim DESC, nbr_id) AS rnk
+  FROM sims
+)
+SELECT a_id, nbr_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {KNN_K}
+ORDER BY a_id, rnk
+"""
+
+
+@register("streaming_knn_append", oracle=_knn_stream_oracle())
+def q_streaming_knn_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the embeddings table as THREE micro-batches
+    (vec_id mod 3 slices, maxFilesPerTrigger=1), maintain the kNN
+    graph incrementally in ``foreachBatch``, and return the merged
+    graph — hash-certified equal to the batch rebuild.
+
+    Scale shape per epoch: the store is only ever the CORPUS side of a
+    grid probe (replicated ⌈|Δ|/B⌉ ≈ 1 times — never all-pairs'd
+    against itself again), so steady-state ingest work is
+    O(|store|·|Δ|/B) dgemm flops, and the appended candidate file
+    grows k·NB rows per arriving vector, not n."""
+    import shutil
+
+    from ..operators.similarity_join import (
+        KNN_K,
+        _knn_partials,
+        _knn_rank_merge,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = tempfile.mkdtemp(prefix="stream_knn_src_")
+    for s in range(3):
+        (
+            emb.where(F.pmod(F.col("vec_id"), F.lit(3)) == s)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    store_path = tempfile.mkdtemp(prefix="stream_knn_store_") + "/store"
+    part_path = tempfile.mkdtemp(prefix="stream_knn_parts_") + "/parts"
+    ckpt = tempfile.mkdtemp(prefix="stream_knn_ckpt_")
+
+    def probe_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch = batch_df.select("vec_id", "embedding").localCheckpoint(eager=True)
+        parts = _knn_partials(batch, batch)
+        try:
+            store = spark.read.parquet(store_path)
+            parts = parts.unionAll(_knn_partials(batch, store)).unionAll(
+                _knn_partials(store, batch)
+            )
+        except Exception:
+            pass  # first epoch: no store yet
+        parts.write.mode("append").parquet(part_path)
+        batch.write.mode("append").parquet(store_path)
+
+    stream = spark.readStream.schema(emb.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(probe_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert data_batches(q) == 3, "replay must span three micro-batches"
+    out = _knn_rank_merge(spark.read.parquet(part_path), KNN_K).localCheckpoint(
+        eager=True
+    )
+    for d in (src, os.path.dirname(store_path), os.path.dirname(part_path), ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    return out

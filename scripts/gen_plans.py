@@ -655,6 +655,39 @@ SHOWCASE = [
         "bounded 1x1-row join — the shuffle never carries corpus "
         "rows, only K hashes per shard.",
     ),
+    (
+        "knn_graph_exact",
+        "Exact kNN graph: the block-shuffled SUMMA grid — two "
+        "`Exchange hashpartitioning(blk, other)` sides feeding ONE "
+        "`FlatMapCoGroupsInPandas` dgemm per block pair (no "
+        "`CartesianProduct` anywhere) — emits per-block partial top-k "
+        "only (k·NB candidates per row, not n), and the single a_id "
+        "window merges partials under the same strict total order the "
+        "kernel pruned with.",
+    ),
+    (
+        "text_entropy_chars",
+        "Char unigram/bigram entropy never leaves codegen: gram "
+        "censuses are partial→final hash aggregates keyed "
+        "(doc_id, gram), the p·log₂p folds key on doc_id, and there is "
+        "no Python stage and no single-partition operator — a "
+        "pathological giant document is AQE-splittable skew, not a "
+        "cliff.",
+    ),
+    (
+        "batch_padding_audit",
+        "ONE `Exchange hashpartitioning(source, bucket_cap)` feeds the "
+        "batching window and BOTH rollups — the groupBy keys are "
+        "supersets of the window partitioning, so Catalyst re-uses the "
+        "exchange instead of re-shuffling.",
+    ),
+    (
+        "agg_weighted_quantiles",
+        "Exact token-weighted quantiles: the running-sum window, the "
+        "frame-less total window, and the final rollup all share one "
+        "source-keyed exchange; the quantile compare is pure integer "
+        "arithmetic (num/den), so no float crosses an engine boundary.",
+    ),
 ]
 
 # Queries whose evidence is the EXECUTED streaming micro-batch plan,
