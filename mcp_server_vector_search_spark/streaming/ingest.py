@@ -1620,13 +1620,11 @@ def q_streaming_knn_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     def probe_batch(batch_df: DataFrame, epoch_id: int) -> None:
         batch = batch_df.select("vec_id", "embedding").localCheckpoint(eager=True)
         parts = _knn_partials(batch, batch)
-        try:
+        if os.path.isdir(store_path):  # absent only in the first epoch
             store = spark.read.parquet(store_path)
             parts = parts.unionAll(_knn_partials(batch, store)).unionAll(
                 _knn_partials(store, batch)
             )
-        except Exception:
-            pass  # first epoch: no store yet
         parts.write.mode("append").parquet(part_path)
         batch.write.mode("append").parquet(store_path)
 
