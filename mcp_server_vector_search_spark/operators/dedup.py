@@ -2254,7 +2254,12 @@ def dedup_minhash_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     one pass, candidates come from the banded bucket join (never
     all-pairs), and the verify joins the tf table — keyed by doc_id, so
     AQE plans the small candidate side as the broadcast probe."""
-    docs = load_table(spark, sf_dir, "documents")
+    from ..sources.tables import spread
+
+    # single-file gate scans arrive as 1-3 splits; the tf expansion and
+    # the signature fold are the CPU (HOF-interpreted) hot path, so
+    # spread them across cores before branching (memory: r14 dim-1536)
+    docs = spread(load_table(spark, sf_dir, "documents"))
     ws = tokens(F.col("text"))
     sigs = docs.select(
         "doc_id",
