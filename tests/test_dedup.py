@@ -340,3 +340,31 @@ def test_scurve_theory_literal_matches_closed_form():
     for b, p in _scurve_theory_rows():
         s = 1.0 if b == 10 else (b + 0.5) / 10.0
         assert p == round6(1.0 - (1.0 - s**BAND_ROWS) ** N_BANDS)
+
+
+def test_weighted_expansion_distinguishes_multiplicity(spark):
+    """The tf-replication must (a) expand exactly to t#1..t#tf per
+    distinct token, and (b) make multiplicity visible: 'a a a b' vs
+    'a b' share only {a#1, b#1} of {a#1,a#2,a#3,b#1} (weighted J =
+    1/2), while DISTINCT-token MinHash sees identical sets (J = 1) —
+    the false-merge the weighted row exists to prevent."""
+    from pyspark.sql import functions as F
+
+    from mcp_server_vector_search_spark.operators.dedup import (
+        weighted_elements_expr,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a b")], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r["e"]
+        for r in df.select(
+            "doc_id", weighted_elements_expr(F.col("text")).alias("e")
+        ).collect()
+    }
+    assert sorted(rows[1]) == ["a#1", "a#2", "a#3", "b#1"]
+    assert sorted(rows[2]) == ["a#1", "b#1"]
+    inter = set(rows[1]) & set(rows[2])
+    union = set(rows[1]) | set(rows[2])
+    assert len(inter) / len(union) == 0.5  # weighted J, exact
