@@ -1508,7 +1508,11 @@ def q_text_entropy_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     The window-in-aggregate spelling the oracle uses is flattened here
     into two hash aggregates per gram order (census, then the p·log2 p
     fold) — same numbers, and Spark keeps both stages in codegen."""
-    docs = (
+    from ..sources.tables import spread
+
+    # the gram explodes are the CPU hot path and the gate scan is 1-3
+    # splits — spread before fanning out (the weighted-MinHash lesson)
+    docs = spread(
         load_table(spark, sf_dir, "documents")
         .where(F.length("text") >= ENTROPY_MIN_LEN)
         .select("doc_id", "text", F.length("text").alias("n"))
