@@ -2253,7 +2253,10 @@ def dedup_minhash_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     token, still ~|tokens| elements per doc), the signature fold stays
     one pass, candidates come from the banded bucket join (never
     all-pairs), and the verify joins the tf table — keyed by doc_id, so
-    AQE plans the small candidate side as the broadcast probe."""
+    the join direction is PINNED: the bounded candidate side
+    broadcasts, the corpus-sized tf/total tables stream (statistics
+    once chose to broadcast the 3M-row tf table at the 100x tier and
+    OOM'd the driver — the exact failure a 100 TB run would hit)."""
     from ..sources.tables import spread
 
     # single-file gate scans arrive as 1-3 splits; the tf expansion and
@@ -2261,42 +2264,82 @@ def dedup_minhash_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread them across cores before branching (memory: r14 dim-1536)
     docs = spread(load_table(spark, sf_dir, "documents"))
     ws = tokens(F.col("text"))
-    sigs = docs.select(
-        "doc_id",
-        minhash_sig_expr_elems(weighted_elements_expr(F.col("text"))).alias(
-            "sigs"
-        ),
-    )
-    cand = lsh_candidate_pairs(sigs).select("a_id", "b_id")
     tf = (
         docs.select("doc_id", F.explode(ws).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    # Signatures as 16 MIN aggregates over the exploded tf table — the
+    # oracle's own shape — instead of the row-local HOF fold over
+    # weighted_elements_expr: the HOF expansion counts each distinct
+    # token with an O(n) filter (O(distinct·n) interpreted ops per doc
+    # — the 100x tier measured it as the dominant cost), while this
+    # form is two codegen exchanges the verify's tf table already pays
+    # for (ReuseExchange dedupes the scan).  It also matches the
+    # oracle on zero-token docs: no elements → no signature row,
+    # where the fold would emit an all-sentinel signature.
+    elems = tf.select(
+        "doc_id", "tok", F.explode(F.sequence(F.lit(1), F.col("tf"))).alias("i")
+    ).select(
+        "doc_id",
+        F.concat(F.col("tok"), F.lit("#"), F.col("i").cast("string")).alias("elem"),
+    )
+    hm = elems.select("doc_id", md5_hash60_mod(F.col("elem")).alias("hm"))
+    sigs = (
+        hm.groupBy("doc_id")
+        .agg(
+            *[
+                F.min(
+                    (F.lit(MINHASH_A[i]).cast("long") * F.col("hm")
+                     + F.lit(MINHASH_B[i]).cast("long"))
+                    % F.lit(MERSENNE31).cast("long")
+                ).alias(f"s{i}")
+                for i in range(N_MINHASH)
+            ]
+        )
+        .select(
+            "doc_id",
+            F.array(*[F.col(f"s{i}") for i in range(N_MINHASH)]).alias("sigs"),
+        )
+    )
+    cand = lsh_candidate_pairs(sigs).select("a_id", "b_id")
     tot = docs.select("doc_id", F.size(ws).cast("long").alias("n"))
+    # Join direction is pinned, not left to statistics: the BANDED
+    # candidate set (and everything derived from it) is the bounded
+    # side; the tf table is O(corpus tokens) and must only ever be
+    # STREAMED.  The 100x tier caught the planner broadcasting the
+    # 3M-row tf table off a stats misestimate — driver OOM at 500k
+    # docs, silently "fine" at the 5k-doc gate SF (the exact failure
+    # shape a 100 TB run would hit).
     num = (
-        cand.join(tf.withColumnRenamed("doc_id", "a_id"), "a_id")
-        .join(
-            tf.withColumnRenamed("doc_id", "b_id").withColumnRenamed(
-                "tf", "tf_b"
-            ),
-            ["b_id", "tok"],
+        F.broadcast(cand)
+        .join(tf.withColumnRenamed("doc_id", "a_id"), "a_id")
+        .transform(
+            lambda probes: F.broadcast(probes).join(
+                tf.withColumnRenamed("doc_id", "b_id").withColumnRenamed(
+                    "tf", "tf_b"
+                ),
+                ["b_id", "tok"],
+            )
         )
         .groupBy("a_id", "b_id")
         .agg(F.sum(F.least("tf", "tf_b")).alias("num"))
     )
     return (
-        num.join(
+        F.broadcast(num)
+        .join(
             tot.withColumnRenamed("doc_id", "a_id").withColumnRenamed(
                 "n", "na"
             ),
             "a_id",
         )
-        .join(
-            tot.withColumnRenamed("doc_id", "b_id").withColumnRenamed(
-                "n", "nb"
-            ),
-            "b_id",
+        .transform(
+            lambda m: F.broadcast(m).join(
+                tot.withColumnRenamed("doc_id", "b_id").withColumnRenamed(
+                    "n", "nb"
+                ),
+                "b_id",
+            )
         )
         .where(
             F.lit(WJ_T_DEN) * F.col("num")

@@ -312,3 +312,27 @@ def test_knn_graph_multiblock_matches_single_block(spark):
         per_node.setdefault(r["a_id"], []).append(r["rnk"])
     assert len(per_node) == n
     assert all(sorted(v) == [1, 2, 3] for v in per_node.values())
+
+
+def test_knn_graph_tiny_corpus_edges(spark):
+    """Degenerate geometries: a 3-vector corpus with k=5 yields exactly
+    n-1 neighbors per node (rnk dense from 1), and a 1-vector corpus
+    yields an empty graph (self excluded) — the shapes an incremental
+    first epoch actually sees."""
+    from mcp_server_vector_search_spark.operators.similarity_join import (
+        knn_graph_blocked,
+    )
+
+    tiny = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = knn_graph_blocked(tiny, k=5).collect()
+    per = {}
+    for r in rows:
+        assert r["a_id"] != r["nbr_id"]
+        per.setdefault(r["a_id"], []).append(r["rnk"])
+    assert set(per) == {1, 2, 3}
+    assert all(sorted(v) == [1, 2] for v in per.values())
+    one = spark.createDataFrame([(7, [1.0, 0.0])], "vec_id long, embedding array<float>")
+    assert knn_graph_blocked(one, k=5).count() == 0

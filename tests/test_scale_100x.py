@@ -1285,3 +1285,41 @@ def test_knn_graph_100x(spark, tiers):
     assert t100 <= 50.0 * t10, (
         f"knn graph grew {t100 / t10:.1f}x on 100x pair-work"
     )
+
+
+def test_minhash_weighted_100x(spark, tiers):
+    """Weighted-Jaccard MinHash at 500k docs: the tf-expansion must
+    stay row-local (runtime inside the linear bound), the integer
+    verify must hold on every emitted pair (10·Σmin ≥ 9·Σmax by
+    construction of the output), all 100 planted exact duplicates pass
+    (weighted J = 1), and the 1,000 copy+one-token near pairs
+    (weighted J ≈ 60/61) land at s-curve recall."""
+    from mcp_server_vector_search_spark.operators.dedup import (
+        WJ_T_DEN,
+        WJ_T_NUM,
+        dedup_minhash_weighted,
+    )
+
+    def run(sf_dir, meta):
+        t0 = time.perf_counter()
+        rows = dedup_minhash_weighted(spark, sf_dir).collect()
+        t = time.perf_counter() - t0
+        got = {(r["a_id"], r["b_id"]) for r in rows}
+        assert all(
+            WJ_T_DEN * r["sum_min"] >= WJ_T_NUM * r["sum_max"] for r in rows
+        )
+        exact = {tuple(sorted(p)) for p in meta["exact_pairs"]}
+        near = {tuple(sorted(p)) for p in meta["near_pairs"]}
+        assert exact <= got, f"missed {len(exact - got)} exact dups"
+        return len(near & got) / len(near), t
+
+    rec10, t10 = run(*tiers[0])
+    rec100, t100 = run(*tiers[1])
+    assert rec10 >= 0.9 and rec100 >= 0.9, (rec10, rec100)
+    print(
+        f"SCALE100 minhash-weighted t10={t10:.1f}s t100={t100:.1f}s "
+        f"ratio={t100 / t10:.2f} recall10={rec10:.3f} recall100={rec100:.3f}"
+    )
+    assert t100 <= LINEAR_SLACK * t10, (
+        f"weighted MinHash grew {t100 / t10:.1f}x on 10x docs"
+    )
