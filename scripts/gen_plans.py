@@ -682,6 +682,17 @@ SHOWCASE = [
         "exchange instead of re-shuffling.",
     ),
     (
+        "dedup_minhash_weighted",
+        "Weighted-Jaccard MinHash: signatures are 16 MIN aggregates "
+        "over the exploded tf table (pure codegen — no HOF fold, and "
+        "ReuseExchange shares the tf scan with the verify), candidates "
+        "come from the salted banded bucket join, and every verify "
+        "join's build side is the bounded candidate set via explicit "
+        "`broadcast()` — the corpus-sized tf/total tables only ever "
+        "stream (the 100x tier caught statistics choosing the 3M-row "
+        "tf broadcast and OOMing the driver).",
+    ),
+    (
         "agg_weighted_quantiles",
         "Exact token-weighted quantiles: the running-sum window, the "
         "frame-less total window, and the final rollup all share one "
