@@ -1561,3 +1561,106 @@ def q_text_entropy_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# percolate_stored_queries — PERCOLATION, the reverse of retrieval:
+# retrieval holds an index of documents and matches ONE query;
+# percolation holds a registry of STORED queries (alert rules, saved
+# searches, routing predicates) and matches every arriving document
+# against ALL of them in one pass — the Elasticsearch-percolator /
+# pub-sub-matching direction the inverted-AND row doesn't cover.
+# Algebraically it is a SET-CONTAINMENT JOIN (query term-set ⊆ doc
+# token-set), executed as the classic inverted probe: explode distinct
+# doc tokens once, broadcast-join the tiny query-term table, and an
+# exact per-(doc, query) match count equal to the query's arity keeps
+# containment only.
+#
+# The stored registry is derived deterministically from the corpus
+# vocabulary (top-60 words by (frequency DESC, word), grouped in
+# threes → 20 conjunctive rules) so the gate corpus is self-contained;
+# a production registry is a table read with the same shape.
+# ---------------------------------------------------------------------------
+
+PERC_TOP_WORDS = 60
+PERC_ARITY = 3
+
+
+@register(
+    "percolate_stored_queries",
+    oracle=f"""
+WITH wf AS (
+  SELECT w, COUNT(*) AS c FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+  ) GROUP BY w
+),
+top AS (SELECT * FROM wf ORDER BY c DESC, w LIMIT {PERC_TOP_WORDS}),
+q AS (
+  SELECT CAST((ROW_NUMBER() OVER (ORDER BY c DESC, w) - 1) // {PERC_ARITY}
+              AS INTEGER) AS query_id,
+         w AS term
+  FROM top
+),
+toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+),
+m AS (
+  SELECT t.doc_id, q.query_id, COUNT(*) AS k
+  FROM toks t JOIN q ON q.term = t.tok
+  GROUP BY t.doc_id, q.query_id
+)
+SELECT query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc,
+       CAST(SUM(doc_id) AS BIGINT) AS doc_id_sum
+FROM m WHERE k = {PERC_ARITY}
+GROUP BY query_id ORDER BY query_id
+""",
+)
+def q_percolate_stored_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Match every document against all 20 stored conjunctive rules in
+    one pass; per rule: matching-doc count plus min/max/sum identity
+    certificates (a duplicated or dropped doc shifts the sum even when
+    counts collide).
+
+    Scale shape: the registry build is a TakeOrdered top-60 (no global
+    sort; the row_number window then orders 60 rows, not the vocab),
+    the registry broadcasts, the corpus pays ONE distinct-token explode
+    probed map-side, and both aggregates key on (doc_id, query_id) /
+    query_id — arriving-document percolation at 100 TB is this same
+    plan with the explode running over the new batch only."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = wf.orderBy(F.desc("c"), F.asc("w")).limit(PERC_TOP_WORDS)
+    rn = F.row_number().over(W.orderBy(F.desc("c"), F.asc("w")))
+    queries = top.select(
+        ((rn - 1) / PERC_ARITY).cast("int").alias("query_id"),
+        F.col("w").alias("term"),
+    )
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    m = (
+        toks.join(F.broadcast(queries), toks.tok == queries.term)
+        .groupBy("doc_id", "query_id")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    return (
+        m.where(F.col("k") == PERC_ARITY)
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+            F.sum("doc_id").cast("long").alias("doc_id_sum"),
+        )
+        .orderBy("query_id")
+    )
