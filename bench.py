@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import os
+import random
 import sys
 import time
 from pathlib import Path
@@ -57,52 +58,70 @@ def main() -> None:
     # AnalysisException).  Failures are recorded as {"err": ...} entries
     # alongside the successful timings.
     #
-    # Each query is timed TWICE and the official number is the MIN
-    # (VERDICT r8 task 2: the r8 driver record was uniformly ~1.8x
-    # inflated by machine contention; min-of-2 rejects transient
+    # Each query is timed runs_per_query times and the official number is
+    # the MIN (VERDICT r8 task 2: the r8 driver record was uniformly
+    # ~1.8x inflated by machine contention; the min rejects transient
     # contention while scratch release + clearCache between runs keeps
-    # each run a cold plan).  Both raw runs plus start/end loadavg are
+    # each run a cold plan).  All raw runs plus start/end loadavg are
     # kept in the payload so a contaminated record is self-labeling.
+    #
+    # MEASUREMENT FIX (r16, VERDICT r15 task 4): runs used to be
+    # back-to-back per query, so a contiguous host-stall window inflated
+    # BOTH samples of every query in one alphabetical cluster (the r15
+    # driver record flagged dedup_incremental_lines at 5.5x purely from
+    # an a-d-cluster stall).  Runs are now organized as full PASSES over
+    # the registry — pass 0 forward-alphabetical, pass 1 reverse, pass 2+
+    # shuffled with a fixed seed — so the two samples of any query are
+    # taken ~5 minutes apart and a stall window can never hit both.  The
+    # pass orders are recorded in the payload ("pass_orders").
     runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     loadavg_start = os.getloadavg()
     ts_start = time.time()
     timings: dict[str, float] = {}
     raw_runs: dict[str, list[float]] = {}
+    row_counts: dict[str, int] = {}
     errors: dict[str, str] = {}
-    for name in sorted(registry.QUERIES):
-        fn = registry.QUERIES[name]
-        samples: list[tuple[float, int]] = []  # (seconds, row_count) per run
-        last_err = None
-        for _ in range(runs_per_query):
+    names = sorted(registry.QUERIES)
+    pass_orders: list[str] = []
+    for pass_no in range(runs_per_query):
+        if pass_no == 0:
+            order, order_tag = list(names), "forward"
+        elif pass_no == 1:
+            order, order_tag = list(reversed(names)), "reverse"
+        else:
+            order, order_tag = list(names), f"shuffled(seed={pass_no})"
+            random.Random(pass_no).shuffle(order)
+        pass_orders.append(order_tag)
+        for name in order:
+            fn = registry.QUERIES[name]
             t0 = time.perf_counter()
             try:
                 df = fn(spark, sf_dir)
                 n = df.count()
             except Exception as exc:  # noqa: BLE001 — survive any one query
                 # a transient failure must not discard a valid sample
-                # from another run (nor forfeit the remaining retries) —
-                # the whole point of multi-run timing is noise rejection
-                last_err = f"{type(exc).__name__}: {exc}"[:500]
-                print(f"# {name}: run FAILED {last_err}", file=sys.stderr)
+                # from another pass — the whole point of multi-run
+                # timing is noise rejection
+                err = f"{type(exc).__name__}: {exc}"[:500]
+                errors[name] = err
+                print(f"# pass{pass_no} {name}: run FAILED {err}", file=sys.stderr)
             else:
-                samples.append((round(time.perf_counter() - t0, 4), n))
+                dt = round(time.perf_counter() - t0, 4)
+                raw_runs.setdefault(name, []).append(dt)
+                row_counts[name] = n
+                print(f"# pass{pass_no} {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
             finally:
                 # Operators may persist() scratch subtrees (signature
                 # tables, exploded shingles); drop them so runs are timed
                 # independently instead of competing for storage memory.
                 release_scratch()
                 spark.catalog.clearCache()
-        if samples:
-            raw_runs[name] = [dt for dt, _ in samples]
-            best_dt, best_n = min(samples)
-            timings[name] = best_dt
-            print(
-                f"# {name}: {best_dt:.3f}s min of {raw_runs[name]} "
-                f"({best_n} rows)",
-                file=sys.stderr,
-            )
+    for name in names:
+        if raw_runs.get(name):
+            timings[name] = min(raw_runs[name])
+            errors.pop(name, None)
         else:
-            errors[name] = last_err or "no successful run"
+            errors.setdefault(name, "no successful run")
 
     total = round(sum(timings.values()), 4)
     payload = {
@@ -112,6 +131,7 @@ def main() -> None:
         "queries": timings,
         "runs": raw_runs,
         "runs_per_query": runs_per_query,
+        "pass_orders": pass_orders,
         "loadavg": {"start": loadavg_start, "end": os.getloadavg()},
         "wallclock": {"start": ts_start, "end": time.time()},
         "errors": errors,

@@ -75,13 +75,22 @@ def write_long(buf: io.BytesIO, n: int) -> None:
             return
 
 
+class TruncatedVarint(EOFError):
+    """A varint cut mid-read (≥1 byte consumed, continuation bit set,
+    then EOF).  Distinct from clean end-of-file so ``read_ocf`` can
+    treat zero-bytes-at-block-boundary as a normal end of file while a
+    file cut mid-count still raises (ADVICE r15)."""
+
+
 def read_long(buf: io.BufferedReader) -> int:
     shift = 0
     acc = 0
     while True:
         byte = buf.read(1)
         if not byte:
-            raise EOFError("truncated varint")
+            if shift:
+                raise TruncatedVarint("varint truncated mid-read")
+            raise EOFError("eof at varint start")
         b = byte[0]
         acc |= (b & 0x7F) << shift
         if not b & 0x80:
@@ -134,15 +143,20 @@ def schema_json(
     )
 
 
-def _field_plan(schema: dict) -> list[tuple[str, str, bool]]:
-    """(name, primitive, nullable) per field from a parsed record
-    schema; validates the supported-subset contract."""
+def _field_plan(schema: dict) -> list[tuple[str, str, int | None]]:
+    """(name, primitive, null_branch) per field from a parsed record
+    schema; validates the supported-subset contract.  ``null_branch``
+    is the union index of the "null" branch (0 or 1 — a spec-valid
+    external OCF may order the union either way, and the branch index
+    on the wire follows the SCHEMA's order; ADVICE r15 caught the old
+    bool plan decoding ["long","null"] with the branches swapped), or
+    None for a non-nullable field."""
     if schema.get("type") != "record":
         raise ValueError("avro connector: top-level schema must be a record")
     plan = []
     for f in schema["fields"]:
         t = f["type"]
-        nullable = False
+        null_branch: int | None = None
         if isinstance(t, list):
             branches = [b for b in t if b != "null"]
             if len(branches) != 1 or len(branches) == len(t):
@@ -150,14 +164,14 @@ def _field_plan(schema: dict) -> list[tuple[str, str, bool]]:
                     f"avro connector: only ['null', T] unions supported, "
                     f"got {t!r}"
                 )
-            nullable = "null" in t
+            null_branch = t.index("null")
             t = branches[0]
         if isinstance(t, dict) or t not in set(_DDL_TO_AVRO.values()):
             raise ValueError(
                 f"avro connector: unsupported field type {t!r} "
                 f"(field {f['name']!r})"
             )
-        plan.append((f["name"], t, nullable))
+        plan.append((f["name"], t, null_branch))
     return plan
 
 
@@ -188,7 +202,12 @@ def _decode_value(buf: io.BufferedReader, t: str) -> Any:
     if t == "string":
         return read_bytes(buf).decode("utf-8")
     if t == "boolean":
-        return buf.read(1) == b"\x01"
+        byte = buf.read(1)
+        if not byte:
+            raise EOFError("truncated boolean")
+        if byte not in (b"\x00", b"\x01"):
+            raise ValueError(f"invalid avro boolean byte {byte!r}")
+        return byte == b"\x01"
     if t == "bytes":
         return read_bytes(buf)
     raise ValueError(f"unsupported avro type {t!r}")  # pragma: no cover
@@ -254,12 +273,12 @@ def write_ocf(
             n_block = 0
 
         for row in rows:
-            for (fname, t, nullable), v in zip(plan, row):
-                if nullable:
+            for (fname, t, null_branch), v in zip(plan, row):
+                if null_branch is not None:
                     if v is None:
-                        write_long(block, 0)  # union branch 0 = null
+                        write_long(block, null_branch)
                         continue
-                    write_long(block, 1)
+                    write_long(block, 1 - null_branch)
                 elif v is None:
                     raise ValueError(
                         f"avro connector: None in non-nullable field {fname!r}"
@@ -304,8 +323,10 @@ def read_ocf(path: str) -> Iterator[tuple]:
         while True:
             try:
                 n_rows = read_long(f)
+            except TruncatedVarint:
+                raise  # cut mid-count: corruption, not a clean end
             except EOFError:
-                return
+                return  # zero bytes read: clean end-of-file
             n_bytes = read_long(f)
             payload = f.read(n_bytes)
             if len(payload) != n_bytes:
@@ -317,11 +338,20 @@ def read_ocf(path: str) -> Iterator[tuple]:
             buf = io.BytesIO(payload)
             for _ in range(n_rows):
                 out = []
-                for _, t, nullable in plan:
-                    if nullable and read_long(buf) == 0:
-                        out.append(None)
-                    else:
+                for fname, t, null_branch in plan:
+                    if null_branch is None:
                         out.append(_decode_value(buf, t))
+                        continue
+                    branch = read_long(buf)
+                    if branch == null_branch:
+                        out.append(None)
+                    elif branch == 1 - null_branch:
+                        out.append(_decode_value(buf, t))
+                    else:
+                        raise ValueError(
+                            f"avro connector: invalid union branch "
+                            f"{branch} for field {fname!r}"
+                        )
                 yield tuple(out)
 
 

@@ -177,3 +177,63 @@ def test_block_sync_mismatch_detected():
             list(A.read_ocf(p))
     finally:
         os.remove(p)
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r15 fixes: reversed-union decode, mid-varint truncation, and
+# boolean truncation must all fail loudly (or decode correctly) instead
+# of silently corrupting.
+# ---------------------------------------------------------------------------
+
+
+def test_reversed_null_union_decodes_correctly():
+    """A spec-valid OCF whose union is ["long","null"] (null SECOND)
+    must decode by the schema's branch order — branch 0 is the value,
+    branch 1 is null."""
+    sch = json.dumps(
+        {
+            "type": "record",
+            "name": "t",
+            "fields": [{"name": "a", "type": ["long", "null"]}],
+        }
+    )
+    p = tempfile.mktemp(suffix=".avro")
+    try:
+        A.write_ocf(p, sch, [(7,), (None,), (9,)], codec="null")
+        assert list(A.read_ocf(p)) == [(7,), (None,), (9,)]
+        # wire check: branch indexes follow the schema order (value=0)
+        plan = A._field_plan(json.loads(sch))
+        assert plan == [("a", "long", 1)]
+    finally:
+        if os.path.exists(p):
+            os.remove(p)
+
+
+def test_mid_varint_truncation_raises():
+    """A file cut mid-way through a block row-count varint must raise,
+    not silently yield fewer rows."""
+    sch = A.schema_json("t", [("a", "bigint", False)])
+    p = tempfile.mktemp(suffix=".avro")
+    try:
+        A.write_ocf(p, sch, [(i,) for i in range(4)], codec="null", block_rows=4)
+        raw = open(p, "rb").read()
+        # append a lone continuation byte (varint started, never ends)
+        open(p, "wb").write(raw + b"\x80")
+        with pytest.raises(A.TruncatedVarint):
+            list(A.read_ocf(p))
+        # clean EOF (no trailing garbage) still terminates normally
+        open(p, "wb").write(raw)
+        assert len(list(A.read_ocf(p))) == 4
+    finally:
+        if os.path.exists(p):
+            os.remove(p)
+
+
+def test_truncated_boolean_raises():
+    buf = io.BytesIO(b"")
+    with pytest.raises(EOFError, match="boolean"):
+        A._decode_value(buf, "boolean")
+    with pytest.raises(ValueError, match="boolean"):
+        A._decode_value(io.BytesIO(b"\x02"), "boolean")
+    assert A._decode_value(io.BytesIO(b"\x01"), "boolean") is True
+    assert A._decode_value(io.BytesIO(b"\x00"), "boolean") is False
