@@ -623,17 +623,18 @@ def q_streaming_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame
     import shutil
 
     events = load_table(spark, sf_dir, "events")
-    half_a = events.where(F.col("event_id") % 2 == 0)
-    half_b = events.where(F.col("event_id") % 2 == 1)
-    n_b = half_b.count()
     stage = tempfile.mkdtemp(prefix="ckptres_stage_")
     src = tempfile.mkdtemp(prefix="ckptres_src_")
     sink = tempfile.mkdtemp(prefix="ckptres_sink_")
     ckpt = tempfile.mkdtemp(prefix="ckptres_ckpt_")
-    # repartition(1), not coalesce(1): keeps the filter scan parallel
-    half_a.repartition(1).write.mode("overwrite").parquet(f"{stage}/a")
-    half_b.repartition(1).write.mode("overwrite").parquet(f"{stage}/b")
-    for n, f in enumerate(sorted(Path(f"{stage}/a").glob("*.parquet"))):
+    # one events scan stages both halves (r16: _stage_sliced_phases)
+    half_a_dir, half_b_dir = _stage_sliced_phases(
+        events, stage, F.col("event_id") % 2, 2
+    )
+    # the delta-size assertion reads the staged slice (one local file),
+    # not a third scan of events
+    n_b = spark.read.parquet(f"{stage}/{half_b_dir}").count()
+    for n, f in enumerate(sorted(Path(f"{stage}/{half_a_dir}").glob("*.parquet"))):
         os.link(f, f"{src}/part_a_{n}.parquet")
 
     def run_once():
@@ -650,7 +651,7 @@ def q_streaming_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame
         return sum(p["numInputRows"] for p in q.recentProgress)
 
     run_once()  # first run: file A only
-    for n, f in enumerate(sorted(Path(f"{stage}/b").glob("*.parquet"))):
+    for n, f in enumerate(sorted(Path(f"{stage}/{half_b_dir}").glob("*.parquet"))):
         os.link(f, f"{src}/part_b_{n}.parquet")
     n_second = run_once()  # restart from the same checkpoint
     assert n_second == n_b, (
@@ -720,25 +721,23 @@ def q_streaming_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFra
     child = spark.newSession()
     child.conf.set("spark.sql.shuffle.partitions", "4")
 
-    def rows_df(ts_list):
-        return child.createDataFrame(
-            [(datetime(2024, 3, 1, h, m), 1.0) for h, m in ts_list],
-            "ts timestamp, v double",
-        )
-
     src = tempfile.mkdtemp(prefix="wm_src_")
     sink = tempfile.mkdtemp(prefix="wm_sink_")
     ckpt = tempfile.mkdtemp(prefix="wm_ckpt_")
     stage = tempfile.mkdtemp(prefix="wm_stage_")
-    # repartition(1), NOT coalesce(1): a coalesced single task over the
-    # 32 empty parallelize partitions stalls ~3s on spark.locality.wait
-    # per write at local[32]; a shuffle of <10 rows is free
-    rows_df([(10, 10), (10, 20), (11, 5)]).repartition(1).write.mode(
-        "overwrite"
-    ).parquet(f"{stage}/a")
-    rows_df([(9, 50), (10, 25), (12, 40)]).repartition(1).write.mode(
-        "overwrite"
-    ).parquet(f"{stage}/b")
+    # both phases staged by ONE write job (r16: _stage_literal_phases);
+    # repartition(1) inside it, NOT coalesce(1) — a coalesced single
+    # task over the 32 empty parallelize partitions stalls ~3s on
+    # spark.locality.wait per write at local[32]
+    def rows(ts_list):
+        return [(datetime(2024, 3, 1, h, m), 1.0) for h, m in ts_list]
+
+    phase_dirs = _stage_literal_phases(
+        child,
+        [rows([(10, 10), (10, 20), (11, 5)]), rows([(9, 50), (10, 25), (12, 40)])],
+        "ts timestamp, v double",
+        stage,
+    )
 
     def run_once():
         stream = child.readStream.schema("ts timestamp, v double").parquet(src)
@@ -756,9 +755,9 @@ def q_streaming_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFra
         )
         q.awaitTermination()
 
-    for phase in ("a", "b"):
-        for n, f in enumerate(sorted(Path(f"{stage}/{phase}").glob("*.parquet"))):
-            os.link(f, f"{src}/part_{phase}_{n}.parquet")
+    for i, phase_dir in enumerate(phase_dirs):
+        for n, f in enumerate(sorted(Path(f"{stage}/{phase_dir}").glob("*.parquet"))):
+            os.link(f, f"{src}/part_{i}_{n}.parquet")
         run_once()
     out = (
         child.read.parquet(sink)
@@ -917,6 +916,40 @@ def q_streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFram
 DDW_DELAY = "1 hour"
 
 
+def _stage_sliced_phases(df: DataFrame, stage: str, phase_col, n_phases: int) -> list[str]:
+    """Stage ``df`` as ``n_phases`` one-file parquet slice dirs in ONE
+    single-task write (``partitionBy`` on the phase expression) instead
+    of ``n_phases`` separate filtered scans+writes — the staging table
+    is scanned once, not per slice (r16, guide §1.2: measured 3.3 s →
+    1.2 s for the 3-slice events staging at sf0.1).  Slice membership
+    and rows are identical to per-phase ``df.where(phase_col == i)``
+    writes, and the partition column is dropped from the data files, so
+    each slice carries exactly ``df``'s schema.  ``repartition(1)``
+    keeps the scan parallel and only the write single-task, the same
+    discipline as the per-slice writes this replaces.  Returns the
+    slice directory names in phase order (feed to
+    ``_link_ordered_phases``, which pins explicit mtimes)."""
+    df.withColumn("__ph", phase_col).repartition(1).write.mode(
+        "overwrite"
+    ).partitionBy("__ph").parquet(stage)
+    return [f"__ph={i}" for i in range(n_phases)]
+
+
+def _stage_literal_phases(
+    spark: SparkSession, rows_by_phase: list[list[tuple]], schema: str, stage: str
+) -> list[str]:
+    """Stage n tiny literal fixtures as one-file parquet slice dirs in
+    ONE write job (r16): the per-phase ``createDataFrame → repartition(1)
+    → write`` loop paid one full job per phase for a handful of rows.
+    A ``__ph`` partition column is appended and dropped again by
+    ``partitionBy``, so each slice holds exactly the phase's rows under
+    ``schema``.  Returns the slice dir names in phase order."""
+    all_rows = [r + (i,) for i, rows in enumerate(rows_by_phase) for r in rows]
+    df = spark.createDataFrame(all_rows, schema + ", __ph int")
+    df.repartition(1).write.mode("overwrite").partitionBy("__ph").parquet(stage)
+    return [f"__ph={i}" for i in range(len(rows_by_phase))]
+
+
 def _link_ordered_phases(stage: str, src: str, phases: list[str]) -> None:
     """Expose per-phase staged parquet as ONE source dir whose files
     carry strictly increasing mtimes, so the file-stream source (which
@@ -986,12 +1019,6 @@ def q_streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> Data
     child = spark.newSession()
     child.conf.set("spark.sql.shuffle.partitions", "4")
 
-    def rows_df(rows):
-        return child.createDataFrame(
-            [(i, datetime(2024, 3, 1, h, m), tag) for i, (h, m), tag in rows],
-            "id bigint, ts timestamp, tag string",
-        )
-
     src = tempfile.mkdtemp(prefix="ddw_src_")
     sink = tempfile.mkdtemp(prefix="ddw_sink_")
     ckpt = tempfile.mkdtemp(prefix="ddw_ckpt_")
@@ -1001,18 +1028,23 @@ def q_streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> Data
     # watermark 19:00 from batch 1's max) lands at batch 2's close —
     # 'post_advance' gives that purge a batch to happen in before the
     # re-arrival is probed in batch 3
-    phases = {
-        "a": [(1, (10, 0), "orig"), (2, (10, 0), "orig")],
-        "b": [(1, (10, 30), "dup_within"), (3, (20, 0), "advance")],
-        "c": [(9, (20, 5), "post_advance")],
-        "d": [(1, (20, 30), "re_admitted")],
-    }
-    for phase, rows in phases.items():
-        # repartition(1), not coalesce(1) — see the locality-wait note above
-        rows_df(rows).repartition(1).write.mode("overwrite").parquet(
-            f"{stage}/{phase}"
-        )
-    _link_ordered_phases(stage, src, list(phases))
+    phases = [
+        [(1, (10, 0), "orig"), (2, (10, 0), "orig")],
+        [(1, (10, 30), "dup_within"), (3, (20, 0), "advance")],
+        [(9, (20, 5), "post_advance")],
+        [(1, (20, 30), "re_admitted")],
+    ]
+    # all four phases staged by ONE write job (r16: _stage_literal_phases)
+    phase_dirs = _stage_literal_phases(
+        child,
+        [
+            [(i, datetime(2024, 3, 1, h, m), tag) for i, (h, m), tag in rows]
+            for rows in phases
+        ],
+        "id bigint, ts timestamp, tag string",
+        stage,
+    )
+    _link_ordered_phases(stage, src, phase_dirs)
 
     stream = child.readStream.schema(
         "id bigint, ts timestamp, tag string"
@@ -1098,34 +1130,31 @@ def q_streaming_stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFra
     child = spark.newSession()
     child.conf.set("spark.sql.shuffle.partitions", "4")
 
-    def ev_df(rows):
-        return child.createDataFrame(
-            [
-                (u, et, datetime(2024, 3, 1, h, m), v)
-                for u, et, (h, m), v in rows
-            ],
-            "user_id bigint, event_type string, ts timestamp, value double",
-        )
-
     src = tempfile.mkdtemp(prefix="sso_src_")
     sink = tempfile.mkdtemp(prefix="sso_sink_")
     ckpt = tempfile.mkdtemp(prefix="sso_ckpt_")
     stage = tempfile.mkdtemp(prefix="sso_stage_")
-    phases = {
-        "a": [
+    phases = [
+        [
             (1, "click", (10, 0), 0.0),
             (1, "purchase", (10, 20), 5.0),
             (2, "click", (10, 0), 0.0),
         ],
-        "b": [(3, "click", (20, 0), 0.0), (3, "purchase", (20, 10), 7.0)],
-        "c": [(4, "click", (20, 30), 0.0)],
-    }
+        [(3, "click", (20, 0), 0.0), (3, "purchase", (20, 10), 7.0)],
+        [(4, "click", (20, 30), 0.0)],
+    ]
     schema = "user_id bigint, event_type string, ts timestamp, value double"
-    for phase, rows in phases.items():
-        # repartition(1), not coalesce(1) — see the locality-wait note above
-        ev_df(rows).repartition(1).write.mode("overwrite").parquet(f"{stage}/{phase}")
-
-    _link_ordered_phases(stage, src, list(phases))
+    # all three arrivals staged by ONE write job (r16: _stage_literal_phases)
+    phase_dirs = _stage_literal_phases(
+        child,
+        [
+            [(u, et, datetime(2024, 3, 1, h, m), v) for u, et, (h, m), v in rows]
+            for rows in phases
+        ],
+        schema,
+        stage,
+    )
+    _link_ordered_phases(stage, src, phase_dirs)
 
     stream = (
         child.readStream.schema(schema)
@@ -1231,13 +1260,10 @@ def q_streaming_rocksdb_state_store(spark: SparkSession, sf_dir: str) -> DataFra
     stage = tempfile.mkdtemp(prefix="rocksdb_stage_")
     # one explicit file per third -> three micro-batches under
     # maxFilesPerTrigger=1, so windows genuinely accumulate across
-    # RocksDB commits (hash repartition could collapse the thirds);
-    # repartition(1), not coalesce(1), keeps the staging scan parallel
-    for third in (0, 1, 2):
-        events.where(F.pmod("event_id", F.lit(3)) == third).repartition(
-            1
-        ).write.mode("overwrite").parquet(f"{stage}/t{third}")
-    _link_ordered_phases(stage, src, ["t0", "t1", "t2"])
+    # RocksDB commits; ONE partitionBy write stages all thirds from a
+    # single events scan (r16: _stage_sliced_phases)
+    thirds = _stage_sliced_phases(events, stage, F.pmod("event_id", F.lit(3)), 3)
+    _link_ordered_phases(stage, src, thirds)
     stream = (
         child.readStream.schema(events.schema)
         .option("maxFilesPerTrigger", 1)
@@ -1307,14 +1333,12 @@ def q_streaming_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     src = tempfile.mkdtemp(prefix="ssread_src_")
     stage = tempfile.mkdtemp(prefix="ssread_stage_")
-    # explicit per-half files: repartition(2, hash(__b)) can land both
-    # key values in ONE partition (hash collision mod 2), collapsing
-    # the stream to a single data batch
-    for half in (0, 1):
-        events.where(F.pmod("event_id", F.lit(2)) == half).coalesce(
-            1
-        ).write.mode("overwrite").parquet(f"{stage}/h{half}")
-    _link_ordered_phases(stage, src, ["h0", "h1"])
+    # explicit per-half files (a hash repartition(2) could land both
+    # key values in ONE partition, collapsing the stream to a single
+    # data batch); ONE partitionBy write stages both halves from a
+    # single events scan (r16: _stage_sliced_phases)
+    halves = _stage_sliced_phases(events, stage, F.pmod("event_id", F.lit(2)), 2)
+    _link_ordered_phases(stage, src, halves)
     stream = (
         spark.readStream.schema(events.schema)
         .option("maxFilesPerTrigger", 1)
@@ -1606,13 +1630,11 @@ def q_streaming_knn_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     src = tempfile.mkdtemp(prefix="stream_knn_src_")
-    for s in range(3):
-        (
-            emb.where(F.pmod(F.col("vec_id"), F.lit(3)) == s)
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src)
-        )
+    stage = tempfile.mkdtemp(prefix="stream_knn_stage_")
+    # one embeddings scan stages all three epochs (r16:
+    # _stage_sliced_phases); explicit mtime links keep epoch order
+    slices = _stage_sliced_phases(emb, stage, F.pmod(F.col("vec_id"), F.lit(3)), 3)
+    _link_ordered_phases(stage, src, slices)
     store_path = tempfile.mkdtemp(prefix="stream_knn_store_") + "/store"
     part_path = tempfile.mkdtemp(prefix="stream_knn_parts_") + "/parts"
     ckpt = tempfile.mkdtemp(prefix="stream_knn_ckpt_")
@@ -1642,6 +1664,6 @@ def q_streaming_knn_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _knn_rank_merge(spark.read.parquet(part_path), KNN_K).localCheckpoint(
         eager=True
     )
-    for d in (src, os.path.dirname(store_path), os.path.dirname(part_path), ckpt):
+    for d in (src, stage, os.path.dirname(store_path), os.path.dirname(part_path), ckpt):
         shutil.rmtree(d, ignore_errors=True)
     return out

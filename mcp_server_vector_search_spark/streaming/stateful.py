@@ -168,7 +168,7 @@ def q_streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFr
 
     from pyspark.sql import Window as W
 
-    from .ingest import _link_ordered_phases
+    from .ingest import _link_ordered_phases, _stage_sliced_phases
 
     # Child session: 8 state partitions instead of 32.  The fixture has
     # ~1.5k keys; 3 micro-batches x 32 state-store tasks is pure task
@@ -180,16 +180,10 @@ def q_streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFr
     events = load_table(spark, sf_dir, "events")
     src = tempfile.mkdtemp(prefix="stateful_src_")
     stage = tempfile.mkdtemp(prefix="stateful_stage_")
-    # one explicit file per third: repartition(3, hash(__b)) can
-    # collapse the 3 key values into fewer partitions (hash collision),
-    # silently reducing the stream to <3 data batches.  repartition(1),
-    # not coalesce(1): coalesce fuses the filter into ONE task — a
-    # single-threaded scan of the whole table per third.
-    for third in (0, 1, 2):
-        events.where(F.pmod("event_id", F.lit(3)) == third).repartition(
-            1
-        ).write.mode("overwrite").parquet(f"{stage}/t{third}")
-    _link_ordered_phases(stage, src, ["t0", "t1", "t2"])
+    # one explicit file per third via ONE partitionBy write (r16: one
+    # events scan instead of three — _stage_sliced_phases)
+    thirds = _stage_sliced_phases(events, stage, F.pmod("event_id", F.lit(3)), 3)
+    _link_ordered_phases(stage, src, thirds)
     stream = (
         spark.readStream.schema(events.schema)
         .option("maxFilesPerTrigger", 1)
@@ -389,25 +383,27 @@ def q_streaming_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFr
     # dominates two whole StreamExecutions otherwise; a conf at scale)
     spark.conf.set("spark.sql.shuffle.partitions", "8")
 
-    def rows_df(rows):
-        return spark.createDataFrame(
-            [(u, datetime(2024, 3, 1, h, m), a) for u, (h, m), a in rows],
-            "user_id bigint, ts timestamp, amount double",
-        )
-
     src = tempfile.mkdtemp(prefix="tws_src_")
     sink = tempfile.mkdtemp(prefix="tws_sink_")
     ckpt = tempfile.mkdtemp(prefix="tws_ckpt_")
     stage = tempfile.mkdtemp(prefix="tws_stage_")
-    phases = {
-        "a": [(1, (10, 0), 5.0), (1, (10, 10), 7.0), (2, (10, 0), 3.0)],
-        "b": [(1, (10, 20), 10.0), (3, (20, 0), 1.0)],
-        "c": [(4, (20, 30), 2.0)],
-    }
-    for phase, rows in phases.items():
-        # repartition(1), not coalesce(1): single-task coalesce over 32
-        # empty parallelize partitions stalls on spark.locality.wait
-        rows_df(rows).repartition(1).write.mode("overwrite").parquet(f"{stage}/{phase}")
+    phases = [
+        [(1, (10, 0), 5.0), (1, (10, 10), 7.0), (2, (10, 0), 3.0)],
+        [(1, (10, 20), 10.0), (3, (20, 0), 1.0)],
+        [(4, (20, 30), 2.0)],
+    ]
+    # all three phases staged by ONE write job (r16: _stage_literal_phases)
+    from .ingest import _stage_literal_phases
+
+    phase_dirs = _stage_literal_phases(
+        spark,
+        [
+            [(u, datetime(2024, 3, 1, h, m), a) for u, (h, m), a in rows]
+            for rows in phases
+        ],
+        "user_id bigint, ts timestamp, amount double",
+        stage,
+    )
 
     def run_once():
         stream = (
@@ -442,10 +438,12 @@ def q_streaming_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFr
     # Execution 1 sees phases a+b as two micro-batches; execution 2 is
     # a cold restart from the checkpoint that must recover u1/u2's
     # timers and totals from RocksDB before phase c expires them.
-    for group in (("a", "b"), ("c",)):
-        for phase in group:
-            for n, f in enumerate(sorted(Path(f"{stage}/{phase}").glob("*.parquet"))):
-                os.link(f, f"{src}/part_{phase}_{n}.parquet")
+    for group in ((0, 1), (2,)):
+        for i in group:
+            for n, f in enumerate(
+                sorted(Path(f"{stage}/{phase_dirs[i]}").glob("*.parquet"))
+            ):
+                os.link(f, f"{src}/part_{i}_{n}.parquet")
         run_once()
     # A continuous deployment would keep triggering micro-batches, so an
     # expired-but-unfired timer (a rare eviction race at availableNow
@@ -575,7 +573,7 @@ def q_streaming_tws_map_list_state(spark: SparkSession, sf_dir: str) -> DataFram
     from pyspark.sql import Window as W
 
     from ..sources.tables import load_table
-    from .ingest import _link_ordered_phases, data_batches
+    from .ingest import _link_ordered_phases, _stage_sliced_phases, data_batches
 
     propagate_to_workers(spark)
     spark = spark.newSession()
@@ -587,11 +585,9 @@ def q_streaming_tws_map_list_state(spark: SparkSession, sf_dir: str) -> DataFram
     events = load_table(spark, sf_dir, "events")
     src = tempfile.mkdtemp(prefix="twsmap_src_")
     stage = tempfile.mkdtemp(prefix="twsmap_stage_")
-    for half in (0, 1):
-        events.where(F.pmod("event_id", F.lit(2)) == half).repartition(
-            1
-        ).write.mode("overwrite").parquet(f"{stage}/h{half}")
-    _link_ordered_phases(stage, src, ["h0", "h1"])
+    # one events scan for both halves (r16: _stage_sliced_phases)
+    halves = _stage_sliced_phases(events, stage, F.pmod("event_id", F.lit(2)), 2)
+    _link_ordered_phases(stage, src, halves)
     stream = (
         spark.readStream.schema(events.schema)
         .option("maxFilesPerTrigger", 1)
