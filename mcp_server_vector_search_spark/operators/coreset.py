@@ -52,7 +52,7 @@ only.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -63,17 +63,6 @@ __all__ = ["kcenter_select", "KCENTER_K"]
 DIM = EMBEDDING_DIM
 KCENTER_K = 6
 SCALE = 1000000000.0  # squared-distance micro quantum (1e-9)
-
-
-def micro_sqdist(center: list[float]) -> Column:
-    """Exact long micro squared distance of the ``emb`` column to a
-    literal center: per-dimension ``floor(((x_d-c_d)^2)*1e9)`` terms,
-    order-free integer sum."""
-    lit_c = F.array(*[F.lit(float(x)) for x in center])
-    terms = F.zip_with(
-        "emb", lit_c, lambda a, b: F.floor(((a - b) * (a - b)) * F.lit(SCALE))
-    )
-    return F.aggregate(terms, F.lit(0).cast("long"), lambda acc, t: acc + t)
 
 
 def kcenter_select(
@@ -93,32 +82,54 @@ def kcenter_select(
     selected = [int(seed["vec_id"])]
     centers = [list(seed["emb"])]
 
-    def min_dist() -> Column:
-        cols = [micro_sqdist(c) for c in centers]
-        return cols[0] if len(cols) == 1 else F.least(*cols)
-
-    for _ in range(k - 1):
-        # argmax(md), ties to smaller vec_id; payload embedding rides
-        # in the struct so the round costs exactly one scan.
-        win = (
-            pts.select(
-                F.struct(
-                    min_dist().alias("md"),
-                    (-F.col("vec_id")).alias("nv"),
-                    F.col("emb"),
-                ).alias("s")
-            )
-            .agg(F.max("s").alias("w"))
-            .collect()[0]["w"]  # bounded: one struct row
-        )
-        selected.append(int(-win["nv"]))
-        centers.append(list(win["emb"]))
-
-    cov = (
-        pts.select(min_dist().alias("md"))
-        .agg(F.max("md").alias("cov"), F.count(F.lit(1)).alias("n"))
-        .collect()[0]  # bounded: one row of two longs
+    # r16 (guide §1.2/§7.3, the linalg/Lloyd fix): the selected centers
+    # enter each round as a BROADCAST 1-row array-of-arrays column and
+    # the running min is array_min over per-center folds — the same
+    # floor(((x-c)^2)*1e9) terms, the same min of the same longs as the
+    # literal F.least-of-folds chain this replaces,
+    # but the generated code is literal-free so every round reuses the
+    # compiled class, and the expression builds in one parse instead of
+    # k x 64 py4j literal calls.  AQE off around the bounded collects
+    # (one-row reduces; nothing to adapt) and restored in finally.
+    MD_EXPR = (
+        "array_min(transform(cents, c -> "
+        f"aggregate(zip_with(emb, c, (a, b) -> floor(((a - b) * (a - b)) * {SCALE!r}d)), "
+        "0L, (acc, t) -> acc + t)))"
     )
+
+    def with_cents() -> DataFrame:
+        cdf = spark.createDataFrame([(centers,)], "cents array<array<double>>")
+        return pts.crossJoin(F.broadcast(cdf))
+
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for _ in range(k - 1):
+            # argmax(md), ties to smaller vec_id; payload embedding rides
+            # in the struct so the round costs exactly one scan.
+            win = (
+                with_cents()
+                .select(
+                    F.struct(
+                        F.expr(MD_EXPR).alias("md"),
+                        (-F.col("vec_id")).alias("nv"),
+                        F.col("emb"),
+                    ).alias("s")
+                )
+                .agg(F.max("s").alias("w"))
+                .collect()[0]["w"]  # bounded: one struct row
+            )
+            selected.append(int(-win["nv"]))
+            centers.append(list(win["emb"]))
+
+        cov = (
+            with_cents()
+            .select(F.expr(MD_EXPR).alias("md"))
+            .agg(F.max("md").alias("cov"), F.count(F.lit(1)).alias("n"))
+            .collect()[0]  # bounded: one row of two longs
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     return selected, int(cov["cov"]), int(cov["n"])
 
 

@@ -310,10 +310,12 @@ def source_python_stream_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as F
 
-    from .tables import load_table
-
     register_pytail(spark)
-    n = load_table(spark, sf_dir, "events").count()
+    # row count from the parquet footer (driver-side metadata read, no
+    # Spark job) — the chunk sizing needs only the cardinality (r16)
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
     # floor, not ceil: ceil(n/3) yields only 2 chunks for n=4 (ADVICE
     # r9); floor guarantees ceil(n/chunk) >= 3 for every n >= 3.
     chunk = max(1, n // 3)
