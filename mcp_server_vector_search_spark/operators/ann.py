@@ -233,6 +233,13 @@ def write_ivf_index(assigned: DataFrame, path: str) -> None:
 _INDEX_CACHE_ROOT = Path(__file__).resolve().parents[2] / ".cache" / "ivf"
 
 
+def _ivf_cache_dir(
+    sf_dir: str, n_centroids: int = N_CENTROIDS, seed: int = IVF_SEED
+) -> Path:
+    tag = hashlib.md5(f"{sf_dir}:{n_centroids}:{seed}:v3".encode()).hexdigest()[:12]
+    return _INDEX_CACHE_ROOT / tag
+
+
 def load_or_build_ivf_index(
     spark: SparkSession,
     sf_dir: str,
@@ -247,8 +254,7 @@ def load_or_build_ivf_index(
     reference's index DDL vs its per-query ``queryNodes`` call.  The
     centroids file is written LAST so a half-built cache is never read.
     """
-    tag = hashlib.md5(f"{sf_dir}:{n_centroids}:{seed}:v3".encode()).hexdigest()[:12]
-    root = _INDEX_CACHE_ROOT / tag
+    root = _ivf_cache_dir(sf_dir, n_centroids, seed)
     meta, data = root / "centroids.json", root / "data"
     if meta.exists():
         return spark.read.parquet(str(data)), json.loads(meta.read_text())
@@ -990,6 +996,31 @@ def ivf_cell_radii(
     return {int(r["centroid_id"]): float(r["r"]) for r in rows}
 
 
+def load_or_build_ivf_radii(
+    spark: SparkSession,
+    sf_dir: str,
+    indexed: DataFrame,
+    centroids: list[list[float]],
+    n_centroids: int = N_CENTROIDS,
+    seed: int = IVF_SEED,
+) -> dict[int, float]:
+    """Per-cell radii as BUILD-ONCE index metadata (r16):
+    ``ivf_cell_radii``'s own contract says this statistic is computed
+    in the index build job and lands next to the centroids (FAISS
+    per-list stats) — it was being recomputed per range query.  Stored
+    in the same keyed cache dir as the layout, written atomically
+    (tmp + rename) so a half-written file is never read; if the file is
+    missing (pre-r16 cache) the aggregate runs once and lands it."""
+    f = _ivf_cache_dir(sf_dir, n_centroids, seed) / "radii.json"
+    if f.exists():
+        return {int(k): float(v) for k, v in json.loads(f.read_text()).items()}
+    radii = ivf_cell_radii(indexed, centroids)
+    tmp = f.with_name("radii.json.tmp")
+    tmp.write_text(json.dumps({str(k): v for k, v in radii.items()}))
+    tmp.rename(f)
+    return radii
+
+
 def range_feasible_cells(
     query_vec: Sequence[float],
     centroids: list[list[float]],
@@ -1079,7 +1110,7 @@ def q_ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-pruned scan, exact threshold filter — hash-matched
     against the full-scan oracle."""
     indexed, cents = load_or_build_ivf_index(spark, sf_dir)
-    radii = ivf_cell_radii(indexed, cents)
+    radii = load_or_build_ivf_radii(spark, sf_dir, indexed, cents)
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = [
         float(v)
