@@ -65,6 +65,8 @@ def main() -> None:
             spark.catalog.clearCache()
             print(f"# plan -> {plan_path}")
         samples = []
+        if args.runs == 0:
+            continue  # plan-only capture
         for i in range(args.runs):
             t0 = time.perf_counter()
             df = fn(spark, args.sf)
