@@ -80,6 +80,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     raw_runs: dict[str, list[float]] = {}
     row_counts: dict[str, int] = {}
+    row_count_mismatches: dict[str, list[int]] = {}
     errors: dict[str, str] = {}
     names = sorted(registry.QUERIES)
     pass_orders: list[str] = []
@@ -108,6 +109,10 @@ def main() -> None:
             else:
                 dt = round(time.perf_counter() - t0, 4)
                 raw_runs.setdefault(name, []).append(dt)
+                # cross-pass determinism check: a query whose row count
+                # changes between passes is flagged in the payload
+                if name in row_counts and row_counts[name] != n:
+                    row_count_mismatches.setdefault(name, [row_counts[name]]).append(n)
                 row_counts[name] = n
                 print(f"# pass{pass_no} {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
             finally:
@@ -124,25 +129,35 @@ def main() -> None:
             errors.setdefault(name, "no successful run")
 
     total = round(sum(timings.values()), 4)
+    # The printed one-line JSON stays SMALL (VERDICT r16 task 2: the r15
+    # driver record truncated mid-line because the full `runs` map for 309
+    # queries overflowed the driver's stdout-tail capture, killing the
+    # round-over-round table).  Bulky detail (raw runs, pass orders,
+    # loadavg, row counts) lives only in the sidecar BENCH_FULL*.json.
     payload = {
         "metric": "total_query_wall_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "sf": float(sf),
+    }
+    full_payload = {
+        **payload,
         "runs": raw_runs,
         "runs_per_query": runs_per_query,
         "pass_orders": pass_orders,
+        "row_counts": row_counts,
+        "row_count_mismatches": row_count_mismatches,
         "loadavg": {"start": loadavg_start, "end": os.getloadavg()},
         "wallclock": {"start": ts_start, "end": time.time()},
         "errors": errors,
-        "sf": float(sf),
     }
     # Lossless record: the driver archives only a truncated tail of stdout,
     # which has repeatedly lost 100+ per-query timings (VERDICT r6 task 1).
     # Persist the full payload to a committed repo file so every round's
     # per-query numbers stay auditable regardless of stdout truncation.
     repo = Path(__file__).resolve().parent
-    text = json.dumps(payload, indent=1, sort_keys=True) + "\n"
+    text = json.dumps(full_payload, indent=1, sort_keys=True) + "\n"
     # Only official-SF runs (the driver's sf0.1) overwrite the committed
     # records; iterating locally at sf0.001/0.01 must not clobber them.
     if float(sf) >= 0.1:
