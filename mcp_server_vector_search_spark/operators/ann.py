@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import os
 from pathlib import Path
 from typing import Sequence
 
@@ -1010,12 +1011,22 @@ def load_or_build_ivf_radii(
     per-list stats) — it was being recomputed per range query.  Stored
     in the same keyed cache dir as the layout, written atomically
     (tmp + rename) so a half-written file is never read; if the file is
-    missing (pre-r16 cache) the aggregate runs once and lands it."""
-    f = _ivf_cache_dir(sf_dir, n_centroids, seed) / "radii.json"
+    missing (pre-r16 cache) the aggregate runs once and lands it.
+
+    ``indexed``/``centroids`` MUST come from ``load_or_build_ivf_index``
+    with the same (sf_dir, n_centroids, seed) — the cache key does not
+    cover their content, so a caller passing a different index would
+    silently read stale radii (ADVICE r16)."""
+    root = _ivf_cache_dir(sf_dir, n_centroids, seed)
+    f = root / "radii.json"
     if f.exists():
         return {int(k): float(v) for k, v in json.loads(f.read_text()).items()}
     radii = ivf_cell_radii(indexed, centroids)
-    tmp = f.with_name("radii.json.tmp")
+    # parents=True: the radii file may land before the layout write when a
+    # caller builds its own index frames; pid-unique tmp so two concurrent
+    # builders never rename each other's half-written file
+    root.mkdir(parents=True, exist_ok=True)
+    tmp = f.with_name(f"radii.json.tmp.{os.getpid()}")
     tmp.write_text(json.dumps({str(k): v for k, v in radii.items()}))
     tmp.rename(f)
     return radii

@@ -131,12 +131,20 @@ def _small_star(e: DataFrame) -> DataFrame:
 def _edge_fingerprint(e: DataFrame):
     """(count, checksum) of the canonical edge set — the fixed-point
     probe.  Two scalar aggregates; no edge table ever reaches the
-    driver."""
+    driver.
+
+    PRECONDITION (both call sites satisfy it): ``e`` is already DISTINCT
+    and consistently oriented — the initial edge set is distinct with
+    u < v, every post-round set is small-star output, distinct with
+    u > v — so no two rows canonicalize to the same (hi, lo) and the
+    probe needs NO distinct of its own.  (r17, guide §2.4: the explicit
+    ``.distinct()`` here was a set-level no-op that still paid one full
+    extra shuffle per star round, on every round of three query paths.)"""
     canon = e.select(
         F.greatest("u", "v").alias("hi"), F.least("u", "v").alias("lo")
-    ).distinct()
+    )
     # XOR-fold the hashes: order-insensitive, collision-safe over a
-    # DISTINCT set, and cannot overflow (sum of 64-bit hashes can).
+    # distinct set, and cannot overflow (sum of 64-bit hashes can).
     row = canon.agg(
         F.count(F.lit(1)).alias("n"),
         F.bit_xor(F.xxhash64("hi", "lo")).alias("h"),
@@ -154,8 +162,16 @@ def _distributed_star(edges: DataFrame, max_iter: int) -> DataFrame:
     itself OOMs — checkpointing truncates lineage so round N's plan is
     one join deep, not N.  (A multi-tenant production job would
     ``checkpoint`` to reliable storage instead; same call shape.)"""
+    # Canonical u > v orientation up front (large-star symmetrizes, so
+    # input orientation is free): with the initial set canonical AND
+    # distinct, every edge set the fingerprint probe sees — this one and
+    # each round's small-star output — satisfies the probe's no-distinct
+    # precondition by construction.
     e = (
-        edges.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+        edges.select(
+            F.greatest("a_id", "b_id").alias("u"),
+            F.least("a_id", "b_id").alias("v"),
+        )
         .where(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint()

@@ -1126,42 +1126,45 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     to ~a tenth — the standard set-similarity-join scale lever.
 
     FIXTURE-SCALE CAVEAT: at bench SF this query costs ~3x the plain
-    n-gram join, because the persisted shingle table is consumed four
-    times (document frequencies, prefix explode, both verify sides)
-    and that fixed cost dominates while the corpus is tiny.  The
+    n-gram join, because the persisted shingle table is consumed three
+    times (prefix build, both verify sides) and that fixed cost
+    dominates while the corpus is tiny.  The
     asymptotic win — prefix candidates growing like the RARE-shingle
     collision count instead of the full posting-list fan-out — only
     overtakes above fixture scale and at production thresholds
     (t ≥ 0.8), which is exactly when the full join stops being
     runnable at all.
 
-    Stages: one vocab aggregate (document frequencies), one per-doc
-    re-sort by (df, shingle), the PREFIX equi-join for candidates,
+    Stages: one exploded pass computing document frequencies as a
+    count window over the shingle partition and re-sorting each doc's
+    shingles by (df, shingle), the PREFIX equi-join for candidates,
     then exact verification on the full shingle arrays (array_intersect
     of the two distinct arrays — same i/(na+nb-i) arithmetic).  The
     ORACLE is the full-join formulation verbatim: two different
     algorithms must produce the identical pair set, which is also
     asserted directly against ``dedup_ngram_jaccard`` in
     tests/test_dedup.py."""
+    from pyspark.sql import Window as W
+
     d = spread(load_table(spark, sf_dir, "documents"))
-    # persisted: referenced FOUR times (document frequencies, prefix
-    # explode, both sides of the exact verify) — without it the
-    # tokenize+shingle pass re-runs per consumer
+    # persisted: referenced THREE times (prefix build, both sides of the
+    # exact verify) — without it the tokenize+shingle pass re-runs per
+    # consumer.  (r17, guide §2.4: document frequencies used to be a
+    # separate groupBy consumed back via an equi-join — a fourth scan of
+    # this subtree plus an extra exchange; a count window over the same
+    # exploded pass yields the identical df per (doc, shingle) row with
+    # one scan and one shuffle by s.)
     sh_arrays = (
         d.select("doc_id", _shingles(F.col("text")).alias("sh"))
         .where(F.size("sh") > 0)
         .transform(scratch_persist)
     )
-    # document frequency of every (distinct-per-doc) shingle
-    dfreq = (
-        sh_arrays.select(F.explode("sh").alias("s"))
-        .groupBy("s")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
-    # re-sort each doc's shingles by (df, s) and keep the p-prefix
+    # one explode pass: document frequency of every (distinct-per-doc)
+    # shingle via a partition count window — same value the old
+    # groupBy("s").count() + join("s") produced for every row
     exploded = sh_arrays.select(
         "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s")
-    ).join(dfreq, "s")
+    ).withColumn("df", F.count(F.lit(1)).over(W.partitionBy("s")))
     per_doc = exploded.groupBy("doc_id").agg(
         F.first("n").alias("n"),
         F.sort_array(F.collect_list(F.struct("df", "s"))).alias("ordered"),

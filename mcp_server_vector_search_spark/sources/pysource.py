@@ -312,10 +312,22 @@ def source_python_stream_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_pytail(spark)
     # row count from the parquet footer (driver-side metadata read, no
-    # Spark job) — the chunk sizing needs only the cardinality (r16)
+    # Spark job) — the chunk sizing needs only the cardinality (r16).
+    # Fixtures are single files today; fall back to summing per-file
+    # footers if events ever becomes a multi-file parquet directory
+    # (ADVICE r16 — the single-file read would silently undercount).
+    import os as _os
+
     import pyarrow.parquet as pq
 
-    n = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    _events = f"{sf_dir}/events.parquet"
+    if _os.path.isfile(_events):
+        n = pq.ParquetFile(_events).metadata.num_rows
+    else:
+        n = sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in pq.ParquetDataset(_events).files
+        )
     # floor, not ceil: ceil(n/3) yields only 2 chunks for n=4 (ADVICE
     # r9); floor guarantees ceil(n/chunk) >= 3 for every n >= 3.
     chunk = max(1, n // 3)

@@ -479,7 +479,9 @@ def q_streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parallel and only the write is single-file
     spark = spark.newSession()
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    events = load_table(spark, sf_dir, "events")
+    # stage only the columns the dedup + aggregate read (r17, guide
+    # §2.3/§6) — the duplicate replay scans each staged byte twice
+    events = load_table(spark, sf_dir, "events").select("event_id", "event_type")
     src = tempfile.mkdtemp(prefix="dedup_src_")
     events.repartition(1).write.mode("overwrite").parquet(f"{src}/a")
     # ONE write pass; the duplicate arrival is two hard links to the
@@ -555,7 +557,9 @@ def q_streaming_join_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import uuid
 
-    events = load_table(spark, sf_dir, "events")
+    # stage only the join key + measure (r17, guide §2.3/§6): the
+    # per-batch broadcast join and segment aggregate read nothing else
+    events = load_table(spark, sf_dir, "events").select("user_id", "value")
     customer = load_table(spark, sf_dir, "customer")
     src = tempfile.mkdtemp(prefix="ssjoin_src_")
     # two files -> two micro-batches under maxFilesPerTrigger=1
@@ -622,7 +626,9 @@ def q_streaming_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame
     restarts without reprocessing history."""
     import shutil
 
-    events = load_table(spark, sf_dir, "events")
+    # stage only the two columns the sink projection reads (r17, guide
+    # §2.3/§6) — the restart re-lists and the delta-run re-scans them
+    events = load_table(spark, sf_dir, "events").select("event_id", "event_type")
     stage = tempfile.mkdtemp(prefix="ckptres_stage_")
     src = tempfile.mkdtemp(prefix="ckptres_src_")
     sink = tempfile.mkdtemp(prefix="ckptres_sink_")
@@ -836,7 +842,12 @@ def q_streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFram
 
     child = spark.newSession()
     child.conf.set("spark.sql.shuffle.partitions", "4")
-    events = load_table(child, sf_dir, "events")
+    # Stage ONLY the columns the two stream sides read (r17, guide
+    # §2.3/§6): props — the widest column — never needs to hit the
+    # staged files or the 2x2 micro-batch scans.  Match set unchanged.
+    events = load_table(child, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
     src = tempfile.mkdtemp(prefix="ss2j_src_")
     # two files -> two micro-batches per side under maxFilesPerTrigger=1
     events.repartition(2).write.mode("overwrite").parquet(src)
@@ -932,7 +943,7 @@ def _stage_sliced_phases(df: DataFrame, stage: str, phase_col, n_phases: int) ->
     df.withColumn("__ph", phase_col).repartition(1).write.mode(
         "overwrite"
     ).partitionBy("__ph").parquet(stage)
-    return [f"__ph={i}" for i in range(n_phases)]
+    return _checked_phase_dirs(stage, n_phases)
 
 
 def _stage_literal_phases(
@@ -947,7 +958,22 @@ def _stage_literal_phases(
     all_rows = [r + (i,) for i, rows in enumerate(rows_by_phase) for r in rows]
     df = spark.createDataFrame(all_rows, schema + ", __ph int")
     df.repartition(1).write.mode("overwrite").partitionBy("__ph").parquet(stage)
-    return [f"__ph={i}" for i in range(len(rows_by_phase))]
+    return _checked_phase_dirs(stage, len(rows_by_phase))
+
+
+def _checked_phase_dirs(stage: str, n_phases: int) -> list[str]:
+    """A phase slice with zero rows produces NO ``__ph=i`` directory, and
+    ``_link_ordered_phases`` would silently glob nothing — dropping that
+    micro-batch and changing stream batch semantics.  Fail loudly with
+    the phase index instead (ADVICE r16)."""
+    for i in range(n_phases):
+        if not Path(f"{stage}/__ph={i}").is_dir():
+            raise RuntimeError(
+                f"staged phase slice __ph={i} produced no directory under "
+                f"{stage} (empty phase?) — refusing to silently drop a "
+                "micro-batch"
+            )
+    return [f"__ph={i}" for i in range(n_phases)]
 
 
 def _link_ordered_phases(stage: str, src: str, phases: list[str]) -> None:
@@ -1255,7 +1281,11 @@ def q_streaming_rocksdb_state_store(spark: SparkSession, sf_dir: str) -> DataFra
     # own store; the fixture's window count doesn't justify 32 opens x
     # 3 commits (a sizing conf at scale, not code)
     child.conf.set("spark.sql.shuffle.partitions", "8")
-    events = load_table(child, sf_dir, "events")
+    # stage only the phase key + the columns tumbling_agg reads (r17,
+    # guide §2.3/§6)
+    events = load_table(child, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
     src = tempfile.mkdtemp(prefix="rocksdb_src_")
     stage = tempfile.mkdtemp(prefix="rocksdb_stage_")
     # one explicit file per third -> three micro-batches under
@@ -1330,7 +1360,9 @@ def q_streaming_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import uuid
 
-    events = load_table(spark, sf_dir, "events")
+    # stage only the phase key + the aggregate's grouping column (r17,
+    # guide §2.3/§6)
+    events = load_table(spark, sf_dir, "events").select("event_id", "event_type")
     src = tempfile.mkdtemp(prefix="ssread_src_")
     stage = tempfile.mkdtemp(prefix="ssread_stage_")
     # explicit per-half files (a hash repartition(2) could land both
@@ -1459,7 +1491,11 @@ def run_session_stream(spark: SparkSession, sf_dir: str):
     ``explainInternal``."""
     import uuid
 
-    events = load_table(spark, sf_dir, "events")
+    # Stage ONLY the two columns the session aggregate reads (r17,
+    # guide §2.3/§6): the staged write and every micro-batch scan move
+    # user_id+ts instead of all six event columns (props alone is most
+    # of the bytes).  Session membership and counts are unaffected.
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts")
     src = tempfile.mkdtemp(prefix="stream_sess_src_")
     events.repartition(3).write.mode("overwrite").parquet(src)
 
@@ -1544,7 +1580,11 @@ def q_streaming_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark = spark.newSession()
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    events = load_table(spark, sf_dir, "events")
+    # stage only the columns the Welch stats SQL reads (r17, guide
+    # §2.3/§6): event_type, the variant hash input, and the metric
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "value"
+    )
     src = tempfile.mkdtemp(prefix="welch_src_")
     # 4 files -> 4 micro-batches at maxFilesPerTrigger=1
     events.repartition(4).write.mode("overwrite").parquet(src)

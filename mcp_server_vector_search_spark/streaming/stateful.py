@@ -177,7 +177,11 @@ def q_streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFr
     # not code.  Measured: 5.7s -> 4.0s warm at sf0.1.
     spark = spark.newSession()
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    events = load_table(spark, sf_dir, "events")
+    # stage only the phase key + the columns the stateful fold reads
+    # (r17, guide §2.3/§6)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
     src = tempfile.mkdtemp(prefix="stateful_src_")
     stage = tempfile.mkdtemp(prefix="stateful_stage_")
     # one explicit file per third via ONE partitionBy write (r16: one
@@ -582,7 +586,11 @@ def q_streaming_tws_map_list_state(spark: SparkSession, sf_dir: str) -> DataFram
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    events = load_table(spark, sf_dir, "events")
+    # stage only the phase key + the columns the processor reads (r17,
+    # guide §2.3/§6)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
     src = tempfile.mkdtemp(prefix="twsmap_src_")
     stage = tempfile.mkdtemp(prefix="twsmap_stage_")
     # one events scan for both halves (r16: _stage_sliced_phases)
