@@ -512,11 +512,20 @@ def perplexity_scores(docs: DataFrame) -> DataFrame:
     (per-pair log-prob rounded to 1e-6 before the doc sum) so the sum
     is order-free across engines.
     """
-    # referenced three times (bigram stats, history stats, scoring join)
+    from pyspark.sql import Window as W
+
+    # referenced twice (bigram stats, scoring join).  r17 (guide §2.4):
+    # the history counts c1(b1) = Σ_b2 c12 fold out of the bigram table
+    # itself as a sum window over the b1 partition — exact integer
+    # identity with the old separate groupBy over pairs, which cost a
+    # third scan of the persisted pair stream plus a join.  The window
+    # shuffles only the ≤V²-row MODEL table (bounded by the hashed
+    # vocabulary, never by corpus size), so no skew shape changes.
     pairs = _token_pairs(docs).transform(scratch_persist)
     c2 = pairs.groupBy("b1", "b2").agg(F.count("*").alias("c12"))
-    c1 = pairs.groupBy("b1").agg(F.count("*").alias("c1"))
-    stats = c2.join(F.broadcast(c1), "b1").select(
+    stats = c2.withColumn(
+        "c1", F.sum("c12").over(W.partitionBy("b1"))
+    ).select(
         "b1",
         "b2",
         F.round(

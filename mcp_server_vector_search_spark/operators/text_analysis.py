@@ -180,13 +180,19 @@ FROM ranked WHERE rnk <= {TFIDF_TOP}
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact TF-IDF, top terms per document.
 
-    Spelled as DataFrame ops (explode -> two hash aggs -> broadcast
-    join -> window top-k) so it is oracle-checkable; the one-pass
-    sketch alternative at extreme scale is MLlib HashingTF+IDF (hashed
-    term space, no exact df).  Only (doc_id, token, counts) triples
-    ever shuffle — documents themselves never move after the explode.
+    Spelled as DataFrame ops (explode -> hash agg -> df count window ->
+    window top-k) so it is oracle-checkable; the one-pass sketch
+    alternative at extreme scale is MLlib HashingTF+IDF (hashed term
+    space, no exact df).  Only (doc_id, token, counts) triples ever
+    shuffle — documents themselves never move after the explode.
     The idf variant is the plain ln(N/df) (no smoothing): every token
     present in the corpus has df >= 1, so the log is always defined.
+
+    r17 (guide §2.4): ``tf`` holds exactly one row per (doc_id, tok),
+    so the document frequency of a token IS the row count of its tok
+    partition — a count window over ``tf`` replaces what used to be a
+    second full explode pass, a COUNT DISTINCT aggregate, and the
+    tok-keyed equi-join carrying it back.
     """
     from ..sources.tables import spread
 
@@ -194,18 +200,17 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = d.count()  # scalar table stat; the oracle recomputes the same
     toks = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
-    # No broadcast hint: df is the vocabulary table (corpus-derived,
-    # unbounded at 100 TB); tf reshuffles onto the tok key either way
-    # and AQE broadcasts df only when it is genuinely small at runtime.
-    scored = tf.join(df, "tok").select(
+    from pyspark.sql import Window as W
+
+    scored = tf.withColumn(
+        "df", F.count(F.lit(1)).over(W.partitionBy("tok"))
+    ).select(
         "doc_id",
         "tok",
         F.round(
             F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), R
         ).alias("tfidf"),
     )
-    from pyspark.sql import Window as W
 
     w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
     return (
@@ -1531,11 +1536,18 @@ def q_text_entropy_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     def entropy_fold(census: DataFrame, h_name: str) -> DataFrame:
         # -Σ (c/T) log2 (c/T) = log2 T − (Σ c·log2 c)/T would be one
         # pass, but the DOUBLE association order would differ from the
-        # oracle's p·log2 p term sum; keep the shared term shape via a
-        # two-agg plan (total join then fold) on both engines.
-        t = census.groupBy("doc_id").agg(F.sum("c").cast("double").alias("t"))
+        # oracle's p·log2 p term sum; keep the shared term shape.  The
+        # per-doc total T rides a count window over the doc_id partition
+        # (r17, guide §2.4) instead of a separate groupBy joined back:
+        # T is an exact LONG sum either way (order-free), the window's
+        # doc_id exchange is the same one the fold's groupBy needs, and
+        # the join + its extra scan of the census disappear.
+        from pyspark.sql import Window as W
+
         return (
-            census.join(t, "doc_id")
+            census.withColumn(
+                "t", F.sum("c").over(W.partitionBy("doc_id")).cast("double")
+            )
             .groupBy("doc_id")
             .agg(
                 F.sum("c").cast("long").alias(f"__n_{h_name}"),

@@ -24,6 +24,7 @@ read and nothing downstream depends on how the bytes were obtained.
 from __future__ import annotations
 
 import hashlib
+import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -1244,15 +1245,30 @@ def q_multimodal_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     the binaryFile scan parallelizes by file across executors and the
     decode stays in the same Arrow-batched mapInPandas slot."""
     root = binary_corpus_dir(spark, sf_dir)
-    files = (
-        spark.read.format("binaryFile")
-        .load(root)
-        .select(
-            F.regexp_extract(F.col("path"), r"doc_(\d+)_", 1)
-            .cast("long")
-            .alias("doc_id"),
-            "content",
-        )
+    # Scale-adaptive task sizing (r17, guide §6/§2.2): binaryFile charges
+    # every file spark.sql.files.openCostInBytes (4 MB) when packing
+    # splits, so thousands of tiny fixture files exploded into ~344 scan
+    # tasks whose per-task Python-boundary overhead dwarfed the decode
+    # (measured: a TRIVIAL mapInPandas over the scan cost 3.27 s at 344
+    # tasks vs 0.57 s at 32).  Coalesce (no shuffle) to the BYTE-derived
+    # partition count — total corpus bytes / 128 MB, floored at the
+    # session's parallelism — which leaves real large corpora untouched
+    # (their byte-derived count exceeds the scan's) and only collapses
+    # the open-cost padding.  The byte total is driver-side metadata
+    # over the operator's own local corpus dir, no Spark job.
+    corpus_bytes = sum(e.stat().st_size for e in os.scandir(root))
+    target_parts = max(
+        spark.sparkContext.defaultParallelism,
+        -(-corpus_bytes // (128 * 1024 * 1024)),
+    )
+    files = spark.read.format("binaryFile").load(root)
+    if target_parts < files.rdd.getNumPartitions():
+        files = files.coalesce(target_parts)
+    files = files.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)_", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "content",
     )
 
     def feat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
