@@ -916,3 +916,28 @@ def test_pbshim_patch_scope_matches_resolution():
         "_lenient_validate",
     )
     assert wrapped == _pbcompat._is_vendored(_pbcompat._protobuf_origin())
+
+
+def test_stage_phase_dirs_fail_loudly_on_empty_phase(spark, tmp_path):
+    """r17 (ADVICE r16): a phase slice with zero rows produces no
+    __ph=i directory; the staging helpers must raise with the phase
+    index instead of letting _link_ordered_phases silently drop that
+    micro-batch."""
+    import pytest
+
+    rows_by_phase = [[(1, "a")], [], [(2, "b")]]  # phase 1 is empty
+    with pytest.raises(RuntimeError, match="__ph=1"):
+        ingest._stage_literal_phases(
+            spark, rows_by_phase, "id long, tag string", str(tmp_path / "s1")
+        )
+    # non-empty phases still stage and return in order
+    dirs = ingest._stage_literal_phases(
+        spark, [[(1, "a")], [(2, "b")]], "id long, tag string", str(tmp_path / "s2")
+    )
+    assert dirs == ["__ph=0", "__ph=1"]
+    got = sorted(
+        (r["id"], r["tag"])
+        for d in dirs
+        for r in spark.read.parquet(str(tmp_path / "s2" / d)).collect()
+    )
+    assert got == [(1, "a"), (2, "b")]
