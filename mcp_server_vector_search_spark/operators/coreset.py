@@ -52,7 +52,7 @@ only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -65,6 +65,17 @@ KCENTER_K = 6
 SCALE = 1000000000.0  # squared-distance micro quantum (1e-9)
 
 
+def micro_sqdist(center: list[float]) -> Column:
+    """Exact long micro squared distance of the ``emb`` column to a
+    literal center: per-dimension ``floor(((x_d-c_d)^2)*1e9)`` terms,
+    order-free integer sum."""
+    lit_c = F.array(*[F.lit(float(x)) for x in center])
+    terms = F.zip_with(
+        "emb", lit_c, lambda a, b: F.floor(((a - b) * (a - b)) * F.lit(SCALE))
+    )
+    return F.aggregate(terms, F.lit(0).cast("long"), lambda acc, t: acc + t)
+
+
 def kcenter_select(
     spark: SparkSession, sf_dir: str, k: int = KCENTER_K
 ) -> tuple[list[int], int, int]:
@@ -72,7 +83,18 @@ def kcenter_select(
     order, coverage_radius_micro under all k centers, corpus rows).
 
     Driver traffic: one (long, long, 64×double) row per round.
-    """
+
+    MEASURED r17, do not re-apply the r16 broadcast-parameter pattern
+    here: delivering ``centers`` as a broadcast 1-row array-of-arrays
+    + ``array_min(transform(...))`` (the linalg/Lloyd fix) made this
+    loop SLOWER — quiet min-of-3 2.64 s literal-chain vs 3.36 s
+    broadcast-param, and 2.02 → 2.70 s in the round bench records.
+    At k ≤ 6 the literal ``F.least``-of-folds chain is tiny (codegen
+    and py4j costs that motivated the linalg fix are bounded by k, not
+    by 64 dims × k structs), while the parameter join pays a
+    BroadcastExchange + nested-loop join + non-literal array
+    evaluation per round.  Reverted to the literal form on those
+    numbers (guide §1.3)."""
     pts = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
@@ -82,54 +104,32 @@ def kcenter_select(
     selected = [int(seed["vec_id"])]
     centers = [list(seed["emb"])]
 
-    # r16 (guide §1.2/§7.3, the linalg/Lloyd fix): the selected centers
-    # enter each round as a BROADCAST 1-row array-of-arrays column and
-    # the running min is array_min over per-center folds — the same
-    # floor(((x-c)^2)*1e9) terms, the same min of the same longs as the
-    # literal F.least-of-folds chain this replaces,
-    # but the generated code is literal-free so every round reuses the
-    # compiled class, and the expression builds in one parse instead of
-    # k x 64 py4j literal calls.  AQE off around the bounded collects
-    # (one-row reduces; nothing to adapt) and restored in finally.
-    MD_EXPR = (
-        "array_min(transform(cents, c -> "
-        f"aggregate(zip_with(emb, c, (a, b) -> floor(((a - b) * (a - b)) * {SCALE!r}d)), "
-        "0L, (acc, t) -> acc + t)))"
-    )
+    def min_dist() -> Column:
+        cols = [micro_sqdist(c) for c in centers]
+        return cols[0] if len(cols) == 1 else F.least(*cols)
 
-    def with_cents() -> DataFrame:
-        cdf = spark.createDataFrame([(centers,)], "cents array<array<double>>")
-        return pts.crossJoin(F.broadcast(cdf))
-
-    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        for _ in range(k - 1):
-            # argmax(md), ties to smaller vec_id; payload embedding rides
-            # in the struct so the round costs exactly one scan.
-            win = (
-                with_cents()
-                .select(
-                    F.struct(
-                        F.expr(MD_EXPR).alias("md"),
-                        (-F.col("vec_id")).alias("nv"),
-                        F.col("emb"),
-                    ).alias("s")
-                )
-                .agg(F.max("s").alias("w"))
-                .collect()[0]["w"]  # bounded: one struct row
+    for _ in range(k - 1):
+        # argmax(md), ties to smaller vec_id; payload embedding rides
+        # in the struct so the round costs exactly one scan.
+        win = (
+            pts.select(
+                F.struct(
+                    min_dist().alias("md"),
+                    (-F.col("vec_id")).alias("nv"),
+                    F.col("emb"),
+                ).alias("s")
             )
-            selected.append(int(-win["nv"]))
-            centers.append(list(win["emb"]))
-
-        cov = (
-            with_cents()
-            .select(F.expr(MD_EXPR).alias("md"))
-            .agg(F.max("md").alias("cov"), F.count(F.lit(1)).alias("n"))
-            .collect()[0]  # bounded: one row of two longs
+            .agg(F.max("s").alias("w"))
+            .collect()[0]["w"]  # bounded: one struct row
         )
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        selected.append(int(-win["nv"]))
+        centers.append(list(win["emb"]))
+
+    cov = (
+        pts.select(min_dist().alias("md"))
+        .agg(F.max("md").alias("cov"), F.count(F.lit(1)).alias("n"))
+        .collect()[0]  # bounded: one row of two longs
+    )
     return selected, int(cov["cov"]), int(cov["n"])
 
 
