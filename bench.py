@@ -143,6 +143,7 @@ def main() -> None:
     }
     full_payload = {
         **payload,
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count(),
         "runs": raw_runs,
         "runs_per_query": runs_per_query,
         "pass_orders": pass_orders,
